@@ -1,0 +1,278 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+
+/** General analytics surface over the TPC-H-ish corpus: scan-filter-agg,
+  * multi-way joins (broadcast where a side is small), window functions,
+  * semi/anti joins, time-bucketed event aggregation and gap
+  * sessionization (the batch twins of the streaming pipeline).
+  *
+  * Oracle-parity conventions (see SURVEY §4): money aggregates go
+  * through DECIMAL(18,2|4) so the sum is exact, then cast to DOUBLE;
+  * averages are sum/count in double, rounded to 4; timestamps leave the
+  * query as epoch seconds/micros BIGINT.
+  *
+  * Scale notes: joins to region/nation/supplier/part are broadcast
+  * (dims stay small at any SF); fact-fact joins (orders x lineitem)
+  * shuffle on the join key which is also the grouping key, so the agg
+  * reuses the join's partitioning and adds no extra exchange. Top-k is
+  * ORDER BY + LIMIT which Spark executes as TakeOrderedAndProject —
+  * per-partition heaps, no global sort.
+  */
+object Analytics extends QueryModule {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def sumMoney2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  private def sumMoney4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  private def ts(lit0: String): Column = lit(lit0).cast(TimestampType)
+
+  // --- q1: pricing summary (filter + groupBy agg) --------------------
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney2(col("l_quantity")).as("sum_qty"),
+        sumMoney2(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        round(sumMoney2(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(sumMoney2(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3: top-10 revenue orders (3-way join + top-k) ----------------
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    // customer is the small side at any SF relative to orders: broadcast.
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT o.o_orderkey,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch
+      |FROM customer c, orders o, lineitem l
+      |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o.o_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, o.o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // --- q5: revenue per nation within a region (6-way join) -----------
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = Tables.lineitem(s, d)
+    // region/nation/supplier/customer are all dimension-sized: the only
+    // big shuffle is orders x lineitem on the orderkey.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // --- q6: forecast revenue change (tight filter + single agg) -------
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24.0)
+      .agg(
+        sumMoney4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // --- window: top-3 customers per nation by balance -----------------
+  private def qWindowTopcust(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey").cast(LongType).as("nationkey"),
+        col("rn").cast(LongType).as("rn"),
+        col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+  }
+
+  private val qWindowTopcustSql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, CAST(rn AS BIGINT) AS rn,
+      |       c_custkey AS custkey, c_acctbal AS acctbal
+      |FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+      |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |      FROM customer)
+      |WHERE rn <= 3""".stripMargin
+
+  // --- semi join: orders containing a high-quantity line -------------
+  private def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 48.0)
+      .select("l_orderkey")
+    Tables.orders(s, d)
+      .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"))
+  }
+
+  private val qSemiJoinSql =
+    """SELECT o_orderkey, o_totalprice,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48.0)""".stripMargin
+
+  // --- anti join: customers with no recent orders --------------------
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select("o_custkey")
+    Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  private val qAntiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin
+
+  // --- events: hourly tumbling window (batch twin of streaming) ------
+  private def qEventsHourly(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("sum_value"),
+        round(sumMoney2(col("value")) / count(lit(1)), 4).as("avg_value"))
+  }
+
+  private val qEventsHourlySql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- events: gap-based sessionization (30-min gap) -----------------
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_tus").isNull || col("tus") - col("prev_tus") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+        sumMoney2(col("value")).as("sum_value"))
+  }
+
+  private val qSessionizeSql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+      |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM x),
+      |z AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM y)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |       MIN(tus) AS start_us, MAX(tus) AS end_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, session_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"       -> (q1 _),
+    "q3_topk_join"     -> (q3 _),
+    "q5_region_volume" -> (q5 _),
+    "q6_forecast"      -> (q6 _),
+    "q_window_topcust" -> (qWindowTopcust _),
+    "q_semi_join"      -> (qSemiJoin _),
+    "q_anti_join"      -> (qAntiJoin _),
+    "q_events_hourly"  -> (qEventsHourly _),
+    "q_sessionize"     -> (qSessionize _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "q1_pricing"       -> q1Sql,
+    "q3_topk_join"     -> q3Sql,
+    "q5_region_volume" -> q5Sql,
+    "q6_forecast"      -> q6Sql,
+    "q_window_topcust" -> qWindowTopcustSql,
+    "q_semi_join"      -> qSemiJoinSql,
+    "q_anti_join"      -> qAntiJoinSql,
+    "q_events_hourly"  -> qEventsHourlySql,
+    "q_sessionize"     -> qSessionizeSql)
+}
