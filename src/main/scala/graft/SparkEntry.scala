@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    graft.analytics.Analytics)
+    graft.analytics.Analytics,
+    graft.vector.VectorQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,222 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryModule, Tables}
+import graft.expressions.VectorExpressions._
+
+/** Driver-checkable queries for the vector-DB core (SURVEY §2 block A).
+  *
+  * Determinism contract: "seed" centroids are the k=4 vectors with the
+  * lowest vec_id (SURVEY §4) so the DuckDB oracle can rebuild the same
+  * routing; distances/similarities are sequential double accumulation
+  * (graft.expressions.VectorKernels) matching DuckDB's list_* kernels,
+  * and leave queries rounded to 4 decimals.
+  *
+  * Scale shape: centroid sets ride inside the plan as literals
+  * (map-only routing); query sets are broadcast; all top-k goes
+  * through TakeOrdered or a per-query window after a broadcast join —
+  * never a global sort of the corpus.
+  */
+object VectorQueries extends QueryModule {
+  private val K = 4          // shard count (reference NUM_SHARDS)
+  private val QUERY_ID = 0L  // fixed query vector for single-query ops
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  private def queryVec(s: SparkSession, d: String, id: Long = QUERY_ID): Array[Double] =
+    emb(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  // SQL fragment: deterministic centroids + per-vector shard assignment
+  private val centSql =
+    """cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS shard,
+      |         embedding::DOUBLE[] AS c
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+      |)""".stripMargin
+  private val assignSql =
+    """assign AS (
+      |  SELECT vec_id, shard, dist FROM (
+      |    SELECT e.vec_id, c.shard,
+      |           list_distance(e.embedding::DOUBLE[], c.c) AS dist,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.shard) AS rn
+      |    FROM embeddings e CROSS JOIN cent c) t
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  // --- get by id (storage_server.py:52-68) ---------------------------
+  private def getById(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") === 42)
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        round(vecNorm(col("embedding")), 4).as("norm"),
+        col("label").cast(LongType).as("label"))
+
+  private val getByIdSql =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm,
+      |  CAST(label AS BIGINT) AS label
+      |FROM embeddings WHERE vec_id = 42""".stripMargin
+
+  // --- store routing (compute_server.py:40-48,81-90) -----------------
+  private def routeStore(s: SparkSession, d: String): DataFrame = {
+    val cents = Centroids.deterministicInit(emb(s, d), k = K)
+    emb(s, d).select(col("vec_id"),
+      Centroids.nearestShard(col("embedding"), cents).as("shard"),
+      round(Centroids.nearestDist(col("embedding"), cents), 4).as("dist"))
+  }
+
+  private val routeStoreSql =
+    s"""WITH $centSql, $assignSql
+       |SELECT vec_id, shard, ROUND(dist, 4) AS dist FROM assign""".stripMargin
+
+  // --- per-shard inventory (storage_server.py:71-81) -----------------
+  private def listIds(s: SparkSession, d: String): DataFrame = {
+    val cents = Centroids.deterministicInit(emb(s, d), k = K)
+    emb(s, d)
+      .withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+  }
+
+  private val listIdsSql =
+    s"""WITH $centSql, $assignSql
+       |SELECT shard, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+       |FROM assign GROUP BY shard""".stripMargin
+
+  // --- exact knn (compute_server.py:106-138, all shards) -------------
+  private def knnExact(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    emb(s, d).filter(col("vec_id") =!= QUERY_ID)
+      .withColumn("score0", cosineSim(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(desc("score0"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  private val knnExactSql =
+    """SELECT b.vec_id,
+      |  ROUND(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4) AS score
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+      |WHERE a.vec_id = 0
+      |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC, b.vec_id
+      |LIMIT 10""".stripMargin
+
+  // --- ivf knn: prune to nprobe=2 nearest shards ---------------------
+  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val q = queryVec(s, d)
+    val probe = Centroids.nearestShardsOf(q, cents, nprobe = 2).map(_.toLong)
+    e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+      .filter(col("shard").isin(probe: _*) && col("vec_id") =!= QUERY_ID)
+      .withColumn("score0", cosineSim(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(desc("score0"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("shard"), round(col("score0"), 4).as("score"))
+  }
+
+  private val knnIvfSql =
+    s"""WITH $centSql, $assignSql,
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |qsh AS (SELECT c.shard FROM cent c CROSS JOIN q
+       |        ORDER BY list_distance(q.qv, c.c), c.shard LIMIT 2)
+       |SELECT b.vec_id, a.shard,
+       |  ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.qv), 4) AS score
+       |FROM embeddings b JOIN assign a ON a.vec_id = b.vec_id CROSS JOIN q
+       |WHERE a.shard IN (SELECT shard FROM qsh) AND b.vec_id <> 0
+       |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+
+  // --- batch knn: top-5 for each of the 20 lowest-id queries ---------
+  private def knnBatch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score0"), asc("vec_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  private val knnBatchSql =
+    """SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score FROM (
+      |  SELECT q.vec_id AS query_id, b.vec_id,
+      |    list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |               b.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20) t
+      |WHERE rank <= 5""".stripMargin
+
+  // --- range (radius) search -----------------------------------------
+  private def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .filter(col("score0") >= 0.25)
+      .select(col("query_id"), col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  private val rangeSearchSql =
+    """SELECT q.vec_id AS query_id, b.vec_id,
+      |  ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+      |FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+      |WHERE q.vec_id IN (0, 100, 200, 300, 400)
+      |  AND list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) >= 0.25""".stripMargin
+
+  // --- kmeans (cluster.py:6-38): sizes + inertia, rows-only ----------
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = Centroids.lloyd(emb(s, d), k = K, iters = 5)
+    assigned
+      .withColumn("d", Centroids.nearestDist(col("embedding"), cents))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_members"), round(sum(col("d") * col("d")), 2).as("inertia"))
+      .select(col("shard").as("cluster"), col("n_members"), col("inertia"))
+  }
+
+  // --- centroid stats (compute_server.py GET /), rows-only -----------
+  private def centroidStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = Centroids.lloyd(emb(s, d), k = K, iters = 5)
+    val norms = cents.toSeq.map { case (sid, c) =>
+      (sid.toLong, math.sqrt(c.map(x => x * x).sum))
+    }.toDF("cluster", "centroid_norm")
+    assigned.groupBy(col("shard").as("cluster")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(norms), "cluster")
+      .select(col("cluster"), col("n_members"), round(col("centroid_norm"), 4).as("centroid_norm"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vdb_get_by_id"      -> (getById _),
+    "vdb_route_store"    -> (routeStore _),
+    "vdb_list_ids"       -> (listIds _),
+    "vdb_knn_exact"      -> (knnExact _),
+    "vdb_knn_ivf"        -> (knnIvf _),
+    "vdb_knn_batch"      -> (knnBatch _),
+    "vdb_range_search"   -> (rangeSearch _),
+    "vdb_kmeans"         -> (kmeans _),
+    "vdb_centroid_stats" -> (centroidStats _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "vdb_get_by_id"    -> getByIdSql,
+    "vdb_route_store"  -> routeStoreSql,
+    "vdb_list_ids"     -> listIdsSql,
+    "vdb_knn_exact"    -> knnExactSql,
+    "vdb_knn_ivf"      -> knnIvfSql,
+    "vdb_knn_batch"    -> knnBatchSql,
+    "vdb_range_search" -> rangeSearchSql)
+}

