@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.analytics.Analytics,
-    graft.vector.VectorQueries)
+    graft.vector.VectorQueries,
+    graft.vector.AnnLsh,
+    graft.dedup.Dedup,
+    graft.text.TextAnalysis,
+    graft.multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,189 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{QueryModule, Tables}
+import graft.expressions.VectorExpressions._
+
+/** Document deduplication suite (SURVEY §2 block C) — the operators a
+  * training-data pipeline runs over a 100 TB text corpus.
+  *
+  * Shared scale shape: candidate generation is ALWAYS an equi-join on
+  * a compact blocking key (content hash, shingle, minhash band,
+  * simhash band) — never an n^2 comparison. Verification (true
+  * Jaccard / hamming) runs only on candidates. Hot blocking keys (a
+  * stop-shingle shared by half the corpus) are the skew risk: AQE
+  * skew-join splitting is on, and shingle document-frequency capping
+  * is the documented knob for real corpora.
+  */
+object Dedup extends QueryModule {
+
+  /** 1-based word-trigram shingles, mirroring the DuckDB oracle's
+    * `ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]` exactly.
+    */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))
+        ))).as("s"))
+  }
+
+  // --- exact dedup: content-hash groups ------------------------------
+  private def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("survivor_id"))
+
+  private val exactSql =
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS survivor_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --- n-gram Jaccard near-dup pairs ---------------------------------
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter(jac >= 0.8)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
+
+  private val ngramJaccardSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  // --- MinHash + LSH banding (rows-only oracle; MinHashSpec asserts
+  //     it finds exactly the ngram-Jaccard pairs) ---------------------
+  private[dedup] val P = 2147483647L // 2^31 - 1
+  private[dedup] val NumPerms = 128
+  private[dedup] val Bands = 16 // 16 bands x 8 rows
+  private[dedup] val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPerms)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** 128 minhashes in one grouped pass: h' = ((xxhash64 % P)+P)%P, then
+    * sig_i = min(a_i * h' + b_i mod P) — 128 partial-aggregated min
+    * columns, so the shuffle carries one row per (doc, 128 longs).
+    */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val hNorm = ((xxhash64(col("s")) % P) + P) % P
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + b) % P).as(s"sig_$i")
+    }
+    sh.withColumn("h", hNorm)
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"sig_$i")): _*).as("sigs"))
+  }
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val rows = NumPerms / Bands
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val sigs = signatures(sh)
+    // band key = (band idx, stringified slice); candidates share a band
+    val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(j =>
+          concat_ws(",", slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates with true shingle-set Jaccard
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("set"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb")), "id_b")
+      .filter(jac >= 0.8)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
+
+  // --- SimHash (rows-only oracle; SimHashSpec) -----------------------
+  /** 64-bit simhash over trigram shingles: per bit, +1 if the shingle
+    * hash has the bit set else -1; the sign of the per-doc sum is the
+    * fingerprint bit. 64 partial-aggregated sums per doc.
+    */
+  private[graft] def simhashDf(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).withColumn("h", xxhash64(col("s")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val fp = simhashDf(Tables.documents(s, d)).cache()
+    // 8 bands x 8 bits: any pair at hamming <= 7 shares at least one band
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 8).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  // --- embedding cosine near-dup pairs (SQL oracle) ------------------
+  /** Exact all-pairs at threshold: one side broadcast, codegen'd
+    * cosine kernel, so sf0.1 is 2e6 comparisons in-memory. The 100 TB
+    * path is the LSH-bucketed variant (ann_lsh_topk) — exactness here
+    * is what the oracle checks.
+    */
+  private def embedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    e.join(broadcast(b), col("vec_id") < col("id_b"))
+      .withColumn("score0", cosineSim(col("embedding"), col("emb_b")))
+      .filter(col("score0") >= 0.40)
+      .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
+  }
+
+  private val embeddingSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _),
+    "dedup_embedding"     -> (embedding _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "dedup_exact"         -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_embedding"     -> embeddingSql)
+}

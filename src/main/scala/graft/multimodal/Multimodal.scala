@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryModule, Tables}
+
+/** A reference to one media object: opaque bytes + typed metadata.
+  * At 100 TB the payload column stays in parquet binary chunks;
+  * feature extraction is partition-parallel and never collects.
+  */
+case class MediaRef(doc_id: Long, media_type: String, payload: Array[Byte])
+
+case class MediaFeatures(doc_id: Long, n_bytes: Long, digest: String,
+                         width: Int, height: Int, n_frames: Int)
+
+/** Multimodal column plumbing (SURVEY §2 block F).
+  *
+  * The real decode step (image/audio codecs) is STUBBED — those libs
+  * are not in this environment. [[Decode.decodeStub]] is a clearly
+  * marked deterministic fake; everything around it (binary column
+  * handling, schema, partition-wise batch decode via mapPartitions,
+  * frame sampling) is the real Spark plumbing a production decode
+  * would drop into.
+  */
+object Decode {
+  /** STUB decode: deterministic fake dimensions derived from the
+    * payload. Replace the body with a real codec call (e.g. javacv)
+    * in production; signature and call sites stay unchanged.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val n = payload.length
+    (64 + n % 576, 64 + (n * 7) % 416)
+  }
+
+  /** Partition-wise feature extraction — the Scala analogue of a
+    * pandas-UDF/mapInPandas decode: one JVM-side pass per partition,
+    * no per-row task overhead, no driver collection.
+    */
+  def features(ds: Dataset[MediaRef]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val (w, h) = decodeStub(m.payload)
+        val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+        md.reset()
+        MediaFeatures(m.doc_id, m.payload.length.toLong, digest, w, h,
+          m.payload.length / 64 + 1)
+      }
+    }
+  }
+}
+
+object Multimodal extends QueryModule {
+
+  /** documents.text bytes standing in as the opaque media payload. */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  // --- per-object binary features (with stubbed decode metadata) -----
+  private def binaryFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = media(s, d).as[MediaRef]
+    Decode.features(ds).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("digest"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("n_frames").cast(LongType).as("n_frames"))
+  }
+
+  // Oracle mirrors the stub formulas on the raw bytes.
+  private val binaryFeaturesSql =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(64 + strlen(text) % 576 AS BIGINT) AS width,
+      |  CAST(64 + (strlen(text) * 7) % 416 AS BIGINT) AS height,
+      |  CAST(strlen(text) // 64 + 1 AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
+  // --- deterministic frame sampling: stride-64 windows ---------------
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), expr("(length(text) - 1) div 64"))).as(Seq("p", "frame_no")))
+      .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
+        md5(expr("substring(text, frame_no * 64 + 1, 64)")).as("frame_digest"),
+        length(expr("substring(text, frame_no * 64 + 1, 64)")).cast(LongType).as("frame_len"))
+
+  private val frameSampleSql =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+      |  md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_digest,
+      |  CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len
+      |FROM documents, UNNEST(generate_series(0, (strlen(text) - 1) // 64)) AS t(i)""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_features" -> (binaryFeatures _),
+    "mm_frame_sample"    -> (frameSample _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "mm_binary_features" -> binaryFeaturesSql,
+    "mm_frame_sample"    -> frameSampleSql)
+}

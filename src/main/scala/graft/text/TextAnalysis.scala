@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{QueryModule, Tables}
+
+/** Text analysis for training-data curation (SURVEY §2 block E):
+  * language-ID, quality scoring, token counting, fingerprinting.
+  * Every operator is a pure map-side projection over `documents` —
+  * no shuffle at all, so throughput at 100 TB is scan-bound.
+  *
+  * Oracle parity: identical marker lists and formulas on the DuckDB
+  * side; set ops go through distinct first (Spark's array_intersect
+  * dedups, DuckDB's list_intersect may not).
+  */
+object TextAnalysis extends QueryModule {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val wsAll: Column = split(col("text"), " ")
+  private val wsDistinct: Column = array_distinct(wsAll)
+  private val nWords: Column = size(wsAll).cast(LongType)
+
+  // --- per-document statistics ---------------------------------------
+  private def stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      nWords.as("n_words"),
+      size(wsDistinct).cast(LongType).as("n_distinct_words"),
+      round(aggregate(transform(wsAll, w => length(w)), lit(0), _ + _).cast(DoubleType) /
+        size(wsAll), 4).as("avg_word_len"))
+
+  private val statsSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+      |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS avg_word_len
+      |FROM documents""".stripMargin
+
+  // --- language ID: marker-word scoring ------------------------------
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    val scores = markers.map { case (lang, ws) =>
+      size(array_intersect(wsDistinct, array(ws.map(lit): _*))).cast(LongType).as(s"score_$lang")
+    }
+    val m = greatest(markers.map { case (lang, _) => col(s"score_$lang") }: _*)
+    // first language (alphabetical) reaching the max, mirrored in SQL
+    val pred = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"score_$lang") === m, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
+      .withColumn("pred_lang", pred)
+  }
+
+  private val langidSql = {
+    val scoreExprs = markers.map { case (lang, ws) =>
+      s"  CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ${sqlList(ws)})) AS BIGINT) AS score_$lang"
+    }.mkString(",\n")
+    val m = markers.map { case (l, _) => s"score_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = markers.map { case (l, _) => s"WHEN score_$l = $m THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr, score_zh,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang AS labeled_lang,
+       |$scoreExprs
+       |      FROM documents) t""".stripMargin
+  }
+
+  // --- quality score -------------------------------------------------
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val stop = markers.toMap.apply("en")
+    val nStop = size(filter(wsAll, w => array_contains(typedlit(stop), w))).cast(DoubleType)
+    val lenScore = least(nWords.cast(DoubleType) / 100.0, lit(1.0))
+    val stopRatio = nStop / nWords
+    val ttr = size(wsDistinct).cast(DoubleType) / nWords
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      round(lenScore, 4).as("len_score"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(ttr, 4).as("type_token_ratio"),
+      round(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3, 4).as("quality"))
+  }
+
+  private val qualitySql = {
+    val stop = sqlList(markers.toMap.apply("en"))
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> list_contains(STOP, x))) AS DOUBLE) AS ns,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ROUND(LEAST(nw / 100.0, 1.0), 4) AS len_score,
+      |  ROUND(ns / nw, 4) AS stop_ratio,
+      |  ROUND(nd / nw, 4) AS type_token_ratio,
+      |  ROUND(LEAST(nw / 100.0, 1.0) * 0.4 + (ns / nw) * 0.3 + (nd / nw) * 0.3, 4) AS quality
+      |FROM t""".stripMargin.replace("STOP", stop)
+  }
+
+  // --- token counting ------------------------------------------------
+  private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).cast(LongType).as("n_re_tokens"))
+
+  private val tokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS n_re_tokens
+       |FROM documents""".stripMargin
+
+  // --- content fingerprint -------------------------------------------
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(wsDistinct))).as("fingerprint"),
+      size(wsDistinct).cast(LongType).as("n_distinct_words"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+      |FROM documents""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> (stats _),
+    "text_langid"      -> (langid _),
+    "text_quality"     -> (quality _),
+    "text_tokens"      -> (tokens _),
+    "text_fingerprint" -> (fingerprint _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "text_stats"       -> statsSql,
+    "text_langid"      -> langidSql,
+    "text_quality"     -> qualitySql,
+    "text_tokens"      -> tokensSql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,70 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryModule, Tables}
+import graft.expressions.VectorExpressions._
+
+/** Random-hyperplane LSH ANN (SURVEY §2 block D) — the bucketed scale
+  * path for similarity search. L tables of b sign bits each; a
+  * candidate pair must collide in at least one table. Bucketing,
+  * scoring and per-query top-k are all equi-join/window work: shuffle
+  * keys are (table, bucket), never all-pairs.
+  *
+  * Deterministic hyperplanes from a fixed seed, so results are stable
+  * across runs (rows-only driver check; AnnLshSpec asserts recall
+  * against the exact top-k).
+  */
+object AnnLsh extends QueryModule {
+  private val Dim = 64
+  private val NumTables = 4
+  private val BitsPerTable = 6
+
+  /** hyperplanes(t)(p) is one Dim-vector; seed fixed per (table, plane). */
+  private[vector] val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumTables, BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of vector `v` in table `t` — a pure projection
+    * (BitsPerTable dot products against plan-literal hyperplanes).
+    */
+  private[vector] def bucket(v: Column, t: Int): Column =
+    hyperplanes(t).zipWithIndex.map { case (h, i) =>
+      when(dotProduct(v, typedlit(h.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (id, table, bucket) exploded bucketing of a vector DataFrame. */
+  private[vector] def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(array((0 until NumTables).map(t =>
+      bucket(col(vecCol), t)): _*)).as(Seq("table", "bucket")))
+
+  /** Top-5 bucketed-candidate neighbors for each query (vec_id < 20). */
+  private def lshTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = buckets(e, "vec_id", "embedding")
+    val qb = b.filter(col("vec_id") < 20)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = qb.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score0"), asc("vec_id"))
+    cand
+      .join(vecs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "qv"),
+        "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("ann_lsh_topk" -> (lshTopk _))
+  override val oracleSql: Map[String, String] = Map.empty
+}

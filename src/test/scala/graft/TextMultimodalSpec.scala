@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Decode, MediaRef}
+
+class TextMultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("text_stats invariants: distinct <= words, avg len positive") {
+    val df = SparkEntry.queries("text_stats")(spark, sf)
+    assert(df.filter(col("n_distinct_words") > col("n_words")).count() === 0)
+    assert(df.filter(col("avg_word_len") <= 0).count() === 0)
+  }
+
+  test("langid prediction equals the argmax of its scores") {
+    val df = SparkEntry.queries("text_langid")(spark, sf)
+    val bad = df.filter(
+      greatest(col("score_de"), col("score_en"), col("score_es"), col("score_fr"), col("score_zh")) =!=
+        when(col("pred_lang") === "de", col("score_de"))
+          .when(col("pred_lang") === "en", col("score_en"))
+          .when(col("pred_lang") === "es", col("score_es"))
+          .when(col("pred_lang") === "fr", col("score_fr"))
+          .when(col("pred_lang") === "zh", col("score_zh")))
+    assert(bad.count() === 0)
+  }
+
+  test("quality score stays in [0, 1]") {
+    val df = SparkEntry.queries("text_quality")(spark, sf)
+    assert(df.filter(col("quality") < 0 || col("quality") > 1.0001).count() === 0)
+  }
+
+  test("decode stub plumbing: mapPartitions features match column math") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRef(1L, "image/fake", Array.fill[Byte](1000)(7)),
+      MediaRef(2L, "audio/fake", Array.fill[Byte](65)(1))).toDS()
+    val got = Decode.features(ds).collect().sortBy(_.doc_id)
+    assert(got(0).n_bytes === 1000 && got(0).width === 64 + 1000 % 576)
+    assert(got(1).n_frames === 2)
+    // digest matches Spark's own md5 of the same bytes
+    val sparkMd5 = ds.toDF().select(md5(col("payload"))).collect().map(_.getString(0)).toSet
+    assert(got.map(_.digest).toSet === sparkMd5)
+  }
+
+  test("frame sampling reconstructs full byte coverage") {
+    val frames = SparkEntry.queries("mm_frame_sample")(spark, sf)
+    val total = frames.agg(sum("frame_len")).head().getLong(0)
+    val chars = Tables.documents(spark, sf).agg(sum(length(col("text")))).head().getLong(0)
+    assert(total === chars)
+  }
+}
