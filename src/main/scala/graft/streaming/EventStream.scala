@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Structured Streaming pipelines over the events stream (SURVEY §2
+  * block G). The batch twins are Analytics.q_events_hourly /
+  * q_sessionize — same shapes, checked by the driver oracle; these
+  * run them incrementally with watermark-bounded state.
+  *
+  * Scale notes: all operators are keyed-state streaming aggregations —
+  * state is partitioned by (window, event_type) or user_id across
+  * executors, and the watermark bounds state size; at 100 TB/day the
+  * knobs are watermark width and shuffle partition count (state store
+  * instances = shuffle partitions).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, sum_value: Double)
+
+  /** Hourly tumbling-window counts — streaming twin of q_events_hourly. */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessions via the built-in session_window — works
+    * identically in batch and streaming.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization with flatMapGroupsWithState: emits a
+    * session when a gap larger than `gapUs` arrives or the state times
+    * out. Demonstrates arbitrary keyed state for semantics
+    * session_window can't express (e.g. per-session running custom
+    * aggregates).
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tus = e.ts.getTime * 1000L
+        cur match {
+          case Some(st) if tus - st.lastUs > gapUs =>
+            closed ::= Session(userId, st.startUs, st.lastUs, st.n, st.sum)
+            cur = Some(SessionState(tus, tus, 1, e.value))
+          case Some(st) =>
+            cur = Some(st.copy(lastUs = tus, n = st.n + 1, sum = st.sum + e.value))
+          case None =>
+            cur = Some(SessionState(tus, tus, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(st => closed ::= Session(userId, st.startUs, st.lastUs, st.n, st.sum))
+        state.remove()
+      } else cur.foreach(state.update)
+      closed.reverseIterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

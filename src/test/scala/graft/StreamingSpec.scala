@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def batchEvents = Tables.events(spark, sf)
+
+  test("streaming hourly counts match the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val rows = batchEvents.as[Event].collect()
+    input.addData(rows.toSeq)
+
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("hourly")
+      .select("hour_epoch", "event_type", "n_events", "sum_value")
+    val want = SparkEntry.queries("q_events_hourly")(spark, sf)
+      .select("hour_epoch", "event_type", "n_events", "sum_value")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, offsetMin: Long): Event =
+      Event(id, new java.sql.Timestamp(base + offsetMin * 60000L), user, "view", 1.0)
+
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 45 minutes apart -> first burst closes
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 55), ev(4, 1, 60))
+      q.processAllAvailable()
+      val afterFirst = spark.table("sessions").as[EventStream.Session].collect()
+      assert(afterFirst.length === 1)
+      assert(afterFirst.head.n_events === 2)
+      assert(afterFirst.head.start_us === base * 1000L)
+      // another gap closes the second session
+      input.addData(ev(5, 1, 200))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 2)
+    } finally q.stop()
+  }
+
+  test("session_window batch result agrees with the lag/cumsum sessionizer") {
+    val sw = EventStream.sessionWindows(batchEvents)
+      .select("user_id", "start_us", "n_events", "sum_value")
+    val twin = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select("user_id", "start_us", "n_events", "sum_value")
+    assert(sw.exceptAll(twin).count() === 0 && twin.exceptAll(sw).count() === 0)
+  }
+}
