@@ -9,10 +9,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup at the smallest SF: JIT + codegen caches settle so
+    // the timed pass measures steady-state throughput
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      // two passes: C2 compilation of generated code settles on the
+      // second invocation of each query's hot loops
+      val warmDir = "/root/testdata/sf0.001"
+      for (_ <- 1 to 2) {
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+        spark.catalog.clearCache()
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // operator-local caches don't leak across timings
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -75,37 +75,30 @@ object Dedup extends QueryModule {
 
   // --- MinHash + LSH banding (rows-only oracle; MinHashSpec asserts
   //     it finds exactly the ngram-Jaccard pairs) ---------------------
-  private[dedup] val P = 2147483647L // 2^31 - 1
-  private[dedup] val NumPerms = 128
+  private[dedup] val P = graft.expressions.MinHashParams.P
+  private[dedup] val NumPerms = graft.expressions.MinHashParams.NumPerms
   private[dedup] val Bands = 16 // 16 bands x 8 rows
-  private[dedup] val perms: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumPerms)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-  }
 
-  /** 128 minhashes in one grouped pass: h' = ((xxhash64 % P)+P)%P, then
-    * sig_i = min(a_i * h' + b_i mod P) — 128 partial-aggregated min
-    * columns, so the shuffle carries one row per (doc, 128 longs).
+  /** 128 minhashes in one grouped pass: h' = ((xxhash64 % P)+P)%P fed
+    * to the single-buffer [[graft.expressions.MinHashAgg]] — one
+    * partial-aggregated row of 128 longs per document on the shuffle.
     */
   private def signatures(sh: DataFrame): DataFrame = {
     val hNorm = ((xxhash64(col("s")) % P) + P) % P
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + b) % P).as(s"sig_$i")
-    }
     sh.withColumn("h", hNorm)
       .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"sig_$i")): _*).as("sigs"))
+      .agg(graft.expressions.MinHashAgg.minhashSigs(col("h")).as("sigs"))
   }
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val rows = NumPerms / Bands
     val sh = shingles(Tables.documents(s, d)).cache()
     val sigs = signatures(sh)
-    // band key = (band idx, stringified slice); candidates share a band
+    // band key = (band idx, hash of the signature slice): a long join
+    // key, not a concatenated string
     val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map(j =>
-          concat_ws(",", slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
+          xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -161,7 +154,9 @@ object Dedup extends QueryModule {
     * is what the oracle checks.
     */
   private def embedding(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // cast to double BEFORE the join: once per row, not once per pair
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     e.join(broadcast(b), col("vec_id") < col("id_b"))
       .withColumn("score0", cosineSim(col("embedding"), col("emb_b")))

@@ -70,7 +70,8 @@ object Centroids {
   def lloyd(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             k: Int = 4, iters: Int = 5): (Array[(Int, Array[Double])], DataFrame) = {
     var cents = deterministicInit(emb, idCol, vecCol, k)
-    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    // iterated over `iters` times: keep the working set in memory
+    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)).cache()
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("shard", nearestShard(col(vecCol), cents))
       val means = assigned

@@ -137,7 +137,8 @@ object VectorQueries extends QueryModule {
 
   // --- batch knn: top-5 for each of the 20 lowest-id queries ---------
   private def knnBatch(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
+    // pre-cast once per row so the per-pair kernel sees double arrays
+    val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(desc("score0"), asc("vec_id"))
@@ -162,7 +163,7 @@ object VectorQueries extends QueryModule {
 
   // --- range (radius) search -----------------------------------------
   private def rangeSearch(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
+    val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val queries = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
