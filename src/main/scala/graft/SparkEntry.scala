@@ -13,7 +13,8 @@ object SparkEntry {
     graft.vector.AnnLsh,
     graft.dedup.Dedup,
     graft.text.TextAnalysis,
-    graft.multimodal.Multimodal)
+    graft.multimodal.Multimodal,
+    graft.embed.HashEmbedder)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
