@@ -14,7 +14,8 @@ object SparkEntry {
     graft.dedup.Dedup,
     graft.text.TextAnalysis,
     graft.multimodal.Multimodal,
-    graft.embed.HashEmbedder)
+    graft.embed.HashEmbedder,
+    graft.vector.Quantize)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

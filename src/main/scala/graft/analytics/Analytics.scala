@@ -254,7 +254,19 @@ object Analytics extends QueryModule {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, session_id""".stripMargin
 
+  // --- events: exact distinct users per type -------------------------
+  private def qDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val qDistinctUsersSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_users" -> (qDistinctUsers _),
     "q1_pricing"       -> (q1 _),
     "q3_topk_join"     -> (q3 _),
     "q5_region_volume" -> (q5 _),
@@ -266,6 +278,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_distinct_users" -> qDistinctUsersSql,
     "q1_pricing"       -> q1Sql,
     "q3_topk_join"     -> q3Sql,
     "q5_region_volume" -> q5Sql,
