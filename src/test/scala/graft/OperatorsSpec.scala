@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SaltedJoin
+import graft.streaming.StreamingSearch
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // heavily skewed: 90% of rows share one key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (0L, "z")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = SaltedJoin.join(big, small, "k", salts = 8).select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
+  }
+
+  test("streaming vector search: stream of queries against static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+
+    val qv = corpus.filter(col("id") === 3)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData((100L, qv))
+
+    val queries = input.toDF().toDF("query_id", "qv")
+    val scored = StreamingSearch.score(queries, corpus)
+    val q = scored.writeStream.format("memory").queryName("sscore")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val top = StreamingSearch.topKPerQuery(spark.table("sscore"), 3)
+      .orderBy("rank").collect()
+    assert(top.length === 3)
+    // the query vector IS corpus vector 3: self-match ranks first
+    assert(top.head.getLong(1) === 3L)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
+}

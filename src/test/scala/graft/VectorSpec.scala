@@ -64,9 +64,12 @@ class VectorSpec extends AnyFunSuite {
     val ivf = vs.search(q, topK = 5, nprobe = 1)
     assert(ivf.select("shard").distinct().count() === 1)
 
-    // partition pruning is visible in the physical plan
-    val plan = vs.search(q, topK = 5, nprobe = 1).queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("error"))
+    // IVF pruning is real partition pruning: the shard filter appears
+    // as a PartitionFilter on the scan, not a post-scan Filter
+    val plan = vs.search(q, topK = 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected shard partition filter in plan:\n$plan")
   }
 
   test("deterministic centroids match lowest-id vectors") {
