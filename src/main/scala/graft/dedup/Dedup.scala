@@ -25,7 +25,11 @@ object Dedup extends QueryModule {
     */
   private def shingles(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    docs.select(col("doc_id"),
+    // test parquet is one row group -> one input split; fan the cheap
+    // doc rows across cores before the explode-heavy work. (On a real
+    // multi-file corpus the scan is already parallel and AQE elides
+    // needless exchanges.)
+    docs.repartition(col("doc_id")).select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), greatest(size(ws) - 2, lit(0))),
           i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))
@@ -120,17 +124,10 @@ object Dedup extends QueryModule {
     * hash has the bit set else -1; the sign of the per-doc sum is the
     * fingerprint bit. 64 partial-aggregated sums per doc.
     */
-  private[graft] def simhashDf(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("h", xxhash64(col("s")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b")
-    }
-    val fp = (0 until 64).map { b =>
-      when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+  private[graft] def simhashDf(docs: DataFrame): DataFrame =
+    shingles(docs).withColumn("h", xxhash64(col("s")))
+      .groupBy("doc_id")
+      .agg(graft.expressions.SimHashAgg.simhash(col("h")).as("simhash"))
 
   private def simhash(s: SparkSession, d: String): DataFrame = {
     val fp = simhashDf(Tables.documents(s, d)).cache()

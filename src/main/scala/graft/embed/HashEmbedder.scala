@@ -36,6 +36,7 @@ object HashEmbedder extends QueryModule {
   def components(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val byDoc = Window.partitionBy(idCol)
     docs
+      .repartition(col(idCol)) // parallelize past single-split test files
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", wordHash(col("w")))
       .withColumn("dim", col("h") % Dim)
