@@ -265,7 +265,40 @@ object Analytics extends QueryModule {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  // --- pivot: daily event counts per type ----------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy("day_epoch")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  private val qPivotSql = {
+    val cols = EventTypes.map(t =>
+      s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")
+    s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  // --- rollup: revenue by returnflag with subtotal rows --------------
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sumMoney2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_daily"    -> (qPivot _),
+    "q_rollup"         -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q1_pricing"       -> (q1 _),
     "q3_topk_join"     -> (q3 _),
@@ -278,6 +311,8 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_pivot_daily"    -> qPivotSql,
+    "q_rollup"         -> qRollupSql,
     "q_distinct_users" -> qDistinctUsersSql,
     "q1_pricing"       -> q1Sql,
     "q3_topk_join"     -> q3Sql,

@@ -134,7 +134,62 @@ object TextAnalysis extends QueryModule {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
       |FROM documents""".stripMargin
 
+  // --- corpus word frequency: top 20 -------------------------------
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  private val wordFreqSql =
+    """SELECT w AS word, COUNT(*) AS n
+      |FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      |GROUP BY w ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  // --- tf-idf: top-3 terms per document ------------------------------
+  /** tf = occurrences in doc; idf = ln(N / df) over distinct-word doc
+    * frequency. Top-3 terms per doc with (score desc, word asc)
+    * tiebreak. Join on word is the only shuffle; df table is
+    * dimension-sized (vocabulary) and broadcast.
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count().toDouble
+    val words = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score0"), asc("word"))
+    tf.join(broadcast(df), "word")
+      .withColumn("score0", col("tf") * log(lit(n) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("word"), round(col("score0"), 4).as("tfidf"))
+  }
+
+  private val tfidfSql =
+    """WITH words AS (
+      |  SELECT doc_id, w AS word FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n / df.df) AS s
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, ROUND(s, 4) AS tfidf
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, word ASC) AS rank
+      |      FROM scored) q
+      |WHERE rank <= 3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_word_freq"   -> (wordFreq _),
+    "text_tfidf"       -> (tfidf _),
     "text_stats"       -> (stats _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -142,6 +197,8 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
+    "text_word_freq"   -> wordFreqSql,
+    "text_tfidf"       -> tfidfSql,
     "text_stats"       -> statsSql,
     "text_langid"      -> langidSql,
     "text_quality"     -> qualitySql,

@@ -61,9 +61,9 @@ object Centroids {
   /** Deterministic Lloyd's KMeans over a vector DataFrame.
     *
     * Per iteration: map-only assignment (centroids as literals), then
-    * per-dimension mean via posexplode + partial-aggregated groupBy —
-    * the classic scalable KMeans step (shuffle volume is k*dim rows
-    * after map-side combine, independent of input size).
+    * per-cluster mean via the single-buffer VectorSumAgg — the classic
+    * scalable KMeans step (shuffle volume is one dim-length array per
+    * (cluster, map task), independent of input size).
     *
     * Returns (centroids, assignments DataFrame with `shard` column).
     */
@@ -75,18 +75,38 @@ object Centroids {
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("shard", nearestShard(col(vecCol), cents))
       val means = assigned
-        .select(col("shard"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("shard", "pos").agg(avg("x").as("m"))
         .groupBy("shard")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("shard"), transform(col("pm"), _.getField("m")).as("centroid"))
+        .agg(graft.expressions.VectorSumAgg.vectorSum(col(vecCol)).as("vsum"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getLong(0).toInt, r.getSeq[Double](1).map(_ / n).toArray)
+        }
         .sortBy(_._1)
       // a cluster can go empty: keep its previous centroid
       val byId = means.toMap
       cents = cents.map { case (sid, old) => (sid, byId.getOrElse(sid, old)) }
     }
     (cents, vecs.withColumn("shard", nearestShard(col(vecCol), cents)))
+  }
+
+  /** MLlib KMeans alternative (cluster.py's sklearn KMeans analogue):
+    * battle-tested kmeans|| init and convergence checks, at the cost
+    * of determinism across Spark versions. Use [[lloyd]] when the
+    * oracle / reproducibility matters, this when quality-per-iteration
+    * does.
+    */
+  def mllibKMeans(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+                  k: Int = 4, maxIter: Int = 20, seed: Long = 42L): (Array[(Int, Array[Double])], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed).fit(feats)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val assigned = model.transform(feats)
+      .select(col(idCol), col(vecCol), col("prediction").cast("long").as("shard"))
+    (cents, assigned)
   }
 }
