@@ -135,6 +135,47 @@ object VectorQueries extends QueryModule {
        |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC, b.vec_id
        |LIMIT 10""".stripMargin
 
+  // --- knn under L2 (metric variant) ---------------------------------
+  private def knnL2(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    emb(s, d).filter(col("vec_id") =!= QUERY_ID)
+      .withColumn("dist0", l2Dist(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(asc("dist0"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("dist0"), 4).as("dist"))
+  }
+
+  private val knnL2Sql =
+    """SELECT b.vec_id,
+      |  ROUND(list_distance(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4) AS dist
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+      |WHERE a.vec_id = 0
+      |ORDER BY list_distance(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) ASC, b.vec_id
+      |LIMIT 10""".stripMargin
+
+  // --- filtered knn: metadata predicate + vector search --------------
+  /** The filtered-ANN pattern every vector DB needs: the label
+    * predicate is pushed to the parquet scan, THEN cosine ranks the
+    * survivors — filter-then-search, not search-then-filter.
+    */
+  private def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    emb(s, d).filter(col("label") === 3 && col("vec_id") =!= QUERY_ID)
+      .withColumn("score0", cosineSim(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(desc("score0"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        round(col("score0"), 4).as("score"))
+  }
+
+  private val knnFilteredSql =
+    """SELECT b.vec_id, CAST(b.label AS BIGINT) AS label,
+      |  ROUND(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4) AS score
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+      |WHERE a.vec_id = 0 AND b.label = 3
+      |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC, b.vec_id
+      |LIMIT 10""".stripMargin
+
   // --- batch knn: top-5 for each of the 20 lowest-id queries ---------
   private def knnBatch(s: SparkSession, d: String): DataFrame = {
     // pre-cast once per row so the per-pair kernel sees double arrays
@@ -206,6 +247,8 @@ object VectorQueries extends QueryModule {
     "vdb_route_store"    -> (routeStore _),
     "vdb_list_ids"       -> (listIds _),
     "vdb_knn_exact"      -> (knnExact _),
+    "vdb_knn_l2"         -> (knnL2 _),
+    "vdb_knn_filtered"   -> (knnFiltered _),
     "vdb_knn_ivf"        -> (knnIvf _),
     "vdb_knn_batch"      -> (knnBatch _),
     "vdb_range_search"   -> (rangeSearch _),
@@ -217,6 +260,8 @@ object VectorQueries extends QueryModule {
     "vdb_route_store"  -> routeStoreSql,
     "vdb_list_ids"     -> listIdsSql,
     "vdb_knn_exact"    -> knnExactSql,
+    "vdb_knn_l2"       -> knnL2Sql,
+    "vdb_knn_filtered" -> knnFilteredSql,
     "vdb_knn_ivf"      -> knnIvfSql,
     "vdb_knn_batch"    -> knnBatchSql,
     "vdb_range_search" -> rangeSearchSql)

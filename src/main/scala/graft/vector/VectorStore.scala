@@ -68,6 +68,49 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .groupBy("shard")
       .agg(count(lit(1)).as("n_vectors"), min(idCol).as("min_id"), max(idCol).as("max_id"))
 
+  /** Upsert: replace-or-insert by id (reference /store is REPLACE INTO,
+    * storage_server.py:38-50). Only the shard partitions that receive
+    * new vectors are rewritten (dynamic partition overwrite) — at
+    * 100 TB an upsert touches k directories, not the whole index.
+    */
+  def upsert(vectors: DataFrame): Unit = {
+    val cents = centroids()
+    val incoming = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
+    // partition-column inference reads shard back as int: normalize
+    val current = spark.read.parquet(vecDir)
+      .withColumn("shard", col("shard").cast("long"))
+    // an id's new vector may route to a different shard than its old
+    // copy: rewrite both the destination shards and the shards that
+    // currently hold the ids (otherwise the old copy survives)
+    val touched = incoming.select("shard")
+      .union(current.join(incoming.select(col(idCol)), Seq(idCol), "left_semi").select("shard"))
+      .distinct().collect().map(_.getLong(0))
+    val existing = current
+      .filter(col("shard").isin(touched: _*))
+      .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+    existing.unionByName(incoming)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(vecDir)
+  }
+
+  /** Delete by id, rewriting only the shard partitions that contain
+    * the ids.
+    */
+  def delete(ids: Seq[Long]): Unit = {
+    val all = spark.read.parquet(vecDir)
+      .withColumn("shard", col("shard").cast("long"))
+    val touched = all.filter(col(idCol).isin(ids: _*))
+      .select("shard").distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    all.filter(col("shard").isin(touched: _*) && !col(idCol).isin(ids: _*))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(vecDir)
+  }
+
   /** Cosine top-k over the `nprobe` nearest shards (reference /search).
     * Executes as: partition-prune to the probed shards -> map-only
     * scoring with the codegen'd CosineSim kernel -> TakeOrdered (local

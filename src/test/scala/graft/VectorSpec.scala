@@ -72,6 +72,29 @@ class VectorSpec extends AnyFunSuite {
       s"expected shard partition filter in plan:\n$plan")
   }
 
+  test("upsert replaces by id and delete removes, touching only affected shards") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2)
+    val n0 = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+
+    // upsert: replace vector 7 with vector 9's data (id stays 7)
+    import spark.implicits._
+    val v9 = emb.filter(col("id") === 9)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    vs.upsert(Seq((7L, v9)).toDF("id", "vector"))
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0)
+    assert(vs.get(7).select("vector").head().getSeq[Double](0) === v9)
+
+    // delete removes exactly the requested ids
+    vs.delete(Seq(7L, 11L))
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0 - 2)
+    assert(vs.get(7).count() === 0 && vs.get(11).count() === 0)
+    assert(vs.get(12).count() === 1)
+  }
+
   test("deterministic centroids match lowest-id vectors") {
     val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
     assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
