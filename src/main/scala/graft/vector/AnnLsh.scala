@@ -52,16 +52,16 @@ object AnnLsh extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
     val vecs = e.select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score0"), asc("vec_id"))
     cand
       .join(vecs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "qv"),
         "query_id")
       .join(vecs, "vec_id")
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id"), round(col("score0"), 4).as("score"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), 5).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -177,18 +177,22 @@ object VectorQueries extends QueryModule {
       |LIMIT 10""".stripMargin
 
   // --- batch knn: top-5 for each of the 20 lowest-id queries ---------
+  /** Per-query top-k via the bounded-heap TopKAgg: partial aggregation
+    * ships at most k rows per (query, map partition) to the shuffle —
+    * the window formulation would shuffle every scored pair.
+    */
   private def knnBatch(s: SparkSession, d: String): DataFrame = {
     // pre-cast once per row so the per-pair kernel sees double arrays
     val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score0"), asc("vec_id"))
     e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id"), round(col("score0"), 4).as("score"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), 5).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
   }
 
   private val knnBatchSql =
