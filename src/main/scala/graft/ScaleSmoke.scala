@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExpressions._
+import graft.vector.VectorStore
+
+/** Scale smoke: deterministic synthetic data 100-250x the sf0.1 test
+  * corpus, exercising the operators whose cost curves matter at
+  * 100 TB — IVF build/search (partition-pruned vs full scan) and
+  * MinHash dedup. Prints one timing line per step. Artifacts live in
+  * /tmp; the driver test corpus is untouched.
+  *
+  * Usage: runMain graft.ScaleSmoke [nVectors] [nDocs]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nVec = args.headOption.map(_.toInt).getOrElse(500000)
+    val nDoc = args.drop(1).headOption.map(_.toInt).getOrElse(50000)
+    val spark = GraftSession.local(32, "graft-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic vectors: 64 dims of seeded rand
+    val vecs = spark.range(0, nVec, 1, 64)
+      .select(col("id"), array((0 until 64).map(i => rand(seed = 1000 + i) - 0.5): _*).as("vector"))
+      .cache()
+    vecs.count()
+
+    val dir = Files.createTempDirectory("graft-scale").toString
+    val vs = new VectorStore(spark, dir, numShards = 16)
+    timed(s"ivf build ($nVec vectors, 16 shards, 3 iters)") { vs.build(vecs, iters = 3) }
+
+    val q = vecs.filter(col("id") === 12345)
+      .select(col("vector")).head().getSeq[Double](0).toArray
+    val full = timed("search nprobe=16 (full scan)") {
+      vs.search(q, topK = 10, nprobe = 16).collect()
+    }
+    val pruned = timed("search nprobe=2 (pruned)") {
+      vs.search(q, topK = 10, nprobe = 2).collect()
+    }
+    println(s"[scale] self-match ok: ${full.head.getLong(0) == 12345L && pruned.head.getLong(0) == 12345L}")
+
+    val brute = timed("brute-force knn (no index)") {
+      vecs.withColumn("s", cosineSim(col("vector"), typedlit(q.toSeq)))
+        .orderBy(desc("s"), col("id").asc).limit(10).collect()
+    }
+    println(s"[scale] brute agrees with full-probe: ${brute.map(_.getLong(0)).sameElements(full.map(_.getLong(0)))}")
+
+    // synthetic documents: 60 words over a 2k vocabulary, near-dup pairs injected
+    val docs = spark.range(0, nDoc, 1, 64)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), (abs(xxhash64(col("id") * 60 + i, lit(7))) % 2000).cast("string"))): _*)
+          .as("text"))
+    val dupes = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + nDoc).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(dupes).cache()
+    corpus.count()
+
+    val found = timed(s"minhash-LSH dedup (${nDoc + nDoc / 100} docs)") {
+      graft.dedup.Dedup.minhashPairs(corpus).count()
+    }
+    println(s"[scale] minhash found $found pairs (injected ${nDoc / 100} exact dupes)")
+    spark.stop()
+  }
+}

@@ -94,9 +94,15 @@ object Dedup extends QueryModule {
       .agg(graft.expressions.MinHashAgg.minhashSigs(col("h")).as("sigs"))
   }
 
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d))
+
+  /** MinHash-LSH near-dup pairs (J >= 0.8, verified) for any document
+    * DataFrame with (doc_id, text).
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     val rows = NumPerms / Bands
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = shingles(docs).cache()
     val sigs = signatures(sh)
     // band key = (band idx, hash of the signature slice): a long join
     // key, not a concatenated string

@@ -111,6 +111,18 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .partitionBy("shard").parquet(vecDir)
   }
 
+  /** Continuous ingest: route and append each micro-batch of a vector
+    * stream (the streaming twin of the reference's /store loop,
+    * test.py:100-101 firing one HTTP POST per vector). Returns the
+    * handle; caller stops it.
+    */
+  def streamStore(vectors: org.apache.spark.sql.DataFrame,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => store(batch) }
+      .start()
+
   /** Cosine top-k over the `nprobe` nearest shards (reference /search).
     * Executes as: partition-prune to the probed shards -> map-only
     * scoring with the codegen'd CosineSim kernel -> TakeOrdered (local

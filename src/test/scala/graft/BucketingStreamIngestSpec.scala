@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.VectorStore
+
+class BucketingStreamIngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    GraftSession.builder("graft-test").master("local[4]")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose exchanges
+      .getOrCreate()
+  }
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed fact-fact join runs without a shuffle exchange") {
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // co-located bucketed tables join without ShuffleExchange
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    assert(joined.count() === Tables.lineitem(spark, sf).count())
+  }
+
+  test("streaming ingest routes micro-batches into the shard layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sstore").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb.filter(col("id") < 400), iters = 2)
+    val n0 = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+
+    // stream the remaining vectors in as micro-batches
+    val rest = emb.filter(col("id") >= 400)
+      .select(col("id"), col("vector").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = vs.streamStore(input.toDF().toDF("id", "vector"),
+      Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      input.addData(rest.take(50))
+      q.processAllAvailable()
+      input.addData(rest.drop(50))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0 + rest.length)
+    // streamed vectors are searchable
+    val v = rest.head._2.toArray
+    assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === rest.head._1)
+  }
+}
