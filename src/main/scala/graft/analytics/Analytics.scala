@@ -296,7 +296,78 @@ object Analytics extends QueryModule {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // --- as-of join: latest prior event per error event ----------------
+  private def qAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "tus")
+    graft.operators.AsOfJoin.join(errors, ev, by = "user_id",
+        leftTs = "tus", rightTs = "tus", payload = col("tus"))
+      .select(col("event_id"), col("asof_value").cast(LongType).as("prev_tus"))
+  }
+
+  private val qAsofSql =
+    """SELECT a.event_id, CAST(epoch_us(b.ts) AS BIGINT) AS prev_tus
+      |FROM (SELECT * FROM events WHERE event_type = 'error') a
+      |ASOF JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts""".stripMargin
+
+  // --- exact interpolated percentiles per event type -----------------
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  private val qPercentilesSql =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // --- fixed-width histogram of event values -------------------------
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", least(floor(col("value") / 25.0), lit(19)).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sumMoney2(col("value")).as("sum_value"))
+
+  private val qHistogramSql =
+    """SELECT CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // --- data-quality profile of the events table ----------------------
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct("event_id").as("n_distinct_ids"),
+      countDistinct("user_id").as("n_users"),
+      countDistinct("event_type").as("n_types"),
+      sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L)).as("n_empty_props"),
+      round(min("value"), 4).as("min_value"),
+      round(max("value"), 4).as("max_value"))
+
+  private val qProfileSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT event_id) AS n_distinct_ids,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS n_empty_props,
+      |  ROUND(MIN(value), 4) AS min_value,
+      |  ROUND(MAX(value), 4) AS max_value
+      |FROM events""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"      -> (qAsof _),
+    "q_percentiles"    -> (qPercentiles _),
+    "q_histogram"      -> (qHistogram _),
+    "q_profile"        -> (qProfile _),
     "q_pivot_daily"    -> (qPivot _),
     "q_rollup"         -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
@@ -311,6 +382,10 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_asof_join"      -> qAsofSql,
+    "q_percentiles"    -> qPercentilesSql,
+    "q_histogram"      -> qHistogramSql,
+    "q_profile"        -> qProfileSql,
     "q_pivot_daily"    -> qPivotSql,
     "q_rollup"         -> qRollupSql,
     "q_distinct_users" -> qDistinctUsersSql,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single right row with the
+  * greatest timestamp strictly before (or at, if `strict=false`) the
+  * left timestamp, within the same `by` key.
+  *
+  * Implemented with the merge technique, not a join: tag and union the
+  * two sides, sort per key by (ts, tag), and carry the last-seen right
+  * payload forward with last(ignoreNulls) — ONE shuffle of
+  * |L| + |R| rows and a linear pass, versus a range-join's quadratic
+  * per-key blowup. This is the standard scalable as-of shape (same
+  * cost as a sort-merge join) and is exactly how it should run on
+  * 1000 executors: partitioned by key, sorted within partition.
+  *
+  * Strictness: at equal timestamps the right row sorts AFTER the left
+  * row (tag 0 vs 1), so a strictly-earlier match is guaranteed; pass
+  * strict=false to sort right rows first and allow same-instant
+  * matches.
+  */
+object AsOfJoin {
+  /** @param payload right-side column to carry (aliased "asof_value")
+    * @return left rows (all columns) + asof_value, unmatched rows dropped
+    */
+  def join(left: DataFrame, right: DataFrame, by: String, leftTs: String,
+           rightTs: String, payload: Column, strict: Boolean = true): DataFrame = {
+    val rightTag = if (strict) 1 else -1
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(0))
+      .withColumn("__rv", lit(null).cast("double"))
+    val r = right.withColumn("__rv", payload.cast("double"))
+      .select(col(by), col(rightTs).as("__ts"), lit(rightTag).as("__tag"), col("__rv"))
+    val lCols = left.columns
+    val merged = l.select(Seq(col(by), col("__ts"), col("__tag"), col("__rv")) ++
+      lCols.filterNot(_ == by).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(by).orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("asof_value", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0 && col("asof_value").isNotNull)
+      .select(lCols.map(col) :+ col("asof_value"): _*)
+  }
+}

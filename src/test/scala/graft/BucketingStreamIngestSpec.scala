@@ -10,29 +10,37 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.vector.VectorStore
 
 class BucketingStreamIngestSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("graft-wh").toString
-    GraftSession.builder("graft-test").master("local[4]")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose exchanges
-      .getOrCreate()
-  }
+  // NB: all suites share one JVM SparkSession via getOrCreate, so
+  // builder-time configs would be silently ignored here — use
+  // runtime conf + explicit external table paths instead.
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
   val sf = "/root/testdata/sf0.001"
 
   test("bucketed fact-fact join runs without a shuffle exchange") {
-    Tables.orders(spark, sf).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
-    Tables.lineitem(spark, sf).write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose exchanges
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
 
-    val joined = spark.table("lineitem_b")
-      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
 
-    // co-located bucketed tables join without ShuffleExchange
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-      s"expected shuffle-free bucketed join, got:\n$plan")
-    assert(joined.count() === Tables.lineitem(spark, sf).count())
+      // co-located bucketed tables join without ShuffleExchange
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
   }
 
   test("streaming ingest routes micro-batches into the shard layout") {

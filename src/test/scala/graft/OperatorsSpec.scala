@@ -22,6 +22,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("as-of join picks the latest strictly-prior row per key") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"))
+      .toDF("k", "ts", "name")
+    val quotes = Seq((1L, 90L, 10.0), (1L, 100L, 11.0), (1L, 199L, 12.0), (2L, 150L, 20.0))
+      .toDF("k", "qts", "price")
+    val got = graft.operators.AsOfJoin
+      .join(trades, quotes, "k", "ts", "qts", col("price"))
+      .select("name", "asof_value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // t1@100: quote@100 excluded (strict), quote@90 wins; t2@200: 199 wins
+    assert(got === Map("t1" -> 10.0, "t2" -> 12.0))
+    // t3@150 has only the same-instant quote -> dropped under strict,
+    // matched under strict=false
+    val loose = graft.operators.AsOfJoin
+      .join(trades, quotes, "k", "ts", "qts", col("price"), strict = false)
+      .select("name", "asof_value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(loose === Map("t1" -> 11.0, "t2" -> 12.0, "t3" -> 20.0))
+  }
+
   test("streaming vector search: stream of queries against static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
