@@ -363,7 +363,25 @@ object Analytics extends QueryModule {
       |  ROUND(MAX(value), 4) AS max_value
       |FROM events""".stripMargin
 
+  // --- semi-structured: parse JSON props, aggregate extracted field --
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  private val qJsonExtractSql =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract"   -> (qJsonExtract _),
     "q_asof_join"      -> (qAsof _),
     "q_percentiles"    -> (qPercentiles _),
     "q_histogram"      -> (qHistogram _),
@@ -382,6 +400,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_json_extract"   -> qJsonExtractSql,
     "q_asof_join"      -> qAsofSql,
     "q_percentiles"    -> qPercentilesSql,
     "q_histogram"      -> qHistogramSql,

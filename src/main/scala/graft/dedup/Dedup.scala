@@ -150,6 +150,40 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= 6)
   }
 
+  // --- edit-distance verification of near-dup candidates -------------
+  /** Levenshtein only on the candidate pairs the cheap blocking pass
+    * produced (never all pairs — edit distance is O(len^2) per pair).
+    */
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ngramJaccard(s, d)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("ta"), col("tb")).cast(LongType).as("edit_dist"))
+  }
+
+  private val editDistanceSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT id_a, id_b,
+      |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+      |SELECT id_a, id_b, jaccard,
+      |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+      |FROM cand
+      |JOIN documents da ON da.doc_id = id_a
+      |JOIN documents db ON db.doc_id = id_b""".stripMargin
+
   // --- embedding cosine near-dup pairs (SQL oracle) ------------------
   /** Exact all-pairs at threshold: one side broadcast, codegen'd
     * cosine kernel, so sf0.1 is 2e6 comparisons in-memory. The 100 TB
@@ -178,10 +212,12 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
+    "dedup_edit_distance" -> (editDistance _),
     "dedup_embedding"     -> (embedding _))
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_edit_distance" -> editDistanceSql,
     "dedup_embedding"     -> embeddingSql)
 }
