@@ -380,7 +380,63 @@ object Analytics extends QueryModule {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // --- sliding window: 2h windows sliding by 1h ----------------------
+  private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n_events"))
+
+  // each event belongs to the 1h-grid windows starting at
+  // trunc(ts) and trunc(ts)-1h (width 2h, slide 1h)
+  private val qSlidingWindowSql =
+    """SELECT CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT) AS window_epoch,
+      |       event_type, COUNT(*) AS n_events
+      |FROM events, UNNEST([0, 1]) AS t(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- argmax: each user's latest event --------------------------------
+  private def qLastEvent(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy("user_id")
+      // (user_id, ts) is unique in the corpus, so plain argmax on the
+      // timestamp is deterministic
+      .agg(max_by(col("event_id"), col("tus")).as("last_event_id"),
+        max(col("tus")).as("last_tus"),
+        count(lit(1)).as("n_events"))
+
+  private val qLastEventSql =
+    """SELECT user_id,
+      |  arg_max(event_id, epoch_us(ts)) AS last_event_id,
+      |  MAX(epoch_us(ts)) AS last_tus,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // --- set ops: INTERSECT / EXCEPT -----------------------------------
+  private def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val erroring = ev.filter(col("event_type") === "error").select("user_id").distinct()
+    val heavyViewers = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 13).select("user_id")
+    buyers.intersect(erroring).except(heavyViewers)
+  }
+
+  private val qSetOpsSql =
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'view'
+      |GROUP BY user_id HAVING COUNT(*) > 13""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_last_event"     -> (qLastEvent _),
+    "q_set_ops"        -> (qSetOps _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_asof_join"      -> (qAsof _),
     "q_percentiles"    -> (qPercentiles _),
@@ -400,6 +456,9 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_last_event"     -> qLastEventSql,
+    "q_set_ops"        -> qSetOpsSql,
     "q_json_extract"   -> qJsonExtractSql,
     "q_asof_join"      -> qAsofSql,
     "q_percentiles"    -> qPercentilesSql,
