@@ -21,7 +21,6 @@ object ScaleSmoke {
     val nDoc = args.drop(1).headOption.map(_.toInt).getOrElse(50000)
     val spark = GraftSession.local(32, "graft-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()

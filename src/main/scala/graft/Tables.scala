@@ -26,7 +26,7 @@ object Tables {
     * downstream window/date functions behave normally.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
