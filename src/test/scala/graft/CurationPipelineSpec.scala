@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CurationPipeline
+
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("curate drops near-dups and short docs, index serves search") {
+    val docs = Tables.documents(spark, sf)
+    val nPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count()
+
+    val dir = Files.createTempDirectory("graft-curate").toString
+    val (r, vs) = CurationPipeline.curateAndIndex(spark, docs, dir)
+
+    // every near-dup pair loses exactly its higher-id member (the
+    // pair graph here is small cliques; dropped <= pair count)
+    assert(r.droppedNearDup > 0 && r.droppedNearDup <= nPairs)
+    assert(r.kept.count() === docs.count() - r.droppedLowQuality - r.droppedNearDup)
+
+    // no surviving near-dup pairs above threshold
+    val remaining = graft.dedup.Dedup.minhashPairs(r.kept)
+      .filter(col("jaccard") >= 0.8).count()
+    assert(remaining === 0)
+
+    // the index serves top-k over the curated corpus
+    val someId = r.kept.select(min("doc_id")).head().getLong(0)
+    val v = vs.get(someId).select("vector").head().getSeq[Double](0).toArray
+    assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === someId)
+  }
+}
