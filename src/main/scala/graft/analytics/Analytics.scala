@@ -31,6 +31,13 @@ object Analytics extends QueryModule {
   private def sumMoney2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   private def sumMoney4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
   private def ts(lit0: String): Column = lit(lit0).cast(TimestampType)
+  /** Averages leave queries as x10^4-scaled BIGINTs: fractional
+    * ROUND(x, 4) can differ between engines at boundary doubles (the
+    * oracle's round scales by 10^4 internally, which itself rounds);
+    * rounding an explicitly-scaled double to integer is engine-stable.
+    */
+  private def avgX1e4(sumCol: Column): Column =
+    round(sumCol / count(lit(1)) * 10000.0, 0).cast(org.apache.spark.sql.types.LongType)
 
   // --- q1: pricing summary (filter + groupBy agg) --------------------
   private def q1(s: SparkSession, d: String): DataFrame = {
@@ -41,8 +48,8 @@ object Analytics extends QueryModule {
         sumMoney2(col("l_quantity")).as("sum_qty"),
         sumMoney2(col("l_extendedprice")).as("sum_base_price"),
         sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        round(sumMoney2(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(sumMoney2(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        avgX1e4(sumMoney2(col("l_quantity"))).as("avg_qty_x1e4"),
+        avgX1e4(sumMoney2(col("l_extendedprice"))).as("avg_price_x1e4"),
         count(lit(1)).as("count_order"))
   }
 
@@ -51,8 +58,8 @@ object Analytics extends QueryModule {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0) AS BIGINT) AS avg_qty_x1e4,
+      |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0) AS BIGINT) AS avg_price_x1e4,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -209,14 +216,14 @@ object Analytics extends QueryModule {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sumMoney2(col("value")).as("sum_value"),
-        round(sumMoney2(col("value")) / count(lit(1)), 4).as("avg_value"))
+        avgX1e4(sumMoney2(col("value"))).as("avg_value_x1e4"))
   }
 
   private val qEventsHourlySql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+      |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0) AS BIGINT) AS avg_value_x1e4
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 

@@ -77,18 +77,26 @@ object TextAnalysis extends QueryModule {
   }
 
   // --- quality score -------------------------------------------------
+  /** Scores leave as BASIS-POINT BIGINTs (x/10000), not round(x, 4):
+    * fractional ROUND differs between engines at boundary doubles
+    * (DuckDB scales by 10^4 before rounding, which itself rounds —
+    * observed 0.4902 vs 0.4903 on this corpus), while rounding to
+    * integer scale has no scaling multiply and both engines round
+    * positive halves away from zero identically.
+    */
   private def quality(s: SparkSession, d: String): DataFrame = {
     val stop = markers.toMap.apply("en")
     val nStop = size(filter(wsAll, w => array_contains(typedlit(stop), w))).cast(DoubleType)
     val lenScore = least(nWords.cast(DoubleType) / 100.0, lit(1.0))
     val stopRatio = nStop / nWords
     val ttr = size(wsDistinct).cast(DoubleType) / nWords
+    def bp(c: Column): Column = round(c * 10000.0, 0).cast(LongType)
     Tables.documents(s, d).select(
       col("doc_id"),
-      round(lenScore, 4).as("len_score"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(ttr, 4).as("type_token_ratio"),
-      round(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3, 4).as("quality"))
+      bp(lenScore).as("len_score_bp"),
+      bp(stopRatio).as("stop_ratio_bp"),
+      bp(ttr).as("type_token_ratio_bp"),
+      bp(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3).as("quality_bp"))
   }
 
   private val qualitySql = {
@@ -100,10 +108,10 @@ object TextAnalysis extends QueryModule {
       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
       |  FROM documents)
       |SELECT doc_id,
-      |  ROUND(LEAST(nw / 100.0, 1.0), 4) AS len_score,
-      |  ROUND(ns / nw, 4) AS stop_ratio,
-      |  ROUND(nd / nw, 4) AS type_token_ratio,
-      |  ROUND(LEAST(nw / 100.0, 1.0) * 0.4 + (ns / nw) * 0.3 + (nd / nw) * 0.3, 4) AS quality
+      |  CAST(ROUND(LEAST(nw / 100.0, 1.0) * 10000.0) AS BIGINT) AS len_score_bp,
+      |  CAST(ROUND((ns / nw) * 10000.0) AS BIGINT) AS stop_ratio_bp,
+      |  CAST(ROUND((nd / nw) * 10000.0) AS BIGINT) AS type_token_ratio_bp,
+      |  CAST(ROUND((LEAST(nw / 100.0, 1.0) * 0.4 + (ns / nw) * 0.3 + (nd / nw) * 0.3) * 10000.0) AS BIGINT) AS quality_bp
       |FROM t""".stripMargin.replace("STOP", stop)
   }
 

@@ -28,9 +28,9 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
-  test("quality score stays in [0, 1]") {
+  test("quality score stays in [0, 10000] basis points") {
     val df = SparkEntry.queries("text_quality")(spark, sf)
-    assert(df.filter(col("quality") < 0 || col("quality") > 1.0001).count() === 0)
+    assert(df.filter(col("quality_bp") < 0 || col("quality_bp") > 10000).count() === 0)
   }
 
   test("decode stub plumbing: mapPartitions features match column math") {
