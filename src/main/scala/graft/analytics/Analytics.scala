@@ -261,6 +261,14 @@ object Analytics extends QueryModule {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, session_id""".stripMargin
 
+  // --- approx distinct: the 100 TB path (rows-only oracle; spec
+  //     asserts HLL error < 5% vs exact) -----------------------------
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+        approx_count_distinct("event_id", 0.02).as("approx_events"))
+
   // --- events: exact distinct users per type -------------------------
   private def qDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -452,6 +460,7 @@ object Analytics extends QueryModule {
     "q_pivot_daily"    -> (qPivot _),
     "q_rollup"         -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q1_pricing"       -> (q1 _),
     "q3_topk_join"     -> (q3 _),
     "q5_region_volume" -> (q5 _),

@@ -59,6 +59,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("approx distinct stays within the configured HLL error bound") {
+    val got = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .join(SparkEntry.queries("q_distinct_users")(spark, sf), "event_type")
+    val bad = got.filter(
+      abs(col("approx_users") - col("n_users")) > col("n_users") * 0.05 + 1)
+    assert(bad.count() === 0)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val base = 1700000000000L
+    def ev(id: Long, off: Long) =
+      Event(id, new java.sql.Timestamp(base + off * 1000L), 1L, "view", 1.0)
+    val q = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // id 1 duplicated
+      q.processAllAvailable()
+      input.addData(ev(2, 3), ev(3, 4))           // id 2 duplicated
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("session_window batch result agrees with the lag/cumsum sessionizer") {
     val sw = EventStream.sessionWindows(batchEvents)
       .select("user_id", "start_us", "n_events", "sum_value")
