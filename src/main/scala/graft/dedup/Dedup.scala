@@ -59,7 +59,8 @@ object Dedup extends QueryModule {
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .filter(jac >= 0.8)
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
+      .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
 
   private val ngramJaccardSql =
@@ -71,7 +72,7 @@ object Dedup extends QueryModule {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT id_a, id_b,
-      |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
@@ -122,7 +123,7 @@ object Dedup extends QueryModule {
       .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb")), "id_b")
       .filter(jac >= 0.8)
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
 
   // --- SimHash (rows-only oracle; SimHashSpec) -----------------------
@@ -173,7 +174,7 @@ object Dedup extends QueryModule {
       |          GROUP BY 1, 2),
       |cand AS (
       |  SELECT id_a, id_b,
-      |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
       |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b

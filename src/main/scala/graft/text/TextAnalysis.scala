@@ -36,8 +36,10 @@ object TextAnalysis extends QueryModule {
       length(col("text")).cast(LongType).as("n_chars"),
       nWords.as("n_words"),
       size(wsDistinct).cast(LongType).as("n_distinct_words"),
-      round(aggregate(transform(wsAll, w => length(w)), lit(0), _ + _).cast(DoubleType) /
-        size(wsAll), 4).as("avg_word_len"))
+      // engine-stable 4-dp rounding for an integer ratio: scale, round
+      // at integer scale, divide back (see quality's scaladoc)
+      (round(aggregate(transform(wsAll, w => length(w)), lit(0), _ + _).cast(DoubleType) /
+        size(wsAll) * 10000.0, 0) / 10000.0).as("avg_word_len"))
 
   private val statsSql =
     """SELECT doc_id,
@@ -45,7 +47,7 @@ object TextAnalysis extends QueryModule {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
       |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
-      |        / len(string_split(text, ' ')), 4) AS avg_word_len
+      |        / len(string_split(text, ' ')) * 10000.0) / 10000.0 AS avg_word_len
       |FROM documents""".stripMargin
 
   // --- language ID: marker-word scoring ------------------------------
