@@ -29,11 +29,15 @@ object Dedup extends QueryModule {
     // doc rows across cores before the explode-heavy work. (On a real
     // multi-file corpus the scan is already parallel and AQE elides
     // needless exchanges.)
+    // docs under 3 words produce NO shingles (oracle's generate_series
+    // is empty there); sequence(1, 0) would count DOWN and explode on
+    // element_at(ws, 0), so guard explicitly
     docs.repartition(col("doc_id")).select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(ws) - 2, lit(0))),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))
-        ))).as("s"))
+        explode(when(size(ws) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+          .otherwise(array())).as("s"))
   }
 
   // --- exact dedup: content-hash groups ------------------------------
@@ -98,10 +102,16 @@ object Dedup extends QueryModule {
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d))
 
-  /** MinHash-LSH near-dup pairs (J >= 0.8, verified) for any document
-    * DataFrame with (doc_id, text).
+  /** MinHash-LSH near-dup pairs (true Jaccard >= threshold, verified)
+    * for any document DataFrame with (doc_id, text).
+    *
+    * The 16x8 banding's s-curve is tuned for high thresholds: pairs
+    * below ~0.7 similarity are unlikely to collide in any band, so
+    * candidate recall degrades there — hence the floor.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold >= 0.7,
+      s"banding (16 bands x 8 rows) loses recall below ~0.7; got $threshold")
     val rows = NumPerms / Bands
     val sh = shingles(docs).cache()
     val sigs = signatures(sh)
@@ -122,7 +132,7 @@ object Dedup extends QueryModule {
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb")), "id_b")
-      .filter(jac >= 0.8)
+      .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
 

@@ -85,8 +85,15 @@ object Multimodal extends QueryModule {
   // --- deterministic frame sampling: stride-64 windows ---------------
   private def frameSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // frame count derives from BYTE length (oracle uses strlen) and
+      // empty docs emit no frames — note (bytes-1) div 64 would
+      // truncate toward zero where the oracle's // floors, so the
+      // empty case must not reach the div
+      .withColumn("n_bytes", length(col("text").cast("binary")))
       .select(col("doc_id"), col("text"),
-        posexplode(sequence(lit(0), expr("(length(text) - 1) div 64"))).as(Seq("p", "frame_no")))
+        posexplode(when(col("n_bytes") > 0,
+          sequence(lit(0), expr("(n_bytes - 1) div 64").cast("int")))
+          .otherwise(array())).as(Seq("p", "frame_no")))
       .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
         md5(expr("substring(text, frame_no * 64 + 1, 64)")).as("frame_digest"),
         length(expr("substring(text, frame_no * 64 + 1, 64)")).cast(LongType).as("frame_len"))

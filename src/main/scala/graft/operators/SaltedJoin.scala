@@ -17,6 +17,12 @@ object SaltedJoin {
   def join(big: DataFrame, small: DataFrame, key: String, salts: Int = 16,
            joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit every unmatched small-side row once
+    // PER SALT REPLICA — only big-side-preserving join types are sound
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"salted join supports big-side-preserving join types only, got $joinType")
     // deterministic salt (hash of the whole row's key + a row hash) so
     // retried tasks salt identically
     val salted = big.withColumn("__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))

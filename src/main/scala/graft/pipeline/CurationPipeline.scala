@@ -32,17 +32,20 @@ object CurationPipeline {
     val quality = docs.filter(nWords >= minWords)
     val droppedQ = docs.count() - quality.count()
 
-    // exact dedup: keep min doc_id per content hash
+    // exact dedup: keep min doc_id per content hash. Cached: the
+    // survivors feed the (expensive) minhash pass, the anti-join, AND
+    // the downstream embed/index stage.
     val survivors = quality
       .withColumn("fp", md5(col("text")))
       .withColumn("keep", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
       .filter(col("keep")).drop("fp", "keep")
+      .cache()
 
     // near-dup removal: from each MinHash pair, drop the higher doc_id
-    val losers = Dedup.minhashPairs(survivors)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
+    // (threshold is passed through — minhashPairs verifies true Jaccard)
+    val losers = Dedup.minhashPairs(survivors, jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct().cache()
     val kept = survivors.join(losers, Seq("doc_id"), "left_anti")
     Result(kept, droppedQ, losers.count())
   }

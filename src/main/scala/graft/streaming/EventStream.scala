@@ -59,12 +59,22 @@ object EventStream {
     */
   def sessionize(events: Dataset[Event], gapUs: Long = 1800000000L): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // full microsecond precision: Timestamp.getTime is ms-truncated,
+    // the sub-ms part lives in getNanos (matches unix_micros in the
+    // batch twin)
+    def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var closed = List.empty[Session]
       var cur = state.getOption
+      if (state.hasTimedOut) {
+        // idle user: flush the trailing session and drop the state
+        cur.foreach(st => closed ::= Session(userId, st.startUs, st.lastUs, st.n, st.sum))
+        state.remove()
+        return closed.iterator
+      }
+      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       sorted.foreach { e =>
-        val tus = e.ts.getTime * 1000L
+        val tus = micros(e.ts)
         cur match {
           case Some(st) if tus - st.lastUs > gapUs =>
             closed ::= Session(userId, st.startUs, st.lastUs, st.n, st.sum)
@@ -75,13 +85,19 @@ object EventStream {
             cur = Some(SessionState(tus, tus, 1, e.value))
         }
       }
-      if (state.hasTimedOut) {
-        cur.foreach(st => closed ::= Session(userId, st.startUs, st.lastUs, st.n, st.sum))
-        state.remove()
-      } else cur.foreach(state.update)
+      cur.foreach { st =>
+        state.update(st)
+        // bound state: when the EVENT-TIME watermark passes the
+        // session's gap deadline, the timeout branch above flushes the
+        // open session and removes the state — deterministic (driven
+        // by data, not wall clock) and safe with processAllAvailable.
+        val deadlineMs = st.lastUs / 1000L + gapUs / 1000L
+        state.setTimeoutTimestamp(math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+      }
       closed.reverseIterator
     }
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -90,10 +90,25 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val existing = current
       .filter(col("shard").isin(touched: _*))
       .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-    existing.unionByName(incoming)
-      .write.mode(SaveMode.Overwrite)
+    overwriteTouched(existing.unionByName(incoming), touched)
+  }
+
+  /** Overwrite the touched shard partitions with `result`. Dynamic
+    * partition overwrite only rewrites partitions that receive rows, so
+    * a touched shard with NO surviving rows would keep its stale
+    * directory — delete those explicitly.
+    */
+  private def overwriteTouched(result: DataFrame, touched: Array[Long]): Unit = {
+    val surviving = result.select("shard").distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).toSet
+    result.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(vecDir)
+    val fs = new org.apache.hadoop.fs.Path(vecDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$vecDir/shard=$s"), true)
+    }
   }
 
   /** Delete by id, rewriting only the shard partitions that contain
@@ -105,10 +120,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val touched = all.filter(col(idCol).isin(ids: _*))
       .select("shard").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    all.filter(col("shard").isin(touched: _*) && !col(idCol).isin(ids: _*))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard").parquet(vecDir)
+    overwriteTouched(
+      all.filter(col("shard").isin(touched: _*) && !col(idCol).isin(ids: _*)), touched)
   }
 
   /** Continuous ingest: route and append each micro-batch of a vector
