@@ -32,6 +32,10 @@ case class VectorSumAgg(child: Expression,
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // a ragged row must fail loudly, not silently reset the sum
+    if (buf.nonEmpty && buf.length != n)
+      throw new IllegalStateException(
+        s"VectorSumAgg: vector dimension $n differs from accumulated ${buf.length}")
     val acc = if (buf.length == n) buf else new Array[Double](n)
     var i = 0
     while (i < n) { acc(i) += arr.getDouble(i); i += 1 }
@@ -41,6 +45,9 @@ case class VectorSumAgg(child: Expression,
   override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
     if (other.isEmpty) return buf
     if (buf.isEmpty) return other
+    if (buf.length != other.length)
+      throw new IllegalStateException(
+        s"VectorSumAgg: merging buffers of dimensions ${buf.length} and ${other.length}")
     var i = 0
     while (i < buf.length) { buf(i) += other(i); i += 1 }
     buf
