@@ -298,6 +298,55 @@ object Analytics extends QueryModule {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  // --- cube: all grouping-set combinations ---------------------------
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sumMoney2(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+
+  private val qCubeSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // --- outliers via exact-decimal variance ---------------------------
+  /** |v - mean| > 3 sigma per event type. Mean and variance come from
+    * DECIMAL-exact sums (sum, sum of squares), so the 3-sigma boundary
+    * is the same double on both engines — no summation-order
+    * nondeterminism in the filter.
+    */
+  private def qOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type").as("et")).agg(
+      sumMoney2(col("value")).as("sv"),
+      sum((col("value") * col("value")).cast(DecimalType(28, 4))).cast(DoubleType).as("svv"),
+      count(lit(1)).cast(DoubleType).as("n"))
+      .select(col("et"), (col("sv") / col("n")).as("mean"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1.0)).as("sd"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(abs(col("value") - col("mean")) > col("sd") * 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (round(col("mean") * 10000.0, 0) / 10000.0).as("type_mean"))
+  }
+
+  private val qOutliersSql =
+    """WITH stats AS (
+      |  SELECT event_type AS et,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS mean,
+      |    sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |            * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |            / CAST(COUNT(*) AS DOUBLE))
+      |         / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       ROUND(s.mean * 10000.0) / 10000.0 AS type_mean
+      |FROM events e JOIN stats s ON e.event_type = s.et
+      |WHERE abs(e.value - s.mean) > s.sd * 3.0""".stripMargin
+
   // --- rollup: revenue by returnflag with subtotal rows --------------
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -458,6 +507,8 @@ object Analytics extends QueryModule {
     "q_histogram"      -> (qHistogram _),
     "q_profile"        -> (qProfile _),
     "q_pivot_daily"    -> (qPivot _),
+    "q_cube"           -> (qCube _),
+    "q_outliers"       -> (qOutliers _),
     "q_rollup"         -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -481,6 +532,8 @@ object Analytics extends QueryModule {
     "q_histogram"      -> qHistogramSql,
     "q_profile"        -> qProfileSql,
     "q_pivot_daily"    -> qPivotSql,
+    "q_cube"           -> qCubeSql,
+    "q_outliers"       -> qOutliersSql,
     "q_rollup"         -> qRollupSql,
     "q_distinct_users" -> qDistinctUsersSql,
     "q1_pricing"       -> q1Sql,
