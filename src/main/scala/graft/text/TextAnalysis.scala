@@ -197,7 +197,19 @@ object TextAnalysis extends QueryModule {
       |      FROM scored) q
       |WHERE rank <= 3""".stripMargin
 
+  // --- substring search (LIKE pushed to the scan) --------------------
+  private def search(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").contains("vector") && col("lang") === "en")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars"))
+
+  private val searchSql =
+    """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents WHERE text LIKE '%vector%' AND lang = 'en'""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
     "text_stats"       -> (stats _),
@@ -207,6 +219,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
+    "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,
     "text_stats"       -> statsSql,
