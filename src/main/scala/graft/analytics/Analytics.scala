@@ -73,8 +73,9 @@ object Analytics extends QueryModule {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // customer is the small side at any SF relative to orders: broadcast.
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer grows linearly with SF, so no forced broadcast: AQE picks
+    // broadcast at small SF and shuffle-hash/sort-merge at scale.
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -107,11 +108,12 @@ object Analytics extends QueryModule {
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
               col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = Tables.lineitem(s, d)
-    // region/nation/supplier/customer are all dimension-sized: the only
-    // big shuffle is orders x lineitem on the orderkey.
+    // region/nation are bounded dims (5/25 rows, SF-invariant): keep those
+    // broadcast. customer/supplier/orders/lineitem all scale with SF, so
+    // their joins are left to AQE (broadcast at small SF, shuffle at scale).
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -422,7 +424,7 @@ object Analytics extends QueryModule {
       |  COUNT(DISTINCT event_id) AS n_distinct_ids,
       |  COUNT(DISTINCT user_id) AS n_users,
       |  COUNT(DISTINCT event_type) AS n_types,
-      |  SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS n_empty_props,
+      |  CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_props,
       |  ROUND(MIN(value), 4) AS min_value,
       |  ROUND(MAX(value), 4) AS max_value
       |FROM events""".stripMargin
@@ -439,7 +441,7 @@ object Analytics extends QueryModule {
   private val qJsonExtractSql =
     """SELECT event_type,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin

@@ -15,8 +15,10 @@ import graft.expressions.VectorExpressions._
   * simhash band) — never an n^2 comparison. Verification (true
   * Jaccard / hamming) runs only on candidates. Hot blocking keys (a
   * stop-shingle shared by half the corpus) are the skew risk: AQE
-  * skew-join splitting is on, and shingle document-frequency capping
-  * is the documented knob for real corpora.
+  * skew-join splitting is on, and shingles above the
+  * document-frequency cap (see [[ngramJaccardPairs]]) are excluded
+  * from candidate generation entirely — AQE can redistribute a hot
+  * key but cannot shrink its n^2 pair count; only the cap can.
   */
 object Dedup extends QueryModule {
 
@@ -51,30 +53,93 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --- n-gram Jaccard near-dup pairs ---------------------------------
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d)).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+  /** Shingle document-frequency cap defaults: a shingle kept for
+    * candidate generation may appear in at most
+    * max(dfCapFloor, ceil(maxDfFraction * n_docs)) documents.
+    */
+  val DefaultMaxDfFraction = 0.005
+  val DefaultDfCapFloor = 20L
+
+  /** N-gram Jaccard near-dup pairs with a shingle df-cap.
+    *
+    * At corpus scale one stop-shingle shared by half the corpus makes
+    * an uncapped shingle self-join quadratic in that shingle's df, and
+    * AQE skew-split can redistribute but not shrink the pair count. So
+    * shingles with document frequency above the cap are dropped from
+    * CANDIDATE GENERATION only — pairs discoverable solely through
+    * ultra-common shingles are noise. Verification is exact Jaccard
+    * over the FULL (uncapped) shingle sets, computed per candidate
+    * pair via doc_id-keyed joins, so no hot shingle appears as a join
+    * key anywhere downstream of the cap.
+    */
+  /** df-capped candidate pairs for [[ngramJaccardPairs]] — exposed for
+    * DedupSpec's hot-shingle boundedness assertions.
+    */
+  private[graft] def ngramCandidates(sh: DataFrame, docs: DataFrame,
+                                     maxDfFraction: Double,
+                                     dfCapFloor: Long): DataFrame = {
+    // corpus size folded into the plan (1-row agg, broadcast) rather
+    // than a driver-side count() action
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cap = greatest(lit(dfCapFloor), ceil(col("n_docs") * maxDfFraction))
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= cap)
+      .select("s")
+    val shc = sh.join(keep, "s")
+    shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = shingles(docs)
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        maxDfFraction: Double = DefaultMaxDfFraction,
+                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+    val sh = shingles(docs).cache()
+    val cand = ngramCandidates(sh, docs, maxDfFraction, dfCapFloor)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact intersection per candidate: both hops join on doc_id (the
+    // second on (doc_id, shingle)) — candidate volume, not shingle df,
+    // bounds this stage
+    val inter = cand.as("c")
+      .join(sh.as("x"), col("c.id_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("c.id_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("c.id_a").as("id_a"), col("c.id_b").as("id_b"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .filter(jac >= 0.8)
+      .filter(jac >= threshold)
       // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
       .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
 
-  private val ngramJaccardSql =
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, d))
+
+  // candidate CTEs shared by ngramJaccardSql and editDistanceSql,
+  // mirroring ngramJaccardPairs (incl. the df-cap) exactly
+  private val candSqlCtes =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+      |keep AS (SELECT s FROM sh GROUP BY s
+      |         HAVING COUNT(*) <= GREATEST(20, CEIL(0.005 * (SELECT COUNT(DISTINCT doc_id) FROM documents)))),
+      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+      |                      JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""$candSqlCtes
       |SELECT id_a, id_b,
       |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
       |FROM inter
@@ -175,14 +240,8 @@ object Dedup extends QueryModule {
   }
 
   private val editDistanceSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |cand AS (
+    s"""$candSqlCtes,
+      |verified AS (
       |  SELECT id_a, id_b,
       |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
       |  FROM inter
@@ -191,15 +250,16 @@ object Dedup extends QueryModule {
       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
       |SELECT id_a, id_b, jaccard,
       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-      |FROM cand
+      |FROM verified
       |JOIN documents da ON da.doc_id = id_a
       |JOIN documents db ON db.doc_id = id_b""".stripMargin
 
   // --- embedding cosine near-dup pairs (SQL oracle) ------------------
   /** Exact all-pairs at threshold: one side broadcast, codegen'd
-    * cosine kernel, so sf0.1 is 2e6 comparisons in-memory. The 100 TB
-    * path is the LSH-bucketed variant (ann_lsh_topk) — exactness here
-    * is what the oracle checks.
+    * cosine kernel, so sf0.1 is 2e6 comparisons in-memory. This is
+    * the ORACLE-EXACTNESS path only — at corpus scale use
+    * [[embeddingPairsBlocked]], which finds the same pairs through
+    * LSH bucket collisions without ever materializing n^2 pairs.
     */
   private def embedding(s: SparkSession, d: String): DataFrame = {
     // cast to double BEFORE the join: once per row, not once per pair
@@ -211,6 +271,41 @@ object Dedup extends QueryModule {
       .filter(col("score0") >= 0.40)
       .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
   }
+
+  /** LSH-blocked embedding near-dup pairs — the 100 TB path for
+    * [[embedding]]'s semantics. Candidate pairs come from
+    * random-hyperplane bucket collisions (equi-join on (table,
+    * bucket), never all-pairs); each candidate is then verified with
+    * the exact cosine, so precision is exact and only recall depends
+    * on the banding. Deterministic seeded hyperplanes. The default
+    * 48 tables x 3 bits is sized for the WIDE 0.40 threshold (a 66deg
+    * angle: per-bit collision 0.63, per-pair miss ~1e-6) and
+    * reproduces the exact variant's pairs on all test corpora
+    * (oracle + DedupSpec). Dedup at real thresholds (>=0.8) needs far
+    * fewer tables — e.g. 16x8 — because selectivity sharpens as the
+    * threshold rises; tune (numTables, bitsPerTable) per threshold.
+    */
+  def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.40,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            numTables: Int = 48, bitsPerTable: Int = 3): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding", numTables, bitsPerTable)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("score0", cosineSim(col("ea"), col("eb")))
+      .filter(col("score0") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
+  }
+
+  private def embeddingBlocked(s: SparkSession, d: String): DataFrame =
+    embeddingPairsBlocked(Tables.embeddings(s, d))
 
   private val embeddingSql =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -224,11 +319,16 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_edit_distance" -> (editDistance _),
-    "dedup_embedding"     -> (embedding _))
+    "dedup_embedding"     -> (embedding _),
+    "dedup_embedding_blocked" -> (embeddingBlocked _))
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,
-    "dedup_embedding"     -> embeddingSql)
+    "dedup_embedding"     -> embeddingSql,
+    // the blocked variant verifies candidates with the exact cosine,
+    // and its banding is sized so candidate recall is total on the
+    // test corpora — so the exact all-pairs SQL is its oracle too
+    "dedup_embedding_blocked" -> embeddingSql)
 }

@@ -22,22 +22,47 @@ object AnnLsh extends QueryModule {
   private val NumTables = 4
   private val BitsPerTable = 6
 
-  /** hyperplanes(t)(p) is one Dim-vector; seed fixed per (table, plane). */
-  private[vector] val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumTables, BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  /** Deterministic gaussian hyperplanes: result(t)(p) is one
+    * dim-vector; one seeded stream fills tables then planes then
+    * components, so the same (seed, shape) always yields the same
+    * planes across runs and JVMs.
+    */
+  private[graft] def hyperplanesFor(numTables: Int, bitsPerTable: Int,
+                                    dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables, bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of vector `v` in table `t` — a pure projection
-    * (BitsPerTable dot products against plan-literal hyperplanes).
+  /** hyperplanes(t)(p) is one Dim-vector; seed fixed per (table, plane). */
+  private[vector] val hyperplanes: Array[Array[Array[Double]]] =
+    hyperplanesFor(NumTables, BitsPerTable, Dim, seed = 7)
+
+  /** Sign-bit bucket id of vector `v` against one table's planes — a
+    * pure projection (bitsPerTable dot products against plan-literal
+    * hyperplanes).
     */
-  private[vector] def bucket(v: Column, t: Int): Column =
-    hyperplanes(t).zipWithIndex.map { case (h, i) =>
+  private[graft] def bucketIn(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
       when(dotProduct(v, typedlit(h.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  private[vector] def bucket(v: Column, t: Int): Column = bucketIn(v, hyperplanes(t))
+
+  /** (id, table, bucket) exploded bucketing of a vector DataFrame with
+    * explicit table-count/width — more tables with fewer bits pushes
+    * candidate recall up at the cost of larger buckets; callers pick
+    * the point on that curve for their similarity threshold.
+    */
+  private[graft] def bucketsWith(df: DataFrame, idCol: String, vecCol: String,
+                                 numTables: Int, bitsPerTable: Int,
+                                 dim: Int = Dim, seed: Long = 7): DataFrame = {
+    val planes = hyperplanesFor(numTables, bitsPerTable, dim, seed)
+    df.select(col(idCol), posexplode(array((0 until numTables).map(t =>
+      bucketIn(col(vecCol), planes(t))): _*)).as(Seq("table", "bucket")))
+  }
+
   /** (id, table, bucket) exploded bucketing of a vector DataFrame. */
-  private[vector] def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), posexplode(array((0 until NumTables).map(t =>
       bucket(col(vecCol), t)): _*)).as(Seq("table", "bucket")))
 

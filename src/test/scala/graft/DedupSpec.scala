@@ -42,4 +42,55 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("id_a") >= col("id_b")).count() === 0)
     assert(df.filter(col("score") < 0.40).count() === 0)
   }
+
+  test("LSH-blocked embedding dedup finds exactly the all-pairs result") {
+    def rows(name: String): Set[(Long, Long, Double)] =
+      SparkEntry.queries(name)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows("dedup_embedding")
+    val blocked = rows("dedup_embedding_blocked")
+    assert(exact.nonEmpty)
+    assert(blocked === exact)
+  }
+
+  test("shingle df-cap bounds candidates under a corpus-wide hot shingle") {
+    import spark.implicits._
+    val n = 300
+    // every doc opens with the same hot trigram; each then has a unique
+    // tail, except docs 0/1 which are genuine near-dups of each other
+    val docs = (0 until n).map { i =>
+      val tail =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta eta theta iota kappa w$i"
+        else (0 until 10).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"hot hot hot $tail")
+    }.toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shinglesOf(docs).cache()
+    val cand = graft.dedup.Dedup.ngramCandidates(sh, docs,
+      graft.dedup.Dedup.DefaultMaxDfFraction, graft.dedup.Dedup.DefaultDfCapFloor)
+    // uncapped, the hot shingle alone would yield n*(n-1)/2 = 44850
+    // candidates; capped, only genuinely-shared rare shingles pair up
+    val nCand = cand.count()
+    assert(nCand < 50, s"candidates not bounded: $nCand")
+    // and the true near-dup pair survives, verified on FULL shingle
+    // sets (jaccard includes the capped hot shingle + boundary grams)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+    sh.unpersist()
+  }
+
+  test("df-cap knob: raising the floor re-admits hot-cluster pairs") {
+    import spark.implicits._
+    // 30 identical docs — every shingle has df=30, above the default
+    // floor of 20, so candidate generation drops them all (exact dedup
+    // is the right tool for identical clusters); with a floor >= 30
+    // the same pairs come back with jaccard 1.0
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val capped = graft.dedup.Dedup.ngramJaccardPairs(docs).count()
+    assert(capped === 0L)
+    val uncapped = graft.dedup.Dedup.ngramJaccardPairs(docs, dfCapFloor = 30L)
+    assert(uncapped.count() === 30L * 29 / 2)
+    assert(uncapped.filter(col("jaccard") =!= 1.0).count() === 0)
+  }
 }
