@@ -26,10 +26,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operator-local caches don't leak across timings
-        t
+        // a failed run records the -1.0 sentinel, not a plausibly-fast
+        // partial elapsed time; min() propagates it as the query's result
+        if (ok) t else -1.0
       }.min
       name -> dt
     }

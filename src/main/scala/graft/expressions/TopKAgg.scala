@@ -65,11 +65,13 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
     q
   }
 
+  // NON-destructive: eval can run more than once on the same buffer
+  // (e.g. an accumulating window frame evaluates per row), so read the
+  // heap without draining it
   override def eval(q: JPriorityQueue[(Double, Long)]): Any = {
-    val arr = new Array[(Double, Long)](q.size)
-    var i = q.size - 1
-    while (i >= 0) { arr(i) = q.poll(); i -= 1 } // poll worst-first -> best-first array
-    new GenericArrayData(arr.map { case (s, id) => InternalRow(id, s) })
+    val arr = q.toArray(new Array[(Double, Long)](q.size))
+    val sorted = arr.sortWith((a, b) => cmp(a, b) > 0) // best-first
+    new GenericArrayData(sorted.map { case (s, id) => InternalRow(id, s) })
   }
 
   override def serialize(q: JPriorityQueue[(Double, Long)]): Array[Byte] = {

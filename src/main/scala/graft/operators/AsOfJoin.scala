@@ -22,18 +22,21 @@ import org.apache.spark.sql.functions._
   * matches.
   */
 object AsOfJoin {
-  /** @param payload right-side column to carry (aliased "asof_value")
+  /** @param payload right-side column to carry, in its NATIVE type
+    *                 (aliased "asof_value"); last(ignoreNulls) works on
+    *                 any type, so nothing is coerced
     * @return left rows (all columns) + asof_value, unmatched rows dropped
     */
   def join(left: DataFrame, right: DataFrame, by: String, leftTs: String,
            rightTs: String, payload: Column, strict: Boolean = true): DataFrame = {
     val rightTag = if (strict) 1 else -1
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(0))
-      .withColumn("__rv", lit(null).cast("double"))
-    val r = right.withColumn("__rv", payload.cast("double"))
+    val r = right.withColumn("__rv", payload)
       .select(col(by), col(rightTs).as("__ts"), lit(rightTag).as("__tag"), col("__rv"))
     val lCols = left.columns
-    val merged = l.select(Seq(col(by), col("__ts"), col("__tag"), col("__rv")) ++
+    // the left side carries no __rv: allowMissingColumns fills it with
+    // nulls OF THE RIGHT SIDE'S TYPE, so the payload keeps its own type
+    val merged = l.select(Seq(col(by), col("__ts"), col("__tag")) ++
       lCols.filterNot(_ == by).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(by).orderBy(col("__ts").asc, col("__tag").asc)

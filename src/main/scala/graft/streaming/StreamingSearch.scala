@@ -1,15 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.VectorExpressions._
+import graft.vector.Centroids
 
 /** Streaming vector search: a stream of query vectors scored against a
   * static corpus — the online half of the reference's /search endpoint
   * re-expressed as a stream-static join (supported natively by
-  * Structured Streaming; the static side is broadcast per micro-batch
-  * when small, and the IVF shard filter applies before scoring).
+  * Structured Streaming).
+  *
+  * Two pruning levels before any scoring:
+  *  - [[score]] takes the shards a workload probes (`probeShards`);
+  *    the filter lands on the corpus scan BEFORE the broadcast, so a
+  *    VectorStore-layout corpus partition-prunes whole shard
+  *    directories exactly like `VectorStore.search`.
+  *  - [[scoreIvf]] routes EACH query to its own `nprobe` nearest
+  *    shards (a pure projection against plan-literal centroids) and
+  *    scores through a stream-static equi-join on the shard id — no
+  *    cross join anywhere, so per-micro-batch work is
+  *    |queries| x |probed shards' vectors|, not |queries| x |corpus|.
   *
   * Per-query top-k needs per-group ranking, which streaming append
   * mode can't window — so ranking happens per micro-batch in
@@ -17,16 +28,41 @@ import graft.expressions.VectorExpressions._
   */
 object StreamingSearch {
 
-  /** Scored candidates for every (query x corpus-vector) pair, with the
-    * corpus optionally pre-filtered to probed shards.
+  /** Scored candidates for every (query x corpus-vector) pair, with
+    * the corpus pre-filtered to `probeShards` when given (pass the
+    * union of shards the query workload probes; empty = score all).
     */
   def score(queries: DataFrame, corpus: DataFrame,
-            idCol: String = "id", vecCol: String = "vector"): DataFrame =
+            idCol: String = "id", vecCol: String = "vector",
+            probeShards: Seq[Long] = Nil, shardCol: String = "shard"): DataFrame = {
+    val pruned =
+      if (probeShards.isEmpty) corpus
+      else corpus.filter(col(shardCol).isin(probeShards: _*))
     queries
-      .join(broadcast(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))),
+      .join(broadcast(pruned.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))),
         expr("true"))
       .withColumn("score", cosineSim(col("qv"), col("cv")))
       .select(col("query_id"), col(idCol), col("score"))
+  }
+
+  /** IVF-routed scoring: each query probes only its `nprobe` nearest
+    * shards. Routing is a map-only projection on the stream side
+    * (centroids are plan literals, k of them); candidates come from an
+    * equi-join on the shard id against a corpus that carries its shard
+    * assignment (the `VectorStore` layout).
+    */
+  def scoreIvf(queries: DataFrame, corpus: DataFrame,
+               cents: Seq[(Int, Array[Double])], nprobe: Int = 1,
+               idCol: String = "id", vecCol: String = "vector",
+               shardCol: String = "shard", queryVecCol: String = "qv"): DataFrame = {
+    val routed = queries.withColumn(shardCol,
+      explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
+    val side = corpus.select(col(shardCol).cast("long").as(shardCol),
+      col(idCol), col(vecCol).cast("array<double>").as("cv"))
+    routed.join(side, shardCol)
+      .withColumn("score", cosineSim(col(queryVecCol), col("cv")))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
 
   /** Rank and truncate one micro-batch to top-k per query — call from
     * foreachBatch.

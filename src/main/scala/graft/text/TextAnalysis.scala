@@ -166,7 +166,9 @@ object TextAnalysis extends QueryModule {
     */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count().toDouble
+    // corpus size folded into the plan as a broadcast 1-row agg — no
+    // separate driver-side count() action/job
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val words = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -176,7 +178,8 @@ object TextAnalysis extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score0"), asc("word"))
     tf.join(broadcast(df), "word")
-      .withColumn("score0", col("tf") * log(lit(n) / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score0", col("tf") * log(col("__n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank").cast(LongType).as("rank"),

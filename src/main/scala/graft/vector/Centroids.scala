@@ -88,8 +88,24 @@ object Centroids {
       val byId = means.toMap
       cents = cents.map { case (sid, old) => (sid, byId.getOrElse(sid, old)) }
     }
-    (cents, vecs.withColumn("shard", nearestShard(col(vecCol), cents)))
+    // the iteration's collect()s are done with the cache: release it and
+    // hand back a plain map-only projection over the source (recomputing
+    // one scan beats leaking a pinned copy of the corpus in the executors)
+    vecs.unpersist()
+    val fresh = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    (cents, fresh.withColumn("shard", nearestShard(col(vecCol), cents)))
   }
+
+  /** Array of the `nprobe` nearest shard ids as a pure projection —
+    * the per-ROW twin of [[nearestShardsOf]], for routing a whole
+    * DataFrame of query vectors without a driver round-trip.
+    */
+  def nearestShards(v: Column, cents: Seq[(Int, Array[Double])], nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.map { case (sid, c) =>
+        struct(l2Dist(v, typedlit(c.toSeq)).as("d"), lit(sid).cast(LongType).as("s"))
+      }: _*)), 1, nprobe),
+      x => x.getField("s"))
 
   /** MLlib KMeans alternative (cluster.py's sklearn KMeans analogue):
     * battle-tested kmeans|| init and convergence checks, at the cost

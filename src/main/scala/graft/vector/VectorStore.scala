@@ -58,9 +58,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
 
   /** Point lookup (reference /get/{id} scans every shard; here the id
     * predicate is pushed to parquet row-group stats in each shard).
+    * Ids may be any orderable scalar — the reference keys vectors by
+    * TEXT (storage_server.py:17-20), so string ids work unchanged.
     */
-  def get(id: Long): DataFrame =
-    spark.read.parquet(vecDir).filter(col(idCol) === id)
+  def get(id: Any): DataFrame =
+    spark.read.parquet(vecDir).filter(col(idCol) === lit(id))
 
   /** Per-shard id inventory (reference /list_ids). */
   def listIds(): DataFrame =
@@ -72,6 +74,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * storage_server.py:38-50). Only the shard partitions that receive
     * new vectors are rewritten (dynamic partition overwrite) — at
     * 100 TB an upsert touches k directories, not the whole index.
+    *
+    * Consistency contract (same as [[delete]]): SINGLE WRITER, and no
+    * crash atomicity across the two steps (partition overwrite, then
+    * emptied-shard directory removal). A failure between them leaves a
+    * stale shard directory whose ids resurrect on read; re-running the
+    * same upsert/delete heals it. Concurrent readers of a store being
+    * rewritten may see a partially-updated index. The reference has
+    * the same posture (one SQLite writer per shard, no cross-shard
+    * transaction).
     */
   def upsert(vectors: DataFrame): Unit = {
     val cents = centroids()
@@ -111,10 +122,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     }
   }
 
-  /** Delete by id, rewriting only the shard partitions that contain
-    * the ids.
+  /** Delete by id (any scalar id type), rewriting only the shard
+    * partitions that contain the ids. Single-writer, non-atomic across
+    * steps — see [[upsert]]'s consistency contract.
     */
-  def delete(ids: Seq[Long]): Unit = {
+  def delete(ids: Seq[Any]): Unit = {
     val all = spark.read.parquet(vecDir)
       .withColumn("shard", col("shard").cast("long"))
     val touched = all.filter(col(idCol).isin(ids: _*))

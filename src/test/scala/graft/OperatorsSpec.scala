@@ -65,4 +65,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.head.getLong(1) === 3L)
     assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("streaming search scans only the probed IVF shards") {
+    import spark.implicits._
+    import graft.vector.{Centroids, VectorStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssearch").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2)
+    val cents = vs.centroids()
+    val qv = emb.filter(col("id") === 3)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    val probe = Centroids.nearestShardsOf(qv.toArray, cents, nprobe = 1).map(_.toLong)
+    val corpus = spark.read.parquet(s"$dir/vectors")
+    val shardIds = corpus.filter(col("shard").isin(probe: _*))
+      .select("id").as[Long].collect().toSet
+    assert(shardIds.size < emb.count(), "pruning must exclude some shards")
+
+    // probeShards lands as a parquet PARTITION filter, before the
+    // broadcast — same pruning VectorStore.search gets
+    val queries = Seq((7L, qv)).toDF("query_id", "qv")
+    val scored = StreamingSearch.score(queries, corpus, probeShards = probe)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected shard partition filter in plan:\n$plan")
+    assert(scored.select("id").as[Long].collect().toSet === shardIds)
+
+    // scoreIvf routes each query itself; same probed candidate set, and
+    // it works as a genuine stream-static join
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData((7L, qv))
+    val sivf = StreamingSearch.scoreIvf(
+      input.toDF().toDF("query_id", "qv"), corpus, cents, nprobe = 1)
+    val sq = sivf.writeStream.format("memory").queryName("sivf")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(spark.table("sivf").select("id").as[Long].collect().toSet === shardIds)
+    val top = StreamingSearch.topKPerQuery(spark.table("sivf"), 1).collect()
+    assert(top.head.getLong(1) === 3L) // self-match tops its own shard
+  }
 }

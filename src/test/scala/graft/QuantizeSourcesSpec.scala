@@ -45,7 +45,7 @@ class QuantizeSourcesSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vector"))
     JsonVectors.write(e, dir)
-    val back = JsonVectors.read(spark, dir)
+    val back = JsonVectors.read(spark, dir, idType = org.apache.spark.sql.types.LongType)
     assert(back.count() === e.count())
     // values survive the round trip
     val a = e.filter(col("id") === 5).select(col("vector").cast("array<double>"))

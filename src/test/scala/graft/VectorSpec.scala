@@ -95,6 +95,37 @@ class VectorSpec extends AnyFunSuite {
     assert(vs.get(12).count() === 1)
   }
 
+  test("string ids round-trip through store -> get -> upsert -> delete") {
+    // the reference keys vectors by TEXT (storage_server.py id TEXT
+    // PRIMARY KEY; test.py derives string ids by hashing) — mirror that
+    val dir = Files.createTempDirectory("graft-strid").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(md5(col("vec_id").cast("string")).as("id"),
+        col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2)
+    val n0 = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+    assert(n0 === emb.count())
+
+    val id7 = emb.orderBy("id").limit(8).collect().last.getString(0)
+    val got = vs.get(id7).select("vector").head().getSeq[Double](0)
+    val want = emb.filter(col("id") === id7)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    assert(got === want)
+
+    // upsert under a string key replaces in place
+    import spark.implicits._
+    val flipped = want.map(-_)
+    vs.upsert(Seq((id7, flipped)).toDF("id", "vector"))
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0)
+    assert(vs.get(id7).select("vector").head().getSeq[Double](0) === flipped)
+
+    // delete by string id
+    vs.delete(Seq(id7))
+    assert(vs.get(id7).count() === 0)
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0 - 1)
+  }
+
   test("deterministic centroids match lowest-id vectors") {
     val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
     assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
