@@ -55,6 +55,17 @@ object ScaleSmoke {
     }
     println(s"[scale] brute agrees with full-probe: ${brute.map(_.getLong(0)).sameElements(full.map(_.getLong(0)))}")
 
+    // upsert/delete at volume: dynamic partition overwrite should touch
+    // only the shards that hold or receive the ids, not the whole index
+    val nUp = nVec / 500
+    val upserts = vecs.filter(col("id") % 500 === 0)
+      .select(col("id"), transform(col("vector"), x => -x).as("vector"))
+    timed(s"upsert $nUp vectors (negated -> mostly cross-shard moves)") { vs.upsert(upserts) }
+    val delIds = (0 until 1000).map(_ * 7L)
+    timed("delete 1000 ids") { vs.delete(delIds) }
+    val nAfter = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+    println(s"[scale] count after upsert+delete ok: ${nAfter == nVec - 1000L}")
+
     // synthetic documents: 60 words over a 2k vocabulary, near-dup pairs injected
     val docs = spark.range(0, nDoc, 1, 64)
       .select(col("id").as("doc_id"),
@@ -70,6 +81,22 @@ object ScaleSmoke {
       graft.dedup.Dedup.minhashPairs(corpus).count()
     }
     println(s"[scale] minhash found $found pairs (injected ${nDoc / 100} exact dupes)")
+
+    // skewed corpus: every doc shares one hot leading trigram. The
+    // df-cap drops it from candidate generation — uncapped, that one
+    // shingle alone yields |corpus|^2/2 candidate pairs
+    val skewed = corpus.select(col("doc_id"),
+      concat(lit("the of and "), col("text")).as("text")).cache()
+    skewed.count()
+    val nearDups = timed(s"ngram-jaccard dedup, hot shingle, df-capped (${nDoc + nDoc / 100} docs)") {
+      graft.dedup.Dedup.ngramJaccardPairs(skewed).count()
+    }
+    println(s"[scale] capped ngram dedup found $nearDups pairs (injected ${nDoc / 100})")
+    val small = skewed.filter(col("doc_id") % 10 === 0) // 10x smaller slice
+    val smallPairs = timed("ngram-jaccard UNCAPPED on a 10x smaller slice (contrast)") {
+      graft.dedup.Dedup.ngramJaccardPairs(small, dfCapFloor = Long.MaxValue).count()
+    }
+    println(s"[scale] uncapped-on-slice found $smallPairs pairs — compare the timings above")
     spark.stop()
   }
 }

@@ -30,6 +30,22 @@ class TopKAggSpec extends AnyFunSuite {
     assert(viaWindow.exceptAll(viaAgg).count() === 0)
   }
 
+  test("eval is non-destructive: repeated eval on one buffer agrees") {
+    // window frames evaluate an accumulating buffer once per row — a
+    // draining eval() would return empty on every call after the first
+    import org.apache.spark.sql.graftshim.ColumnInterop
+    val agg = TopKAgg(ColumnInterop.expression(lit(0.0)),
+      ColumnInterop.expression(lit(0L)), k = 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((0.9, 1L), (0.5, 2L), (0.7, 3L), (0.99, 4L)).foreach(buf.offer)
+    // trim to k the way update() does
+    while (buf.size > 3) buf.poll()
+    val first = agg.eval(buf)
+    val second = agg.eval(buf)
+    assert(buf.size === 3)
+    assert(first.toString === second.toString)
+  }
+
   test("groups smaller than k return all their rows, best-first") {
     import spark.implicits._
     val df = Seq((1, 10L, 0.5), (1, 11L, 0.9)).toDF("g", "id", "s")
