@@ -60,24 +60,13 @@ object Dedup extends QueryModule {
   val DefaultMaxDfFraction = 0.005
   val DefaultDfCapFloor = 20L
 
-  /** N-gram Jaccard near-dup pairs with a shingle df-cap.
-    *
-    * At corpus scale one stop-shingle shared by half the corpus makes
-    * an uncapped shingle self-join quadratic in that shingle's df, and
-    * AQE skew-split can redistribute but not shrink the pair count. So
-    * shingles with document frequency above the cap are dropped from
-    * CANDIDATE GENERATION only — pairs discoverable solely through
-    * ultra-common shingles are noise. Verification is exact Jaccard
-    * over the FULL (uncapped) shingle sets, computed per candidate
-    * pair via doc_id-keyed joins, so no hot shingle appears as a join
-    * key anywhere downstream of the cap.
+  /** Shingle rows with the df-cap applied: shingles whose document
+    * frequency exceeds max(dfCapFloor, ceil(maxDfFraction * n_docs))
+    * are removed. Exposed for DedupSpec's boundedness assertions.
     */
-  /** df-capped candidate pairs for [[ngramJaccardPairs]] — exposed for
-    * DedupSpec's hot-shingle boundedness assertions.
-    */
-  private[graft] def ngramCandidates(sh: DataFrame, docs: DataFrame,
-                                     maxDfFraction: Double,
-                                     dfCapFloor: Long): DataFrame = {
+  private[graft] def cappedShingles(sh: DataFrame, docs: DataFrame,
+                                    maxDfFraction: Double,
+                                    dfCapFloor: Long): DataFrame = {
     // corpus size folded into the plan (1-row agg, broadcast) rather
     // than a driver-side count() action
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -86,7 +75,14 @@ object Dedup extends QueryModule {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= cap)
       .select("s")
-    val shc = sh.join(keep, "s")
+    sh.join(keep, "s")
+  }
+
+  /** df-capped candidate pairs — exposed for DedupSpec. */
+  private[graft] def ngramCandidates(sh: DataFrame, docs: DataFrame,
+                                     maxDfFraction: Double,
+                                     dfCapFloor: Long): DataFrame = {
+    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor)
     shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -95,19 +91,31 @@ object Dedup extends QueryModule {
 
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = shingles(docs)
 
+  /** N-gram Jaccard near-dup pairs with a shingle df-cap.
+    *
+    * At corpus scale one stop-shingle shared by half the corpus makes
+    * an uncapped shingle self-join quadratic in that shingle's df, and
+    * AQE skew-split can redistribute but not shrink the pair count.
+    * The cap removes such shingles from the similarity UNIVERSE — the
+    * stopword-removal semantics: similarity is exact Jaccard over each
+    * document's CAPPED shingle set, so ultra-common boilerplate
+    * neither generates candidates nor inflates scores. Within that
+    * universe, candidates and intersection counts come from ONE capped
+    * self-join + groupBy (no per-pair re-join), keeping total cost
+    * proportional to sum(df^2) over KEPT shingles only — bounded by
+    * cap * |shingle rows|, i.e. linear in the corpus for a fixed cap.
+    * Classic full-set Jaccard is recovered with
+    * dfCapFloor = Long.MaxValue; on corpora with no shingle above the
+    * cap (true of every test SF) the two are identical.
+    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         maxDfFraction: Double = DefaultMaxDfFraction,
                         dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
-    val sh = shingles(docs).cache()
-    val cand = ngramCandidates(sh, docs, maxDfFraction, dfCapFloor)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // exact intersection per candidate: both hops join on doc_id (the
-    // second on (doc_id, shingle)) — candidate volume, not shingle df,
-    // bounds this stage
-    val inter = cand.as("c")
-      .join(sh.as("x"), col("c.id_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("c.id_b") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("c.id_a").as("id_a"), col("c.id_b").as("id_b"))
+    val shc = cappedShingles(shingles(docs), docs, maxDfFraction, dfCapFloor).cache()
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     inter
@@ -121,8 +129,9 @@ object Dedup extends QueryModule {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, d))
 
-  // candidate CTEs shared by ngramJaccardSql and editDistanceSql,
-  // mirroring ngramJaccardPairs (incl. the df-cap) exactly
+  // CTEs shared by ngramJaccardSql and editDistanceSql, mirroring
+  // ngramJaccardPairs exactly: the df-cap removes hot shingles from the
+  // similarity universe (sizes AND intersections over capped sets)
   private val candSqlCtes =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -130,12 +139,9 @@ object Dedup extends QueryModule {
       |keep AS (SELECT s FROM sh GROUP BY s
       |         HAVING COUNT(*) <= GREATEST(20, CEIL(0.005 * (SELECT COUNT(DISTINCT doc_id) FROM documents)))),
       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
-      |                      JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
   private val ngramJaccardSql =

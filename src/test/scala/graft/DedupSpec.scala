@@ -71,8 +71,8 @@ class DedupSpec extends AnyFunSuite {
     // candidates; capped, only genuinely-shared rare shingles pair up
     val nCand = cand.count()
     assert(nCand < 50, s"candidates not bounded: $nCand")
-    // and the true near-dup pair survives, verified on FULL shingle
-    // sets (jaccard includes the capped hot shingle + boundary grams)
+    // and the true near-dup pair survives, with exact Jaccard over the
+    // capped universe (hot shingle excluded from both sets)
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
