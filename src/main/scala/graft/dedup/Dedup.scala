@@ -278,30 +278,63 @@ object Dedup extends QueryModule {
       .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
   }
 
-  /** LSH-blocked embedding near-dup pairs — the 100 TB path for
-    * [[embedding]]'s semantics. Candidate pairs come from
-    * random-hyperplane bucket collisions (equi-join on (table,
-    * bucket), never all-pairs); each candidate is then verified with
-    * the exact cosine, so precision is exact and only recall depends
-    * on the banding. Deterministic seeded hyperplanes. The default
-    * 48 tables x 3 bits is sized for the WIDE 0.40 threshold (a 66deg
-    * angle: per-bit collision 0.63, per-pair miss ~1e-6) and
-    * reproduces the exact variant's pairs on all test corpora
-    * (oracle + DedupSpec). Dedup at real thresholds (>=0.8) needs far
-    * fewer tables — e.g. 16x8 — because selectivity sharpens as the
-    * threshold rises; tune (numTables, bitsPerTable) per threshold.
+  /** Banding sized to a cosine threshold, balancing recall at the
+    * threshold edge against candidate selectivity. The physics: a
+    * random-hyperplane bit agrees on a pair with probability
+    * 1 - angle/pi, so how sharply banding separates target pairs from
+    * random ones depends on how far the threshold angle sits from 90
+    * degrees. Regimes:
+    *  - t >= 0.75 (<= 41deg): genuinely selective — 32x8 keeps edge
+    *    recall ~99.6% while a random pair collides in some table with
+    *    p ~ 0.12 (an ~8x candidate cut that GROWS as similarity
+    *    concentrates above the threshold, as near-dup corpora do).
+    *  - 0.6 <= t < 0.75: 48x5 — edge recall ~99.99%, modest
+    *    selectivity (random-pair collision ~0.78).
+    *  - t < 0.6: 48x3 — recall-first and NEAR-EXHAUSTIVE by design: at
+    *    66deg no sign-bit banding separates target from random pairs
+    *    (random pairs collide with p ~ 0.998), so candidate volume
+    *    approaches all-pairs. A corpus-wide 0.40-cosine join is
+    *    inherently quadratic; use such thresholds only where the exact
+    *    all-pairs cost is acceptable anyway.
     */
-  def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.40,
-                            idCol: String = "vec_id", vecCol: String = "embedding",
-                            numTables: Int = 48, bitsPerTable: Int = 3): DataFrame = {
-    val e = emb.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("embedding"))
+  def bandingFor(threshold: Double): (Int, Int) =
+    if (threshold >= 0.75) (32, 8)
+    else if (threshold >= 0.6) (48, 5)
+    else (48, 3)
+
+  /** Candidate pairs from hyperplane-LSH bucket collisions (equi-join
+    * on (table, bucket)). Exposed for DedupSpec selectivity asserts.
+    */
+  private[graft] def embeddingCandidates(e: DataFrame,
+                                         numTables: Int, bitsPerTable: Int): DataFrame = {
     val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding", numTables, bitsPerTable)
-    val cand = b.as("a").join(b.as("b"),
+    b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+  }
+
+  /** LSH-blocked embedding near-dup pairs — [[embedding]]'s semantics
+    * without materializing an n^2 broadcast join. Candidates come from
+    * seeded random-hyperplane bucket collisions, banded per
+    * [[bandingFor]]'s threshold regime (pass numTables/bitsPerTable to
+    * override); every candidate is verified with the exact cosine, so
+    * precision is always exact and only candidate recall rides on the
+    * banding. At the registered 0.40 threshold this reproduces the
+    * exact variant's pairs on every test corpus (oracle-checked); the
+    * selective high-threshold regime is spec-proven on a synthetic
+    * near-dup corpus (DedupSpec).
+    */
+  def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.40,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            numTables: Int = -1, bitsPerTable: Int = -1): DataFrame = {
+    val (tAuto, bAuto) = bandingFor(threshold)
+    val nt = if (numTables > 0) numTables else tAuto
+    val bt = if (bitsPerTable > 0) bitsPerTable else bAuto
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val cand = embeddingCandidates(e, nt, bt)
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")

@@ -53,6 +53,38 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked === exact)
   }
 
+  test("high-threshold blocked embedding dedup is selective AND recall-complete") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions._
+    // synthetic near-dup corpus in the regime real dedup runs at:
+    // 1500 random 64-d vectors + 50 noisy copies (cos ~ 0.94)
+    val rnd = new scala.util.Random(123)
+    val base = (0 until 1500).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val dups = (0 until 50).map { j =>
+      (2000L + j, base(j)._2.map(_ + 0.35 * rnd.nextGaussian()))
+    }
+    val emb = (base ++ dups).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val t = 0.85
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val exact = emb.join(broadcast(b), col("vec_id") < col("id_b"))
+      .withColumn("s", cosineSim(col("embedding"), col("emb_b")))
+      .filter(col("s") >= t)
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 50, "every injected dup pairs with its base, nothing else")
+    val blocked = graft.dedup.Dedup.embeddingPairsBlocked(emb, threshold = t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === exact)
+    // and the banding genuinely prunes: candidates far below all-pairs
+    val (nt, bt) = graft.dedup.Dedup.bandingFor(t)
+    val nCand = graft.dedup.Dedup.embeddingCandidates(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      nt, bt).count()
+    val allPairs = 1550L * 1549 / 2
+    assert(nCand < allPairs / 4, s"candidates $nCand not selective vs $allPairs pairs")
+  }
+
   test("shingle df-cap bounds candidates under a corpus-wide hot shingle") {
     import spark.implicits._
     val n = 300
