@@ -111,7 +111,11 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         maxDfFraction: Double = DefaultMaxDfFraction,
                         dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
-    val shc = cappedShingles(shingles(docs), docs, maxDfFraction, dfCapFloor).cache()
+    // cache the exploded shingles (referenced by the df table AND the
+    // join side) and the capped rows (self-joined + sized): one explode
+    // pass total, not one per reference
+    val sh = shingles(docs).cache()
+    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -49,10 +49,22 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name])
             ecols = [c[0] for c in exp.description]
             erows = exp.fetchall()
+            # the driver's hasher is TYPE-sensitive through Arrow: a
+            # DuckDB HUGEINT (bare SUM of BIGINT) arrives as
+            # decimal128 and mismatches Spark's int64 even when values
+            # are equal — catch that class of failure here too
+            etypes = {f.name: str(f.type) for f in con.execute(oracle[name]).arrow().schema}
+            gtypes = {f.name: str(f.type)
+                      for f in con.execute(f"SELECT * FROM '{files[0]}'").arrow().schema}
+            badtypes = {c: (gtypes.get(c), etypes.get(c)) for c in etypes
+                        if c in gtypes and gtypes[c] != etypes[c]}
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {e}"); n_fail += 1; continue
         if sorted(gcols) != sorted(ecols):
             print(f"[SCHEMA] {name}: spark={sorted(gcols)} oracle={sorted(ecols)}")
+            n_fail += 1; continue
+        if badtypes:
+            print(f"[TYPES] {name}: spark vs oracle arrow types differ: {badtypes}")
             n_fail += 1; continue
         g, e = canon(grows, gcols), canon(erows, ecols)
         if len(g) != len(e):
