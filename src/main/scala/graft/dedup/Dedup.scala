@@ -221,20 +221,43 @@ object Dedup extends QueryModule {
       .groupBy("doc_id")
       .agg(graft.expressions.SimHashAgg.simhash(col("h")).as("simhash"))
 
-  private def simhash(s: SparkSession, d: String): DataFrame = {
-    val fp = simhashDf(Tables.documents(s, d)).cache()
-    // 8 bands x 8 bits: any pair at hamming <= 7 shares at least one band
+  /** SimHash near-dup pairs: 8 bands x 8 bits, so any pair at hamming
+    * <= 7 shares at least one band (pigeonhole); results filtered to
+    * `maxHamming`. Band VALUES are only 8 bits, so at corpus scale a
+    * band bucket holds ~n/256 docs and a boilerplate-heavy corpus can
+    * concentrate one value — the same skew bomb as a hot shingle.
+    * Buckets larger than max(bucketCapFloor, ceil(maxBucketFraction *
+    * n_docs)) are therefore dropped from candidate generation: pairs
+    * reachable only through an over-full bucket are either mega
+    * clusters of near-identical docs (exact dedup's job) or band-value
+    * noise. No test-SF bucket comes near the default floor (max
+    * observed: 47 at sf0.1), so results there are cap-invariant.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   maxBucketFraction: Double = DefaultMaxDfFraction,
+                   bucketCapFloor: Long = 100L): DataFrame = {
+    val fp = simhashDf(docs).cache()
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(j =>
         shiftright(col("simhash"), j * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bv")))
-    bands.as("a").join(bands.as("b"),
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cap = greatest(lit(bucketCapFloor), ceil(col("n_docs") * maxBucketFraction))
+    val keep = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c") <= cap)
+      .select("band", "bv")
+    val bc = bands.join(keep, Seq("band", "bv"))
+    bc.as("a").join(bc.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
   }
+
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d))
 
   // --- edit-distance verification of near-dup candidates -------------
   /** Levenshtein only on the candidate pairs the cheap blocking pass

@@ -111,6 +111,23 @@ class DedupSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("simhash bucket cap drops mega-cluster buckets, keeps small clusters") {
+    import spark.implicits._
+    // 300 identical docs (every band bucket holds all 300 -> capped)
+    // plus one genuine duplicate pair over a disjoint vocabulary
+    val mega = (0 until 300).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val pair = Seq(1000L, 1001L).map(id =>
+      (id, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"))
+    val docs = (mega ++ pair).toDF("doc_id", "text")
+    val capped = graft.dedup.Dedup.simhashPairs(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1000L, 1001L)))
+    // raising the floor re-admits the mega-cluster's pairs
+    val uncapped = graft.dedup.Dedup.simhashPairs(docs, bucketCapFloor = 1000L).count()
+    assert(uncapped === 300L * 299 / 2 + 1)
+  }
+
   test("df-cap knob: raising the floor re-admits hot-cluster pairs") {
     import spark.implicits._
     // 30 identical docs — every shingle has df=30, above the default
