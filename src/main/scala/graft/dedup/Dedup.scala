@@ -183,8 +183,19 @@ object Dedup extends QueryModule {
     * The 16x8 banding's s-curve is tuned for high thresholds: pairs
     * below ~0.7 similarity are unlikely to collide in any band, so
     * candidate recall degrades there — hence the floor.
+    *
+    * Band values are 64-bit slice hashes, so RANDOM collisions are
+    * negligible — but a cluster of k identical documents shares every
+    * band value and alone yields k^2/2 candidates. Buckets above
+    * max(bandCapFloor, ceil(maxBucketFraction * n_docs)) docs are
+    * therefore dropped from candidate generation (identical
+    * mega-clusters are exact dedup's job; run it first, as
+    * CurationPipeline does). No test-SF bucket nears the floor, so
+    * results there are cap-invariant.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
+                   maxBucketFraction: Double = DefaultMaxDfFraction,
+                   bandCapFloor: Long = 100L): DataFrame = {
     require(threshold >= 0.7,
       s"banding (16 bands x 8 rows) loses recall below ~0.7; got $threshold")
     val rows = NumPerms / Bands
@@ -195,7 +206,14 @@ object Dedup extends QueryModule {
     val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map(j =>
           xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
-    val cand = bands.as("a").join(bands.as("b"),
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cap = greatest(lit(bandCapFloor), ceil(col("n_docs") * maxBucketFraction))
+    val keep = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c") <= cap)
+      .select("band", "bv")
+    val bc = bands.join(keep, Seq("band", "bv"))
+    val cand = bc.as("a").join(bc.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

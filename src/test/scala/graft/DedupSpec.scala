@@ -126,6 +126,10 @@ class DedupSpec extends AnyFunSuite {
     // raising the floor re-admits the mega-cluster's pairs
     val uncapped = graft.dedup.Dedup.simhashPairs(docs, bucketCapFloor = 1000L).count()
     assert(uncapped === 300L * 299 / 2 + 1)
+    // minhash banding has the same mega-cluster guard
+    val mh = graft.dedup.Dedup.minhashPairs(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((1000L, 1001L)))
   }
 
   test("df-cap knob: raising the floor re-admits hot-cluster pairs") {
