@@ -15,7 +15,8 @@ object SparkEntry {
     graft.text.TextAnalysis,
     graft.multimodal.Multimodal,
     graft.embed.HashEmbedder,
-    graft.vector.Quantize)
+    graft.vector.Quantize,
+    graft.vector.ProductQuantizer)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
