@@ -16,7 +16,8 @@ object SparkEntry {
     graft.multimodal.Multimodal,
     graft.embed.HashEmbedder,
     graft.vector.Quantize,
-    graft.vector.ProductQuantizer)
+    graft.vector.ProductQuantizer,
+    graft.pipeline.PipelineOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryModule, Tables}
+
+/** Corpus-curation operators a training-data pipeline runs besides
+  * dedup: deterministic stratified sampling (data mixing) and
+  * benchmark decontamination. Both designed for the 100 TB posture:
+  * sampling uses a bounded per-stratum heap (k rows per stratum per
+  * map partition on the shuffle, never a corpus-wide sort) and
+  * decontamination broadcasts the benchmark's n-gram set (benchmarks
+  * are tiny; the corpus side stays map-local).
+  */
+object PipelineOps extends QueryModule {
+
+  /** Deterministic uniform sample of up to `quota` docs per stratum:
+    * rank by a 52-bit integer prefix of md5(doc_id) — a stable
+    * pseudo-random order both Spark and the DuckDB oracle compute
+    * bit-identically (52 bits so the double-typed heap key stays
+    * exact). The per-stratum top-k runs on [[graft.expressions.TopKAgg]]
+    * bounded heaps: each map partition ships at most `quota` rows per
+    * stratum, so the shuffle is quota-bounded regardless of corpus
+    * size — the scalable alternative to a row_number() window, which
+    * would shuffle and sort EVERY row.
+    */
+  def sampleStratified(docs: DataFrame, stratumCol: String, quota: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    // lowest-hash-first via the (score desc) heap: negate the key
+    val key = -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast(LongType).cast("double")
+    docs
+      .withColumn("__k", key)
+      .groupBy(stratumCol)
+      .agg(graft.expressions.TopKAgg.topK(col("__k"), col(idCol), quota).as("t"))
+      .select(col(stratumCol), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col(stratumCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol))
+  }
+
+  private def sampleQuery(s: SparkSession, d: String): DataFrame =
+    sampleStratified(Tables.documents(s, d), "source", quota = 50)
+
+  private val sampleSql =
+    """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id
+      |FROM (
+      |  SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+      |                    doc_id) AS rn
+      |  FROM documents) q
+      |WHERE rn <= 50""".stripMargin
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word trigrams with the benchmark set. The
+    * benchmark's shingle set is broadcast (benchmarks are KBs-to-MBs
+    * even for large eval suites), so the corpus side is a map-local
+    * hash probe of its own shingles + one quota-bounded aggregation —
+    * no corpus-side self-join anywhere.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, minShared: Int = 5): DataFrame = {
+    val docSh = graft.dedup.Dedup.shinglesOf(docs)
+    val benchSh = graft.dedup.Dedup.shinglesOf(benchmark).select("s").distinct()
+    docSh.join(broadcast(benchSh), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Driver query: docs 0-19 act as the pseudo-benchmark; everything
+    * else is the corpus under test.
+    */
+  private def decontaminateQuery(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    decontaminate(all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20))
+  }
+
+  private val decontaminateSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+      |SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared
+      |FROM sh JOIN bench USING (s)
+      |WHERE sh.doc_id >= 20
+      |GROUP BY 1
+      |HAVING COUNT(DISTINCT sh.s) >= 5""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleQuery _),
+    "decontaminate"     -> (decontaminateQuery _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "sample_stratified" -> sampleSql,
+    "decontaminate"     -> decontaminateSql)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.PipelineOps
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.01"
+
+  test("stratified sample honors quotas, is deterministic, and is shuffle-bounded") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = PipelineOps.sampleStratified(docs, "source", quota = 25)
+    val counts = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (src, n) =>
+      assert(counts(src) === math.min(25L, n), s"stratum $src")
+    }
+    // deterministic across runs
+    val a = s1.orderBy("source", "rank").collect().map(_.toSeq)
+    val b = PipelineOps.sampleStratified(docs, "source", quota = 25)
+      .orderBy("source", "rank").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // the plan aggregates with the bounded heap, not a row_number window
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("topkagg") || plan.contains("TopKAgg"),
+      s"expected bounded-heap aggregate in plan:\n$plan")
+    assert(!plan.contains("Window"), "sampling must not use a window sort")
+  }
+
+  test("decontamination flags docs overlapping the benchmark, not clean docs") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim contamination: shares many trigrams
+      (100L, "prefix words then the quick brown fox jumps over the lazy dog every day"),
+      // clean doc: disjoint vocabulary
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      // short overlap below the threshold: only two shared trigrams
+      (102L, "the quick brown fox ran somewhere else entirely unlike anything before"))
+      .toDF("doc_id", "text")
+    val flagged = PipelineOps.decontaminate(corpus, bench, minShared = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(100L) && flagged(100L) >= 5L)
+    assert(!flagged.contains(101L))
+    assert(!flagged.contains(102L))
+  }
+}
