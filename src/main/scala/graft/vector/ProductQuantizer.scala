@@ -34,9 +34,13 @@ object ProductQuantizer extends QueryModule {
   }
 
   /** Train one codebook per subspace over (a sample of) the corpus.
-    * Each subspace's k-means is an independent Lloyd run over a
-    * projection — M small aggregation jobs, nothing corpus-sized on
-    * the driver.
+    * All M subspace k-means runs advance TOGETHER: each Lloyd
+    * iteration is ONE job over (subspace, subvector) exploded rows
+    * (assignment is a plan-literal projection, the update a
+    * (subspace, code) groupBy collecting M*K tiny rows) — M*iters
+    * driver round-trips would otherwise dominate wall time. Init is
+    * deterministic: each subspace seeds from the numCodes lowest-id
+    * vectors' subvectors, mirroring Centroids.deterministicInit.
     */
   def train(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             dim: Int = 64, numSubspaces: Int = 8, numCodes: Int = 16,
@@ -44,11 +48,35 @@ object ProductQuantizer extends QueryModule {
     require(dim % numSubspaces == 0, s"dim $dim not divisible into $numSubspaces subspaces")
     val sub = dim / numSubspaces
     val v = col(vecCol).cast("array<double>")
-    val cents = (0 until numSubspaces).map { m =>
-      val slice_m = emb.select(col(idCol), slice(v, m * sub + 1, sub).as(vecCol))
-      val (c, _) = Centroids.lloyd(slice_m, idCol, vecCol, numCodes, iters)
-      c.sortBy(_._1).map(_._2)
-    }.toArray
+    val seeds = emb.orderBy(idCol).limit(numCodes)
+      .select(v.as("v")).collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { m =>
+      seeds.map(_.slice(m * sub, m * sub + sub))
+    }
+    val sliced = emb.select(posexplode(array((0 until numSubspaces).map(m =>
+      slice(v, m * sub + 1, sub)): _*)).as(Seq("m", "sv"))).cache()
+    for (_ <- 0 until iters) {
+      val shardCol = (0 until numSubspaces).map { m =>
+        val cs = cents(m).zipWithIndex.map { case (c, k) => (k, c) }.toSeq
+        (m, Centroids.nearestShard(col("sv"), cs))
+      }.foldLeft(lit(-1L)) { case (acc, (m, expr)) =>
+        when(col("m") === m, expr).otherwise(acc)
+      }
+      val means = sliced.withColumn("shard", shardCol)
+        .groupBy("m", "shard")
+        .agg(graft.expressions.VectorSumAgg.vectorSum(col("sv")).as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = means.map { r =>
+        val n = r.getLong(3).toDouble
+        ((r.getInt(0), r.getLong(1).toInt), r.getSeq[Double](2).map(_ / n).toArray)
+      }.toMap
+      cents = Array.tabulate(numSubspaces) { m =>
+        // an empty code keeps its previous centroid
+        Array.tabulate(numCodes)(k => byKey.getOrElse((m, k), cents(m)(k)))
+      }
+    }
+    sliced.unpersist()
     Model(sub, cents)
   }
 
