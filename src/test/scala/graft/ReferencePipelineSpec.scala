@@ -49,4 +49,27 @@ class ReferencePipelineSpec extends AnyFunSuite {
     assert(sim.nonEmpty && sim.head.getDouble(2) > 0.9,
       s"near-dup pair ($a,$b) should be mutual top-5 with high cosine")
   }
+
+  test("reference-style TEXT ids flow through embed -> store -> get -> search") {
+    // the reference keys vectors by content-hash strings
+    // (storage_server.py id TEXT PRIMARY KEY; REPLACE INTO dedupes) —
+    // mirror that end to end
+    val docs = Tables.documents(spark, sf)
+    val emb = HashEmbedder.embed(docs)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select(md5(col("text")).as("id"), col("embedding").as("vector"))
+      .dropDuplicates("id") // REPLACE INTO semantics: same content, one row
+    val dir = Files.createTempDirectory("graft-strpipe").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2)
+
+    val row = emb.orderBy("id").limit(1).head()
+    val (qid, q) = (row.getString(0), row.getSeq[Double](1).toArray)
+    // /get/{id} with a TEXT key
+    assert(vs.get(qid).count() === 1)
+    // self-search: own nearest neighbor at full probe
+    val top = vs.search(q, topK = 3, nprobe = 4).collect()
+    assert(top.head.getString(0) === qid)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
 }
