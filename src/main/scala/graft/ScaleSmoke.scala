@@ -55,16 +55,31 @@ object ScaleSmoke {
     }
     println(s"[scale] brute agrees with full-probe: ${brute.map(_.getLong(0)).sameElements(full.map(_.getLong(0)))}")
 
-    // upsert/delete at volume: dynamic partition overwrite should touch
-    // only the shards that hold or receive the ids, not the whole index
+    // upsert/delete at volume. Two contrasting workloads:
+    // (a) worst case — ids spread over every shard, negated vectors
+    //     re-route across shards, so ALL partitions rewrite;
+    // (b) locality — 2000 ids from ONE shard, vectors rescaled (same
+    //     direction, same routing), so only that shard rewrites.
     val nUp = nVec / 500
     val upserts = vecs.filter(col("id") % 500 === 0)
       .select(col("id"), transform(col("vector"), x => -x).as("vector"))
-    timed(s"upsert $nUp vectors (negated -> mostly cross-shard moves)") { vs.upsert(upserts) }
+    val touchedAll = timed(s"upsert $nUp vectors spread over all shards (worst case)") {
+      vs.upsert(upserts)
+    }
+    val oneShardIds = spark.read.parquet(s"$dir/vectors")
+      .filter(col("shard") === 0).select("id").limit(2000)
+    val localUpserts = vecs.join(oneShardIds, "id")
+      .select(col("id"), transform(col("vector"), x => x * 1.0001).as("vector"))
+    val touchedOne = timed("upsert 2000 single-shard vectors (locality case)") {
+      vs.upsert(localUpserts)
+    }
+    println(s"[scale] shards rewritten: worst-case=${touchedAll.length}/16, " +
+      s"single-shard=${touchedOne.length}/16")
     val delIds = (0 until 1000).map(_ * 7L)
-    timed("delete 1000 ids") { vs.delete(delIds) }
+    val touchedDel = timed("delete 1000 ids") { vs.delete(delIds) }
     val nAfter = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
-    println(s"[scale] count after upsert+delete ok: ${nAfter == nVec - 1000L}")
+    println(s"[scale] count after upserts+delete ok: ${nAfter == nVec - 1000L} " +
+      s"(delete touched ${touchedDel.length} shards)")
 
     // synthetic documents: 60 words over a 2k vocabulary, near-dup pairs injected
     val docs = spark.range(0, nDoc, 1, 64)

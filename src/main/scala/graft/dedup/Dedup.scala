@@ -15,10 +15,16 @@ import graft.expressions.VectorExpressions._
   * simhash band) — never an n^2 comparison. Verification (true
   * Jaccard / hamming) runs only on candidates. Hot blocking keys (a
   * stop-shingle shared by half the corpus) are the skew risk: AQE
-  * skew-join splitting is on, and shingles above the
-  * document-frequency cap (see [[ngramJaccardPairs]]) are excluded
-  * from candidate generation entirely — AQE can redistribute a hot
-  * key but cannot shrink its n^2 pair count; only the cap can.
+  * skew-join splitting is on, shingles above the document-frequency
+  * cap (see [[ngramJaccardPairs]]) leave the similarity universe, and
+  * over-cap band buckets degrade to star candidates
+  * ([[bandedCandidates]]) — AQE can redistribute a hot key but cannot
+  * shrink its n^2 pair count; only capping can.
+  *
+  * The pair helpers cache intermediate shingle/fingerprint tables for
+  * the lifetime of the returned (lazy) plan; a long-lived session
+  * should `spark.catalog.clearCache()` after consuming results, as
+  * Bench does between timings.
   */
 object Dedup extends QueryModule {
 
@@ -185,13 +191,13 @@ object Dedup extends QueryModule {
     * candidate recall degrades there — hence the floor.
     *
     * Band values are 64-bit slice hashes, so RANDOM collisions are
-    * negligible — but a cluster of k identical documents shares every
-    * band value and alone yields k^2/2 candidates. Buckets above
-    * max(bandCapFloor, ceil(maxBucketFraction * n_docs)) docs are
-    * therefore dropped from candidate generation (identical
-    * mega-clusters are exact dedup's job; run it first, as
-    * CurationPipeline does). No test-SF bucket nears the floor, so
-    * results there are cap-invariant.
+    * negligible — but a cluster of k identical (or near-identical)
+    * documents shares band values and alone yields k^2/2 candidates.
+    * Buckets above max(bandCapFloor, ceil(maxBucketFraction * n_docs))
+    * docs degrade to star candidates around the bucket's lowest doc_id
+    * (see [[bandedCandidates]]): the cluster still deduplicates
+    * against its representative with O(k) work. No test-SF bucket
+    * nears the floor, so results there are cap-invariant.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
                    maxBucketFraction: Double = DefaultMaxDfFraction,
@@ -206,18 +212,7 @@ object Dedup extends QueryModule {
     val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map(j =>
           xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val cap = greatest(lit(bandCapFloor), ceil(col("n_docs") * maxBucketFraction))
-    val keep = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("c") <= cap)
-      .select("band", "bv")
-    val bc = bands.join(keep, Seq("band", "bv"))
-    val cand = bc.as("a").join(bc.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = bandedCandidates(bands, docs, maxBucketFraction, bandCapFloor)
     // verify candidates with true shingle-set Jaccard
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("set"))
     val jac = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
@@ -239,38 +234,62 @@ object Dedup extends QueryModule {
       .groupBy("doc_id")
       .agg(graft.expressions.SimHashAgg.simhash(col("h")).as("simhash"))
 
+  /** Candidate pairs from banded blocking with over-cap buckets
+    * degraded to STARS: buckets up to the cap contribute every pair
+    * (clique); a bucket above max(capFloor, ceil(maxFraction*n_docs))
+    * instead links each member to the bucket's lowest doc_id — O(k)
+    * pairs for a k-doc bucket, not O(k^2). A mega cluster of
+    * near-identical docs thus still deduplicates (everything verifies
+    * against the representative) with bounded work; only members
+    * further than the verify threshold from the representative lose
+    * recall, the price of bounding a quadratic. `bands` must have
+    * (doc_id, band, bv) rows.
+    */
+  private def bandedCandidates(bands: DataFrame, docs: DataFrame,
+                               maxBucketFraction: Double, capFloor: Long): DataFrame = {
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cap = greatest(lit(capFloor), ceil(col("n_docs") * maxBucketFraction))
+    val counted = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+    val bc = bands.join(counted.filter(col("c") <= cap).select("band", "bv"),
+      Seq("band", "bv"))
+    val clique = bc.as("a").join(bc.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val bigRows = bands.join(counted.filter(col("c") > cap).select("band", "bv"),
+      Seq("band", "bv"))
+    val reps = bigRows.groupBy("band", "bv").agg(min("doc_id").as("id_a"))
+    val star = bigRows.join(reps, Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    clique.unionByName(star).distinct()
+  }
+
   /** SimHash near-dup pairs: 8 bands x 8 bits, so any pair at hamming
     * <= 7 shares at least one band (pigeonhole); results filtered to
     * `maxHamming`. Band VALUES are only 8 bits, so at corpus scale a
     * band bucket holds ~n/256 docs and a boilerplate-heavy corpus can
     * concentrate one value — the same skew bomb as a hot shingle.
-    * Buckets larger than max(bucketCapFloor, ceil(maxBucketFraction *
-    * n_docs)) are therefore dropped from candidate generation: pairs
-    * reachable only through an over-full bucket are either mega
-    * clusters of near-identical docs (exact dedup's job) or band-value
-    * noise. No test-SF bucket comes near the default floor (max
-    * observed: 47 at sf0.1), so results there are cap-invariant.
+    * Over-cap buckets degrade to star candidates around a
+    * representative (see [[bandedCandidates]]): bounded work, dedup
+    * recall preserved up to the cluster's radius around the
+    * representative. No test-SF bucket comes near the default floor
+    * (max observed: 47 at sf0.1), so results there are cap-invariant.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
                    maxBucketFraction: Double = DefaultMaxDfFraction,
                    bucketCapFloor: Long = 100L): DataFrame = {
     val fp = simhashDf(docs).cache()
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands = fp.select(col("doc_id"),
       posexplode(array((0 until 8).map(j =>
         shiftright(col("simhash"), j * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bv")))
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val cap = greatest(lit(bucketCapFloor), ceil(col("n_docs") * maxBucketFraction))
-    val keep = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("c") <= cap)
-      .select("band", "bv")
-    val bc = bands.join(keep, Seq("band", "bv"))
-    bc.as("a").join(bc.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
-      .distinct()
+    val cand = bandedCandidates(bands, docs, maxBucketFraction, bucketCapFloor)
+    cand
+      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("fa")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -351,8 +370,10 @@ object Dedup extends QueryModule {
     * on (table, bucket)). Exposed for DedupSpec selectivity asserts.
     */
   private[graft] def embeddingCandidates(e: DataFrame,
-                                         numTables: Int, bitsPerTable: Int): DataFrame = {
-    val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding", numTables, bitsPerTable)
+                                         numTables: Int, bitsPerTable: Int,
+                                         dim: Int = 64): DataFrame = {
+    val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding",
+      numTables, bitsPerTable, dim)
     b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -373,13 +394,14 @@ object Dedup extends QueryModule {
     */
   def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.40,
                             idCol: String = "vec_id", vecCol: String = "embedding",
-                            numTables: Int = -1, bitsPerTable: Int = -1): DataFrame = {
+                            numTables: Int = -1, bitsPerTable: Int = -1,
+                            dim: Int = 64): DataFrame = {
     val (tAuto, bAuto) = bandingFor(threshold)
     val nt = if (numTables > 0) numTables else tAuto
     val bt = if (bitsPerTable > 0) bitsPerTable else bAuto
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    val cand = embeddingCandidates(e, nt, bt)
+    val cand = embeddingCandidates(e, nt, bt, dim)
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")

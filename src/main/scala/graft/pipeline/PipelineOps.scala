@@ -28,13 +28,21 @@ object PipelineOps extends QueryModule {
     */
   def sampleStratified(docs: DataFrame, stratumCol: String, quota: Int,
                        idCol: String = "doc_id"): DataFrame = {
+    // TopKAgg carries ids as longs; fail fast with a clear message
+    // rather than a ClassCastException in an executor. String-keyed
+    // corpora can sample on a surrogate (e.g. xxhash64 of the key)
+    // and join back.
+    require(Seq("bigint", "int", "smallint", "tinyint")
+        .contains(docs.schema(idCol).dataType.simpleString),
+      s"sampleStratified needs an integral id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     // lowest-hash-first via the (score desc) heap: negate the key
     val key = -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast(LongType).cast("double")
     docs
       .withColumn("__k", key)
       .groupBy(stratumCol)
-      .agg(graft.expressions.TopKAgg.topK(col("__k"), col(idCol), quota).as("t"))
+      .agg(graft.expressions.TopKAgg.topK(col("__k"), col(idCol).cast(LongType), quota).as("t"))
       .select(col(stratumCol), posexplode(col("t")).as(Seq("pos", "e")))
       .select(col(stratumCol), (col("pos") + 1).cast(LongType).as("rank"),
         col("e.id").as(idCol))

@@ -84,7 +84,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * the same posture (one SQLite writer per shard, no cross-shard
     * transaction).
     */
-  def upsert(vectors: DataFrame): Unit = {
+  def upsert(vectors: DataFrame): Array[Long] = {
     val cents = centroids()
     val incoming = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
@@ -102,6 +102,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .filter(col("shard").isin(touched: _*))
       .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
     overwriteTouched(existing.unionByName(incoming), touched)
+    touched
   }
 
   /** Overwrite the touched shard partitions with `result`. Dynamic
@@ -126,14 +127,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * partitions that contain the ids. Single-writer, non-atomic across
     * steps — see [[upsert]]'s consistency contract.
     */
-  def delete(ids: Seq[Any]): Unit = {
+  def delete(ids: Seq[Any]): Array[Long] = {
     val all = spark.read.parquet(vecDir)
       .withColumn("shard", col("shard").cast("long"))
     val touched = all.filter(col(idCol).isin(ids: _*))
       .select("shard").distinct().collect().map(_.getLong(0))
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return Array.empty
     overwriteTouched(
       all.filter(col("shard").isin(touched: _*) && !col(idCol).isin(ids: _*)), touched)
+    touched
   }
 
   /** Continuous ingest: route and append each micro-batch of a vector

@@ -111,9 +111,9 @@ class DedupSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
-  test("simhash bucket cap drops mega-cluster buckets, keeps small clusters") {
+  test("over-cap band buckets degrade to bounded star candidates") {
     import spark.implicits._
-    // 300 identical docs (every band bucket holds all 300 -> capped)
+    // 300 identical docs (every band bucket holds all 300 -> over cap)
     // plus one genuine duplicate pair over a disjoint vocabulary
     val mega = (0 until 300).map(i =>
       (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
@@ -122,14 +122,18 @@ class DedupSpec extends AnyFunSuite {
     val docs = (mega ++ pair).toDF("doc_id", "text")
     val capped = graft.dedup.Dedup.simhashPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped === Set((1000L, 1001L)))
-    // raising the floor re-admits the mega-cluster's pairs
+    // the mega cluster contributes a STAR around doc 0 — 299 bounded
+    // pairs, every member still marked a dup of the representative —
+    // never the 44850-pair clique; the small cluster is untouched
+    val expectedStar = (1 until 300).map(i => (0L, i.toLong)).toSet + ((1000L, 1001L))
+    assert(capped === expectedStar)
+    // raising the floor restores the full clique
     val uncapped = graft.dedup.Dedup.simhashPairs(docs, bucketCapFloor = 1000L).count()
     assert(uncapped === 300L * 299 / 2 + 1)
-    // minhash banding has the same mega-cluster guard
+    // minhash banding degrades the same way
     val mh = graft.dedup.Dedup.minhashPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(mh === Set((1000L, 1001L)))
+    assert(mh === expectedStar)
   }
 
   test("df-cap knob: raising the floor re-admits hot-cluster pairs") {

@@ -52,10 +52,12 @@ def main(sf_dir, out_dir):
             # the driver's hasher is TYPE-sensitive through Arrow: a
             # DuckDB HUGEINT (bare SUM of BIGINT) arrives as
             # decimal128 and mismatches Spark's int64 even when values
-            # are equal — catch that class of failure here too
-            etypes = {f.name: str(f.type) for f in con.execute(oracle[name]).arrow().schema}
-            gtypes = {f.name: str(f.type)
-                      for f in con.execute(f"SELECT * FROM '{files[0]}'").arrow().schema}
+            # are equal — catch that class of failure here too.
+            # LIMIT 0 keeps the schema probe from re-running the query.
+            etypes = {f.name: str(f.type) for f in
+                      con.execute(f"SELECT * FROM ({oracle[name]}) LIMIT 0").arrow().schema}
+            gtypes = {f.name: str(f.type) for f in
+                      con.execute(f"SELECT * FROM '{files[0]}' LIMIT 0").arrow().schema}
             badtypes = {c: (gtypes.get(c), etypes.get(c)) for c in etypes
                         if c in gtypes and gtypes[c] != etypes[c]}
         except Exception as e:
