@@ -401,13 +401,23 @@ object Dedup extends QueryModule {
     val bt = if (bitsPerTable > 0) bitsPerTable else bAuto
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    val cand = embeddingCandidates(e, nt, bt, dim)
-    cand
+    // No pre-verify distinct: a pair colliding in t tables is scored t
+    // times (map-side, codegen'd kernel, vectors arrive via broadcast
+    // joins), and only the few above-threshold survivors pay a
+    // groupBy. Deduplicating candidates FIRST would shuffle every
+    // collision row — orders of magnitude more traffic than the
+    // surviving pairs.
+    val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding", nt, bt, dim)
+    b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .withColumn("score0", cosineSim(col("ea"), col("eb")))
       .filter(col("score0") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
+      .groupBy("id_a", "id_b")
+      .agg(round(max(col("score0")), 4).as("score"))
   }
 
   private def embeddingBlocked(s: SparkSession, d: String): DataFrame =
