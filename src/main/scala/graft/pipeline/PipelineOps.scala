@@ -96,11 +96,54 @@ object PipelineOps extends QueryModule {
       |GROUP BY 1
       |HAVING COUNT(DISTINCT sh.s) >= 5""".stripMargin
 
+  /** Sequence packing: greedily fill fixed-capacity token windows with
+    * consecutive documents (contiguous fill, a straddling doc overflows
+    * into its window rather than splitting) — how training corpora are
+    * packed into context windows. Window assignment is a per-stratum
+    * cumulative sum over the deterministic doc_id order:
+    * window = floor(tokens_before / capacity). Each stratum sorts
+    * independently (parallel across strata); at corpus scale pack
+    * within finer strata (source x day) so no single partition sorts
+    * unboundedly. Token count = whitespace words (the cheap proxy;
+    * swap in text_tokens' BPE-ish regex for real runs).
+    */
+  def packSequences(docs: DataFrame, capacity: Long = 512,
+                    stratumCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("window_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / capacity))
+      .groupBy(col(stratumCol), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min("doc_id").as("first_doc"))
+  }
+
+  private def packQuery(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d))
+
+  private val packSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         COALESCE(SUM(len(string_split(text, ' ')))
+      |           OVER (PARTITION BY source ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents)
+      |SELECT source, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS window_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       MIN(doc_id) AS first_doc
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleQuery _),
-    "decontaminate"     -> (decontaminateQuery _))
+    "decontaminate"     -> (decontaminateQuery _),
+    "pack_sequences"    -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
-    "decontaminate"     -> decontaminateSql)
+    "decontaminate"     -> decontaminateSql,
+    "pack_sequences"    -> packSql)
 }

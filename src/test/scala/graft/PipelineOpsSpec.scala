@@ -32,6 +32,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "sampling must not use a window sort")
   }
 
+  test("sequence packing fills contiguous windows within capacity + straddle") {
+    val docs = Tables.documents(spark, sf)
+    val capacity = 512L
+    val packed = PipelineOps.packSequences(docs, capacity).cache()
+    // every doc lands in exactly one window
+    assert(packed.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    // contiguous fill: a window overflows only by its straddling doc,
+    // so tokens < capacity + that stratum's longest doc
+    val maxDoc = docs.agg(max(size(split(col("text"), " ")))).head().getInt(0)
+    assert(packed.filter(col("n_tokens") >= capacity + maxDoc).count() === 0)
+    // window ids are dense from 0 within each source
+    val bySource = packed.groupBy("source")
+      .agg(min("window_id").as("lo"), max("window_id").as("hi"),
+        count(lit(1)).as("n"))
+    assert(bySource.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count() === 0)
+    packed.unpersist()
+  }
+
   test("decontamination flags docs overlapping the benchmark, not clean docs") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog every day"))
