@@ -13,21 +13,30 @@ import graft.vector.VectorStore
   *     -> quality filter        (min words, stopword/type-token gates)
   *     -> exact dedup           (content-hash survivors)
   *     -> near-dup removal      (MinHash-LSH pairs, keep lowest doc_id)
+  *     -> decontamination       (optional: drop benchmark-overlapping docs)
   *     -> embed                 (hashing-trick unit vectors)
   *     -> IVF index             (KMeans-routed shard-partitioned store)
   *
   * Every stage is the already-tested operator from its module; this
   * composes them the way a 100 TB curation job would — each arrow is
   * a DataFrame, nothing collects to the driver except the tiny
-  * centroid table.
+  * centroid table. Exact dedup runs BEFORE the banded near-dup pass on
+  * purpose: it collapses identical mega-clusters so the banding's
+  * bucket caps see only genuine near-dup structure. Downstream,
+  * [[PipelineOps.sampleStratified]] and [[PipelineOps.packSequences]]
+  * turn the kept set into mixed, context-window-packed training data.
   */
 object CurationPipeline {
 
-  case class Result(kept: DataFrame, droppedLowQuality: Long, droppedNearDup: Long)
+  case class Result(kept: DataFrame, droppedLowQuality: Long, droppedNearDup: Long,
+                    droppedContaminated: Long = 0L)
 
-  /** Filter + dedup the corpus; returns survivors and drop counts. */
+  /** Filter + dedup (+ optionally decontaminate) the corpus; returns
+    * survivors and per-stage drop counts.
+    */
   def curate(spark: SparkSession, docs: DataFrame,
-             minWords: Int = 10, jaccardThreshold: Double = 0.8): Result = {
+             minWords: Int = 10, jaccardThreshold: Double = 0.8,
+             benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5): Result = {
     val nWords = size(split(col("text"), " "))
     val quality = docs.filter(nWords >= minWords)
     val droppedQ = docs.count() - quality.count()
@@ -46,8 +55,17 @@ object CurationPipeline {
     // (threshold is passed through — minhashPairs verifies true Jaccard)
     val losers = Dedup.minhashPairs(survivors, jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct().cache()
-    val kept = survivors.join(losers, Seq("doc_id"), "left_anti")
-    Result(kept, droppedQ, losers.count())
+    val deduped = survivors.join(losers, Seq("doc_id"), "left_anti")
+
+    // benchmark decontamination: drop docs overlapping the eval set
+    val (kept, droppedC) = benchmark match {
+      case Some(bench) =>
+        val dirty = PipelineOps.decontaminate(deduped, bench, minSharedShingles)
+          .select("doc_id").cache()
+        (deduped.join(dirty, Seq("doc_id"), "left_anti"), dirty.count())
+      case None => (deduped, 0L)
+    }
+    Result(kept, droppedQ, losers.count(), droppedC)
   }
 
   /** Full flow: curate, embed, and build a searchable IVF store. */

@@ -34,4 +34,18 @@ class CurationPipelineSpec extends AnyFunSuite {
     val v = vs.get(someId).select("vector").head().getSeq[Double](0).toArray
     assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === someId)
   }
+
+  test("curate with a benchmark drops contaminated docs and counts them") {
+    val docs = Tables.documents(spark, sf)
+    // use one corpus document as the pseudo-benchmark: itself (and any
+    // near-verbatim copy) must be dropped from the kept set
+    val bench = docs.filter(col("doc_id") === 7).select("doc_id", "text")
+    val r = CurationPipeline.curate(spark, docs, benchmark = Some(bench))
+    assert(r.droppedContaminated >= 1)
+    val keptIds = r.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(7L))
+    // counts reconcile across all four stages
+    assert(r.kept.count() ===
+      docs.count() - r.droppedLowQuality - r.droppedNearDup - r.droppedContaminated)
+  }
 }
