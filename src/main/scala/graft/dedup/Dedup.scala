@@ -366,20 +366,27 @@ object Dedup extends QueryModule {
     else if (threshold >= 0.6) (48, 5)
     else (48, 3)
 
-  /** Candidate pairs from hyperplane-LSH bucket collisions (equi-join
-    * on (table, bucket)). Exposed for DedupSpec selectivity asserts.
+  /** One (id_a, id_b) row PER bucket collision (a pair colliding in t
+    * tables appears t times) — the shared core of candidate
+    * generation.
     */
-  private[graft] def embeddingCandidates(e: DataFrame,
-                                         numTables: Int, bitsPerTable: Int,
-                                         dim: Int = 64): DataFrame = {
+  private def rawEmbeddingCandidates(e: DataFrame, numTables: Int, bitsPerTable: Int,
+                                     dim: Int): DataFrame = {
     val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding",
       numTables, bitsPerTable, dim)
     b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
   }
+
+  /** Distinct candidate pairs from hyperplane-LSH bucket collisions.
+    * Exposed for DedupSpec selectivity asserts.
+    */
+  private[graft] def embeddingCandidates(e: DataFrame,
+                                         numTables: Int, bitsPerTable: Int,
+                                         dim: Int = 64): DataFrame =
+    rawEmbeddingCandidates(e, numTables, bitsPerTable, dim).distinct()
 
   /** LSH-blocked embedding near-dup pairs — [[embedding]]'s semantics
     * without materializing an n^2 broadcast join. Candidates come from
@@ -403,15 +410,13 @@ object Dedup extends QueryModule {
       col(vecCol).cast("array<double>").as("embedding"))
     // No pre-verify distinct: a pair colliding in t tables is scored t
     // times (map-side, codegen'd kernel, vectors arrive via broadcast
-    // joins), and only the few above-threshold survivors pay a
-    // groupBy. Deduplicating candidates FIRST would shuffle every
-    // collision row — orders of magnitude more traffic than the
-    // surviving pairs.
-    val b = graft.vector.AnnLsh.bucketsWith(e, "vec_id", "embedding", nt, bt, dim)
-    b.as("a").join(b.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    // joins) and deduplicated by the final aggregation. Same-partition
+    // duplicates partial-aggregate away before the shuffle, and the
+    // whole query pays ONE wide shuffle (the groupBy) instead of
+    // distinct-first's shuffle of every collision row PLUS the
+    // downstream join stages — measured 4.4s -> 3.5s at sf0.1, even at
+    // the recall-first 0.40 threshold where the filter drops nothing.
+    rawEmbeddingCandidates(e, nt, bt, dim)
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .withColumn("score0", cosineSim(col("ea"), col("eb")))

@@ -28,8 +28,14 @@ import graft.vector.VectorStore
   */
 object CurationPipeline {
 
-  case class Result(kept: DataFrame, droppedLowQuality: Long, droppedNearDup: Long,
-                    droppedContaminated: Long = 0L)
+  case class Result(kept: DataFrame, droppedLowQuality: Long, droppedExact: Long,
+                    droppedNearDup: Long, droppedContaminated: Long = 0L) {
+    /** Sum of every stage's drops — input count minus this equals
+      * kept.count(), by construction.
+      */
+    def droppedTotal: Long =
+      droppedLowQuality + droppedExact + droppedNearDup + droppedContaminated
+  }
 
   /** Filter + dedup (+ optionally decontaminate) the corpus; returns
     * survivors and per-stage drop counts.
@@ -50,6 +56,7 @@ object CurationPipeline {
         org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
       .filter(col("keep")).drop("fp", "keep")
       .cache()
+    val droppedE = docs.count() - droppedQ - survivors.count()
 
     // near-dup removal: from each MinHash pair, drop the higher doc_id
     // (threshold is passed through — minhashPairs verifies true Jaccard)
@@ -65,7 +72,7 @@ object CurationPipeline {
         (deduped.join(dirty, Seq("doc_id"), "left_anti"), dirty.count())
       case None => (deduped, 0L)
     }
-    Result(kept, droppedQ, losers.count(), droppedC)
+    Result(kept, droppedQ, droppedE, losers.count(), droppedC)
   }
 
   /** Full flow: curate, embed, and build a searchable IVF store. */

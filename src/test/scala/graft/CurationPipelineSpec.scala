@@ -22,7 +22,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     // every near-dup pair loses exactly its higher-id member (the
     // pair graph here is small cliques; dropped <= pair count)
     assert(r.droppedNearDup > 0 && r.droppedNearDup <= nPairs)
-    assert(r.kept.count() === docs.count() - r.droppedLowQuality - r.droppedNearDup)
+    assert(r.kept.count() === docs.count() - r.droppedTotal)
 
     // no surviving near-dup pairs above threshold
     val remaining = graft.dedup.Dedup.minhashPairs(r.kept)
@@ -44,8 +44,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(r.droppedContaminated >= 1)
     val keptIds = r.kept.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!keptIds.contains(7L))
-    // counts reconcile across all four stages
-    assert(r.kept.count() ===
-      docs.count() - r.droppedLowQuality - r.droppedNearDup - r.droppedContaminated)
+    // counts reconcile across all stages (incl. exact dedup)
+    assert(r.kept.count() === docs.count() - r.droppedTotal)
   }
 }
