@@ -69,11 +69,14 @@ object PipelineOps extends QueryModule {
     * no corpus-side self-join anywhere.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, minShared: Int = 5): DataFrame = {
+    // shinglesOf emits DISTINCT shingles per doc and the benchmark set
+    // is deduped, so a plain count after the join IS the distinct
+    // shared-shingle count — no two-phase distinct aggregation needed
     val docSh = graft.dedup.Dedup.shinglesOf(docs)
     val benchSh = graft.dedup.Dedup.shinglesOf(benchmark).select("s").distinct()
     docSh.join(broadcast(benchSh), "s")
       .groupBy("doc_id")
-      .agg(countDistinct(col("s")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -90,11 +93,11 @@ object PipelineOps extends QueryModule {
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
-      |SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared
+      |SELECT sh.doc_id, COUNT(*) AS n_shared
       |FROM sh JOIN bench USING (s)
       |WHERE sh.doc_id >= 20
       |GROUP BY 1
-      |HAVING COUNT(DISTINCT sh.s) >= 5""".stripMargin
+      |HAVING COUNT(*) >= 5""".stripMargin
 
   /** Sequence packing: greedily fill fixed-capacity token windows with
     * consecutive documents (contiguous fill, a straddling doc overflows
