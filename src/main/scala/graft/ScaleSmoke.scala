@@ -55,6 +55,33 @@ object ScaleSmoke {
     }
     println(s"[scale] brute agrees with full-probe: ${brute.map(_.getLong(0)).sameElements(full.map(_.getLong(0)))}")
 
+    // product quantization at volume: 16x16 codebooks turn a 512-byte
+    // double vector into 16 4-bit codes; the ADC scan reads codes only
+    // codebooks train on a 10% sample (textbook PQ practice — the
+    // reference's cluster.py samples 10% for KMeans the same way)
+    val pqModel = timed("pq train (16 subspaces x 16 codes, 3 iters, 10% sample)") {
+      graft.vector.ProductQuantizer.train(vecs.filter(col("id") % 10 === 0),
+        idCol = "id", vecCol = "vector", numSubspaces = 16)
+    }
+    val enc = timed(s"pq encode $nVec vectors") {
+      val e = graft.vector.ProductQuantizer.encode(vecs, pqModel, vecCol = "vector")
+        .select(col("id"), col("pq_codes")).cache()
+      e.count(); e
+    }
+    val pqTop = timed("pq ADC shortlist-200 + exact rerank top-10") {
+      graft.vector.ProductQuantizer.searchRerank(enc, vecs, q, pqModel,
+        topK = 10, shortlist = 200, idCol = "id", vecCol = "vector").collect()
+    }
+    val bruteL2 = timed("brute-force L2 knn (uncompressed, for recall)") {
+      vecs.withColumn("d", l2Dist(col("vector"), typedlit(q.toSeq)))
+        .orderBy(asc("d"), col("id").asc).limit(10).collect()
+    }
+    val overlap = pqTop.map(_.getLong(0)).toSet
+      .intersect(bruteL2.map(_.getLong(0)).toSet).size
+    println(s"[scale] pq rerank top-10 recall vs exact L2 top-10: $overlap/10 " +
+      "(4-bit sketch over uniform random vectors — the hardest case for PQ)")
+    enc.unpersist()
+
     // upsert/delete at volume. Two contrasting workloads:
     // (a) worst case — ids spread over every shard, negated vectors
     //     re-route across shards, so ALL partitions rewrite;
