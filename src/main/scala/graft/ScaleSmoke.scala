@@ -56,9 +56,9 @@ object ScaleSmoke {
     println(s"[scale] brute agrees with full-probe: ${brute.map(_.getLong(0)).sameElements(full.map(_.getLong(0)))}")
 
     // product quantization at volume: 16x16 codebooks turn a 512-byte
-    // double vector into 16 4-bit codes; the ADC scan reads codes only
-    // codebooks train on a 10% sample (textbook PQ practice — the
-    // reference's cluster.py samples 10% for KMeans the same way)
+    // double vector into 16 4-bit codes; the ADC scan reads codes only.
+    // codebooks train on a 10% sample (textbook PQ practice; the
+    // reference trains KMeans on a 10% head-slice too, test.py:42)
     val pqModel = timed("pq train (16 subspaces x 16 codes, 3 iters, 10% sample)") {
       graft.vector.ProductQuantizer.train(vecs.filter(col("id") % 10 === 0),
         idCol = "id", vecCol = "vector", numSubspaces = 16)

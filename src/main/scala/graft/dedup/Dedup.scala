@@ -327,20 +327,31 @@ object Dedup extends QueryModule {
   // --- embedding cosine near-dup pairs (SQL oracle) ------------------
   /** Exact all-pairs at threshold: one side broadcast, codegen'd
     * cosine kernel, so sf0.1 is 2e6 comparisons in-memory. This is
-    * the ORACLE-EXACTNESS path only — at corpus scale use
-    * [[embeddingPairsBlocked]], which finds the same pairs through
+    * the ORACLE-EXACTNESS path only — quadratic in the input — so it
+    * REFUSES inputs above `maxRows` (the probe is a bounded
+    * `limit(maxRows+1)` scan, not a full count) and points the caller
+    * at [[embeddingPairsBlocked]], which finds the same pairs through
     * LSH bucket collisions without ever materializing n^2 pairs.
     */
-  private def embedding(s: SparkSession, d: String): DataFrame = {
+  def embeddingPairsExact(emb: DataFrame, threshold: Double = 0.40,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxRows: Int = 100000): DataFrame = {
+    val over = emb.select(col(idCol)).limit(maxRows + 1).count() > maxRows
+    require(!over,
+      s"embeddingPairsExact is the all-pairs oracle path (quadratic): input exceeds " +
+        s"$maxRows vectors — use Dedup.embeddingPairsBlocked for corpus-scale near-dup pairs")
     // cast to double BEFORE the join: once per row, not once per pair
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val e = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("embedding"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     e.join(broadcast(b), col("vec_id") < col("id_b"))
       .withColumn("score0", cosineSim(col("embedding"), col("emb_b")))
-      .filter(col("score0") >= 0.40)
+      .filter(col("score0") >= threshold)
       .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
   }
+
+  private def embedding(s: SparkSession, d: String): DataFrame =
+    embeddingPairsExact(Tables.embeddings(s, d))
 
   /** Banding sized to a cosine threshold, balancing recall at the
     * threshold edge against candidate selectivity. The physics: a

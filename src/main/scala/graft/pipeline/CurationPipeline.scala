@@ -39,40 +39,62 @@ object CurationPipeline {
 
   /** Filter + dedup (+ optionally decontaminate) the corpus; returns
     * survivors and per-stage drop counts.
+    *
+    * Accounting is ONE aggregation job: each stage marks an indicator
+    * column (`__q` quality, `__keepE` exact-dedup survivor, `__loser`
+    * near-dup loser, `__dirty` contaminated) on the full corpus frame,
+    * which is cached and summed once — no per-stage `count()` actions,
+    * so bookkeeping adds one corpus pass total instead of five
+    * (two of them duplicate `docs.count()`s) at 100 TB. `kept` filters
+    * the same cached frame, so the downstream embed/index stage reuses
+    * the materialized pass too.
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
              benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5): Result = {
     val nWords = size(split(col("text"), " "))
-    val quality = docs.filter(nWords >= minWords)
-    val droppedQ = docs.count() - quality.count()
-
-    // exact dedup: keep min doc_id per content hash. Cached: the
-    // survivors feed the (expensive) minhash pass, the anti-join, AND
-    // the downstream embed/index stage.
-    val survivors = quality
-      .withColumn("fp", md5(col("text")))
-      .withColumn("keep", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
-      .filter(col("keep")).drop("fp", "keep")
-      .cache()
-    val droppedE = docs.count() - droppedQ - survivors.count()
+    // exact dedup among quality docs only: order each content-hash
+    // group quality-first then lowest doc_id, so rank 1 is the
+    // surviving quality copy iff the group has one
+    val flagged = docs
+      .withColumn("__q", nWords >= minWords)
+      .withColumn("__fp", md5(col("text")))
+      .withColumn("__keepE", col("__q") && row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+          .orderBy(col("__q").desc, col("doc_id"))) === 1)
+    val survivors = flagged.filter(col("__keepE"))
 
     // near-dup removal: from each MinHash pair, drop the higher doc_id
     // (threshold is passed through — minhashPairs verifies true Jaccard)
     val losers = Dedup.minhashPairs(survivors, jaccardThreshold)
-      .select(col("id_b").as("doc_id")).distinct().cache()
-    val deduped = survivors.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("id_b").as("doc_id"), lit(true).as("__loser")).distinct()
+    val withLoser = flagged.join(losers, Seq("doc_id"), "left")
+      .withColumn("__loser", col("__keepE") && coalesce(col("__loser"), lit(false)))
 
-    // benchmark decontamination: drop docs overlapping the eval set
-    val (kept, droppedC) = benchmark match {
+    // benchmark decontamination: drop kept docs overlapping the eval set
+    val withDirty = benchmark match {
       case Some(bench) =>
+        val deduped = withLoser.filter(col("__keepE") && !col("__loser"))
         val dirty = PipelineOps.decontaminate(deduped, bench, minSharedShingles)
-          .select("doc_id").cache()
-        (deduped.join(dirty, Seq("doc_id"), "left_anti"), dirty.count())
-      case None => (deduped, 0L)
+          .select(col("doc_id"), lit(true).as("__dirty"))
+        withLoser.join(dirty, Seq("doc_id"), "left")
+          .withColumn("__dirty",
+            col("__keepE") && !col("__loser") && coalesce(col("__dirty"), lit(false)))
+      case None => withLoser.withColumn("__dirty", lit(false))
     }
-    Result(kept, droppedQ, droppedE, losers.count(), droppedC)
+
+    val all = withDirty.cache()
+    val acct = all.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__q"), 1L).otherwise(0L)).as("nQ"),
+      sum(when(col("__keepE"), 1L).otherwise(0L)).as("nE"),
+      sum(when(col("__loser"), 1L).otherwise(0L)).as("nL"),
+      sum(when(col("__dirty"), 1L).otherwise(0L)).as("nD")).head()
+    val (n, nQ, nE, nL, nD) =
+      (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3), acct.getLong(4))
+    val kept = all.filter(col("__keepE") && !col("__loser") && !col("__dirty"))
+      .drop("__q", "__fp", "__keepE", "__loser", "__dirty")
+    Result(kept, n - nQ, nQ - nE, nL, nD)
   }
 
   /** Full flow: curate, embed, and build a searchable IVF store. */

@@ -104,21 +104,42 @@ object PipelineOps extends QueryModule {
     * into its window rather than splitting) — how training corpora are
     * packed into context windows. Window assignment is a per-stratum
     * cumulative sum over the deterministic doc_id order:
-    * window = floor(tokens_before / capacity). Each stratum sorts
-    * independently (parallel across strata); at corpus scale pack
-    * within finer strata (source x day) so no single partition sorts
-    * unboundedly. Token count = whitespace words (the cheap proxy;
-    * swap in text_tokens' BPE-ish regex for real runs).
+    * window = floor(tokens_before / capacity).
+    *
+    * The cumulative sum is BLOCKED so no partition ever sorts more than
+    * `blockSize` rows: docs are bucketed by `doc_id div blockSize`
+    * within their stratum, the running sum is computed per
+    * (stratum, block) — bounded partitions, parallel across blocks —
+    * and each block's starting token offset comes from an exclusive
+    * prefix sum over the tiny per-block totals table (one row per
+    * block: a 100 TB / 1e11-doc corpus at the default block size is
+    * ~1.5M rows, megabytes), joined back via broadcast. Two bounded
+    * passes; a 90%-one-source mega-stratum costs the same as a uniform
+    * one. Result is bit-identical to the naive per-stratum window
+    * (PipelineSpec cross-checks). Token count = whitespace words (the
+    * cheap proxy; swap in text_tokens' BPE-ish regex for real runs).
     */
   def packSequences(docs: DataFrame, capacity: Long = 512,
-                    stratumCol: String = "source"): DataFrame = {
+                    stratumCol: String = "source", blockSize: Long = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratumCol).orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val withTok = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
-      .withColumn("window_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / capacity))
+      .withColumn("__blk", floor(col("doc_id") / blockSize))
+    // in-block exclusive running sum: partitions bounded by blockSize rows
+    val wInBlock = Window.partitionBy(col(stratumCol), col("__blk")).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-block token totals -> exclusive prefix over blocks per stratum
+    // (one row per block; this window sorts block COUNTS, not docs)
+    val wOffset = Window.partitionBy(stratumCol).orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = withTok.groupBy(col(stratumCol), col("__blk"))
+      .agg(sum(col("n_tokens")).as("__blk_tokens"))
+      .withColumn("__offset", coalesce(sum(col("__blk_tokens")).over(wOffset), lit(0L)))
+      .select(col(stratumCol), col("__blk"), col("__offset"))
+    withTok
+      .withColumn("__cum_in", coalesce(sum(col("n_tokens")).over(wInBlock), lit(0L)))
+      .join(broadcast(blockOffsets), Seq(stratumCol, "__blk"))
+      .withColumn("window_id", floor((col("__offset") + col("__cum_in")) / capacity))
       .groupBy(col(stratumCol), col("window_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

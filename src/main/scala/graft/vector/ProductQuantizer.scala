@@ -50,6 +50,8 @@ object ProductQuantizer extends QueryModule {
     val v = col(vecCol).cast("array<double>")
     val seeds = emb.orderBy(idCol).limit(numCodes)
       .select(v.as("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == numCodes,
+      s"need >= $numCodes vectors to train $numCodes codewords; got ${seeds.length}")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { m =>
       seeds.map(_.slice(m * sub, m * sub + sub))
     }

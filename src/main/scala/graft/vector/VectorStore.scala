@@ -86,23 +86,30 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def upsert(vectors: DataFrame): Array[Long] = {
     val cents = centroids()
+    // cached: `touched` and the overwrite are two actions over the
+    // caller's frame — a non-deterministic input (limit/sample without
+    // ordering) must evaluate ONCE or a shard holding an old copy could
+    // be missed from `touched`, leaving a stale duplicate id
     val incoming = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
-    // partition-column inference reads shard back as int: normalize
-    val current = spark.read.parquet(vecDir)
-      .withColumn("shard", col("shard").cast("long"))
-    // an id's new vector may route to a different shard than its old
-    // copy: rewrite both the destination shards and the shards that
-    // currently hold the ids (otherwise the old copy survives)
-    val touched = incoming.select("shard")
-      .union(current.join(incoming.select(col(idCol)), Seq(idCol), "left_semi").select("shard"))
-      .distinct().collect().map(_.getLong(0))
-    val existing = current
-      .filter(col("shard").isin(touched: _*))
-      .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-    overwriteTouched(existing.unionByName(incoming), touched)
-    touched
+      .cache()
+    try {
+      // partition-column inference reads shard back as int: normalize
+      val current = spark.read.parquet(vecDir)
+        .withColumn("shard", col("shard").cast("long"))
+      // an id's new vector may route to a different shard than its old
+      // copy: rewrite both the destination shards and the shards that
+      // currently hold the ids (otherwise the old copy survives)
+      val touched = incoming.select("shard")
+        .union(current.join(incoming.select(col(idCol)), Seq(idCol), "left_semi").select("shard"))
+        .distinct().collect().map(_.getLong(0))
+      val existing = current
+        .filter(col("shard").isin(touched: _*))
+        .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+      overwriteTouched(existing.unionByName(incoming), touched)
+      touched
+    } finally incoming.unpersist()
   }
 
   /** Overwrite the touched shard partitions with `result`. Dynamic

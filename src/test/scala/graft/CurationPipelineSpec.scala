@@ -35,6 +35,30 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === someId)
   }
 
+  test("curate accounting is one aggregate action, not per-stage counts") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        actions.incrementAndGet()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val docs = Tables.documents(spark, sf)
+      val bench = docs.filter(col("doc_id") === 7).select("doc_id", "text")
+      CurationPipeline.curate(spark, docs, benchmark = Some(bench))
+      // drain the async listener bus, then confirm exactly one action
+      val deadline = System.currentTimeMillis() + 5000
+      while (actions.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(actions.get() === 1,
+        s"curate ran ${actions.get()} driver actions; accounting must fold into one")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("curate with a benchmark drops contaminated docs and counts them") {
     val docs = Tables.documents(spark, sf)
     // use one corpus document as the pseudo-benchmark: itself (and any

@@ -53,6 +53,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("blocked packing matches the naive per-stratum window on a mega-stratum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 90% of docs in one source — the skew case whose naive plan would
+    // sort the whole stratum in ONE task. doc_ids deliberately sparse
+    // (x3+7) so blocks are uneven.
+    val docs = (0 until 5000).map { i =>
+      val src = if (i % 10 == 0) s"minor${i % 3}" else "mega"
+      (i.toLong * 3 + 7, src, Seq.fill(1 + i % 40)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val blocked = PipelineOps.packSequences(docs, capacity = 512, blockSize = 256)
+    // naive twin: unbounded per-stratum cumulative-sum window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("window_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 512))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+    val a = blocked.orderBy("source", "window_id").collect().map(_.toSeq)
+    val b = naive.orderBy("source", "window_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // the doc-level running sum must partition by (source, __blk): no
+    // Window over docs keyed by the stratum alone (the block-offset
+    // window runs over per-block totals, not docs — it carries
+    // __blk_tokens, never n_tokens)
+    val plan = blocked.queryExecution.optimizedPlan.toString
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("n_tokens"))
+      .toSeq
+    assert(docWindows.nonEmpty, s"expected a doc-level window in plan:\n$plan")
+    docWindows.foreach(l => assert(l.contains("__blk"),
+      s"doc-level window not blocked:\n$l"))
+  }
+
   test("decontamination flags docs overlapping the benchmark, not clean docs") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog every day"))

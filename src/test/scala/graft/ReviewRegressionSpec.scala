@@ -59,4 +59,24 @@ class ReviewRegressionSpec extends AnyFunSuite {
       graft.dedup.Dedup.minhashPairs(Tables.documents(spark, "/root/testdata/sf0.001"), 0.3)
     }
   }
+
+  test("exact embedding dedup refuses corpus-scale input, points at blocked path") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.embeddingPairsExact(e, maxRows = 100)
+    }
+    assert(ex.getMessage.contains("embeddingPairsBlocked"))
+    // under the bound it runs (same data, honest guard)
+    assert(graft.dedup.Dedup.embeddingPairsExact(e, maxRows = 100000).count() > 0)
+  }
+
+  test("PQ train fails fast when the corpus has fewer vectors than codewords") {
+    import spark.implicits._
+    val tiny = (0 until 5).map(i => (i.toLong, Seq.fill(64)(i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.vector.ProductQuantizer.train(tiny, numCodes = 16)
+    }
+    assert(ex.getMessage.contains("16"))
+  }
 }
