@@ -9,7 +9,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup at the smallest SF: JIT + codegen caches settle so
-    // the timed pass measures steady-state throughput
+    // the timed passes measure steady-state throughput
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       // two passes: C2 compilation of generated code settles on the
       // second invocation of each query's hot loops
@@ -21,24 +21,39 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    // min of two timed runs per query: single-shot timings on shared
-    // hardware vary 2-5x; the min is the reproducible throughput
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+    // Three timed passes, each visiting the queries in a DIFFERENT
+    // deterministically-shuffled order; per query the min of the three
+    // is reported. Single-shot timings on shared hardware vary 2-5x,
+    // and a contention burst is minutes long — randomized order means
+    // it lands on different queries each pass (so the min recovers the
+    // clean timing), and the emitted per-pass totals make a contended
+    // run diagnosable from the artifact alone (one inflated pass total
+    // + clean per-query mins = host contention, not a regression).
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val nPasses = 3
+    val timings = Array.fill(nPasses)(scala.collection.mutable.Map.empty[String, Double])
+    val passTotals = (0 until nPasses).map { p =>
+      val order = new scala.util.Random(1000 + p).shuffle(names)
+      var tot = 0.0
+      order.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operator-local caches don't leak across timings
         // a failed run records the -1.0 sentinel, not a plausibly-fast
         // partial elapsed time; min() propagates it as the query's result
-        if (ok) t else -1.0
-      }.min
-      name -> dt
+        timings(p)(name) = if (ok) t else -1.0
+        if (ok) tot += t
+      }
+      tot
     }
+    val results = names.map(n => n -> (0 until nPasses).map(timings(_)(n)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = passTotals.mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ import graft.vector.VectorStore
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val nVec = args.headOption.map(_.toInt).getOrElse(500000)
+    val nVec = args.headOption.map(_.toInt).getOrElse(1000000)
     val nDoc = args.drop(1).headOption.map(_.toInt).getOrElse(50000)
     val spark = GraftSession.local(32, "graft-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,6 +81,46 @@ object ScaleSmoke {
     println(s"[scale] pq rerank top-10 recall vs exact L2 top-10: $overlap/10 " +
       "(4-bit sketch over uniform random vectors — the hardest case for PQ)")
     enc.unpersist()
+
+    // IVF + PQ COMPOSED — the 100 TB serving shape: route to nprobe
+    // shards (partition pruning), ADC-scan only (id, pq_codes, vnorm)
+    // within them (column pruning keeps raw vectors on disk), then
+    // exact-rerank a shortlist fetched by pushed-down id filter.
+    // Contrast line: the same probed shards scanned with raw vectors.
+    val dirPq = Files.createTempDirectory("graft-scale-ivfpq").toString
+    val vsPq = new VectorStore(spark, dirPq, numShards = 16)
+    timed(s"ivf+pq build ($nVec vectors, 16 shards, 16x16 codes, 10% train)") {
+      vsPq.build(vecs, iters = 3, pqSubspaces = 16, pqTrainFraction = 0.1)
+    }
+    val rawProbe = timed("ivf search nprobe=2 scanning raw vectors") {
+      vsPq.search(q, topK = 10, nprobe = 2).collect()
+    }
+    val compProbe = timed("ivf+pq search nprobe=2 (ADC code scan + rerank-2000)") {
+      vsPq.search(q, topK = 10, nprobe = 2, compressed = true, shortlist = 2000).collect()
+    }
+    val pqOverlap = compProbe.map(_.getLong(0)).toSet
+      .intersect(rawProbe.map(_.getLong(0)).toSet).size
+    println(s"[scale] ivf+pq top-10 overlap with raw-vector search: $pqOverlap/10 " +
+      "(4-bit sketch, uniform random vectors — the hardest case)")
+    // apples-to-apples WITHIN the probed shards: the compressed scan
+    // (reads 16 int codes + norm per row) vs the raw scan (reads the
+    // 64-double vector and runs the cosine kernel). This per-row byte
+    // ratio is what turns IO-bound at 100 TB; the rerank's cost rides
+    // on id-pushdown row-group pruning over the id-sorted layout.
+    val model2 = vsPq.pqModel().get
+    val probe2 = graft.vector.Centroids.nearestShardsOf(q, vsPq.centroids(), 2).map(_.toLong)
+    val probedScan = spark.read.parquet(s"$dirPq/vectors")
+      .filter(col("shard").isin(probe2: _*))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    timed("  probed-shard scan, ADC codes only (top-2000)") {
+      probedScan.withColumn("approx",
+        graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, model2) / (col("vnorm") * qn))
+        .orderBy(desc("approx"), col("id").asc).limit(2000).select("id").collect()
+    }
+    timed("  probed-shard scan, raw vectors + cosine (top-10)") {
+      probedScan.withColumn("s", cosineSim(col("vector"), typedlit(q.toSeq)))
+        .orderBy(desc("s"), col("id").asc).limit(10).collect()
+    }
 
     // upsert/delete at volume. Two contrasting workloads:
     // (a) worst case — ids spread over every shard, negated vectors

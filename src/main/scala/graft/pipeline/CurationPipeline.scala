@@ -51,7 +51,8 @@ object CurationPipeline {
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
-             benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5): Result = {
+             benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5,
+             benchmarkShingles: Option[DataFrame] = None): Result = {
     val nWords = size(split(col("text"), " "))
     // exact dedup among quality docs only: order each content-hash
     // group quality-first then lowest doc_id, so rank 1 is the
@@ -71,11 +72,14 @@ object CurationPipeline {
     val withLoser = flagged.join(losers, Seq("doc_id"), "left")
       .withColumn("__loser", col("__keepE") && coalesce(col("__loser"), lit(false)))
 
-    // benchmark decontamination: drop kept docs overlapping the eval set
-    val withDirty = benchmark match {
-      case Some(bench) =>
+    // benchmark decontamination: drop kept docs overlapping the eval
+    // set. A precomputed shingle frame (write-once, broadcast-many —
+    // PipelineOps.benchmarkShingles) wins over re-shingling the suite
+    // per run; a raw benchmark is shingled in-plan.
+    val withDirty = benchmarkShingles.orElse(benchmark.map(PipelineOps.benchmarkShingles)) match {
+      case Some(benchSh) =>
         val deduped = withLoser.filter(col("__keepE") && !col("__loser"))
-        val dirty = PipelineOps.decontaminate(deduped, bench, minSharedShingles)
+        val dirty = PipelineOps.decontaminateWith(deduped, benchSh, minSharedShingles)
           .select(col("doc_id"), lit(true).as("__dirty"))
         withLoser.join(dirty, Seq("doc_id"), "left")
           .withColumn("__dirty",

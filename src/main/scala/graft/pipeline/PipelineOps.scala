@@ -61,24 +61,40 @@ object PipelineOps extends QueryModule {
       |  FROM documents) q
       |WHERE rn <= 50""".stripMargin
 
-  /** Benchmark decontamination: flag corpus documents sharing at least
-    * `minShared` distinct word trigrams with the benchmark set. The
-    * benchmark's shingle set is broadcast (benchmarks are KBs-to-MBs
-    * even for large eval suites), so the corpus side is a map-local
-    * hash probe of its own shingles + one quota-bounded aggregation —
-    * no corpus-side self-join anywhere.
+  /** A benchmark suite's distinct word-trigram set — the write-once
+    * half of decontamination. Shingling a multi-MB eval suite per
+    * pipeline run is waste: compute this once, persist it
+    * (`.write.parquet(...)`), and feed the read-back frame to
+    * [[decontaminateWith]] on every corpus pass.
     */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, minShared: Int = 5): DataFrame = {
+  def benchmarkShingles(benchmark: DataFrame): DataFrame =
+    graft.dedup.Dedup.shinglesOf(benchmark).select("s").distinct()
+
+  /** Benchmark decontamination against a PRECOMPUTED shingle set: flag
+    * corpus documents sharing at least `minShared` distinct word
+    * trigrams with it. The shingle set is broadcast (benchmarks are
+    * KBs-to-MBs even for large eval suites), so the corpus side is a
+    * map-local hash probe of its own shingles + one quota-bounded
+    * aggregation — no corpus-side self-join anywhere.
+    */
+  def decontaminateWith(docs: DataFrame, benchShingles: DataFrame,
+                        minShared: Int = 5): DataFrame = {
     // shinglesOf emits DISTINCT shingles per doc and the benchmark set
     // is deduped, so a plain count after the join IS the distinct
     // shared-shingle count — no two-phase distinct aggregation needed
-    val docSh = graft.dedup.Dedup.shinglesOf(docs)
-    val benchSh = graft.dedup.Dedup.shinglesOf(benchmark).select("s").distinct()
-    docSh.join(broadcast(benchSh), "s")
+    graft.dedup.Dedup.shinglesOf(docs)
+      .join(broadcast(benchShingles.select("s")), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** One-shot convenience: shingle the benchmark in-plan and
+    * decontaminate. Pipelines that run repeatedly should precompute via
+    * [[benchmarkShingles]] and call [[decontaminateWith]].
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, minShared: Int = 5): DataFrame =
+    decontaminateWith(docs, benchmarkShingles(benchmark), minShared)
 
   /** Driver query: docs 0-19 act as the pseudo-benchmark; everything
     * else is the corpus under test.

@@ -68,8 +68,19 @@ object Centroids {
     * Returns (centroids, assignments DataFrame with `shard` column).
     */
   def lloyd(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-            k: Int = 4, iters: Int = 5): (Array[(Int, Array[Double])], DataFrame) = {
-    var cents = deterministicInit(emb, idCol, vecCol, k)
+            k: Int = 4, iters: Int = 5): (Array[(Int, Array[Double])], DataFrame) =
+    lloydFrom(emb, idCol, vecCol, deterministicInit(emb, idCol, vecCol, k), iters)
+
+  /** Lloyd's from an explicit warm-start centroid set — the refresh
+    * path for an index whose contents have drifted since build
+    * ([[VectorStore.refreshCentroids]]): starting from the serving
+    * centroids converges in few iterations and keeps shard identities
+    * stable for the mass that didn't move.
+    */
+  def lloydFrom(emb: DataFrame, idCol: String, vecCol: String,
+                init: Array[(Int, Array[Double])],
+                iters: Int): (Array[(Int, Array[Double])], DataFrame) = {
+    var cents = init
     // iterated over `iters` times: keep the working set in memory
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)).cache()
     for (_ <- 0 until iters) {

@@ -113,6 +113,25 @@ object ProductQuantizer extends QueryModule {
     }.reduce(_ + _)
   }
 
+  /** ADC inner-product column: approximate `<row, q>` as M literal-table
+    * lookups of per-subspace `centroid . q_subvector` partial dots —
+    * the cosine-metric twin of [[adcDistance]] (divide by the stored
+    * exact row norm and `|q|` to get an approximate cosine, as
+    * [[VectorStore]]'s compressed search does).
+    */
+  def adcDot(codesCol: Column, q: Array[Double], model: Model): Column = {
+    val tables: Array[Array[Double]] = Array.tabulate(model.numSubspaces) { m =>
+      model.centroids(m).map { c =>
+        var s = 0.0; var i = 0
+        while (i < model.subDim) { s += q(m * model.subDim + i) * c(i); i += 1 }
+        s
+      }
+    }
+    (0 until model.numSubspaces).map { m =>
+      element_at(typedlit(tables(m).toSeq), element_at(codesCol, m + 1) + 1)
+    }.reduce(_ + _)
+  }
+
   /** Top-k by ADC distance over an encoded corpus: map-only lookup sum
     * + TakeOrdered.
     */

@@ -22,14 +22,72 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                         idCol: String = "id", vecCol: String = "vector") {
   private val vecDir = s"$path/vectors"
   private val centDir = s"$path/centroids"
+  private val pqDir = s"$path/pq"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
+    *
+    * With `pqSubspaces > 0` the same single write also attaches the
+    * product-quantized serving shape: codebooks are trained on the
+    * corpus ([[ProductQuantizer.train]]), every row carries its
+    * `pq_codes` (M small ints) and exact `vnorm` alongside the raw
+    * vector, and the codebooks persist with the store — the IVF+PQ
+    * composition production ANN serves: shard pruning bounds which
+    * partitions are read, codes bound how many raw-vector bytes are.
     */
-  def build(vectors: DataFrame, iters: Int = 5): Unit = {
+  def build(vectors: DataFrame, iters: Int = 5, pqSubspaces: Int = 0,
+            pqCodes: Int = 16, pqIters: Int = 3, pqTrainFraction: Double = 1.0): Unit = {
     val (cents, assigned) = Centroids.lloyd(vectors, idCol, vecCol, numShards, iters)
     setCentroids(cents)
-    assigned.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(vecDir)
+    val out = if (pqSubspaces > 0) {
+      val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+      val trainSet = if (pqTrainFraction < 1.0) vectors.sample(pqTrainFraction, 42L)
+        else vectors
+      val model = ProductQuantizer.train(trainSet, idCol, vecCol, dim,
+        pqSubspaces, pqCodes, pqIters)
+      saveModel(model)
+      withCodes(assigned, model)
+    } else {
+      // a rebuild without PQ must not leave a stale codebook behind
+      val p = new org.apache.hadoop.fs.Path(pqDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      assigned
+    }
+    // id-sorted within each task so every parquet row group covers a
+    // disjoint id range: point lookups and shortlist re-rank filters
+    // prune on row-group stats instead of scanning whole shards
+    out.sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(vecDir)
+  }
+
+  /** Encode + norm columns for rows headed into the index. */
+  private def withCodes(df: DataFrame, m: ProductQuantizer.Model): DataFrame =
+    ProductQuantizer.encode(df, m, vecCol)
+      .withColumn("vnorm", sqrt(aggregate(col(vecCol).cast("array<double>"),
+        lit(0.0), (acc, x) => acc + x * x)))
+
+  private def saveModel(m: ProductQuantizer.Model): Unit = {
+    import spark.implicits._
+    val rows = for { mm <- 0 until m.numSubspaces; k <- 0 until m.numCodes }
+      yield (mm, k, m.centroids(mm)(k).toSeq)
+    rows.toDF("m", "k", "centroid")
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
+  }
+
+  /** The persisted PQ codebooks, if this store was built with PQ. */
+  def pqModel(): Option[ProductQuantizer.Model] = {
+    val p = new org.apache.hadoop.fs.Path(pqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(pqDir).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      val numSub = rows.map(_._1._1).max + 1
+      val numCodes = rows.map(_._1._2).max + 1
+      val byKey = rows.toMap
+      Some(ProductQuantizer.Model(byKey((0, 0)).length,
+        Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k))))))
+    }
   }
 
   /** Override the routing centroids (reference /set_centroids). */
@@ -50,9 +108,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def store(vectors: DataFrame): Unit = {
     val cents = centroids()
-    vectors
+    val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
+    // a PQ-built store keeps its compressed shape through ingest
+    pqModel().map(withCodes(routed, _)).getOrElse(routed)
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(vecDir)
   }
 
@@ -90,10 +151,10 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     // caller's frame — a non-deterministic input (limit/sample without
     // ordering) must evaluate ONCE or a shard holding an old copy could
     // be missed from `touched`, leaving a stale duplicate id
-    val incoming = vectors
+    val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
-      .cache()
+    val incoming = pqModel().map(withCodes(routed, _)).getOrElse(routed).cache()
     try {
       // partition-column inference reads shard back as int: normalize
       val current = spark.read.parquet(vecDir)
@@ -120,7 +181,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private def overwriteTouched(result: DataFrame, touched: Array[Long]): Unit = {
     val surviving = result.select("shard").distinct().collect()
       .map(_.get(0).asInstanceOf[Number].longValue()).toSet
-    result.write.mode(SaveMode.Overwrite)
+    result.sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(vecDir)
     val fs = new org.apache.hadoop.fs.Path(vecDir)
@@ -145,6 +207,36 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     touched
   }
 
+  /** IVF maintenance for a store under continuous ingest — the
+    * streaming-era twin of the reference's /set_centroids lifecycle:
+    * re-estimate centroids from a sample of the CURRENT contents
+    * (Lloyd warm-started from the serving centroids, so shard
+    * identities stay stable for mass that didn't move), persist them,
+    * and re-route ONLY the vectors whose nearest centroid changed,
+    * through [[upsert]] — so just the affected shard partitions
+    * rewrite and PQ codes survive re-encoding. Run periodically or
+    * when routing balance drifts; the single-writer contract on
+    * [[upsert]] applies.
+    *
+    * Returns (shards rewritten, vectors re-routed).
+    */
+  def refreshCentroids(sampleFraction: Double = 0.1, iters: Int = 3): (Array[Long], Long) = {
+    val all = spark.read.parquet(vecDir)
+      .withColumn("shard", col("shard").cast("long"))
+    val sample = if (sampleFraction < 1.0) all.sample(sampleFraction, 42L) else all
+    val (cents, _) = Centroids.lloydFrom(sample, idCol, vecCol, centroids(), iters)
+    setCentroids(cents)
+    val drifted = all
+      .withColumn("__new", Centroids.nearestShard(col(vecCol).cast("array<double>"), cents))
+      .filter(col("__new") =!= col("shard"))
+      .select(col(idCol), col(vecCol))
+      .cache()
+    try {
+      val n = drifted.count()
+      if (n == 0L) (Array.empty[Long], 0L) else (upsert(drifted), n)
+    } finally drifted.unpersist()
+  }
+
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,
     * test.py:100-101 firing one HTTP POST per vector). Returns the
@@ -161,13 +253,37 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * Executes as: partition-prune to the probed shards -> map-only
     * scoring with the codegen'd CosineSim kernel -> TakeOrdered (local
     * per-partition heaps, no global sort).
+    *
+    * With `compressed = true` (requires a PQ-built store) the probed
+    * shards are scanned COMPRESSED first: an ADC approximate-cosine
+    * pass reads only (id, pq_codes, vnorm) — column pruning leaves the
+    * raw vectors on disk — takes a `shortlist` of candidates, and only
+    * those ids' raw vectors are re-read for the exact cosine re-rank
+    * (the id filter pushes to parquet row-group stats, so decompressed
+    * IO is shortlist-sized, not shard-sized). At 100 TB that turns the
+    * within-shard scan from 8·dim bytes/row into ~M bytes/row.
     */
-  def search(q: Array[Double], topK: Int = 5, nprobe: Int = 1): DataFrame = {
+  def search(q: Array[Double], topK: Int = 5, nprobe: Int = 1,
+             compressed: Boolean = false, shortlist: Int = 100): DataFrame = {
     val cents = centroids()
     val probe = Centroids.nearestShardsOf(q, cents, nprobe).map(_.toLong)
-    spark.read.parquet(vecDir)
-      .filter(col("shard").isin(probe: _*))
-      .withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
+    val probed = spark.read.parquet(vecDir).filter(col("shard").isin(probe: _*))
+    val ranked =
+      if (!compressed) probed.withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
+      else {
+        val model = pqModel().getOrElse(throw new IllegalStateException(
+          "compressed search needs a PQ-built store: build(pqSubspaces > 0)"))
+        val qn = math.sqrt(q.map(x => x * x).sum)
+        val shortIds = probed
+          .withColumn("approx", when(col("vnorm") === 0.0 || lit(qn) === 0.0, 0.0)
+            .otherwise(ProductQuantizer.adcDot(col("pq_codes"), q, model) / (col("vnorm") * qn)))
+          .orderBy(desc("approx"), col(idCol).asc)
+          .limit(shortlist)
+          .select(idCol).collect().map(_.get(0))
+        probed.filter(col(idCol).isin(shortIds: _*))
+          .withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
+      }
+    ranked
       .orderBy(desc("score"), col(idCol).asc)
       .limit(topK)
       .select(col(idCol), col("shard").cast(LongType).as("shard"), col("score"))

@@ -72,4 +72,42 @@ class BucketingStreamIngestSpec extends AnyFunSuite {
     val v = rest.head._2.toArray
     assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === rest.head._1)
   }
+
+  test("centroid refresh re-routes mass that drifted in through the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-refresh").toString
+    // initial corpus: two tight clusters around (1,0) and (0,1)
+    val init = (0 until 100).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0)
+      (i.toLong, base.map(_ + (i % 7) * 0.01))
+    }
+    val vs = new VectorStore(spark, dir, numShards = 2)
+    vs.build(init.toDF("id", "vector"), iters = 3)
+
+    // drifting stream: new mass arrives far from both centroids
+    val drift = (100 until 200).map(i => (i.toLong, Seq(-1.0 - (i % 5) * 0.01, -1.0)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = vs.streamStore(input.toDF().toDF("id", "vector"),
+      Files.createTempDirectory("graft-refresh-ckpt").toString)
+    try { input.addData(drift); q.processAllAvailable() } finally q.stop()
+
+    val (touched, moved) = vs.refreshCentroids(sampleFraction = 1.0, iters = 5)
+    assert(moved > 0 && touched.nonEmpty, "drifted mass must re-route")
+
+    // invariant: every stored vector sits in its nearest refreshed
+    // centroid's shard — the index is routing-consistent again
+    val cents = vs.centroids()
+    val misrouted = spark.read.parquet(s"$dir/vectors")
+      .withColumn("shard", col("shard").cast("long"))
+      .withColumn("want", graft.vector.Centroids
+        .nearestShard(col("vector").cast("array<double>"), cents))
+      .filter(col("shard") =!= col("want")).count()
+    assert(misrouted === 0)
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === 200)
+
+    // a drifted-region query at nprobe=1 now finds the drifted mass
+    val top = vs.search(Array(-1.0, -1.0), topK = 5, nprobe = 1).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(0) >= 100))
+  }
 }

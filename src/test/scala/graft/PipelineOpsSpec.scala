@@ -90,6 +90,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"doc-level window not blocked:\n$l"))
   }
 
+  test("precomputed benchmark shingles match in-plan shingling at multi-MB scale") {
+    import java.nio.file.Files
+    // multi-MB synthetic eval suite: 4000 docs x 120 words
+    val bench = spark.range(0, 4000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 120).map(i =>
+          concat(lit("b"), (abs(xxhash64(col("id") * 120 + i, lit(3))) % 5000).cast("string"))): _*)
+          .as("text"))
+    assert(bench.agg(sum(length(col("text")))).head().getLong(0) > 2L * 1024 * 1024)
+    // corpus: 50 verbatim benchmark copies + 50 disjoint-vocabulary docs
+    val contaminated = bench.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val clean = spark.range(0, 50)
+      .select((col("id") + 200000).as("doc_id"),
+        concat_ws(" ", (0 until 120).map(i =>
+          concat(lit("c"), ((col("id") * 120 + i) % 7000).cast("string"))): _*).as("text"))
+    val corpus = contaminated.unionByName(clean)
+
+    // write-once, read-back, broadcast-many
+    val dir = Files.createTempDirectory("graft-benchsh").toString
+    PipelineOps.benchmarkShingles(bench).write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val pre = PipelineOps.decontaminateWith(corpus, fromDisk)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val oneShot = PipelineOps.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(pre.toSeq === oneShot.toSeq)
+    assert(pre.length === 50, "exactly the contaminated docs flag")
+  }
+
   test("decontamination flags docs overlapping the benchmark, not clean docs") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog every day"))

@@ -72,6 +72,54 @@ class VectorSpec extends AnyFunSuite {
       s"expected shard partition filter in plan:\n$plan")
   }
 
+  test("IVF+PQ store: compressed search matches exact, ingest keeps the codes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2, pqSubspaces = 16)
+    assert(vs.pqModel().exists(m => m.numSubspaces == 16 && m.subDim == 4))
+
+    // pruned + compressed search reproduces exact search top-k
+    val q = emb.filter(col("id") === 3)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = vs.search(q, topK = 5, nprobe = 4).collect()
+    val comp = vs.search(q, topK = 5, nprobe = 4, compressed = true, shortlist = 100).collect()
+    assert(comp.map(_.getLong(0)).toSeq === exact.map(_.getLong(0)).toSeq)
+    comp.zip(exact).foreach { case (c, e) =>
+      assert(math.abs(c.getDouble(2) - e.getDouble(2)) < 1e-9)
+    }
+
+    // compressed search still prunes: nprobe=1 touches a single shard
+    assert(vs.search(q, 5, 1, compressed = true)
+      .select("shard").distinct().count() === 1)
+
+    // the ADC pass is code-only IO: the raw vector column is pruned
+    // from its scan (this is the shape search()'s shortlist phase reads)
+    val model = vs.pqModel().get
+    val adcScan = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vnorm"),
+        graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, model).as("d"))
+    val plan = adcScan.queryExecution.executedPlan.toString
+    val readSchema = plan.substring(plan.indexOf("ReadSchema")).takeWhile(_ != '\n')
+    assert(readSchema.contains("pq_codes") && !readSchema.contains("vector"),
+      s"ADC scan must not read raw vectors: $readSchema")
+
+    // routed append and upsert both encode incoming vectors
+    vs.store(Seq((9999L, q.toSeq)).toDF("id", "vector"))
+    assert(vs.get(9999L).columns.contains("pq_codes"))
+    val top2 = vs.search(q, topK = 2, nprobe = 4, compressed = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(3L, 9999L)) // both cosine 1.0; id breaks the tie
+    val v9 = emb.filter(col("id") === 9)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    vs.upsert(Seq((7L, v9)).toDF("id", "vector"))
+    val nearV9 = vs.search(v9.toArray, topK = 2, nprobe = 4, compressed = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(nearV9 === Set(7L, 9L))
+  }
+
   test("upsert replaces by id and delete removes, touching only affected shards") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val emb = Tables.embeddings(spark, sf)
