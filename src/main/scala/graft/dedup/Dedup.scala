@@ -58,6 +58,43 @@ object Dedup extends QueryModule {
     """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS survivor_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  // --- paragraph-level dedup: repeated 10-word chunks ----------------
+  /** Sub-document exact dedup (the CCNet-style paragraph pass): carve
+    * each doc into NON-overlapping 10-word chunks, fingerprint each,
+    * and report chunks appearing in 2+ distinct docs. Where whole-doc
+    * exact dedup misses boilerplate shared across otherwise-different
+    * pages, this catches it — and stays one explode + one hash
+    * aggregation, no joins: linear at any corpus size (chunk count =
+    * token count / 10). countDistinct is per-chunk-group, never global.
+    */
+  def paragraphDups(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nFull = floor(size(ws) / chunkWords).cast("int")
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(when(nFull > 0,
+          transform(sequence(lit(0), nFull - 1),
+            j => md5(concat_ws(" ", slice(ws, j * chunkWords + 1, lit(chunkWords))))))
+          .otherwise(array())).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private def paragraph(s: SparkSession, d: String): DataFrame =
+    paragraphDups(Tables.documents(s, d))
+
+  private val paragraphSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ch AS (
+      |  SELECT doc_id, md5(array_to_string(ws[j*10+1 : j*10+10], ' ')) AS chunk_hash
+      |  FROM w, UNNEST(generate_series(0, CAST(FLOOR(len(ws) / 10) AS INT) - 1)) AS t(j)
+      |  WHERE len(ws) >= 10)
+      |SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS first_doc
+      |FROM ch GROUP BY 1
+      |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
   // --- n-gram Jaccard near-dup pairs ---------------------------------
   /** Shingle document-frequency cap defaults: a shingle kept for
     * candidate generation may appear in at most
@@ -446,6 +483,7 @@ object Dedup extends QueryModule {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph"     -> (paragraph _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -455,6 +493,7 @@ object Dedup extends QueryModule {
     "dedup_embedding_blocked" -> (embeddingBlocked _))
 
   override val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph"     -> paragraphSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,

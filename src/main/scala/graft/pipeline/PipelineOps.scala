@@ -177,13 +177,99 @@ object PipelineOps extends QueryModule {
       |       MIN(doc_id) AS first_doc
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** Corpus mixing statistics — the table a data-mixing step starts
+    * from: per source, doc/token counts, the token share, and a
+    * temperature-smoothed mixing weight `sqrt(n_s) / sum sqrt(n)`
+    * (temperature 0.5 — sqrt rather than an arbitrary power because
+    * IEEE sqrt is correctly rounded, so Spark and the oracle agree
+    * bit-for-bit). One aggregation + a broadcast of the 1-row totals:
+    * no window over the corpus, scale-free.
+    */
+  def corpusMixStats(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val per = docs
+      .withColumn("__t", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot"),
+      sum(sqrt(col("n_tokens"))).as("__tot_s"))
+    per.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        (round(col("n_tokens") / col("__tot") * 10000.0, 0) / 10000.0).as("token_share"),
+        (round(sqrt(col("n_tokens")) / col("__tot_s") * 10000.0, 0) / 10000.0)
+          .as("mix_weight_t05"))
+  }
+
+  private def mixStatsQuery(s: SparkSession, d: String): DataFrame =
+    corpusMixStats(Tables.documents(s, d))
+
+  private val mixStatsSql =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_t, SUM(SQRT(n_tokens)) AS tot_s FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |       ROUND(n_tokens / tot_t * 10000.0) / 10000.0 AS token_share,
+      |       ROUND(SQRT(n_tokens) / tot_s * 10000.0) / 10000.0 AS mix_weight_t05
+      |FROM per, tot""".stripMargin
+
+  /** Temperature-based mixing sample: per-source quotas proportional
+    * to sqrt(token mass) (floor of `target` x normalized sqrt share,
+    * min 1 — upweights the tail like low-temperature data mixing
+    * does), filled deterministically with each source's lowest-md5
+    * docs. Runs as [[sampleStratified]]'s bounded heaps capped at
+    * `target` + a broadcast joined quota filter — the corpus is never
+    * sorted, the shuffle ships <= target rows per stratum per map
+    * partition.
+    */
+  def sampleTemperature(docs: DataFrame, stratumCol: String = "source",
+                        target: Int = 100, idCol: String = "doc_id"): DataFrame = {
+    val per = docs
+      .withColumn("__t", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(stratumCol).agg(sum(col("__t")).as("n_tokens"))
+    val quotas = per
+      .crossJoin(broadcast(per.agg(sum(sqrt(col("n_tokens"))).as("__tot_s"))))
+      .select(col(stratumCol),
+        greatest(lit(1L), floor(lit(target.toDouble) * sqrt(col("n_tokens")) / col("__tot_s")))
+          .as("__quota"))
+    sampleStratified(docs, stratumCol, quota = target, idCol = idCol)
+      .join(broadcast(quotas), stratumCol)
+      .filter(col("rank") <= col("__quota"))
+      .select(col(stratumCol), col("rank"), col(idCol))
+  }
+
+  private def sampleTempQuery(s: SparkSession, d: String): DataFrame =
+    sampleTemperature(Tables.documents(s, d))
+
+  private val sampleTempSql =
+    """WITH per AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(SQRT(n_tokens)) AS tot_s FROM per),
+      |quota AS (
+      |  SELECT source, GREATEST(1, CAST(FLOOR(100 * SQRT(n_tokens) / tot_s) AS BIGINT)) AS q
+      |  FROM per, tot),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+      |                    doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.source, CAST(r.rn AS BIGINT) AS rank, r.doc_id
+      |FROM ranked r JOIN quota USING (source)
+      |WHERE r.rn <= q""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_stratified" -> (sampleQuery _),
-    "decontaminate"     -> (decontaminateQuery _),
-    "pack_sequences"    -> (packQuery _))
+    "sample_stratified"  -> (sampleQuery _),
+    "sample_temperature" -> (sampleTempQuery _),
+    "corpus_mix_stats"   -> (mixStatsQuery _),
+    "decontaminate"      -> (decontaminateQuery _),
+    "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
-    "sample_stratified" -> sampleSql,
-    "decontaminate"     -> decontaminateSql,
-    "pack_sequences"    -> packSql)
+    "sample_stratified"  -> sampleSql,
+    "sample_temperature" -> sampleTempSql,
+    "corpus_mix_stats"   -> mixStatsSql,
+    "decontaminate"      -> decontaminateSql,
+    "pack_sequences"     -> packSql)
 }

@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
       === Array(1L, 2L, 3L))
   }
 
+  test("StreamingDedup keeps the first occurrence per content fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    val q = graft.streaming.StreamingDedup
+      .dedup(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(doc(1, 0, "a b c"), doc(2, 1, "d e f"), doc(3, 2, "a b c"))
+      q.processAllAvailable()
+      // duplicate content arriving in a LATER micro-batch still drops
+      input.addData(doc(4, 3, "d e f"), doc(5, 4, "g h i"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("sdedup").select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 5L))
+  }
+
   test("session_window batch result agrees with the lag/cumsum sessionizer") {
     val sw = EventStream.sessionWindows(batchEvents)
       .select("user_id", "start_us", "n_events", "sum_value")
