@@ -54,15 +54,15 @@ object CurationPipeline {
              benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5,
              benchmarkShingles: Option[DataFrame] = None): Result = {
     val nWords = size(split(col("text"), " "))
-    // exact dedup among quality docs only: order each content-hash
-    // group quality-first then lowest doc_id, so rank 1 is the
-    // surviving quality copy iff the group has one
+    // exact dedup: identical fingerprint means identical text, so a
+    // content-hash group is uniformly quality or uniformly not — the
+    // lowest-doc_id member survives iff the group passes the gate
     val flagged = docs
       .withColumn("__q", nWords >= minWords)
       .withColumn("__fp", md5(col("text")))
       .withColumn("__keepE", col("__q") && row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__fp")
-          .orderBy(col("__q").desc, col("doc_id"))) === 1)
+          .orderBy(col("doc_id"))) === 1)
     val survivors = flagged.filter(col("__keepE"))
 
     // near-dup removal: from each MinHash pair, drop the higher doc_id

@@ -227,10 +227,16 @@ object PipelineOps extends QueryModule {
     val per = docs
       .withColumn("__t", size(split(col("text"), " ")).cast(LongType))
       .groupBy(stratumCol).agg(sum(col("__t")).as("n_tokens"))
+    // +1e-6 inside the floor, mirrored in the oracle SQL: tot_s is an
+    // order-dependent double sum, so a perfectly uniform corpus puts
+    // target*sqrt/tot_s EXACTLY on an integer and a last-ulp difference
+    // (between engines, or between Spark runs) would flip the floor.
+    // The nudge moves the boundary off the exact-arithmetic attractor.
     val quotas = per
       .crossJoin(broadcast(per.agg(sum(sqrt(col("n_tokens"))).as("__tot_s"))))
       .select(col(stratumCol),
-        greatest(lit(1L), floor(lit(target.toDouble) * sqrt(col("n_tokens")) / col("__tot_s")))
+        greatest(lit(1L),
+          floor(lit(target.toDouble) * sqrt(col("n_tokens")) / col("__tot_s") + 1e-6))
           .as("__quota"))
     sampleStratified(docs, stratumCol, quota = target, idCol = idCol)
       .join(broadcast(quotas), stratumCol)
@@ -247,7 +253,7 @@ object PipelineOps extends QueryModule {
       |  FROM documents GROUP BY 1),
       |tot AS (SELECT SUM(SQRT(n_tokens)) AS tot_s FROM per),
       |quota AS (
-      |  SELECT source, GREATEST(1, CAST(FLOOR(100 * SQRT(n_tokens) / tot_s) AS BIGINT)) AS q
+      |  SELECT source, GREATEST(1, CAST(FLOOR(100 * SQRT(n_tokens) / tot_s + 1e-6) AS BIGINT)) AS q
       |  FROM per, tot),
       |ranked AS (
       |  SELECT source, doc_id,

@@ -29,4 +29,5 @@ object StreamingDedup {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // working column; output keeps the ingest schema
 }

@@ -34,6 +34,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * vector, and the codebooks persist with the store — the IVF+PQ
     * composition production ANN serves: shard pruning bounds which
     * partitions are read, codes bound how many raw-vector bytes are.
+    *
+    * Not crash-atomic across the codebook and vector writes (same
+    * posture as [[upsert]]): a REBUILD of an existing PQ store that
+    * fails between them leaves codes and codebook from different
+    * generations — compressed search against that state is undefined;
+    * re-running build heals it.
     */
   def build(vectors: DataFrame, iters: Int = 5, pqSubspaces: Int = 0,
             pqCodes: Int = 16, pqIters: Int = 3, pqTrainFraction: Double = 1.0): Unit = {
