@@ -58,6 +58,54 @@ object Dedup extends QueryModule {
     """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS survivor_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  // --- near-dup cluster resolution (connected components) ------------
+  /** Resolve near-dup PAIRS into clusters — the principled step
+    * between pair detection and survivor selection: pairwise removal
+    * can't see transitivity (pairs (a,c),(b,c) leave both a and b even
+    * though they share a near-dup), components can. Min-label
+    * propagation: every node starts as its own label, and each round
+    * takes the min label across neighbors — one equi-join + partial
+    * min-agg per round, rounds = component diameter (near-dup graphs
+    * are small cliques and short chains, so a handful), convergence
+    * checked per round like [[graft.vector.Centroids.lloyd]]'s driver
+    * loop. Shuffles scale with |edges|, never edges², at any corpus
+    * size.
+    *
+    * Returns (doc_id, cluster_id = min doc_id of the component) for
+    * every doc appearing in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy("src").agg(min("nbr").as("nbr_min"))
+        .select(col("src").as("doc_id"), col("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__improved"))
+        .cache()
+      converged = next.filter(col("__improved")).count() == 0L
+      val prev = labels
+      labels = next.drop("__improved")
+      prev.unpersist()
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  private def clusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
+
   // --- paragraph-level dedup: repeated 10-word chunks ----------------
   /** Sub-document exact dedup (the CCNet-style paragraph pass): carve
     * each doc into NON-overlapping 10-word chunks, fingerprint each,
@@ -199,6 +247,25 @@ object Dedup extends QueryModule {
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  // the oracle resolves the same pair set with a recursive transitive
+  // closure — fine at oracle scale, where Spark uses the iterative
+  // min-label joins instead
+  private val clustersSql =
+    s"""${candSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      |FROM reach GROUP BY src""".stripMargin
 
   // --- MinHash + LSH banding (rows-only oracle; MinHashSpec asserts
   //     it finds exactly the ngram-Jaccard pairs) ---------------------
@@ -484,6 +551,7 @@ object Dedup extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph"     -> (paragraph _),
+    "dedup_clusters"      -> (clusters _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -494,6 +562,7 @@ object Dedup extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_paragraph"     -> paragraphSql,
+    "dedup_clusters"      -> clustersSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,

@@ -150,4 +150,23 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() === 30L * 29 / 2)
     assert(uncapped.filter(col("jaccard") =!= 1.0).count() === 0)
   }
+
+  test("connected components resolve transitivity that pairwise removal misses") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, lone pair (20,21),
+    // plus the pairwise-removal blind spot: pairs (30,32),(31,32) where
+    // dropping id_b leaves BOTH 30 and 31 though they share a near-dup
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L),
+      (30L, 32L), (31L, 32L)).toDF("id_a", "id_b")
+    val comp = graft.dedup.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
+    assert(comp.size === 12)
+  }
 }
