@@ -76,11 +76,16 @@ object Dedup extends QueryModule {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
+    // eager localCheckpoints truncate lineage: without them every round
+    // NESTS the previous round's plan plus the caller's whole candidate
+    // pipeline, and plan construction itself (AQE explain, optimizer)
+    // blows up long before the data does — the standard posture for
+    // iterative graph algorithms on DataFrames
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -92,14 +97,11 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (col("nbr_min") < col("cluster_id")).as("__improved"))
-        .cache()
+        .localCheckpoint(true)
       converged = next.filter(col("__improved")).count() == 0L
-      val prev = labels
       labels = next.drop("__improved")
-      prev.unpersist()
       it += 1
     }
-    edges.unpersist()
     labels
   }
 

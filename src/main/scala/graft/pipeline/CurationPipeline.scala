@@ -47,12 +47,23 @@ object CurationPipeline {
     * so bookkeeping adds one corpus pass total instead of five
     * (two of them duplicate `docs.count()`s) at 100 TB. `kept` filters
     * the same cached frame, so the downstream embed/index stage reuses
-    * the materialized pass too.
+    * the materialized pass too. (With `clusterNearDups` the component
+    * resolution adds its own per-round convergence actions — inherent
+    * to the iterative algorithm, not accounting.)
+    */
+  /** `clusterNearDups = true` resolves the MinHash pair graph into
+    * connected components first and keeps exactly one doc (the min id)
+    * per component — principled under transitivity, where the default
+    * pairwise rule (drop each pair's higher id) can keep two docs that
+    * share a near-dup neighbor but were never paired directly. The
+    * default stays pairwise: it drops less and never chains A~B~C
+    * into dropping a C that is genuinely unlike A.
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
              benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5,
-             benchmarkShingles: Option[DataFrame] = None): Result = {
+             benchmarkShingles: Option[DataFrame] = None,
+             clusterNearDups: Boolean = false): Result = {
     val nWords = size(split(col("text"), " "))
     // exact dedup: identical fingerprint means identical text, so a
     // content-hash group is uniformly quality or uniformly not — the
@@ -65,10 +76,16 @@ object CurationPipeline {
           .orderBy(col("doc_id"))) === 1)
     val survivors = flagged.filter(col("__keepE"))
 
-    // near-dup removal: from each MinHash pair, drop the higher doc_id
-    // (threshold is passed through — minhashPairs verifies true Jaccard)
-    val losers = Dedup.minhashPairs(survivors, jaccardThreshold)
-      .select(col("id_b").as("doc_id"), lit(true).as("__loser")).distinct()
+    // near-dup removal (threshold passed through — minhashPairs
+    // verifies true Jaccard): pairwise drops each pair's higher id;
+    // cluster mode drops every non-minimal member of each component
+    val pairs = Dedup.minhashPairs(survivors, jaccardThreshold)
+    val loserIds =
+      if (clusterNearDups)
+        Dedup.connectedComponents(pairs).filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+      else pairs.select(col("id_b").as("doc_id"))
+    val losers = loserIds.select(col("doc_id"), lit(true).as("__loser")).distinct()
     val withLoser = flagged.join(losers, Seq("doc_id"), "left")
       .withColumn("__loser", col("__keepE") && coalesce(col("__loser"), lit(false)))
 

@@ -59,6 +59,17 @@ class CurationPipelineSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("cluster mode drops at least as much as pairwise and reconciles counts") {
+    val docs = Tables.documents(spark, sf)
+    val pairwise = CurationPipeline.curate(spark, docs)
+    val clustered = CurationPipeline.curate(spark, docs, clusterNearDups = true)
+    assert(clustered.droppedNearDup >= pairwise.droppedNearDup)
+    assert(clustered.kept.count() === docs.count() - clustered.droppedTotal)
+    // no surviving near-dup pairs either way
+    assert(graft.dedup.Dedup.minhashPairs(clustered.kept)
+      .filter(col("jaccard") >= 0.8).count() === 0)
+  }
+
   test("curate with a benchmark drops contaminated docs and counts them") {
     val docs = Tables.documents(spark, sf)
     // use one corpus document as the pseudo-benchmark: itself (and any
