@@ -35,6 +35,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * composition production ANN serves: shard pruning bounds which
     * partitions are read, codes bound how many raw-vector bytes are.
     *
+    * By default codes quantize the RESIDUAL `v - centroid(shard)`
+    * rather than the raw vector (`pqResidual = false` opts out):
+    * residuals of a clustered corpus are much smaller than the
+    * vectors, so the same code budget spends on fine structure and
+    * the ADC error drops (IVFADC in Jegou et al. 2011). Scoring stays
+    * one code scan: `<q,v> ~ <q,c_s> + <q,residual~>`, the first term
+    * a per-shard literal, the second the usual lookup-table sum.
+    *
     * Not crash-atomic across the codebook and vector writes (same
     * posture as [[upsert]]): a REBUILD of an existing PQ store that
     * fails between them leaves codes and codebook from different
@@ -42,17 +50,20 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * re-running build heals it.
     */
   def build(vectors: DataFrame, iters: Int = 5, pqSubspaces: Int = 0,
-            pqCodes: Int = 16, pqIters: Int = 3, pqTrainFraction: Double = 1.0): Unit = {
+            pqCodes: Int = 16, pqIters: Int = 3, pqTrainFraction: Double = 1.0,
+            pqResidual: Boolean = true): Unit = {
     val (cents, assigned) = Centroids.lloyd(vectors, idCol, vecCol, numShards, iters)
     setCentroids(cents)
     val out = if (pqSubspaces > 0) {
       val dim = vectors.select(size(col(vecCol))).head().getInt(0)
-      val trainSet = if (pqTrainFraction < 1.0) vectors.sample(pqTrainFraction, 42L)
-        else vectors
-      val model = ProductQuantizer.train(trainSet, idCol, vecCol, dim,
+      val base = if (pqResidual) withResidual(assigned, cents) else assigned
+      val trainCol = if (pqResidual) ResidualCol else vecCol
+      val trainSet = if (pqTrainFraction < 1.0) base.sample(pqTrainFraction, 42L)
+        else base
+      val model = ProductQuantizer.train(trainSet, idCol, trainCol, dim,
         pqSubspaces, pqCodes, pqIters)
-      saveModel(model)
-      withCodes(assigned, model)
+      saveModel(model, pqResidual)
+      withCodes(base, model, pqResidual)
     } else {
       // a rebuild without PQ must not leave a stale codebook behind
       val p = new org.apache.hadoop.fs.Path(pqDir)
@@ -66,17 +77,39 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(vecDir)
   }
 
-  /** Encode + norm columns for rows headed into the index. */
-  private def withCodes(df: DataFrame, m: ProductQuantizer.Model): DataFrame =
-    ProductQuantizer.encode(df, m, vecCol)
-      .withColumn("vnorm", sqrt(aggregate(col(vecCol).cast("array<double>"),
-        lit(0.0), (acc, x) => acc + x * x)))
+  private val ResidualCol = "__residual"
 
-  private def saveModel(m: ProductQuantizer.Model): Unit = {
+  /** `v - centroid(shard)` as a projection: centroids ride as one
+    * array-of-arrays literal indexed by the shard column.
+    */
+  private def withResidual(df: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+    df.withColumn(ResidualCol,
+      zip_with(col(vecCol).cast("array<double>"),
+        element_at(typedlit(ordered), col("shard").cast("int") + 1),
+        (v, c) => v - c))
+  }
+
+  /** Encode + norm columns for rows headed into the index (`df` must
+    * carry the shard column when the store quantizes residuals).
+    */
+  private def withCodes(df: DataFrame, m: ProductQuantizer.Model,
+                        residual: Boolean): DataFrame = {
+    val encoded =
+      if (residual) {
+        val src = if (df.columns.contains(ResidualCol)) df
+          else withResidual(df, centroids())
+        ProductQuantizer.encode(src, m, ResidualCol).drop(ResidualCol)
+      } else ProductQuantizer.encode(df, m, vecCol)
+    encoded.withColumn("vnorm", sqrt(aggregate(col(vecCol).cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x)))
+  }
+
+  private def saveModel(m: ProductQuantizer.Model, residual: Boolean): Unit = {
     import spark.implicits._
     val rows = for { mm <- 0 until m.numSubspaces; k <- 0 until m.numCodes }
-      yield (mm, k, m.centroids(mm)(k).toSeq)
-    rows.toDF("m", "k", "centroid")
+      yield (mm, k, m.centroids(mm)(k).toSeq, residual)
+    rows.toDF("m", "k", "centroid", "residual")
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
   }
 
@@ -86,13 +119,23 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val rows = spark.read.parquet(pqDir).collect()
+      val rows = spark.read.parquet(pqDir).select("m", "k", "centroid").collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       val numSub = rows.map(_._1._1).max + 1
       val numCodes = rows.map(_._1._2).max + 1
       val byKey = rows.toMap
       Some(ProductQuantizer.Model(byKey((0, 0)).length,
         Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k))))))
+    }
+  }
+
+  /** Whether this store's codes quantize residuals (vs raw vectors). */
+  def pqIsResidual: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pqDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) false
+    else {
+      val df = spark.read.parquet(pqDir)
+      df.columns.contains("residual") && df.select("residual").head().getBoolean(0)
     }
   }
 
@@ -118,7 +161,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
     // a PQ-built store keeps its compressed shape through ingest
-    pqModel().map(withCodes(routed, _)).getOrElse(routed)
+    pqModel().map(m => withCodes(routed, m, pqIsResidual)).getOrElse(routed)
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(vecDir)
   }
@@ -160,7 +203,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
-    val incoming = pqModel().map(withCodes(routed, _)).getOrElse(routed).cache()
+    val incoming = pqModel().map(m => withCodes(routed, m, pqIsResidual))
+      .getOrElse(routed).cache()
     try {
       // partition-column inference reads shard back as int: normalize
       val current = spark.read.parquet(vecDir)
@@ -220,8 +264,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * identities stay stable for mass that didn't move), persist them,
     * and re-route ONLY the vectors whose nearest centroid changed,
     * through [[upsert]] — so just the affected shard partitions
-    * rewrite and PQ codes survive re-encoding. Run periodically or
-    * when routing balance drifts; the single-writer contract on
+    * rewrite. A residual-PQ store instead re-encodes the whole index
+    * in one pass (its codes reference the centroids). Run periodically
+    * or when routing balance drifts; the single-writer contract on
     * [[upsert]] applies.
     *
     * Returns (shards rewritten, vectors re-routed).
@@ -232,15 +277,35 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val sample = if (sampleFraction < 1.0) all.sample(sampleFraction, 42L) else all
     val (cents, _) = Centroids.lloydFrom(sample, idCol, vecCol, centroids(), iters)
     setCentroids(cents)
-    val drifted = all
-      .withColumn("__new", Centroids.nearestShard(col(vecCol).cast("array<double>"), cents))
-      .filter(col("__new") =!= col("shard"))
-      .select(col(idCol), col(vecCol))
-      .cache()
-    try {
-      val n = drifted.count()
-      if (n == 0L) (Array.empty[Long], 0L) else (upsert(drifted), n)
-    } finally drifted.unpersist()
+    val relabeled = all.withColumn("__new",
+      Centroids.nearestShard(col(vecCol).cast("array<double>"), cents))
+    val model = pqModel()
+    if (model.isDefined && pqIsResidual) {
+      // residual codes are parameterized by the serving centroids, so
+      // the refresh re-encodes and rewrites the WHOLE index in one
+      // pass (the codebook itself stays — residual distributions move
+      // little under a warm-started refresh). Only the raw-code layout
+      // (pqResidual = false) gets the cheap drifted-rows-only path.
+      val moved = relabeled.filter(col("__new") =!= col("shard")).count()
+      val rebuilt = relabeled
+        .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
+          col("__new").as("shard"))
+      val out = withCodes(withResidual(rebuilt, cents), model.get, residual = true)
+        .localCheckpoint(true) // materialize before overwriting the source files
+      val touched = out.select("shard").distinct().collect()
+        .map(_.get(0).asInstanceOf[Number].longValue()).sorted
+      out.sortWithinPartitions(col("shard"), col(idCol))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(vecDir)
+      (touched, moved)
+    } else {
+      val drifted = relabeled.filter(col("__new") =!= col("shard"))
+        .select(col(idCol), col(vecCol))
+        .cache()
+      try {
+        val n = drifted.count()
+        if (n == 0L) (Array.empty[Long], 0L) else (upsert(drifted), n)
+      } finally drifted.unpersist()
+    }
   }
 
   /** Continuous ingest: route and append each micro-batch of a vector
@@ -280,9 +345,19 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         val model = pqModel().getOrElse(throw new IllegalStateException(
           "compressed search needs a PQ-built store: build(pqSubspaces > 0)"))
         val qn = math.sqrt(q.map(x => x * x).sum)
+        // residual stores: <q,v> ~ <q,c_s> (per-shard literal) + ADC
+        val adc = ProductQuantizer.adcDot(col("pq_codes"), q, model)
+        val approxDot = if (!pqIsResidual) adc else {
+          val offs = cents.sortBy(_._1).map { case (_, c) =>
+            var s = 0.0; var i = 0
+            while (i < q.length) { s += q(i) * c(i); i += 1 }
+            s
+          }.toSeq
+          element_at(typedlit(offs), col("shard").cast("int") + 1) + adc
+        }
         val shortIds = probed
           .withColumn("approx", when(col("vnorm") === 0.0 || lit(qn) === 0.0, 0.0)
-            .otherwise(ProductQuantizer.adcDot(col("pq_codes"), q, model) / (col("vnorm") * qn)))
+            .otherwise(approxDot / (col("vnorm") * qn)))
           .orderBy(desc("approx"), col(idCol).asc)
           .limit(shortlist)
           .select(idCol).collect().map(_.get(0))

@@ -120,6 +120,59 @@ class VectorSpec extends AnyFunSuite {
     assert(nearV9 === Set(7L, 9L))
   }
 
+  test("residual PQ cuts ADC error vs raw-vector PQ on clustered data") {
+    // 4 tight clusters on distinct axis blocks + deterministic jitter —
+    // the regime residual coding exists for: residuals are jitter-sized
+    // while raw vectors are center-sized
+    val vecs = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(col("id") * 31 + d, lit(7)).cast("double") - 3.0) * 0.05
+      }: _*).as("vector"))
+    val dirR = Files.createTempDirectory("graft-pq-res").toString
+    val dirP = Files.createTempDirectory("graft-pq-raw").toString
+    val vsR = new VectorStore(spark, dirR, numShards = 4)
+    val vsP = new VectorStore(spark, dirP, numShards = 4)
+    vsR.build(vecs, iters = 3, pqSubspaces = 16) // residual default
+    vsP.build(vecs, iters = 3, pqSubspaces = 16, pqResidual = false)
+    assert(vsR.pqIsResidual && !vsP.pqIsResidual)
+
+    val q = vecs.filter(col("id") === 1)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def adcError(vs: VectorStore, dir: String, residual: Boolean): Double = {
+      val model = vs.pqModel().get
+      val adc = graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, model)
+      val dot = if (!residual) adc else {
+        val offs = vs.centroids().sortBy(_._1)
+          .map { case (_, c) => q.zip(c).map { case (a, b) => a * b }.sum }.toSeq
+        element_at(typedlit(offs), col("shard").cast("int") + 1) + adc
+      }
+      spark.read.parquet(s"$dir/vectors")
+        .withColumn("approx", dot / (col("vnorm") * qn))
+        .withColumn("truth", cosineSim(col("vector").cast("array<double>"), typedlit(q.toSeq)))
+        .agg(avg(abs(col("approx") - col("truth")))).head().getDouble(0)
+    }
+    val errR = adcError(vsR, dirR, residual = true)
+    val errP = adcError(vsP, dirP, residual = false)
+    assert(errR < errP * 0.5,
+      s"residual ADC error $errR should be well under raw-PQ error $errP")
+
+    // compressed search on the residual store matches exact
+    val exact = vsR.search(q, topK = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val comp = vsR.search(q, topK = 5, nprobe = 4, compressed = true, shortlist = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(comp === exact)
+
+    // a centroid refresh re-encodes the residual index consistently:
+    // compressed search still matches exact afterwards
+    val (touched, _) = vsR.refreshCentroids(sampleFraction = 1.0, iters = 2)
+    assert(touched.nonEmpty)
+    val comp2 = vsR.search(q, topK = 5, nprobe = 4, compressed = true, shortlist = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(comp2 === vsR.search(q, topK = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("upsert replaces by id and delete removes, touching only affected shards") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val emb = Tables.embeddings(spark, sf)
