@@ -205,6 +205,55 @@ object VectorQueries extends QueryModule {
       |  WHERE q.vec_id < 20) t
       |WHERE rank <= 5""".stripMargin
 
+  // --- batch IVF knn: route each query to its nprobe shards ----------
+  /** The batch SERVING shape — [[knnBatch]]'s accuracy knob traded for
+    * [[knnIvf]]'s pruning, at query-set scale: each query explodes to
+    * (query, probed shard) rows computed as a projection
+    * ([[Centroids.nearestShards]]), and scoring is an EQUI-JOIN on the
+    * shard key — a corpus row only ever pairs with queries probing its
+    * shard (never a cross join), then per-query bounded-heap top-k.
+    * The batch twin of StreamingSearch.scoreIvf.
+    */
+  private def knnBatchIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = Centroids.deterministicInit(e, k = K)
+    val assigned = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
+    assigned.join(broadcast(queries), Seq("shard"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), 5).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
+  }
+
+  private val knnBatchIvfSql =
+    s"""WITH $centSql, $assignSql,
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], q.qv) AS s,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score
+       |FROM scored WHERE rank <= 5""".stripMargin
+
   // --- range (radius) search -----------------------------------------
   private def rangeSearch(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -254,6 +303,7 @@ object VectorQueries extends QueryModule {
     "vdb_knn_filtered"   -> (knnFiltered _),
     "vdb_knn_ivf"        -> (knnIvf _),
     "vdb_knn_batch"      -> (knnBatch _),
+    "vdb_knn_batch_ivf"  -> (knnBatchIvf _),
     "vdb_range_search"   -> (rangeSearch _),
     "vdb_kmeans"         -> (kmeans _),
     "vdb_centroid_stats" -> (centroidStats _))
@@ -267,5 +317,6 @@ object VectorQueries extends QueryModule {
     "vdb_knn_filtered" -> knnFilteredSql,
     "vdb_knn_ivf"      -> knnIvfSql,
     "vdb_knn_batch"    -> knnBatchSql,
+    "vdb_knn_batch_ivf" -> knnBatchIvfSql,
     "vdb_range_search" -> rangeSearchSql)
 }
