@@ -499,7 +499,47 @@ object Analytics extends QueryModule {
       |SELECT user_id FROM events WHERE event_type = 'view'
       |GROUP BY user_id HAVING COUNT(*) > 13""".stripMargin
 
+  // --- ordered-event funnel ------------------------------------------
+  /** view -> click -> purchase funnel depth per user, via the
+    * conditional-min formulation: ONE shuffle on user_id collects each
+    * stage's first-occurrence time as a filtered MIN (partial-agg
+    * friendly), then the depth is a pure projection — no self-joins,
+    * no per-user sequence sort, at any event volume.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+    firsts.select(
+      when(col("t_view").isNull, 0L)
+        .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1L)
+        .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2L)
+        .otherwise(3L).as("funnel_depth"))
+      .groupBy("funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qFunnelSql =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |  GROUP BY 1)
+      |SELECT CAST(CASE WHEN t_view IS NULL THEN 0
+      |            WHEN t_click IS NULL OR t_click <= t_view THEN 1
+      |            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+      |            ELSE 3 END AS BIGINT) AS funnel_depth,
+      |       COUNT(*) AS n_users
+      |FROM firsts GROUP BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"         -> (qFunnel _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_last_event"     -> (qLastEvent _),
     "q_set_ops"        -> (qSetOps _),
@@ -525,6 +565,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_funnel"         -> qFunnelSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_last_event"     -> qLastEventSql,
     "q_set_ops"        -> qSetOpsSql,

@@ -90,6 +90,32 @@ object VectorQueries extends QueryModule {
        |SELECT shard, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
        |FROM assign GROUP BY shard""".stripMargin
 
+  // --- shard balance: the refreshCentroids trigger metric ------------
+  /** Per-shard load factor (1e4-scaled; 10000 = perfectly balanced):
+    * the metric an IVF operator watches to decide when to re-run
+    * [[VectorStore.refreshCentroids]] — a shard drifting hot means
+    * probes concentrate and pruning stops paying. Integer-only
+    * arithmetic end to end, so the oracle matches bit-for-bit.
+    */
+  private def shardBalance(s: SparkSession, d: String): DataFrame = {
+    val cents = Centroids.deterministicInit(emb(s, d), k = K)
+    val per = emb(s, d)
+      .withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+      .groupBy("shard").agg(count(lit(1)).as("n_vectors"))
+    per.crossJoin(broadcast(per.agg(sum(col("n_vectors")).as("__tot"))))
+      .select(col("shard"), col("n_vectors"),
+        round(col("n_vectors") * K * 10000.0 / col("__tot"), 0).cast(LongType)
+          .as("load_x1e4"))
+  }
+
+  private val shardBalanceSql =
+    s"""WITH $centSql, $assignSql,
+       |per AS (SELECT shard, COUNT(*) AS n_vectors FROM assign GROUP BY 1),
+       |tot AS (SELECT SUM(n_vectors) AS t FROM per)
+       |SELECT shard, n_vectors,
+       |       CAST(ROUND(n_vectors * 4 * 10000.0 / t) AS BIGINT) AS load_x1e4
+       |FROM per, tot""".stripMargin
+
   // --- exact knn (compute_server.py:106-138, all shards) -------------
   private def knnExact(s: SparkSession, d: String): DataFrame = {
     val q = queryVec(s, d)
@@ -304,6 +330,7 @@ object VectorQueries extends QueryModule {
     "vdb_knn_ivf"        -> (knnIvf _),
     "vdb_knn_batch"      -> (knnBatch _),
     "vdb_knn_batch_ivf"  -> (knnBatchIvf _),
+    "vdb_shard_balance"  -> (shardBalance _),
     "vdb_range_search"   -> (rangeSearch _),
     "vdb_kmeans"         -> (kmeans _),
     "vdb_centroid_stats" -> (centroidStats _))
@@ -318,5 +345,6 @@ object VectorQueries extends QueryModule {
     "vdb_knn_ivf"      -> knnIvfSql,
     "vdb_knn_batch"    -> knnBatchSql,
     "vdb_knn_batch_ivf" -> knnBatchIvfSql,
+    "vdb_shard_balance" -> shardBalanceSql,
     "vdb_range_search" -> rangeSearchSql)
 }
