@@ -56,4 +56,43 @@ class QuantizeSourcesSpec extends AnyFunSuite {
     val line = spark.read.text(dir).head().getString(0)
     assert(line.contains("\"id\"") && line.contains("\"vector\""))
   }
+
+  test("compaction collapses append churn without changing content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 12 micro-appends -> a long tail of tiny files
+    (0 until 12).foreach { b =>
+      (b * 10 until b * 10 + 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).orderBy("id").collect().map(_.toSeq)
+    val (nBefore, nAfter) = graft.sources.Compact.compactDir(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore >= 12 && nAfter === 1, s"expected 12+ -> 1 files, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).orderBy("id").collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq)
+  }
+
+  test("compacting a VectorStore's shards preserves serving and restores sorted files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-vs").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, dir, numShards = 4)
+    vs.build(emb.filter(col("id") < 100), iters = 2)
+    // append churn: 8 micro-stores
+    (0 until 8).foreach { b =>
+      vs.store(emb.filter(col("id") >= 100 + b * 50 && col("id") < 100 + (b + 1) * 50))
+    }
+    val n0 = vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+    val report = graft.sources.Compact.compactPartitions(spark, s"$dir/vectors",
+      targetBytes = 1L << 30, sortCols = Seq("id"))
+    assert(report.nonEmpty && report.forall { case (_, b, a) => a <= b })
+    assert(report.exists { case (_, b, a) => a < b }, "some shard must actually compact")
+    // content and serving intact
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0)
+    val q = emb.filter(col("id") === 3)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0).toArray
+    assert(vs.search(q, topK = 1, nprobe = 4).head().getLong(0) === 3L)
+    assert(vs.get(250L).count() === 1)
+  }
 }
