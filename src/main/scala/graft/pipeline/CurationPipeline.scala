@@ -50,8 +50,8 @@ object CurationPipeline {
     * the materialized pass too. (With `clusterNearDups` the component
     * resolution adds its own per-round convergence actions — inherent
     * to the iterative algorithm, not accounting.)
-    */
-  /** `clusterNearDups = true` resolves the MinHash pair graph into
+    *
+    * `clusterNearDups = true` resolves the MinHash pair graph into
     * connected components first and keeps exactly one doc (the min id)
     * per component — principled under transitivity, where the default
     * pairwise rule (drop each pair's higher id) can keep two docs that

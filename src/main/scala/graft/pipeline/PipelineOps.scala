@@ -185,11 +185,17 @@ object PipelineOps extends QueryModule {
     * bit-for-bit). One aggregation + a broadcast of the 1-row totals:
     * no window over the corpus, scale-free.
     */
-  def corpusMixStats(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
-    val per = docs
+  /** (stratum, n_docs, n_tokens) — shared by [[corpusMixStats]] and
+    * [[sampleTemperature]].
+    */
+  private def perStratumTokens(docs: DataFrame, stratumCol: String): DataFrame =
+    docs
       .withColumn("__t", size(split(col("text"), " ")).cast(LongType))
       .groupBy(stratumCol)
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+
+  def corpusMixStats(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val per = perStratumTokens(docs, stratumCol)
     val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot"),
       sum(sqrt(col("n_tokens"))).as("__tot_s"))
     per.crossJoin(broadcast(tot))
@@ -224,9 +230,7 @@ object PipelineOps extends QueryModule {
     */
   def sampleTemperature(docs: DataFrame, stratumCol: String = "source",
                         target: Int = 100, idCol: String = "doc_id"): DataFrame = {
-    val per = docs
-      .withColumn("__t", size(split(col("text"), " ")).cast(LongType))
-      .groupBy(stratumCol).agg(sum(col("__t")).as("n_tokens"))
+    val per = perStratumTokens(docs, stratumCol)
     // +1e-6 inside the floor, mirrored in the oracle SQL: tot_s is an
     // order-dependent double sum, so a perfectly uniform corpus puts
     // target*sqrt/tot_s EXACTLY on an integer and a last-ulp difference

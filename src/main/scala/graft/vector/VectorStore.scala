@@ -113,31 +113,32 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
   }
 
-  /** The persisted PQ codebooks, if this store was built with PQ. */
-  def pqModel(): Option[ProductQuantizer.Model] = {
+  /** (codebooks, isResidual) in ONE read of the codebook parquet —
+    * store/upsert/search need both together.
+    */
+  private def pqMeta(): Option[(ProductQuantizer.Model, Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(pqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val rows = spark.read.parquet(pqDir).select("m", "k", "centroid").collect()
+      val df = spark.read.parquet(pqDir)
+      val residual = df.columns.contains("residual")
+      val rows = df.select("m", "k", "centroid").collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       val numSub = rows.map(_._1._1).max + 1
       val numCodes = rows.map(_._1._2).max + 1
       val byKey = rows.toMap
-      Some(ProductQuantizer.Model(byKey((0, 0)).length,
-        Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k))))))
+      val model = ProductQuantizer.Model(byKey((0, 0)).length,
+        Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k)))))
+      Some((model, residual && df.select("residual").head().getBoolean(0)))
     }
   }
 
+  /** The persisted PQ codebooks, if this store was built with PQ. */
+  def pqModel(): Option[ProductQuantizer.Model] = pqMeta().map(_._1)
+
   /** Whether this store's codes quantize residuals (vs raw vectors). */
-  def pqIsResidual: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(pqDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) false
-    else {
-      val df = spark.read.parquet(pqDir)
-      df.columns.contains("residual") && df.select("residual").head().getBoolean(0)
-    }
-  }
+  def pqIsResidual: Boolean = pqMeta().exists(_._2)
 
   /** Override the routing centroids (reference /set_centroids). */
   def setCentroids(cents: Array[(Int, Array[Double])]): Unit = {
@@ -161,7 +162,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
     // a PQ-built store keeps its compressed shape through ingest
-    pqModel().map(m => withCodes(routed, m, pqIsResidual)).getOrElse(routed)
+    pqMeta().map { case (m, res) => withCodes(routed, m, res) }.getOrElse(routed)
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(vecDir)
   }
@@ -203,7 +204,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
-    val incoming = pqModel().map(m => withCodes(routed, m, pqIsResidual))
+    val incoming = pqMeta().map { case (m, res) => withCodes(routed, m, res) }
       .getOrElse(routed).cache()
     try {
       // partition-column inference reads shard back as int: normalize
@@ -279,8 +280,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     setCentroids(cents)
     val relabeled = all.withColumn("__new",
       Centroids.nearestShard(col(vecCol).cast("array<double>"), cents))
-    val model = pqModel()
-    if (model.isDefined && pqIsResidual) {
+    val meta = pqMeta()
+    if (meta.exists(_._2)) {
       // residual codes are parameterized by the serving centroids, so
       // the refresh re-encodes and rewrites the WHOLE index in one
       // pass (the codebook itself stays — residual distributions move
@@ -290,7 +291,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val rebuilt = relabeled
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
           col("__new").as("shard"))
-      val out = withCodes(withResidual(rebuilt, cents), model.get, residual = true)
+      val out = withCodes(withResidual(rebuilt, cents), meta.get._1, residual = true)
         .localCheckpoint(true) // materialize before overwriting the source files
       val touched = out.select("shard").distinct().collect()
         .map(_.get(0).asInstanceOf[Number].longValue()).sorted
@@ -342,12 +343,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val ranked =
       if (!compressed) probed.withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
       else {
-        val model = pqModel().getOrElse(throw new IllegalStateException(
+        val (model, residual) = pqMeta().getOrElse(throw new IllegalStateException(
           "compressed search needs a PQ-built store: build(pqSubspaces > 0)"))
         val qn = math.sqrt(q.map(x => x * x).sum)
         // residual stores: <q,v> ~ <q,c_s> (per-shard literal) + ADC
         val adc = ProductQuantizer.adcDot(col("pq_codes"), q, model)
-        val approxDot = if (!pqIsResidual) adc else {
+        val approxDot = if (!residual) adc else {
           val offs = cents.sortBy(_._1).map { case (_, c) =>
             var s = 0.0; var i = 0
             while (i < q.length) { s += q(i) * c(i); i += 1 }
