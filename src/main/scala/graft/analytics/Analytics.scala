@@ -538,7 +538,40 @@ object Analytics extends QueryModule {
       |       COUNT(*) AS n_users
       |FROM firsts GROUP BY 1""".stripMargin
 
+  // --- weekly cohort retention ---------------------------------------
+  /** Cohort = each user's first-event epoch week; retention counts how
+    * many of the cohort come back k weeks later (k = 0..3). Two
+    * aggregations and one broadcast-sized join on user_id — cohorts
+    * and activity are both per-user aggregates first, so the join
+    * carries one row per user, never one per event.
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val week = (unix_timestamp(col("ts")) / 604800L).cast(LongType)
+    val events = Tables.events(s, d)
+    val cohorts = events.groupBy("user_id").agg(min(week).as("cohort_week"))
+    val active = events.select(col("user_id"), week.as("week")).distinct()
+    cohorts.join(active, "user_id")
+      .withColumn("weeks_later", col("week") - col("cohort_week"))
+      .filter(col("weeks_later").between(0, 3))
+      .groupBy("cohort_week", "weeks_later")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qRetentionSql =
+    """WITH cohorts AS (
+      |  SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+      |  FROM events)
+      |SELECT c.cohort_week, a.week - c.cohort_week AS weeks_later,
+      |       COUNT(*) AS n_users
+      |FROM cohorts c JOIN active a USING (user_id)
+      |WHERE a.week - c.cohort_week BETWEEN 0 AND 3
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention"      -> (qRetention _),
     "q_funnel"         -> (qFunnel _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_last_event"     -> (qLastEvent _),
@@ -565,6 +598,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_retention"      -> qRetentionSql,
     "q_funnel"         -> qFunnelSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_last_event"     -> qLastEventSql,
