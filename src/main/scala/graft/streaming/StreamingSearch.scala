@@ -64,6 +64,37 @@ object StreamingSearch {
       .select(col("query_id"), col(idCol), col("score"))
   }
 
+  /** [[scoreIvf]] over a PQ-compressed corpus: candidates are scored
+    * against the RECONSTRUCTED vector (shard centroid + decoded
+    * residual for a residual-coded store), so the corpus side selects
+    * only (shard, id, pq_codes) and column pruning leaves the raw
+    * vectors on disk — at scale the streamed scan reads ~M ints per
+    * row instead of 8·dim bytes. Scores carry quantization error;
+    * follow with an exact re-rank of the per-query shortlist where
+    * exactness matters (same recipe as `VectorStore.search
+    * (compressed = true)`).
+    */
+  def scoreIvfCompressed(queries: DataFrame, corpus: DataFrame,
+                         cents: Seq[(Int, Array[Double])],
+                         model: graft.vector.ProductQuantizer.Model,
+                         residual: Boolean, nprobe: Int = 1,
+                         idCol: String = "id", codesCol: String = "pq_codes",
+                         shardCol: String = "shard", queryVecCol: String = "qv"): DataFrame = {
+    val routed = queries.withColumn(shardCol,
+      explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
+    val decoded = graft.vector.ProductQuantizer.decodeCol(col(codesCol), model)
+    val recon = if (!residual) decoded else {
+      val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+      zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),
+        decoded, (c, r) => c + r)
+    }
+    val side = corpus.select(col(shardCol).cast("long").as(shardCol),
+      col(idCol), col(codesCol))
+    routed.join(side, shardCol)
+      .withColumn("score", cosineSim(col(queryVecCol), recon))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   /** Rank and truncate one micro-batch to top-k per query — call from
     * foreachBatch.
     */

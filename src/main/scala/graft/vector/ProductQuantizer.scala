@@ -132,6 +132,19 @@ object ProductQuantizer extends QueryModule {
     }.reduce(_ + _)
   }
 
+  /** Reconstruct the quantized approximation of each row: the M
+    * looked-up codewords concatenated — the decode half of the codec,
+    * for diagnostics and code-only scoring (a compressed corpus scored
+    * against reconstructions reads 16 ints per row instead of the raw
+    * vector: [[graft.streaming.StreamingSearch.scoreIvfCompressed]]).
+    * The full codebook rides as one M x K x subDim literal (a few KB).
+    */
+  def decodeCol(codesCol: Column, model: Model): Column = {
+    val book = typedlit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(model.numSubspaces - 1)),
+      m => element_at(element_at(book, m + 1), element_at(codesCol, m + 1) + 1)))
+  }
+
   /** Top-k by ADC distance over an encoded corpus: map-only lookup sum
     * + TakeOrdered.
     */

@@ -173,6 +173,49 @@ class VectorSpec extends AnyFunSuite {
     assert(comp2 === vsR.search(q, topK = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("decode reconstructs residual codes; compressed IVF scoring tracks exact") {
+    val vecs = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(col("id") * 31 + d, lit(7)).cast("double") - 3.0) * 0.05
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-deccomp").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(vecs, iters = 3, pqSubspaces = 16)
+    val model = vs.pqModel().get
+    val cents = vs.centroids()
+    val corpus = spark.read.parquet(s"$dir/vectors")
+      .withColumn("shard", col("shard").cast("long"))
+
+    // reconstruction: cosine(v, centroid + decode(codes)) ~ 1 on
+    // clustered data (residual quantization error is jitter-sized)
+    val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+    val recon = zip_with(
+      element_at(typedlit(ordered), col("shard").cast("int") + 1),
+      graft.vector.ProductQuantizer.decodeCol(col("pq_codes"), model),
+      (c, r) => c + r)
+    val minCos = corpus
+      .select(cosineSim(col("vector").cast("array<double>"), recon).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(minCos > 0.99, s"worst reconstruction cosine $minCos")
+
+    // code-only scoring top-5 tracks raw-vector scoring (same plan the
+    // stream-static join runs; batch frames here)
+    val queries = vecs.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    import graft.streaming.StreamingSearch
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      StreamingSearch.topKPerQuery(df, 5).select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val comp = top5(StreamingSearch.scoreIvfCompressed(
+      queries, corpus, cents.toSeq, model, residual = true, nprobe = 4))
+    val exact = top5(StreamingSearch.scoreIvf(queries, corpus, cents.toSeq, nprobe = 4))
+    (0L until 3L).foreach { q =>
+      assert((comp(q) intersect exact(q)).size >= 4, s"query $q: ${comp(q)} vs ${exact(q)}")
+    }
+  }
+
   test("upsert replaces by id and delete removes, touching only affected shards") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val emb = Tables.embeddings(spark, sf)
