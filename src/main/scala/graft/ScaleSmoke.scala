@@ -148,6 +148,22 @@ object ScaleSmoke {
     println(s"[scale] count after upserts+delete ok: ${nAfter == nVec - 1000L} " +
       s"(delete touched ${touchedDel.length} shards)")
 
+    // sequence packing under extreme stratum skew: 5M docs, 90% in ONE
+    // source. The naive per-stratum cumulative sum would sort 4.5M rows
+    // in a single task; the blocked formulation never sorts more than
+    // blockSize rows per partition, so the mega-stratum costs the same
+    // as a uniform corpus.
+    val packDocs = spark.range(0, 5000000, 1, 64)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, concat(lit("minor"), (col("id") % 3).cast("string")))
+          .otherwise(lit("mega")).as("source"),
+        concat_ws(" ", (0 until 8).map(i => lit(s"w$i")): _*).as("text"))
+    val packed = timed("pack_sequences, 5M docs, 90% one stratum (blocked cumsum)") {
+      graft.pipeline.PipelineOps.packSequences(packDocs).agg(
+        sum("n_docs").as("docs"), count(lit(1)).as("windows")).head()
+    }
+    println(s"[scale] packed ${packed.getLong(0)} docs into ${packed.getLong(1)} windows")
+
     // synthetic documents: 60 words over a 2k vocabulary, near-dup pairs injected
     val docs = spark.range(0, nDoc, 1, 64)
       .select(col("id").as("doc_id"),

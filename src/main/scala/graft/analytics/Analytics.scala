@@ -540,10 +540,11 @@ object Analytics extends QueryModule {
 
   // --- weekly cohort retention ---------------------------------------
   /** Cohort = each user's first-event epoch week; retention counts how
-    * many of the cohort come back k weeks later (k = 0..3). Two
-    * aggregations and one broadcast-sized join on user_id — cohorts
-    * and activity are both per-user aggregates first, so the join
-    * carries one row per user, never one per event.
+    * many of the cohort come back k weeks later (k = 0..3). Cohorts
+    * and activity are both per-user aggregates FIRST, so the join
+    * carries one row per user(-week), never one per event — broadcast
+    * at test scale, a same-key shuffle join at corpus scale (both
+    * sides already hash-partitioned by user_id from their aggregates).
     */
   private def qRetention(s: SparkSession, d: String): DataFrame = {
     val week = (unix_timestamp(col("ts")) / 604800L).cast(LongType)
