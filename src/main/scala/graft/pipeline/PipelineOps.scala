@@ -269,7 +269,44 @@ object PipelineOps extends QueryModule {
       |FROM ranked r JOIN quota USING (source)
       |WHERE r.rn <= q""".stripMargin
 
+  /** Deterministic train/val/test split: bucket = (52-bit md5 prefix
+    * of "split:"+id) mod 100 → train (< trainPct), val (< trainPct +
+    * valPct), test. A pure map-side projection — the assignment is a
+    * function of the id alone, so it is stable under corpus growth,
+    * repartitioning, and backfills: a doc never migrates between
+    * splits when new data arrives, the property that makes hash-range
+    * splits the standard over `rand()` at corpus scale (rand() resplits
+    * every run and every recovery). The "split:" salt decorrelates the
+    * bucket from the OTHER md5(doc_id) order this library uses
+    * (stratified sampling's rank key) — without it the val/test docs
+    * would be exactly the sampler's highest-ranked ones.
+    */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must partition [0,100): got train=$trainPct val=$valPct")
+    val bucket = conv(substring(md5(concat(lit("split:"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast(LongType) % 100L
+    docs.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  private def splitQuery(s: SparkSession, d: String): DataFrame =
+    splitAssign(Tables.documents(s, d))
+
+  private val splitSql =
+    """SELECT doc_id,
+      |  CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 AS bucket,
+      |  CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_assign"       -> (splitQuery _),
     "sample_stratified"  -> (sampleQuery _),
     "sample_temperature" -> (sampleTempQuery _),
     "corpus_mix_stats"   -> (mixStatsQuery _),
@@ -277,6 +314,7 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "split_assign"       -> splitSql,
     "sample_stratified"  -> sampleSql,
     "sample_temperature" -> sampleTempSql,
     "corpus_mix_stats"   -> mixStatsSql,

@@ -200,6 +200,56 @@ object TextAnalysis extends QueryModule {
       |      FROM scored) q
       |WHERE rank <= 3""".stripMargin
 
+  // --- within-document repetition (Gopher-style quality signals) -----
+  /** Repetition signals per document, the Gopher repetition filters
+    * (Rae et al. 2021, §A1.1): share of the corpus-free signals that
+    * flag template/boilerplate text — most-frequent-word share,
+    * duplicate-word share, duplicate-bigram share. All three are pure
+    * per-document projections (no shuffle, scan-bound at 100 TB).
+    * Ratios ship as x1e4 BIGINTs: the inputs are exact small integers,
+    * so 10000.0·a/b is one correctly-rounded IEEE division in both
+    * engines and FLOOR agrees bit-for-bit — no double-hash drift.
+    *
+    * The top-word count is a nested higher-order function —
+    * O(distinct·total) per document, evaluated inside codegen with no
+    * explode/shuffle. That quadratic bound is per DOCUMENT, not per
+    * corpus: fine for context-window-sized docs (≤ ~10k words); a
+    * corpus of book-length docs should chunk first (pack_sequences'
+    * windows are natural units).
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val bigrams = zip_with(
+      slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topCnt = array_max(transform(wsDistinct, w => size(filter(wsAll, x => x === w))))
+      .cast(LongType)
+    val nBi = size(bigrams).cast(LongType)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      floor(lit(10000.0) * topCnt / nWords).as("top_word_share_x1e4"),
+      floor(lit(10000.0) * (nWords - size(wsDistinct).cast(LongType)) / nWords)
+        .as("dup_word_share_x1e4"),
+      when(nBi > 0,
+        floor(lit(10000.0) * (nBi - size(array_distinct(bigrams)).cast(LongType)) / nBi))
+        .otherwise(0L).as("dup_bigram_share_x1e4"))
+  }
+
+  private val repetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, ws,
+      |        list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS bi
+      |      FROM t)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(FLOOR(10000.0 * list_max(list_transform(list_distinct(ws),
+      |         w -> len(list_filter(ws, x -> x = w)))) / len(ws)) AS BIGINT) AS top_word_share_x1e4,
+      |  CAST(FLOOR(10000.0 * (len(ws) - len(list_distinct(ws))) / len(ws)) AS BIGINT) AS dup_word_share_x1e4,
+      |  CASE WHEN len(bi) > 0
+      |       THEN CAST(FLOOR(10000.0 * (len(bi) - len(list_distinct(bi))) / len(bi)) AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS dup_bigram_share_x1e4
+      |FROM b""".stripMargin
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -219,6 +269,7 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokens _),
+    "text_repetition"  -> (repetition _),
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -229,5 +280,6 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> langidSql,
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokensSql,
+    "text_repetition"  -> repetitionSql,
     "text_fingerprint" -> fingerprintSql)
 }

@@ -138,4 +138,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!flagged.contains(101L))
     assert(!flagged.contains(102L))
   }
+
+  test("split assignment is exhaustive, stable under corpus growth, map-side") {
+    val docs = Tables.documents(spark, sf)
+    val assigned = PipelineOps.splitAssign(docs).cache()
+    try {
+      // every doc gets exactly one split; buckets live in [0, 100)
+      assert(assigned.count() === docs.count())
+      assert(assigned.filter(col("bucket") < 0 || col("bucket") >= 100).count() === 0)
+      val m = assigned.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m.keySet.subsetOf(Set("train", "val", "test")))
+      // 90/5/5 in expectation; the 500-doc corpus should land within a
+      // generous binomial envelope
+      val n = assigned.count().toDouble
+      assert(m("train") / n > 0.8 && m("train") / n < 0.97, s"train share ${m("train") / n}")
+
+      // STABILITY: the property that justifies hash splits — assignment
+      // of a doc never changes when the corpus around it does
+      val half = PipelineOps.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      val joined = assigned.as("a").join(half.as("h"), "doc_id")
+        .filter(col("a.split") =!= col("h.split")).count()
+      assert(joined === 0, "split must be a function of the id alone")
+
+      // pure projection: no shuffle in the plan
+      assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+        "split assignment must be map-side")
+    } finally assigned.unpersist()
+  }
 }

@@ -46,6 +46,35 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got.map(_.digest).toSet === sparkMd5)
   }
 
+  test("repetition signals: exact hand-computed shares, bounds on testdata") {
+    import spark.implicits._
+    // run the registered query against a synthetic documents table so
+    // the expected shares are hand-checkable
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "a a a b", "en", "src0"),   // top 3/4, dup-word 2/4, dup-bigram 1/3
+      (1L, "x", "en", "src0"),         // single word: no bigrams
+      (2L, "p q r s", "en", "src0"))   // all unique: every share 0
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) === ((4L, 7500L, 5000L, 3333L)))
+    assert(got(1L) === ((1L, 10000L, 0L, 0L)))
+    assert(got(2L) === ((4L, 2500L, 0L, 0L)))
+
+    // corpus run: shares live in [0, 10000] and the plan is shuffle-free
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    val oob = df.filter(
+      col("top_word_share_x1e4") < 1 || col("top_word_share_x1e4") > 10000 ||
+      col("dup_word_share_x1e4") < 0 || col("dup_word_share_x1e4") > 10000 ||
+      col("dup_bigram_share_x1e4") < 0 || col("dup_bigram_share_x1e4") > 10000).count()
+    assert(oob === 0)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repetition must stay map-side")
+  }
+
   test("frame sampling reconstructs full byte coverage") {
     val frames = SparkEntry.queries("mm_frame_sample")(spark, sf)
     val total = frames.agg(sum("frame_len")).head().getLong(0)
