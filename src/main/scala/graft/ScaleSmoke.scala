@@ -112,9 +112,16 @@ object ScaleSmoke {
     val probedScan = spark.read.parquet(s"$dirPq/vectors")
       .filter(col("shard").isin(probe2: _*))
     val qn = math.sqrt(q.map(x => x * x).sum)
+    // the store is residual-coded (the default), so the approximate
+    // dot is <q, c_shard> + ADC over residual codes — the same score
+    // search()'s shortlist phase computes; ADC alone would rank on
+    // <q, residual> and time a sort over a meaningless key
+    val shardOffs = vsPq.centroids().sortBy(_._1)
+      .map { case (_, c) => c.zip(q).map { case (a, b) => a * b }.sum }.toSeq
     timed("  probed-shard scan, ADC codes only (top-2000)") {
       probedScan.withColumn("approx",
-        graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, model2) / (col("vnorm") * qn))
+        (element_at(typedlit(shardOffs), col("shard").cast("int") + 1) +
+          graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, model2)) / (col("vnorm") * qn))
         .orderBy(desc("approx"), col("id").asc).limit(2000).select("id").collect()
     }
     timed("  probed-shard scan, raw vectors + cosine (top-10)") {

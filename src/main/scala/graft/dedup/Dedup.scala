@@ -102,6 +102,14 @@ object Dedup extends QueryModule {
       labels = next.drop("__improved")
       it += 1
     }
+    // exhausting maxIters means some label is a 50-hop-neighborhood
+    // min, NOT the component min — silently returning it would keep
+    // spurious "survivors" downstream. Fail loudly; a component with
+    // diameter > 50 is pathological near-dup structure the caller
+    // should look at (or raise maxIters for).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(a component's diameter exceeds maxIters); labels would be non-canonical — raise maxIters")
     labels
   }
 

@@ -68,12 +68,19 @@ object CurationPipeline {
     // exact dedup: identical fingerprint means identical text, so a
     // content-hash group is uniformly quality or uniformly not — the
     // lowest-doc_id member survives iff the group passes the gate
+    // cached: the fingerprint window (a corpus-wide shuffle) feeds the
+    // minhash candidate actions AND appears twice in the final plan
+    // (via withLoser and via decontamination's survivor subtree —
+    // Spark does not dedupe common subplans). Without the cache the
+    // single-aggregation accounting below would quietly re-run the
+    // window shuffle ~3x; unpersisted once `all` is materialized.
     val flagged = docs
       .withColumn("__q", nWords >= minWords)
       .withColumn("__fp", md5(col("text")))
       .withColumn("__keepE", col("__q") && row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__fp")
           .orderBy(col("doc_id"))) === 1)
+      .cache()
     val survivors = flagged.filter(col("__keepE"))
 
     // near-dup removal (threshold passed through — minhashPairs
@@ -113,6 +120,7 @@ object CurationPipeline {
       sum(when(col("__dirty"), 1L).otherwise(0L)).as("nD")).head()
     val (n, nQ, nE, nL, nD) =
       (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3), acct.getLong(4))
+    flagged.unpersist() // `all` is materialized; kept filters the cached `all`
     val kept = all.filter(col("__keepE") && !col("__loser") && !col("__dirty"))
       .drop("__q", "__fp", "__keepE", "__loser", "__dirty")
     Result(kept, n - nQ, nQ - nE, nL, nD)

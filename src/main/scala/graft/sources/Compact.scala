@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions.col
   * a SIZE concern, not a semantic one — no keys, no sort unless asked).
   *
   * Consistency contract: SINGLE WRITER, not crash-atomic. The swap is
-  * write-to-`<dir>__compact_tmp` -> delete `<dir>` -> rename tmp into
-  * place; a crash between the last two steps leaves the full data in
-  * the tmp directory and recovery is one `fs.rename`. Data is never
-  * in two places at once and never lost. Compact cold partitions.
+  * write-to-sibling-`_<name>__compact_tmp` -> delete `<dir>` -> rename
+  * tmp into place; a crash between the last two steps leaves the full
+  * data in the tmp directory and recovery is one `fs.rename`. The live
+  * directory is never deleted before its replacement is durable, and
+  * the tmp name's underscore prefix keeps partition discovery and
+  * whole-dataset scans from ever picking a crashed leftover up as
+  * data. Compact cold partitions.
   */
 object Compact {
 
@@ -44,10 +47,18 @@ object Compact {
     val compacted =
       if (sortCols.isEmpty) compacted0
       else compacted0.sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = new Path(dir + "__compact_tmp")
+    // the tmp dir must be a SIBLING derived from the normalized Path —
+    // naive string concat on a trailing-slash `dir` would nest it
+    // INSIDE the data directory, and the delete below would destroy
+    // the freshly-written copy along with the original
+    val tmp = new Path(path.getParent, "_" + path.getName + "__compact_tmp")
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    if (!fs.delete(path, true))
+      throw new java.io.IOException(
+        s"compact: delete of $path failed; originals intact, compacted copy at $tmp")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $path failed; all data is in $tmp, recover with one fs.rename")
     (files.length, n)
   }
 
@@ -61,7 +72,7 @@ object Compact {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(rootPath)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") && isData(s.getPath))
       .toSeq.map { part =>
         val (before, after) = compactDir(spark, part.getPath.toString, targetBytes, sortCols)
         (part.getPath.toString, before, after)

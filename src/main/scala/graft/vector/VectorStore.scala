@@ -68,6 +68,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // a rebuild without PQ must not leave a stale codebook behind
       val p = new org.apache.hadoop.fs.Path(pqDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      pqMetaCache = None
       assigned
     }
     // id-sorted within each task so every parquet row group covers a
@@ -111,12 +112,29 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       yield (mm, k, m.centroids(mm)(k).toSeq, residual)
     rows.toDF("m", "k", "centroid", "residual")
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
+    pqMetaCache = None
   }
 
   /** (codebooks, isResidual) in ONE read of the codebook parquet —
-    * store/upsert/search need both together.
+    * store/upsert/search need both together. Memoized: the codebook
+    * only changes on [[build]] (which invalidates), so per-call reads
+    * would add two driver-side parquet jobs of pure overhead to every
+    * [[streamStore]] micro-batch. Under the store's single-writer
+    * contract no OTHER process rebuilds the codebook out from under a
+    * live handle.
     */
-  private def pqMeta(): Option[(ProductQuantizer.Model, Boolean)] = {
+  @volatile private var pqMetaCache: Option[Option[(ProductQuantizer.Model, Boolean)]] = None
+
+  private def pqMeta(): Option[(ProductQuantizer.Model, Boolean)] =
+    pqMetaCache match {
+      case Some(m) => m
+      case None =>
+        val m = readPqMeta()
+        pqMetaCache = Some(m)
+        m
+    }
+
+  private def readPqMeta(): Option[(ProductQuantizer.Model, Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(pqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -197,15 +215,19 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def upsert(vectors: DataFrame): Array[Long] = {
     val cents = centroids()
-    // cached: `touched` and the overwrite are two actions over the
-    // caller's frame — a non-deterministic input (limit/sample without
-    // ordering) must evaluate ONCE or a shard holding an old copy could
-    // be missed from `touched`, leaving a stale duplicate id
+    // localCheckpoint, NOT cache: `touched` and the overwrite are two
+    // actions over the caller's frame — a non-deterministic input
+    // (limit/sample without ordering) must evaluate ONCE or a shard
+    // holding an old copy could be missed from `touched`, leaving a
+    // stale duplicate id. cache() is only best-effort (an evicted or
+    // executor-lost block silently RECOMPUTES from the source, yielding
+    // different rows between the two actions); localCheckpoint severs
+    // lineage, so a lost block fails the job loudly instead.
     val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
     val incoming = pqMeta().map { case (m, res) => withCodes(routed, m, res) }
-      .getOrElse(routed).cache()
+      .getOrElse(routed).localCheckpoint(true)
     try {
       // partition-column inference reads shard back as int: normalize
       val current = spark.read.parquet(vecDir)
@@ -292,11 +314,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
           col("__new").as("shard"))
       val out = withCodes(withResidual(rebuilt, cents), meta.get._1, residual = true)
-        .localCheckpoint(true) // materialize before overwriting the source files
-      val touched = out.select("shard").distinct().collect()
-        .map(_.get(0).asInstanceOf[Number].longValue()).sorted
+      // write the re-encoded index BESIDE the live one, then swap
+      // (same tmp-swap contract as sources.Compact): the live
+      // directory is never deleted until its replacement is durable
+      // on disk. A direct Overwrite from an ephemeral localCheckpoint
+      // would make the checkpoint the ONLY copy mid-write — an app
+      // crash there would lose the store irrecoverably.
+      val vecPath = new org.apache.hadoop.fs.Path(vecDir)
+      val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        vecPath.getParent, "_" + vecPath.getName + "__refresh_tmp")
       out.sortWithinPartitions(col("shard"), col(idCol))
-        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(vecDir)
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmp.toString)
+      val touched = fs.listStatus(tmp).map(_.getPath.getName)
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong).sorted
+      if (!fs.delete(vecPath, true))
+        throw new java.io.IOException(
+          s"refreshCentroids: delete of $vecPath failed; live index intact, refreshed copy at $tmp")
+      if (!fs.rename(tmp, vecPath))
+        throw new java.io.IOException(
+          s"refreshCentroids: rename $tmp -> $vecPath failed; all data is in $tmp, recover with one fs.rename")
       (touched, moved)
     } else {
       val drifted = relabeled.filter(col("__new") =!= col("shard"))

@@ -79,4 +79,57 @@ class ReviewRegressionSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("16"))
   }
+
+  test("compactDir survives a trailing-slash directory argument") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-slash").toString + "/data"
+    // many small files
+    (0 until 40).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .write.mode("append").parquet(dir)
+    }
+    // the trailing slash previously nested the tmp dir INSIDE the data
+    // dir, and the swap's recursive delete destroyed both copies
+    val (before, after) = graft.sources.Compact.compactDir(spark, dir + "/", targetBytes = 1L << 30)
+    assert(before >= 40 && after === 1)
+    assert(spark.read.parquet(dir).count() === 40)
+    // no tmp leftovers beside the data dir
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(parent).map(_.getPath.getName).toSet === Set("data"))
+  }
+
+  test("connectedComponents fails loudly instead of returning partial labels") {
+    import spark.implicits._
+    // a 6-node chain has diameter 5: one round of min-label propagation
+    // cannot canonicalize it
+    val chain = (0 until 5).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.connectedComponents(chain, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("converge"))
+    // with enough rounds the same chain resolves to one component
+    val labels = graft.dedup.Dedup.connectedComponents(chain)
+    assert(labels.select("cluster_id").distinct().count() === 1)
+  }
+
+  test("rebuilding a store without PQ invalidates the memoized codebook") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pq-memo").toString
+    val vecs = (0 until 64).map(i => (i.toLong, Seq.fill(8)(i / 64.0 + i % 3)))
+      .toDF("id", "vector")
+    val vs = new VectorStore(spark, dir, numShards = 2)
+    vs.build(vecs, iters = 2, pqSubspaces = 4, pqCodes = 4)
+    assert(vs.pqModel().nonEmpty)
+    vs.build(vecs, iters = 2) // plain rebuild deletes the codebook
+    assert(vs.pqModel().isEmpty, "memoized codebook must not survive a rebuild")
+    // and no refresh-tmp leftovers after a residual-store refresh
+    vs.build(vecs, iters = 2, pqSubspaces = 4, pqCodes = 4)
+    vs.refreshCentroids(sampleFraction = 1.0, iters = 1)
+    val parent = new org.apache.hadoop.fs.Path(dir)
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName).filter(_.contains("__refresh_tmp"))
+    assert(leftovers.isEmpty)
+    assert(vs.search(Array.fill(8)(1.0), topK = 1, nprobe = 2).count() === 1)
+  }
 }
