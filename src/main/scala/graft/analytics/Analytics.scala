@@ -379,6 +379,37 @@ object Analytics extends QueryModule {
       |FROM (SELECT * FROM events WHERE event_type = 'error') a
       |ASOF JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts""".stripMargin
 
+  // --- range join: views inside each error's 10-minute window --------
+  /** Interval join via [[graft.operators.RangeJoin]]'s bucket
+    * blocking: each error event opens a 10-minute window [ts, ts+600s]
+    * and we count the view events (any user) falling inside it. A
+    * naive plan is a broadcast-nested-loop over |errors|·|views|
+    * predicate pairs; the blocked plan explodes each window into ≤ 2
+    * bucket rows, buckets each view into exactly one, and equi-joins
+    * on the bucket — output-sized work at any scale. Windows overlap,
+    * so a view legitimately counts toward several errors.
+    */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val winUs = 600000000L // 10 min in micros; also the bucket width
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("us").as("w_start"),
+        (col("us") + winUs).as("w_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("us").as("v_us"))
+    graft.operators.RangeJoin
+      .pointInInterval(errors, views, "w_start", "w_end", "v_us", bucketWidth = winUs)
+      .groupBy("error_id")
+      .agg(count(lit(1)).as("n_views"), min("view_id").as("first_view"))
+  }
+
+  private val qRangeJoinSql =
+    """SELECT e.event_id AS error_id, COUNT(*) AS n_views, MIN(v.event_id) AS first_view
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON epoch_us(v.ts) BETWEEN epoch_us(e.ts) AND epoch_us(e.ts) + 600000000
+      |GROUP BY 1""".stripMargin
+
   // --- exact interpolated percentiles per event type -----------------
   private def qPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -579,6 +610,7 @@ object Analytics extends QueryModule {
     "q_set_ops"        -> (qSetOps _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_asof_join"      -> (qAsof _),
+    "q_range_join"     -> (qRangeJoin _),
     "q_percentiles"    -> (qPercentiles _),
     "q_histogram"      -> (qHistogram _),
     "q_profile"        -> (qProfile _),
@@ -606,6 +638,7 @@ object Analytics extends QueryModule {
     "q_set_ops"        -> qSetOpsSql,
     "q_json_extract"   -> qJsonExtractSql,
     "q_asof_join"      -> qAsofSql,
+    "q_range_join"     -> qRangeJoinSql,
     "q_percentiles"    -> qPercentilesSql,
     "q_histogram"      -> qHistogramSql,
     "q_profile"        -> qProfileSql,

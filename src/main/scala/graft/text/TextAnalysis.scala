@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryModule, Tables}
+import graft.expressions.CountMinAgg
 
 /** Text analysis for training-data curation (SURVEY §2 block E):
   * language-ID, quality scoring, token counting, fingerprinting.
@@ -250,6 +251,29 @@ object TextAnalysis extends QueryModule {
       |       ELSE CAST(0 AS BIGINT) END AS dup_bigram_share_x1e4
       |FROM b""".stripMargin
 
+  // --- Count-Min heavy hitters (sketch vs exact) ---------------------
+  /** Corpus top-20 words with BOTH the exact count and the Count-Min
+    * estimate side by side — the demonstration harness for
+    * [[graft.expressions.CountMinAgg]]. Two passes by design: pass 1
+    * builds the sketch (one fixed-size buffer per map partition on the
+    * shuffle — this is the only pass a 100 TB run needs, the exact
+    * groupBy here exists to exhibit the estimate's guarantees); the
+    * 64 KB sketch then re-enters pass 2's plan as a literal, the same
+    * collect-a-codebook pattern as PQ, and estimation is a codegen'd
+    * min-over-rows of array lookups. Rows-only: the paired-seed
+    * XxHash64 layout has no DuckDB twin; CountMinSpec asserts the
+    * sketch guarantees (never undercounts, overcount within e·N/width).
+    */
+  private def cmsTopk(s: SparkSession, d: String): DataFrame = {
+    val depth = 4; val width = 2048
+    val words = Tables.documents(s, d).select(explode(wsAll).as("word"))
+    val sk = words.agg(CountMinAgg.sketch(col("word"), depth, width).as("sk"))
+      .head().getSeq[Long](0)
+    words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("word").asc).limit(20)
+      .withColumn("n_cms", CountMinAgg.estimate(typedlit(sk), col("word"), depth, width))
+  }
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -270,6 +294,7 @@ object TextAnalysis extends QueryModule {
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokens _),
     "text_repetition"  -> (repetition _),
+    "text_cms_topk"    -> (cmsTopk _),
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(

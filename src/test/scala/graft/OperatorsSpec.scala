@@ -106,4 +106,30 @@ class OperatorsSpec extends AnyFunSuite {
     val top = StreamingSearch.topKPerQuery(spark.table("sivf"), 1).collect()
     assert(top.head.getLong(1) === 3L) // self-match tops its own shard
   }
+
+  test("range join: exact pairs, inclusive bounds, no duplicate matches") {
+    import spark.implicits._
+    // intervals chosen to exercise bucket boundaries at width 10:
+    //  A [5, 25]  spans 3 buckets; B [12, 14] inside one; C [30, 30] a
+    //  degenerate instant; D [100, 101] matches nothing
+    val intervals = Seq(("A", 5L, 25L), ("B", 12L, 14L), ("C", 30L, 30L),
+      ("D", 100L, 101L)).toDF("name", "s", "e")
+    val points = Seq((1L, 5L), (2L, 13L), (3L, 25L), (4L, 26L), (5L, 30L))
+      .toDF("pid", "p")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(intervals, points, "s", "e", "p", bucketWidth = 10L)
+      .select("name", "pid").collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = Set(
+      ("A", 1L), ("A", 2L), ("A", 3L), // inclusive on both ends
+      ("B", 2L), ("C", 5L))
+    assert(got.toSet === expected)
+    // a point inside an interval spanning several buckets matches ONCE
+    assert(got.length === expected.size, s"duplicate pairs in ${got.toSeq}")
+
+    // blocked result == naive cross-join result on the same data
+    val naive = intervals.crossJoin(points)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("name", "pid").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.toSet === naive)
+  }
 }
