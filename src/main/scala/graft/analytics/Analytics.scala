@@ -271,6 +271,23 @@ object Analytics extends QueryModule {
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
         approx_count_distinct("event_id", 0.02).as("approx_events"))
 
+  // --- approx percentiles: the sketch path beside q_percentiles ------
+  /** The 100 TB alternative to exact percentiles: exact
+    * `percentile()` buffers every value per group; `percentile_approx`
+    * is Spark's KLL-style mergeable quantile sketch — fixed memory per
+    * group, partial-aggregated map-side, one shuffle of sketch
+    * buffers. Rows-only by design (Spark's sketch layout has no DuckDB
+    * twin); the spec bounds its error against the exact query.
+    */
+  private def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)").as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 4).as("p50a"),
+        round(element_at(col("p"), 2), 4).as("p90a"),
+        round(element_at(col("p"), 3), 4).as("p99a"))
+
   // --- events: exact distinct users per type -------------------------
   private def qDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -620,6 +637,7 @@ object Analytics extends QueryModule {
     "q_rollup"         -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentiles" -> (qApproxPercentiles _),
     "q1_pricing"       -> (q1 _),
     "q3_topk_join"     -> (q3 _),
     "q5_region_volume" -> (q5 _),

@@ -274,6 +274,26 @@ object TextAnalysis extends QueryModule {
       .withColumn("n_cms", CountMinAgg.estimate(typedlit(sk), col("word"), depth, width))
   }
 
+  // --- PII scrub (fingerprinted so full text never leaves the query) -
+  /** The test corpus is synthetic word-salad with no PII, so here
+    * every n_pii is 0 and the fingerprint equals the original's — the
+    * oracle still replays the full regex pipeline on both engines;
+    * redaction on dirty text is spec-proven with injected emails/IPs
+    * (TextMultimodalSpec).
+    */
+  private def scrubQuery(s: SparkSession, d: String): DataFrame =
+    Scrub.scrub(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_pii"),
+        md5(col("text_scrubbed")).as("scrubbed_fp"))
+
+  private val scrubSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${Scrub.EmailPattern}'))
+       |     + len(regexp_extract_all(text, '${Scrub.Ipv4Pattern}')) AS BIGINT) AS n_pii,
+       |  md5(regexp_replace(regexp_replace(text, '${Scrub.EmailPattern}', '<EMAIL>', 'g'),
+       |      '${Scrub.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_fp
+       |FROM documents""".stripMargin
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -295,6 +315,7 @@ object TextAnalysis extends QueryModule {
     "text_tokens"      -> (tokens _),
     "text_repetition"  -> (repetition _),
     "text_cms_topk"    -> (cmsTopk _),
+    "text_scrub"       -> (scrubQuery _),
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -306,5 +327,6 @@ object TextAnalysis extends QueryModule {
     "text_quality"     -> qualitySql,
     "text_tokens"      -> tokensSql,
     "text_repetition"  -> repetitionSql,
+    "text_scrub"       -> scrubSql,
     "text_fingerprint" -> fingerprintSql)
 }

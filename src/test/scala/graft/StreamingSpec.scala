@@ -67,6 +67,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("approx percentiles sit at the right RANK per event type") {
+    // the KLL-style sketch guarantees rank error, not value error (and
+    // the exact query INTERPOLATES between order statistics while the
+    // sketch returns an actual sample) — so assert each approximate
+    // percentile's empirical rank: fraction of values <= it must be
+    // within rank tolerance of the target quantile
+    val got = SparkEntry.queries("q_approx_percentiles")(spark, sf)
+    val ranked = Tables.events(spark, sf).join(got, "event_type")
+      .groupBy("event_type")
+      .agg(
+        avg(when(col("value") <= col("p50a"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("value") <= col("p90a"), 1.0).otherwise(0.0)).as("r90"),
+        avg(when(col("value") <= col("p99a"), 1.0).otherwise(0.0)).as("r99"),
+        count(lit(1)).as("n"))
+    val bad = ranked.filter(
+      abs(col("r50") - 0.5) > lit(0.01) + lit(2.0) / col("n") ||
+      abs(col("r90") - 0.9) > lit(0.01) + lit(2.0) / col("n") ||
+      abs(col("r99") - 0.99) > lit(0.01) + lit(2.0) / col("n"))
+    assert(bad.count() === 0, ranked.collect().mkString("\n"))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -75,6 +75,21 @@ class TextMultimodalSpec extends AnyFunSuite {
       "repetition must stay map-side")
   }
 
+  test("scrub redacts emails and IPv4s, counts them, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach bob.smith+x@sub.example.co or 10.1.255.3 and admin@ex.io via 192.168.0.1 ok"),
+      (2L, "perfectly clean text with no addresses at all"),
+      (3L, "version 1.2 costs 3.4 dollars")) // dotted numbers are NOT IPv4s
+      .toDF("doc_id", "text")
+    val got = graft.text.Scrub.scrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((4L,
+      "reach <EMAIL> or <IP> and <EMAIL> via <IP> ok")))
+    assert(got(2L) === ((0L, "perfectly clean text with no addresses at all")))
+    assert(got(3L) === ((0L, "version 1.2 costs 3.4 dollars")))
+  }
+
   test("frame sampling reconstructs full byte coverage") {
     val frames = SparkEntry.queries("mm_frame_sample")(spark, sf)
     val total = frames.agg(sum("frame_len")).head().getLong(0)
