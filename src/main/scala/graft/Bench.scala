@@ -52,8 +52,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val passes = passTotals.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+    // total sums only successful queries — the -1.0 sentinel stays
+    // visible per-query, and failures are listed explicitly, so total
+    // and the per-pass totals (which also skip failures) agree
+    val total = results.collect { case (_, v) if v >= 0.0 => v }.sum
+    val failed = results.collect { case (k, v) if v < 0.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

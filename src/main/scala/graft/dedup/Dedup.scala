@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CheckpointInterop
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryModule, Tables}
@@ -99,9 +100,15 @@ object Dedup extends QueryModule {
           (col("nbr_min") < col("cluster_id")).as("__improved"))
         .localCheckpoint(true)
       converged = next.filter(col("__improved")).count() == 0L
+      // `next` is eagerly materialized, so the previous round's
+      // checkpoint blocks are superseded — release them, or executor
+      // storage grows by one labels-frame per round for the session
+      CheckpointInterop.unpersistCheckpoint(labels)
       labels = next.drop("__improved")
       it += 1
     }
+    // edges only feed the loop; the returned labels keep their blocks
+    CheckpointInterop.unpersistCheckpoint(edges)
     // exhausting maxIters means some label is a 50-hop-neighborhood
     // min, NOT the component min — silently returning it would keep
     // spurious "survivors" downstream. Fail loudly; a component with
