@@ -73,7 +73,12 @@ object Dedup extends QueryModule {
     * size.
     *
     * Returns (doc_id, cluster_id = min doc_id of the component) for
-    * every doc appearing in a pair.
+    * every doc appearing in a pair. The result is a localCheckpoint'd
+    * frame — its blocks are NOT CacheManager entries, so
+    * `spark.catalog.clearCache()` won't free them: long-lived sessions
+    * should call `CheckpointInterop.unpersistCheckpoint(result)` once
+    * downstream output is materialized (Bench does this between
+    * timings), after which the frame is no longer recomputable.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
