@@ -11,6 +11,7 @@ object SparkEntry {
     graft.analytics.Analytics,
     graft.vector.VectorQueries,
     graft.vector.AnnLsh,
+    graft.vector.Serving,
     graft.dedup.Dedup,
     graft.text.TextAnalysis,
     graft.multimodal.Multimodal,

@@ -1,0 +1,309 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryModule, Tables}
+import graft.expressions.TopKAgg
+import graft.expressions.VectorExpressions._
+
+/** Serving-layer operators a production vector DB offers on top of the
+  * raw knn core (SURVEY §2 block A): hybrid keyword+vector retrieval,
+  * the knn JOIN (every vector is a query — the primitive behind
+  * semantic dedup and embedding-based recommendation), the recall
+  * evaluation that picks nprobe, and MMR-diversified results. The
+  * reference serves single-vector /search (compute_server.py:106-138);
+  * these are the query shapes its clients compose on the caller side,
+  * re-expressed as single Spark plans.
+  *
+  * Determinism: same contract as [[VectorQueries]] — deterministic
+  * centroid seeds, (score DESC, id ASC) tiebreaks everywhere, leaf
+  * scores rounded to 4 decimals, rank arithmetic integer-exact.
+  */
+object Serving extends QueryModule {
+  private val K = 4          // shard count (reference NUM_SHARDS)
+  private val QUERY_ID = 0L  // fixed query vector/doc for single-query ops
+  private val SHORTLIST = 50 // per-modality candidate depth for fusion
+  private val RRF_K = 60     // standard reciprocal-rank-fusion constant
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  private def queryVec(s: SparkSession, d: String): Array[Double] =
+    emb(s, d).filter(col("vec_id") === QUERY_ID)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+
+  // --- hybrid search: keyword rank + vector rank, RRF-fused ----------
+  /** Reciprocal-rank fusion of a keyword shortlist and a vector
+    * shortlist — the retrieval shape RAG stacks actually serve (vector
+    * recall alone misses exact-term matches; BM25 alone misses
+    * paraphrase). Each modality contributes a bounded TOP-SHORTLIST
+    * list via TakeOrdered (k·partitions rows to the driver-side heap,
+    * never a corpus sort); the row_number windows rank ≤SHORTLIST rows
+    * post-limit, so the unpartitioned window is bounded by
+    * construction. Fusion is a full-outer join of two 50-row frames:
+    * score = Σ 1/(60+rank), absent modality contributes 0 (standard
+    * RRF). Rank arithmetic is integer; the fused score is a sum of
+    * exactly-reproducible double divisions, emitted x1e6 as BIGINT.
+    */
+  private def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val kws = Seq("vector", "merge", "scan")
+    val kwScore = kws.map(kw =>
+        size(filter(split(col("text"), " "), w => w === kw)))
+      .reduce(_ + _)
+    val kwTop = Tables.documents(s, d).filter(col("doc_id") =!= QUERY_ID)
+      .select(col("doc_id"), kwScore.as("kw_score"))
+      .orderBy(desc("kw_score"), asc("doc_id")).limit(SHORTLIST)
+      .withColumn("rank_kw",
+        row_number().over(Window.orderBy(desc("kw_score"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank_kw"))
+    val q = queryVec(s, d)
+    val vTop = emb(s, d).filter(col("vec_id") =!= QUERY_ID)
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), typedlit(q.toSeq)).as("vscore"))
+      .orderBy(desc("vscore"), asc("doc_id")).limit(SHORTLIST)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(desc("vscore"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank_vec"))
+    val rrf = coalesce(lit(1.0) / (col("rank_kw") + RRF_K), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + RRF_K), lit(0.0))
+    kwTop.join(vTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), rrf.as("rrf"),
+        coalesce(col("rank_kw"), lit(0)).cast(LongType).as("rank_kw"),
+        coalesce(col("rank_vec"), lit(0)).cast(LongType).as("rank_vec"))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("rrf"), asc("doc_id"))).cast(LongType))
+      .select(col("rank"), col("doc_id"), col("rank_kw"), col("rank_vec"),
+        round(col("rrf") * 1e6, 0).cast(LongType).as("rrf_x1e6"))
+  }
+
+  private val hybridSearchSql =
+    """WITH kw AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), w -> w = 'vector')) +
+      |         len(list_filter(string_split(text, ' '), w -> w = 'merge')) +
+      |         len(list_filter(string_split(text, ' '), w -> w = 'scan')) AS kw_score
+      |  FROM documents WHERE doc_id <> 0),
+      |kwtop AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS rank_kw
+      |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT 50),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |vs AS (SELECT e.vec_id AS doc_id,
+      |              list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS vscore
+      |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |vtop AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
+      |  FROM vs ORDER BY vscore DESC, doc_id LIMIT 50),
+      |fused AS (
+      |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+      |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.rank_kw), 0) +
+      |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), 0) AS rrf,
+      |         COALESCE(k.rank_kw, 0) AS rank_kw,
+      |         COALESCE(v.rank_vec, 0) AS rank_vec
+      |  FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, CAST(rank_kw AS BIGINT) AS rank_kw,
+      |       CAST(rank_vec AS BIGINT) AS rank_vec,
+      |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+      |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  // --- knn join: top-3 neighbors for EVERY vector ---------------------
+  /** The knn JOIN — every corpus vector is simultaneously a query. This
+    * is the primitive behind semantic dedup, embedding-based related-
+    * item recommendation, and hard-negative mining; the reference's
+    * clients get it only by looping /search per vector (test.py:117-127
+    * does exactly that). Scale shape: each query probes its nprobe=2
+    * nearest shards as a PROJECTION (no per-query planning), scoring is
+    * an EQUI-JOIN on the shard key — candidate count per query is the
+    * probed shards' population, never the corpus, and neither side is
+    * broadcast (both are corpus-sized; the join shuffles on the shard
+    * key and AQE may still broadcast at small SF). Per-query top-3 via
+    * the bounded-heap TopKAgg: the shuffle after scoring carries ≤3
+    * rows per (query, map partition). At testdata's K=4/nprobe=2 the
+    * probe set is wide enough that the oracle below — which replays
+    * the SAME pruning — matches hash-exactly.
+    */
+  private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val corpus = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
+    corpus.join(queries, Seq("shard"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 3).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
+  }
+
+  private val knnJoinIvfSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], q.qv) AS s,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score
+       |FROM scored WHERE rank <= 3""".stripMargin
+
+  // --- recall@10: IVF vs exact, per query ------------------------------
+  /** The evaluation loop that tunes nprobe: per query, |IVF top-10 ∩
+    * exact top-10| — the number an operator watches before trading
+    * recall for pruning (raise nprobe when it dips, lower when it
+    * saturates). The reference has no evaluation surface at all; its
+    * report/benchmarks.py times requests but never measures recall.
+    * Both arms reuse the serving shapes (broadcast 20-query set; exact
+    * arm scores all shards, IVF arm equi-joins its nprobe=2 probes) and
+    * the comparison is a join of two 200-row frames. Integer-exact end
+    * to end — no float leaves the plan.
+    */
+  private def recallEval(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 10).as("tops"))
+      .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
+    val probes = queries.withColumn("shard",
+      explode(Centroids.nearestShards(col("qv"), cents, nprobe = 2)))
+    val ivf = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+      .join(broadcast(probes), Seq("shard"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 10).as("tops"))
+      .select(col("query_id"), explode(col("tops.id")).as("vec_id"),
+        lit(1L).as("hit"))
+    exact.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 10000 div n_exact").as("recall_x1e4"))
+  }
+
+  private val recallEvalSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, b.vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id) t WHERE rank <= 10),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |ivf AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, b.vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id) t WHERE rank <= 10)
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST((SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+       |            // COUNT(*) AS BIGINT) AS recall_x1e4
+       |FROM exact e LEFT JOIN ivf i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+       |GROUP BY e.query_id""".stripMargin
+
+  // --- MMR: diversified top-k ------------------------------------------
+  /** Greedy maximal-marginal-relevance selection over a shortlist:
+    * picks k results maximizing `λ·sim(q,d) − (1−λ)·max sim(d, picked)`
+    * — relevance traded against redundancy, so near-duplicate hits
+    * don't crowd the result page. The selection is inherently
+    * sequential (pick i+1 depends on picks 1..i), so it runs on the
+    * SHORTLIST only: the distributed plan reduces the corpus to
+    * `shortlist` rows via TakeOrdered, and the greedy loop is
+    * shortlist²·dim driver work on collected rows — the same k-row
+    * driver-table pattern as Centroids (50² · 64 ≈ 160k flops,
+    * corpus-size-independent). Not SQL-expressible (recursive greedy)
+    * → rows-only; MmrSpec pins first-pick/diversity/determinism.
+    */
+  def mmrSelect(cands: Seq[(Long, Array[Double], Double)], k: Int,
+                lambda: Double): Seq[(Long, Double, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (picked.size < k && remaining.nonEmpty) {
+      // deterministic argmax: strictly-greater wins, ties keep the
+      // earlier (lower-id, since cands arrive id-tiebroken) candidate
+      var bestIdx = 0; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.size) {
+        val (_, vec, rel) = remaining(i)
+        val maxSim = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.map(cos(vec, _)).max
+        val score = lambda * rel - (1 - lambda) * maxSim
+        if (score > bestScore) { bestScore = score; bestIdx = i }
+        i += 1
+      }
+      val (id, vec, rel) = remaining.remove(bestIdx)
+      picked += ((id, rel, bestScore))
+      pickedVecs += vec
+    }
+    picked.toSeq
+  }
+
+  private def mmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = queryVec(s, d)
+    val shortlist = emb(s, d).filter(col("vec_id") =!= QUERY_ID)
+      .withColumn("rel", cosineSim(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(desc("rel"), asc("vec_id")).limit(SHORTLIST)
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toSeq
+    mmrSelect(shortlist, k = 10, lambda = 0.5)
+      .zipWithIndex
+      .map { case ((id, rel, sc), i) =>
+        (i + 1L, id, math.rint(rel * 1e4) / 1e4, math.rint(sc * 1e4) / 1e4) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vdb_hybrid_search" -> (hybridSearch _),
+    "vdb_knn_join_ivf"  -> (knnJoinIvf _),
+    "vdb_recall_eval"   -> (recallEval _),
+    "vdb_mmr"           -> (mmr _))
+
+  override val oracleSql: Map[String, String] = Map(
+    "vdb_hybrid_search" -> hybridSearchSql,
+    "vdb_knn_join_ivf"  -> knnJoinIvfSql,
+    "vdb_recall_eval"   -> recallEvalSql)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.Serving
+
+class ServingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  private def vecsOf(ids: Set[Long]): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  test("MMR first pick is the exact top-1, result is k deterministic rows") {
+    val mmr1 = SparkEntry.queries("vdb_mmr")(spark, sf).collect()
+    val mmr2 = SparkEntry.queries("vdb_mmr")(spark, sf).collect()
+    assert(mmr1.map(_.toSeq).toSeq === mmr2.map(_.toSeq).toSeq, "non-deterministic")
+    assert(mmr1.length === 10)
+    val top1 = SparkEntry.queries("vdb_knn_exact")(spark, sf)
+      .orderBy(desc("score"), asc("vec_id")).head().getLong(0)
+    assert(mmr1.head.getLong(1) === top1,
+      "with no prior picks the MMR objective reduces to relevance, so pick 1 = exact top-1")
+  }
+
+  test("MMR set is no more self-similar than the plain top-10") {
+    def maxPairSim(ids: Seq[Long]): Double = {
+      val vs = vecsOf(ids.toSet)
+      (for { a <- ids; b <- ids if a < b } yield cos(vs(a), vs(b))).max
+    }
+    val mmrIds = SparkEntry.queries("vdb_mmr")(spark, sf)
+      .collect().map(_.getLong(1)).toSeq
+    val plainIds = SparkEntry.queries("vdb_knn_exact")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    // the redundancy penalty can only push near-duplicates OUT of the
+    // selection, never in — tolerance covers the equal case where the
+    // top-10 is already diverse
+    assert(maxPairSim(mmrIds) <= maxPairSim(plainIds) + 1e-9)
+  }
+
+  test("mmrSelect spreads picks across duplicate groups before repeating") {
+    // 3 groups of identical vectors; relevance favors group A slightly.
+    // Plain top-3 = all of group A; MMR(λ=0.5) must visit all 3 groups:
+    // a second same-group pick scores λ·rel − (1−λ)·1.0 < 0, while an
+    // unpicked group still scores λ·rel > 0.
+    val a = Array(1.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0)
+    val c = Array(0.0, 0.0, 1.0)
+    val cands = Seq(
+      (1L, a, 0.99), (2L, a, 0.98), (3L, a, 0.97),
+      (4L, b, 0.90), (5L, b, 0.89),
+      (6L, c, 0.80))
+    val picked = Serving.mmrSelect(cands, k = 3, lambda = 0.5).map(_._1)
+    assert(picked === Seq(1L, 4L, 6L))
+  }
+
+  test("recall_eval is integer-exact and bounded") {
+    val rows = SparkEntry.queries("vdb_recall_eval")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nExact === 10L)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(recall === nHit * 10000L / nExact)
+    }
+    // nprobe=2 of 4 shards must beat the ~50%-corpus-coverage floor on
+    // average — each query's own shard holds its densest neighborhood
+    val mean = rows.map(_.getLong(3)).sum / rows.length
+    assert(mean >= 5000L, s"mean recall_x1e4 = $mean")
+  }
+
+  test("hybrid search rank fields are consistent with the fused score") {
+    val rows = SparkEntry.queries("vdb_hybrid_search")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (rankKw, rankVec, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val expect = math.rint(((if (rankKw > 0) 1.0 / (60 + rankKw) else 0.0) +
+        (if (rankVec > 0) 1.0 / (60 + rankVec) else 0.0)) * 1e6).toLong
+      assert(rrf === expect)
+      assert(rankKw > 0 || rankVec > 0, "a fused row must come from at least one shortlist")
+    }
+    // ranks strictly increase with position (the output IS the fused order)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+  }
+}
