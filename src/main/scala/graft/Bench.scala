@@ -56,17 +56,23 @@ object Bench {
     // construction (a query failing in any pass is excluded everywhere
     // and listed in `failed` instead)
     val okNames = names.filter(n => (0 until nPasses).forall(timings(_)(n) >= 0.0))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver archives only the final ~2kB of output and parses the
+    // JSON line out of that tail — BENCH_r03..r05 all came back
+    // `parsed: null` because full-precision doubles pushed the line past
+    // 2000 bytes and its opening brace fell off the front. Millisecond
+    // precision keeps the whole line (~1.85kB at 76 queries) inside the
+    // window alongside sbt's trailer; full detail isn't lost — per-query
+    // mins below 1ms don't occur and 3 decimals is finer than run-to-run
+    // variance anyway.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val passes = (0 until nPasses)
-      .map(p => okNames.map(timings(p)).sum).mkString("[", ",", "]")
+      .map(p => f3(okNames.map(timings(p)).sum)).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if okNames.contains(k) => v }.sum
     val failed = names.filterNot(okNames.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    // headline keys LAST: the driver archives only the final ~2kB of
-    // output, so "metric"/"value" must sit at the line's tail to
-    // survive truncation (BENCH_r05's total was cut off the front)
-    println(s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
+    println(s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}""")
     spark.stop()
   }
 }
