@@ -619,7 +619,35 @@ object Analytics extends QueryModule {
       |WHERE a.week - c.cohort_week BETWEEN 0 AND 3
       |GROUP BY 1, 2""".stripMargin
 
+  // --- skew-safe salted join -----------------------------------------
+  /** Per-supplier shipped volume via [[graft.operators.SaltedJoin]]:
+    * the fact side is salted into `salts` sub-keys and the supplier dim
+    * replicated once per salt, so a hot supplier's rows spread over
+    * `salts` reducers instead of one straggler task. The oracle is the
+    * PLAIN join + aggregate — salting must be semantically invisible,
+    * and the hash-match proves it row-for-row. On this synthetic
+    * (uniform) corpus AQE's skew handling would suffice; the query
+    * exists to keep the manual operator oracle-checked for the cases
+    * AQE can't touch (skewed aggregations, sub-threshold stragglers).
+    * total_qty stays exact: quantities are integral-valued doubles, so
+    * the double sum is order-independent.
+    */
+  private def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.operators.SaltedJoin.join(li, sup, "l_suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("total_qty"))
+  }
+
+  private val qSkewJoinSql =
+    """SELECT s_name, COUNT(*) AS n_items, SUM(l_quantity) AS total_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join"      -> (qSkewJoin _),
     "q_retention"      -> (qRetention _),
     "q_funnel"         -> (qFunnel _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -649,6 +677,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_skew_join"      -> qSkewJoinSql,
     "q_retention"      -> qRetentionSql,
     "q_funnel"         -> qFunnelSql,
     "q_sliding_window" -> qSlidingWindowSql,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -305,7 +305,58 @@ object PipelineOps extends QueryModule {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Overlapping token-window chunking — the unit-of-work transform for
+    * RAG indexing and long-document training prep: each document yields
+    * windows of `size` whitespace tokens starting every `stride` tokens
+    * (`size > stride` → `size - stride` tokens of overlap, so no
+    * boundary-straddling phrase is lost to a cut). Chunk count is
+    * `1 + ceil(max(nw - size, 0) / stride)` — always >= 1 so empty-ish
+    * docs still surface, and the last window is allowed to run short.
+    *
+    * Pure per-row explode: no shuffle, scan-bound at 100 TB, and the
+    * fan-out is bounded by nw/stride per doc (a book-length doc emits
+    * many rows but each is one hash + two ints — the heavy `text`
+    * column is dropped before the explode multiplies it). Emits the
+    * chunk's md5 rather than its text: downstream exact-dedup of chunks
+    * joins on the hash, and re-materializing text is a doc_id +
+    * start_token slice against the source.
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 32, stride: Int = 24,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(size >= stride && stride > 0, s"need size >= stride > 0, got $size/$stride")
+    val nChunks = lit(1L) +
+      floor((greatest(col("__nw") - size, lit(0L)) + (stride - 1)) / stride)
+    docs
+      .select(col(idCol), split(col("text"), " ").as("__ws"))
+      .withColumn("__nw", size2(col("__ws")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_token"),
+        size2(slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+          .as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size))))
+          .as("chunk_hash"))
+  }
+  private def size2(c: Column): Column = size(c).cast(LongType)
+
+  private def chunkQuery(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(s, d))
+
+  private val chunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |  FROM documents),
+      |c AS (SELECT doc_id, ws, i AS chunk_id
+      |      FROM t, UNNEST(generate_series(0, (GREATEST(nw - 32, 0) + 23) // 24)) AS g(i))
+      |SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_token,
+      |       CAST(len(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk"          -> (chunkQuery _),
     "split_assign"       -> (splitQuery _),
     "sample_stratified"  -> (sampleQuery _),
     "sample_temperature" -> (sampleTempQuery _),
@@ -314,6 +365,7 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "doc_chunk"          -> chunkSql,
     "split_assign"       -> splitSql,
     "sample_stratified"  -> sampleSql,
     "sample_temperature" -> sampleTempSql,

@@ -294,6 +294,72 @@ object TextAnalysis extends QueryModule {
        |      '${Scrub.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_fp
        |FROM documents""".stripMargin
 
+  // --- BM25 ranking --------------------------------------------------
+  /** BM25 top-10 documents for a fixed conjunctive keyword query
+    * (Robertson & Walker's Okapi weighting, k1=1.2 b=0.75) — the
+    * keyword-retrieval scorer hybrid search pairs with the vector side
+    * (the reference's keyword path is plain substring match; BM25 is
+    * what a production lexical leg actually runs).
+    *
+    * Plan shape: one map-side pass computes per-doc term frequencies
+    * and length; a 1-row corpus aggregate (N, total length, per-term
+    * document frequencies — all EXACT integers, so avgdl and the idf
+    * inputs are bit-identical across engines) broadcasts back via
+    * cross join; scoring is a pure projection and the top-10 is a
+    * TakeOrdered. No shuffle wider than the 1-row aggregate at any
+    * corpus size.
+    */
+  private val bm25Terms = Seq("table", "hash", "merge")
+  private val (bmK1, bmB) = (1.2, 0.75)
+
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    def tf(t: String): Column = size(filter(wsAll, w => w === t)).cast(LongType)
+    val perDoc = Tables.documents(s, d).select(
+      col("doc_id") +: nWords.as("dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
+    val aggCols = Seq(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("dl")).cast(DoubleType).as("sdl")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast(DoubleType).as(s"df$i"))
+    val corpus = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val score = bm25Terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * (col(s"tf$i") * (bmK1 + 1.0)) /
+        (col(s"tf$i") +
+          lit(bmK1) * (lit(1.0 - bmB) + lit(bmB) * col("dl") / (col("sdl") / col("n"))))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(corpus))
+      .withColumn("score0", score)
+      .orderBy(desc("score0"), asc("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
+  }
+
+  private val bm25Sql = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n")
+    val dfs = bm25Terms.indices.map(i =>
+      s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n")
+    val score = bm25Terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${bmK1 + 1.0}) / " +
+        s"(tf$i + $bmK1 * ((1.0 - $bmB) + $bmB * dl / (sdl / n)))").mkString("\n      + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |$tfs
+       |  FROM documents),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl,
+       |$dfs
+       |  FROM d)
+       |SELECT doc_id, ROUND(score0, 4) AS bm25
+       |FROM (SELECT d.doc_id,
+       |      $score AS score0
+       |      FROM d CROSS JOIN c) q
+       |ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -306,6 +372,7 @@ object TextAnalysis extends QueryModule {
       |FROM documents WHERE text LIKE '%vector%' AND lang = 'en'""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"        -> (bm25 _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -319,6 +386,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
+    "text_bm25"        -> bm25Sql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,

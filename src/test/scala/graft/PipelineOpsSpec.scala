@@ -32,6 +32,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "sampling must not use a window sort")
   }
 
+  test("doc_chunk windows tile every token with the declared overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),   // short: one partial chunk
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")),   // exactly one full chunk
+      (3L, (1 to 33).map(i => s"w$i").mkString(" ")),   // 1 straddling token -> 2 chunks
+      (4L, (1 to 100).map(i => s"w$i").mkString(" "))   // 4 chunks, short tail
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunkDocuments(docs, size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    assert(byDoc(3L).length === 2 && byDoc(4L).length === 4)
+    // chunk 0 of doc 1 holds all 10 tokens; doc 3's second chunk starts
+    // at token 25 (overlap 8) and holds the remaining 9
+    assert(byDoc(1L).head.getLong(3) === 10L)
+    val d3c2 = byDoc(3L)(1)
+    assert(d3c2.getLong(2) === 25L && d3c2.getLong(3) === 9L)
+    // tiling: starts advance by exactly the stride, and each chunk's
+    // tokens reach the next start + overlap - 1 (full chunks) so no gap
+    byDoc.values.foreach { chunks =>
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) === 24L)
+          assert(a.getLong(2) + a.getLong(3) - 1 >= b.getLong(2) - 1, "no token gap")
+        case _ => ()
+      }
+    }
+    // every doc's final chunk ends exactly at its word count
+    assert(byDoc(4L).last.getLong(2) + byDoc(4L).last.getLong(3) - 1 === 100L)
+    // deterministic hash of a known slice
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest((25 to 33).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d3c2.getString(4) === expected)
+  }
+
   test("sequence packing fills contiguous windows within capacity + straddle") {
     val docs = Tables.documents(spark, sf)
     val capacity = 512L

@@ -16,6 +16,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("avg_word_len") <= 0).count() === 0)
   }
 
+  test("bm25 ranks term-bearing docs, descending, tie-broken by doc_id") {
+    val df = SparkEntry.queries("text_bm25")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0), "every returned doc must match >= 1 query term")
+    assert(scores.sameElements(scores.sortBy(-_)), "scores must be descending")
+    // every returned doc really contains one of the query terms
+    val ids = rows.map(_.getLong(0))
+    val withTerm = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(array_contains(split(col("text"), " "), "table") ||
+        array_contains(split(col("text"), " "), "hash") ||
+        array_contains(split(col("text"), " "), "merge"))
+    assert(withTerm.count() === 10)
+  }
+
   test("langid prediction equals the argmax of its scores") {
     val df = SparkEntry.queries("text_langid")(spark, sf)
     val bad = df.filter(
