@@ -61,11 +61,13 @@ object Bench {
     // `parsed: null` because full-precision doubles pushed the line past
     // 2000 bytes and its opening brace fell off the front. Millisecond
     // precision keeps the whole line (~1.85kB at 76 queries) inside the
-    // window alongside sbt's trailer; full detail isn't lost — per-query
-    // mins below 1ms don't occur and 3 decimals is finer than run-to-run
-    // variance anyway.
+    // window alongside sbt's trailer; full detail isn't lost — run-to-run
+    // variance on this host exceeds 10ms anyway. Per-query values carry
+    // 2 decimals (80 queries at 3 left only ~15 bytes of headroom);
+    // pass totals keep 3.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val passes = (0 until nPasses)
       .map(p => f3(okNames.map(timings(p)).sum)).mkString("[", ",", "]")

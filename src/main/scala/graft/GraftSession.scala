@@ -25,6 +25,12 @@ object GraftSession {
       // type, so read as Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // a service running this library compiles hundreds of distinct
+      // generated classes (80+ queries x several stages, plus per-query
+      // literal codebooks); the default 100-entry codegen cache thrashes
+      // and re-JITs plans that will run again — size it to hold the
+      // working set (entries are weak-referenced class bytecode, cheap)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession =
