@@ -619,6 +619,41 @@ object Analytics extends QueryModule {
       |WHERE a.week - c.cohort_week BETWEEN 0 AND 3
       |GROUP BY 1, 2""".stripMargin
 
+  // --- gap fill over a generated hour spine --------------------------
+  /** Hourly per-type event counts with missing (hour, type) cells
+    * zero-filled from a generated spine — the densification step every
+    * time-series consumer needs before charting/forecasting (a plain
+    * groupBy silently drops empty buckets). The spine is
+    * `sequence(min_hour, max_hour) x distinct types`: dimension-sized
+    * (hours-in-range x type cardinality) regardless of event volume,
+    * so the left join broadcasts the aggregated side and the only
+    * corpus-wide work is the counting aggregation itself.
+    */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("h"),
+      col("event_type"))
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    val spine = counts.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(counts, Seq("h", "event_type"), "left")
+      .select((col("h") * 3600).as("hour_epoch"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  private val qGapFillSql =
+    """WITH b AS (
+      |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+      |spine AS (
+      |  SELECT g.i AS h, t.event_type
+      |  FROM r, UNNEST(generate_series(r.lo, r.hi)) AS g(i),
+      |       (SELECT DISTINCT event_type FROM events) t)
+      |SELECT s.h * 3600 AS hour_epoch, s.event_type, COALESCE(b.n, 0) AS n_events
+      |FROM spine s LEFT JOIN b ON s.h = b.h AND s.event_type = b.event_type""".stripMargin
+
   // --- skew-safe salted join -----------------------------------------
   /** Per-supplier shipped volume via [[graft.operators.SaltedJoin]]:
     * the fact side is salted into `salts` sub-keys and the supplier dim
@@ -647,6 +682,7 @@ object Analytics extends QueryModule {
       |GROUP BY 1""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill"       -> (qGapFill _),
     "q_skew_join"      -> (qSkewJoin _),
     "q_retention"      -> (qRetention _),
     "q_funnel"         -> (qFunnel _),
@@ -677,6 +713,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_gap_fill"       -> qGapFillSql,
     "q_skew_join"      -> qSkewJoinSql,
     "q_retention"      -> qRetentionSql,
     "q_funnel"         -> qFunnelSql,

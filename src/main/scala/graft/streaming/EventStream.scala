@@ -51,6 +51,36 @@ object EventStream {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: each error event picks up
+    * the SAME user's view events from the `lookback` window before it —
+    * the "what was the user doing when it broke" context join, run
+    * incrementally. The equi-key (user_id) partitions join state across
+    * executors; the watermark plus the event-time range condition lets
+    * Spark drop buffered rows once they can no longer match (state is
+    * bounded by lookback + watermark per side — without the time bounds
+    * a stream-stream join buffers forever).
+    *
+    * Batch twin: the same join predicate over the static frame
+    * (StreamingSpec cross-checks them row-for-row).
+    */
+  def errorContextJoin(errors: DataFrame, views: DataFrame,
+                       lookback: String = "10 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val e = errors.select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val v = views.select(col("user_id").as("view_user"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    e.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= expr(s"error_ts - INTERVAL $lookback") &&
+        col("view_ts") <= col("error_ts"))
+      .select(col("user_id"), col("error_id"),
+        unix_micros(col("error_ts")).as("error_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_us"))
+  }
+
   /** Custom-state sessionization with flatMapGroupsWithState: emits a
     * session when a gap larger than `gapUs` arrives or the state times
     * out. Demonstrates arbitrary keyed state for semantics

@@ -33,6 +33,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val rows = batchEvents.as[Event].collect()
+    input.addData(rows.toSeq)
+
+    val stream = input.toDF()
+    val q = EventStream.errorContextJoin(
+        stream.filter(col("event_type") === "error"),
+        stream.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ctx_join")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("ctx_join")
+    // batch twin: identical predicate over the static frame
+    val be = batchEvents
+    val errors = be.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val views = be.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val want = errors.join(views,
+        col("user_id") === col("view_user") &&
+          col("view_ts") >= expr("error_ts - INTERVAL 10 minutes") &&
+          col("view_ts") <= col("error_ts"))
+      .select(col("user_id"), col("error_id"),
+        unix_micros(col("error_ts")).as("error_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_us"))
+    assert(want.count() > 0, "twin must exercise real matches")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
