@@ -11,6 +11,8 @@ import graft.vector.VectorStore
   *
   *   raw documents
   *     -> quality filter        (min words, stopword/type-token gates)
+  *     -> LM quality gate       (optional: corpus-bigram mean log-prob
+  *                               threshold, TextAnalysis.lmScores)
   *     -> exact dedup           (content-hash survivors)
   *     -> near-dup removal      (MinHash-LSH pairs, keep lowest doc_id)
   *     -> decontamination       (optional: drop benchmark-overlapping docs)
@@ -29,12 +31,14 @@ import graft.vector.VectorStore
 object CurationPipeline {
 
   case class Result(kept: DataFrame, droppedLowQuality: Long, droppedExact: Long,
-                    droppedNearDup: Long, droppedContaminated: Long = 0L) {
+                    droppedNearDup: Long, droppedContaminated: Long = 0L,
+                    droppedLowLm: Long = 0L) {
     /** Sum of every stage's drops — input count minus this equals
       * kept.count(), by construction.
       */
     def droppedTotal: Long =
-      droppedLowQuality + droppedExact + droppedNearDup + droppedContaminated
+      droppedLowQuality + droppedLowLm + droppedExact + droppedNearDup +
+        droppedContaminated
   }
 
   /** Filter + dedup (+ optionally decontaminate) the corpus; returns
@@ -63,8 +67,24 @@ object CurationPipeline {
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
              benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5,
              benchmarkShingles: Option[DataFrame] = None,
-             clusterNearDups: Boolean = false): Result = {
+             clusterNearDups: Boolean = false,
+             minLmScoreX1e6: Option[Long] = None): Result = {
     val nWords = size(split(col("text"), " "))
+    // optional LM-quality gate (CCNet-style): docs whose corpus-bigram
+    // mean log-prob sits below the threshold (micro-nats, negative —
+    // e.g. 1.15x the corpus median) are gibberish/boilerplate relative
+    // to the corpus distribution. The score join runs on the cheap
+    // gate's survivors only; failing the word-count gate counts as
+    // droppedLowQuality, never double-counted here.
+    val withLm: DataFrame => DataFrame = minLmScoreX1e6 match {
+      case Some(thr) => base => {
+        val scores = graft.text.TextAnalysis.lmScores(base.filter(nWords >= minWords))
+          .select(col("doc_id"), (col("avg_logp_x1e6") >= thr).as("__lmq0"))
+        base.join(scores, Seq("doc_id"), "left")
+          .withColumn("__lm", coalesce(col("__lmq0"), lit(false))).drop("__lmq0")
+      }
+      case None => base => base.withColumn("__lm", lit(true))
+    }
     // exact dedup: identical fingerprint means identical text, so a
     // content-hash group is uniformly quality or uniformly not — the
     // lowest-doc_id member survives iff the group passes the gate
@@ -74,10 +94,10 @@ object CurationPipeline {
     // Spark does not dedupe common subplans). Without the cache the
     // single-aggregation accounting below would quietly re-run the
     // window shuffle ~3x; unpersisted once `all` is materialized.
-    val flagged = docs
+    val flagged = withLm(docs)
       .withColumn("__q", nWords >= minWords)
       .withColumn("__fp", md5(col("text")))
-      .withColumn("__keepE", col("__q") && row_number().over(
+      .withColumn("__keepE", col("__q") && col("__lm") && row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__fp")
           .orderBy(col("doc_id"))) === 1)
       .cache()
@@ -115,15 +135,17 @@ object CurationPipeline {
     val acct = all.agg(
       count(lit(1)).as("n"),
       sum(when(col("__q"), 1L).otherwise(0L)).as("nQ"),
+      sum(when(col("__q") && col("__lm"), 1L).otherwise(0L)).as("nQL"),
       sum(when(col("__keepE"), 1L).otherwise(0L)).as("nE"),
       sum(when(col("__loser"), 1L).otherwise(0L)).as("nL"),
       sum(when(col("__dirty"), 1L).otherwise(0L)).as("nD")).head()
-    val (n, nQ, nE, nL, nD) =
-      (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3), acct.getLong(4))
+    val (n, nQ, nQL, nE, nL, nD) =
+      (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3),
+        acct.getLong(4), acct.getLong(5))
     flagged.unpersist() // `all` is materialized; kept filters the cached `all`
     val kept = all.filter(col("__keepE") && !col("__loser") && !col("__dirty"))
-      .drop("__q", "__fp", "__keepE", "__loser", "__dirty")
-    Result(kept, n - nQ, nQ - nE, nL, nD)
+      .drop("__q", "__lm", "__fp", "__keepE", "__loser", "__dirty")
+    Result(kept, n - nQ, nQL - nE, nL, nD, droppedLowLm = nQ - nQL)
   }
 
   /** Full flow: curate, embed, and build a searchable IVF store. */

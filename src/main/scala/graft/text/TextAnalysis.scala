@@ -313,8 +313,7 @@ object TextAnalysis extends QueryModule {
     * the bigram/word key (the honest 100 TB plan; partial aggregation
     * keeps the shuffle at distinct-key volume).
     */
-  private def lmScore(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def lmScores(docs: DataFrame): DataFrame = {
     val bigramsArr = zip_with(
       slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
       (a, b) => concat(a, lit(" "), b))
@@ -336,6 +335,9 @@ object TextAnalysis extends QueryModule {
         floor(col("__sq").cast(DoubleType) / col("n_bigrams")).cast(LongType)
           .as("avg_logp_x1e6"))
   }
+
+  private def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScores(Tables.documents(s, d))
 
   private val lmScoreSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

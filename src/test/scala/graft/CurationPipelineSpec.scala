@@ -35,6 +35,25 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === someId)
   }
 
+  test("LM gate drops low-scoring docs and reconciles the ledger") {
+    val docs = Tables.documents(spark, sf)
+    // median corpus score as a threshold: roughly half the gate-passing
+    // docs must fall, and the ledger must still balance to kept.count()
+    val med = graft.text.TextAnalysis.lmScores(docs)
+      .selectExpr("percentile(avg_logp_x1e6, 0.5)").head().getDouble(0).toLong
+    val r = CurationPipeline.curate(spark, docs, minLmScoreX1e6 = Some(med))
+    val r0 = CurationPipeline.curate(spark, docs)
+    assert(r.droppedLowLm > 0, "a median threshold must drop someone")
+    assert(r.kept.count() === docs.count() - r.droppedTotal)
+    // gate only ever shrinks the kept set, and survivors all score >= med
+    assert(r.kept.count() < r0.kept.count())
+    val kept = r.kept.select("doc_id")
+    val below = graft.text.TextAnalysis.lmScores(docs)
+      .filter(col("avg_logp_x1e6") < med)
+      .join(kept, "doc_id")
+    assert(below.count() === 0, "no kept doc may score below the threshold")
+  }
+
   test("curate accounting is one aggregate action, not per-stage counts") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
