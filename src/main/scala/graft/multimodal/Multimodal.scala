@@ -104,11 +104,59 @@ object Multimodal extends QueryModule {
       |  CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len
       |FROM documents, UNNEST(generate_series(0, (strlen(text) - 1) // 64)) AS t(i)""".stripMargin
 
+  // --- modality routing by magic bytes -------------------------------
+  /** Detected modality of an opaque payload from its leading magic
+    * bytes (JPEG/PNG/GIF/WAV/MP4), the dispatch step before a
+    * per-modality decode stage: `route(df).groupBy("modality")` fans a
+    * mixed media lake out to the right decoder without trusting
+    * file extensions or metadata columns. A pure projection on the
+    * payload's first 12 bytes — at scale, substring BEFORE hex so only
+    * the prefix is materialized, never the payload. Unknown prefixes
+    * fall through to application/octet-stream (this corpus's text
+    * payloads all do; real-container detection is spec-proven on
+    * injected JPEG/PNG/GIF/WAV/MP4 headers).
+    */
+  def routeModality(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val hx = hex(substring(col(payloadCol), 1, 12))
+    val modality =
+      when(substring(hx, 1, 6) === "FFD8FF", "image/jpeg")
+        .when(substring(hx, 1, 8) === "89504E47", "image/png")
+        .when(substring(hx, 1, 8) === "47494638", "image/gif")
+        .when(substring(hx, 1, 8) === "52494646" &&
+          substring(hx, 17, 8) === "57415645", "audio/wav")
+        .when(substring(hx, 9, 8) === "66747970", "video/mp4")
+        .otherwise("application/octet-stream")
+    df.withColumn("modality", modality)
+  }
+
+  private def modalityRoute(s: SparkSession, d: String): DataFrame =
+    routeModality(media(s, d))
+      .select(col("doc_id"), col("modality"),
+        length(col("payload")).cast(LongType).as("n_bytes"))
+
+  private val modalityRouteSql =
+    """WITH h AS (
+      |  SELECT doc_id, substring(hex(encode(text)), 1, 24) AS hx,
+      |         CAST(strlen(text) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+      |       WHEN substring(hx, 1, 8) = '89504E47' THEN 'image/png'
+      |       WHEN substring(hx, 1, 8) = '47494638' THEN 'image/gif'
+      |       WHEN substring(hx, 1, 8) = '52494646'
+      |            AND substring(hx, 17, 8) = '57415645' THEN 'audio/wav'
+      |       WHEN substring(hx, 9, 8) = '66747970' THEN 'video/mp4'
+      |       ELSE 'application/octet-stream' END AS modality,
+      |  n_bytes
+      |FROM h""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> (binaryFeatures _),
-    "mm_frame_sample"    -> (frameSample _))
+    "mm_frame_sample"    -> (frameSample _),
+    "mm_modality_route"  -> (modalityRoute _))
 
   override val oracleSql: Map[String, String] = Map(
     "mm_binary_features" -> binaryFeaturesSql,
-    "mm_frame_sample"    -> frameSampleSql)
+    "mm_frame_sample"    -> frameSampleSql,
+    "mm_modality_route"  -> modalityRouteSql)
 }

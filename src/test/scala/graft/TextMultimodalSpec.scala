@@ -31,6 +31,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(lm.count() === Tables.documents(spark, sf).count())
   }
 
+  test("modality router detects injected container headers") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val payloads = Seq(
+      (1L, b(0xFF, 0xD8, 0xFF, 0xE0) ++ "JFIF".getBytes),
+      (2L, b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)),
+      (3L, "GIF87a trailer".getBytes),
+      (4L, "RIFF".getBytes ++ b(36, 0, 0, 0) ++ "WAVEfmt ".getBytes),
+      (5L, b(0, 0, 0, 24) ++ "ftypmp42".getBytes),
+      (6L, "plain old text".getBytes)
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.routeModality(payloads)
+      .select("doc_id", "modality").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "image/jpeg", 2L -> "image/png", 3L -> "image/gif",
+      4L -> "audio/wav", 5L -> "video/mp4", 6L -> "application/octet-stream"))
+  }
+
   test("bm25 ranks term-bearing docs, descending, tie-broken by doc_id") {
     val df = SparkEntry.queries("text_bm25")(spark, sf)
     val rows = df.collect()
