@@ -74,7 +74,13 @@ object Bench {
     val total = results.collect { case (k, v) if okNames.contains(k) => v }.sum
     val failed = names.filterNot(okNames.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}""")
+    // per-pass totals are contention diagnostics, not results — they ride
+    // a separate line so the headline line keeps growth headroom; `failed`
+    // joins the headline only when non-empty (it changes interpretation)
+    val failedPart = if (failed == "[]") "" else s""","failed":$failed"""
+    val sfShort = sfDir.split("/").last.stripPrefix("sf")
+    println(s"""{"bench_diag":{"passes":$passes,"sf_dir":"$sfDir"}}""")
+    println(s"""{"queries":$qs$failedPart,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}""")
     spark.stop()
   }
 }

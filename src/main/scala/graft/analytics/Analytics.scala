@@ -634,9 +634,13 @@ object Analytics extends QueryModule {
       floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("h"),
       col("event_type"))
     val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    // range AND types both derive from `counts`, not from `ev`: the
+    // three uses then share one identical aggregation Exchange, which
+    // physical planning dedupes (ReusedExchange) — events is scanned
+    // once, not three times
     val spine = counts.agg(min("h").as("lo"), max("h").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("h"))
-      .crossJoin(ev.select("event_type").distinct())
+      .crossJoin(counts.select("event_type").distinct())
     spine.join(counts, Seq("h", "event_type"), "left")
       .select((col("h") * 3600).as("hour_epoch"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n_events"))
