@@ -67,6 +67,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       .digest((25 to 33).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(d3c2.getString(4) === expected)
+    // scan-bound at any corpus size: the chunker is a pure projection
+    val plan = PipelineOps.chunkDocuments(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
   test("sequence packing fills contiguous windows within capacity + straddle") {
