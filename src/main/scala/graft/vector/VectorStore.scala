@@ -373,10 +373,32 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * within-shard scan from 8·dim bytes/row into ~M bytes/row.
     */
   def search(q: Array[Double], topK: Int = 5, nprobe: Int = 1,
-             compressed: Boolean = false, shortlist: Int = 100): DataFrame = {
+             compressed: Boolean = false, shortlist: Int = 100): DataFrame =
+    searchWhere(q, None, topK, nprobe, compressed, shortlist)
+
+  /** Predicated ANN: [[search]] restricted to the ids in `allowed` —
+    * filter-THEN-search, not search-then-filter. Post-filtering a
+    * top-k loses recall whenever the predicate is selective (the true
+    * filtered neighbors never make the unfiltered top-k); here the
+    * allowed-id set joins the probed shards BEFORE any scoring, so the
+    * top-k ranks only eligible vectors and recall against the
+    * filtered ground truth is the IVF recall, unchanged. The join is
+    * left-semi on the id: Catalyst broadcasts a small allowed set, and
+    * at corpus scale a huge predicate frame shuffles both sides —
+    * either way the compressed path's ADC scan and shortlist re-rank
+    * run on eligible rows only. (An attribute predicate becomes
+    * `attrs.filter(p).select(id)` on the caller's metadata table.)
+    */
+  def searchWhere(q: Array[Double], allowed: Option[DataFrame], topK: Int = 5,
+                  nprobe: Int = 1, compressed: Boolean = false,
+                  shortlist: Int = 100): DataFrame = {
     val cents = centroids()
     val probe = Centroids.nearestShardsOf(q, cents, nprobe).map(_.toLong)
-    val probed = spark.read.parquet(vecDir).filter(col("shard").isin(probe: _*))
+    val probedAll = spark.read.parquet(vecDir).filter(col("shard").isin(probe: _*))
+    val probed = allowed match {
+      case Some(ids) => probedAll.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+      case None => probedAll
+    }
     val ranked =
       if (!compressed) probed.withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
       else {

@@ -72,6 +72,31 @@ class VectorSpec extends AnyFunSuite {
       s"expected shard partition filter in plan:\n$plan")
   }
 
+  test("filtered search ranks only allowed ids, matching filtered exact knn") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vsf").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir)
+    vs.build(emb, iters = 3)
+    val q = emb.filter(col("id") === 0).select(col("vector").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // predicate: even ids only (selective enough that post-filtering a
+    // plain top-5 would lose rows)
+    val allowed = emb.select(col("id")).filter(col("id") % 2 === 0 && col("id") =!= 0)
+    val got = vs.searchWhere(q, Some(allowed), topK = 5, nprobe = 4).collect()
+    assert(got.length === 5 && got.forall(_.getLong(0) % 2 == 0))
+    // ground truth: exact cosine over the same eligible set, full probe
+    val want = emb.filter(col("id") % 2 === 0 && col("id") =!= 0)
+      .select(col("id"), cosineSim(col("vector"), typedlit(q.toSeq)).as("s"))
+      .orderBy(desc("s"), col("id").asc).limit(5)
+      .collect().map(_.getLong(0))
+    assert(got.map(_.getLong(0)).sameElements(want))
+    // unfiltered top-5 differs (the predicate actually bites)
+    val unf = vs.search(q, topK = 5, nprobe = 4).collect().map(_.getLong(0))
+    assert(!unf.forall(_ % 2 == 0))
+  }
+
   test("IVF+PQ store: compressed search matches exact, ingest keeps the codes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ivfpq").toString
