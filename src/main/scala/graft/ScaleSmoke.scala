@@ -202,6 +202,22 @@ object ScaleSmoke {
       graft.dedup.Dedup.ngramJaccardPairs(small, dfCapFloor = Long.MaxValue).count()
     }
     println(s"[scale] uncapped-on-slice found $smallPairs pairs — compare the timings above")
+
+    // chunking fan-out: a pure projection, so wall time tracks OUTPUT
+    // row count, not any shuffle — the corpus chunks at scan speed
+    val nChunks = timed(s"doc_chunk (${nDoc + nDoc / 100} docs, size 32 stride 24)") {
+      graft.pipeline.PipelineOps.chunkDocuments(corpus).count()
+    }
+    println(s"[scale] chunked into $nChunks windows")
+
+    // bigram LM scoring: the count tables here hold ~2k^2 candidate
+    // bigrams — vocabulary-sized, not corpus-sized; the shuffle volume
+    // is bounded by distinct keys (partial aggregation), which is the
+    // property that keeps this two-join plan alive at 100 TB
+    val lmN = timed(s"text_lm_score (${nDoc + nDoc / 100} docs, bigram LM)") {
+      graft.text.TextAnalysis.lmScores(corpus).count()
+    }
+    println(s"[scale] lm-scored $lmN docs")
     spark.stop()
   }
 }
