@@ -18,6 +18,7 @@ object SparkEntry {
     graft.embed.HashEmbedder,
     graft.vector.Quantize,
     graft.vector.ProductQuantizer,
+    graft.vector.Pca,
     graft.pipeline.PipelineOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
