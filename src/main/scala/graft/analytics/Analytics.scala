@@ -619,6 +619,46 @@ object Analytics extends QueryModule {
       |WHERE a.week - c.cohort_week BETWEEN 0 AND 3
       |GROUP BY 1, 2""".stripMargin
 
+  // --- robust outliers: median absolute deviation --------------------
+  /** MAD-based outliers — the robust twin of [[qOutliers]]'s 3-sigma
+    * rule: mean/stddev are themselves dragged by the outliers they
+    * hunt (masking), while median and MAD have a 50% breakdown point,
+    * so heavy-tailed telemetry doesn't hide its own anomalies.
+    * Flag |v - median| > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma
+    * under normality).
+    *
+    * Exact MAD is irreducibly two passes (the second percentile needs
+    * the first's result in its argument); both are per-group exact
+    * percentiles with the per-type results broadcast back. At 100 TB
+    * swap `percentile` for `percentile_approx` and the same plan
+    * becomes two fixed-memory sketch passes.
+    */
+  private def qOutliersMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val med = ev.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), col("event_type") === col("et"))
+      .groupBy("et").agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val stats = med.join(dev, "et")
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(abs(col("value") - col("med")) > col("mad") * 3.0 * 1.4826)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (round(col("med") * 10000.0, 0) / 10000.0).as("type_median"))
+  }
+
+  private val qOutliersMadSql =
+    """WITH med AS (
+      |  SELECT event_type AS et, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type AS et, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m ON e.event_type = m.et GROUP BY 1),
+      |s AS (SELECT med.et, med.med, dev.mad FROM med JOIN dev USING (et))
+      |SELECT e.event_id, e.event_type, e.value,
+      |       ROUND(s.med * 10000.0) / 10000.0 AS type_median
+      |FROM events e JOIN s ON e.event_type = s.et
+      |WHERE abs(e.value - s.med) > s.mad * 3.0 * 1.4826""".stripMargin
+
   // --- gap fill over a generated hour spine --------------------------
   /** Hourly per-type event counts with missing (hour, type) cells
     * zero-filled from a generated spine — the densification step every
@@ -686,6 +726,7 @@ object Analytics extends QueryModule {
       |GROUP BY 1""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outliers_mad"   -> (qOutliersMad _),
     "q_gap_fill"       -> (qGapFill _),
     "q_skew_join"      -> (qSkewJoin _),
     "q_retention"      -> (qRetention _),
@@ -717,6 +758,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_outliers_mad"   -> qOutliersMadSql,
     "q_gap_fill"       -> qGapFillSql,
     "q_skew_join"      -> qSkewJoinSql,
     "q_retention"      -> qRetentionSql,
