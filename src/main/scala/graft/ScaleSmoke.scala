@@ -210,10 +210,13 @@ object ScaleSmoke {
     }
     println(s"[scale] chunked into $nChunks windows")
 
-    // bigram LM scoring: the count tables here hold ~2k^2 candidate
-    // bigrams — vocabulary-sized, not corpus-sized; the shuffle volume
-    // is bounded by distinct keys (partial aggregation), which is the
-    // property that keeps this two-join plan alive at 100 TB
+    // bigram LM scoring: partial aggregation bounds the COUNT-TABLE
+    // builds at distinct-bigram volume, but the scoring joins shuffle
+    // every bigram OCCURRENCE (corpus-sized rows carrying doc_id +
+    // bigram) through two equi-joins plus the per-doc rollup — the
+    // honest 100 TB posture is "several corpus-volume shuffles", the
+    // same class as the shingle-dedup passes above, not count-table
+    // sized
     val lmN = timed(s"text_lm_score (${nDoc + nDoc / 100} docs, bigram LM)") {
       graft.text.TextAnalysis.lmScores(corpus).count()
     }

@@ -73,15 +73,20 @@ object CurationPipeline {
     // optional LM-quality gate (CCNet-style): docs whose corpus-bigram
     // mean log-prob sits below the threshold (micro-nats, negative —
     // e.g. 1.15x the corpus median) are gibberish/boilerplate relative
-    // to the corpus distribution. The score join runs on the cheap
-    // gate's survivors only; failing the word-count gate counts as
+    // to the corpus distribution. Scores come from the FULL input
+    // corpus, not the word-gate's survivors: callers calibrate the
+    // threshold against the published text_lm_score distribution, and
+    // a sub-corpus LM would silently shift every score off that scale.
+    // A NULL score (doc too short to have bigrams) passes the gate —
+    // no evidence is not low quality, and such docs are the word
+    // gate's to judge. Failing the word gate still counts as
     // droppedLowQuality, never double-counted here.
     val withLm: DataFrame => DataFrame = minLmScoreX1e6 match {
       case Some(thr) => base => {
-        val scores = graft.text.TextAnalysis.lmScores(base.filter(nWords >= minWords))
+        val scores = graft.text.TextAnalysis.lmScores(base)
           .select(col("doc_id"), (col("avg_logp_x1e6") >= thr).as("__lmq0"))
         base.join(scores, Seq("doc_id"), "left")
-          .withColumn("__lm", coalesce(col("__lmq0"), lit(false))).drop("__lmq0")
+          .withColumn("__lm", coalesce(col("__lmq0"), lit(true))).drop("__lmq0")
       }
       case None => base => base.withColumn("__lm", lit(true))
     }

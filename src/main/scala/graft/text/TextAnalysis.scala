@@ -313,6 +313,11 @@ object TextAnalysis extends QueryModule {
     * the bigram/word key (the honest 100 TB plan; partial aggregation
     * keeps the shuffle at distinct-key volume).
     */
+  /** Emits one row per input doc: docs with fewer than two tokens have
+    * no bigrams, score NULL (no evidence, not "bad"), n_bigrams 0 —
+    * rather than silently vanishing from the output, which would make
+    * a left-joining consumer misread "unscorable" as "failed".
+    */
   def lmScores(docs: DataFrame): DataFrame = {
     val bigramsArr = zip_with(
       slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
@@ -323,7 +328,7 @@ object TextAnalysis extends QueryModule {
     val c2 = pairs.groupBy("bigram").agg(count(lit(1)).as("c2"))
     val c1 = wordsAll.groupBy("word").agg(count(lit(1)).as("c1"))
     val vocab = wordsAll.agg(countDistinct(col("word")).cast(DoubleType).as("v"))
-    pairs.join(c2, "bigram")
+    val scored = pairs.join(c2, "bigram")
       .join(c1.withColumnRenamed("word", "w1"), "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("q",
@@ -334,6 +339,10 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("n_bigrams"),
         floor(col("__sq").cast(DoubleType) / col("n_bigrams")).cast(LongType)
           .as("avg_logp_x1e6"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp_x1e6"))
   }
 
   private def lmScore(s: SparkSession, d: String): DataFrame =
@@ -348,10 +357,13 @@ object TextAnalysis extends QueryModule {
       |v AS (SELECT CAST(COUNT(DISTINCT u.w) AS DOUBLE) AS v FROM w, UNNEST(ws) AS u(w)),
       |q AS (SELECT bg.doc_id,
       |        CAST(FLOOR(ln((c2.c2 + 1) / (c1.c1 + v.v)) * 1000000.0) AS BIGINT) AS q
-      |      FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.word CROSS JOIN v)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |       CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_logp_x1e6
-      |FROM q GROUP BY 1""".stripMargin
+      |      FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.word CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_logp_x1e6
+      |  FROM q GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logp_x1e6
+      |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin
 
   // --- BM25 ranking --------------------------------------------------
   /** BM25 top-10 documents for a fixed conjunctive keyword query

@@ -37,23 +37,26 @@ object ProductQuantizer extends QueryModule {
     * All M subspace k-means runs advance TOGETHER: each Lloyd
     * iteration is ONE job over (subspace, subvector) exploded rows —
     * M*iters driver round-trips would otherwise dominate wall time.
-    * Assignment joins the exploded rows to a BROADCAST (m, k, codeword)
-    * table rather than baking the M*K codewords into the plan as
-    * literals: the generated code is then identical across iterations
-    * (only the broadcast payload changes), so whole-stage codegen
-    * compiles once per session instead of once per iteration — at
-    * M=16, K=16 the literal form recompiled a ~4k-line projection
-    * every iteration and compilation, not data, dominated training.
-    * Argmin ties break to the lowest code id (min over a (dist, k)
-    * struct), matching Centroids.nearestStruct. Init is deterministic:
-    * each subspace seeds from the numCodes lowest-id vectors'
-    * subvectors, mirroring Centroids.deterministicInit.
+    *
+    * The codebook reaches the executors as DATA (one broadcast row
+    * holding the full M x K x subDim array), not as plan literals: the
+    * generated code is then identical across iterations AND corpora,
+    * so codegen compiles once per session — at M=16, K=16 the literal
+    * form recompiled a ~4k-line projection every iteration, and
+    * compilation, not data, dominated training. Assignment stays a
+    * pure PROJECTION (argmin over the broadcast book via higher-order
+    * array functions), so the only shuffle per iteration is the
+    * (subspace, code) partial aggregate — <= M*K rows per map
+    * partition, never corpus-volume. Argmin compares SQUARED L2
+    * (same ordering as l2Dist) with ties to the lowest code id,
+    * matching Centroids.nearestStruct. Init is deterministic: each
+    * subspace seeds from the numCodes lowest-id vectors' subvectors,
+    * mirroring Centroids.deterministicInit.
     */
   def train(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             dim: Int = 64, numSubspaces: Int = 8, numCodes: Int = 16,
             iters: Int = 3): Model = {
     require(dim % numSubspaces == 0, s"dim $dim not divisible into $numSubspaces subspaces")
-    import graft.expressions.VectorExpressions.l2Dist
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = dim / numSubspaces
@@ -65,23 +68,28 @@ object ProductQuantizer extends QueryModule {
     var cents: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { m =>
       seeds.map(_.slice(m * sub, m * sub + sub))
     }
-    val sliced = emb.select(col(idCol).as("__pqid"),
-      posexplode(array((0 until numSubspaces).map(m =>
-        slice(v, m * sub + 1, sub)): _*)).as(Seq("m", "sv"))).cache()
+    val sliced = emb.select(posexplode(array((0 until numSubspaces).map(m =>
+      slice(v, m * sub + 1, sub)): _*)).as(Seq("m", "sv"))).cache()
     for (_ <- 0 until iters) {
-      val centDf = (for { m <- 0 until numSubspaces; k <- 0 until numCodes }
-        yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "cvec")
-      val means = sliced.join(broadcast(centDf), "m")
-        .groupBy(col("__pqid"), col("m"))
-        .agg(min(struct(l2Dist(col("sv"), col("cvec")).as("d"), col("k").as("k"))).as("best"),
-          first(col("sv")).as("sv"))
-        .groupBy(col("m"), col("best.k").as("shard"))
+      // book(m)(k) = codeword; shipped as one broadcast row of data
+      val bookDf = Seq(Tuple1(cents.map(_.map(_.toSeq).toSeq).toSeq)).toDF("__book")
+      val myCodes = element_at(col("__book"), col("m") + 1)
+      val sqDist = (cv: Column) => aggregate(
+        zip_with(col("sv"), cv, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val shard = array_min(transform(
+        sequence(lit(0), lit(numCodes - 1)),
+        k => struct(sqDist(element_at(myCodes, k + 1)).as("d"),
+          k.cast(LongType).as("s")))).getField("s")
+      val means = sliced.crossJoin(broadcast(bookDf))
+        .withColumn("shard", shard)
+        .groupBy("m", "shard")
         .agg(graft.expressions.VectorSumAgg.vectorSum(col("sv")).as("vsum"),
           count(lit(1)).as("n"))
         .collect()
       val byKey = means.map { r =>
         val n = r.getLong(3).toDouble
-        ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).map(_ / n).toArray)
+        ((r.getInt(0), r.getLong(1).toInt), r.getSeq[Double](2).map(_ / n).toArray)
       }.toMap
       cents = Array.tabulate(numSubspaces) { m =>
         // an empty code keeps its previous centroid
