@@ -14,6 +14,33 @@ class QuantizeSourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("TextDocs ingests line-per-doc and file-per-doc with stable ids") {
+    import java.nio.file.{Files => JF, Paths}
+    val dir = JF.createTempDirectory("graft-textdocs")
+    JF.write(Paths.get(dir.toString, "a.txt"), "first doc\nsecond doc\n".getBytes)
+    JF.write(Paths.get(dir.toString, "b.txt"), "third doc here\n".getBytes)
+
+    val lines = graft.sources.TextDocs.readLines(spark, dir.toString)
+    assert(lines.count() === 3)
+    assert(lines.columns.toSeq === Seq("doc_id", "text", "source", "n_chars"))
+    assert(lines.filter(col("source") === "a.txt").count() === 2)
+    assert(lines.filter(col("text") === "third doc here" && col("n_chars") === 14).count() === 1)
+    // ids deterministic across re-reads and distinct across docs
+    val ids1 = lines.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = graft.sources.TextDocs.readLines(spark, dir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2) && ids1.distinct.length === 3)
+
+    val files = graft.sources.TextDocs.readFiles(spark, dir.toString)
+    assert(files.count() === 2)
+    // whole-file text keeps the interior newline
+    assert(files.filter(col("source") === "a.txt")
+      .head().getString(1).contains("first doc\nsecond doc"))
+    // the two shapes feed the same downstream ops: curation accepts both
+    val r = graft.pipeline.CurationPipeline.curate(spark, lines, minWords = 1)
+    assert(r.kept.count() === 3)
+  }
+
   test("int8 quantized knn keeps high recall@10 vs exact") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
