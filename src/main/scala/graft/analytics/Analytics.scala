@@ -619,6 +619,48 @@ object Analytics extends QueryModule {
       |WHERE a.week - c.cohort_week BETWEEN 0 AND 3
       |GROUP BY 1, 2""".stripMargin
 
+  // --- correlation from exact sums ------------------------------------
+  /** Pearson correlation of quantity vs extended price per return
+    * flag. NOT the built-in `corr()`: both engines implement it with
+    * order-dependent floating accumulation, so a shuffled Spark run
+    * and sequential DuckDB disagree in late decimals. Here the five
+    * moments (Sx, Sy, Sxy, Sxx, Syy) accumulate as DECIMAL — exact,
+    * order-independent — and the correlation is one double-arithmetic
+    * chain over those exact sums, identical on both engines. The agg
+    * is a single partial-aggregate-friendly pass; the formula is a
+    * projection on the k-row result.
+    */
+  private def qCorrelation(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(dec2(x)).cast(DoubleType).as("sx"),
+      sum(dec2(y)).cast(DoubleType).as("sy"),
+      sum((x * y).cast(DecimalType(28, 4))).cast(DoubleType).as("sxy"),
+      sum((x * x).cast(DecimalType(28, 4))).cast(DoubleType).as("sxx"),
+      sum((y * y).cast(DecimalType(28, 4))).cast(DoubleType).as("syy"))
+    agg.select(col("l_returnflag"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qty_price"))
+  }
+
+  private val qCorrelationSql =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  ROUND((n * sxy - sx * sy) /
+      |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_price
+      |FROM a""".stripMargin
+
   // --- robust outliers: median absolute deviation --------------------
   /** MAD-based outliers — the robust twin of [[qOutliers]]'s 3-sigma
     * rule: mean/stddev are themselves dragged by the outliers they
@@ -726,6 +768,7 @@ object Analytics extends QueryModule {
       |GROUP BY 1""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlation"    -> (qCorrelation _),
     "q_outliers_mad"   -> (qOutliersMad _),
     "q_gap_fill"       -> (qGapFill _),
     "q_skew_join"      -> (qSkewJoin _),
@@ -758,6 +801,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_correlation"    -> qCorrelationSql,
     "q_outliers_mad"   -> qOutliersMadSql,
     "q_gap_fill"       -> qGapFillSql,
     "q_skew_join"      -> qSkewJoinSql,
