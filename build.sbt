@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse machine-readable JSON lines out of
+// this task's stdout tail; sbt's default output strategy prefixes every
+// forked line with "[info] ", which breaks line-level JSON parsing.
+// Inherit the parent's stdout instead so program output passes through
+// verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,22 +72,22 @@ object Bench {
     // graceful degradation: if query growth pushes the map past the
     // budget that keeps the whole line inside the archived tail, shed
     // one decimal rather than the parse (still seconds, still JSON)
-    // budget: map + ~70B of headline fields + sbt's "[info] " prefix and
-    // ~75B success trailer must fit the 2000B tail -> map <= ~1845;
-    // 1810 leaves a safety margin
-    val qs = { val q2 = qsAt(2); if (q2.length <= 1810) q2 else qsAt(1) }
+    // budget: map + ~130B of other headline fields (passes, failed, sf,
+    // unit, metric, value) + sbt's ~75B success trailer must fit the
+    // 2000B tail -> map <= ~1790; 1770 leaves a safety margin
+    val qs = { val q2 = qsAt(2); if (q2.length <= 1770) q2 else qsAt(1) }
     val passes = (0 until nPasses)
       .map(p => f3(okNames.map(timings(p)).sum)).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if okNames.contains(k) => v }.sum
     val failed = names.filterNot(okNames.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    // per-pass totals are contention diagnostics, not results — they ride
-    // a separate line so the headline line keeps growth headroom; `failed`
-    // joins the headline only when non-empty (it changes interpretation)
-    val failedPart = if (failed == "[]") "" else s""","failed":$failed"""
     val sfShort = sfDir.split("/").last.stripPrefix("sf")
-    println(s"""{"bench_diag":{"passes":$passes,"sf_dir":"$sfDir"}}""")
-    println(s"""{"queries":$qs$failedPart,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}""")
+    // ONE self-contained JSON line: the archiver keeps only the final
+    // ~2kB of stdout and parses the JSON line found there, so everything
+    // (per-query mins, per-pass totals for contention diagnosis, failures)
+    // rides the same line. sbt's run task inherits stdout (build.sbt
+    // outputStrategy), so the line starts with '{' at column 0.
+    println(s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}""")
     spark.stop()
   }
 }

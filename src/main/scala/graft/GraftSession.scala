@@ -25,12 +25,18 @@ object GraftSession {
       // type, so read as Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // a service running this library compiles hundreds of distinct
-      // generated classes (80+ queries x several stages, plus per-query
-      // literal codebooks); the default 100-entry codegen cache thrashes
-      // and re-JITs plans that will run again — size it to hold the
-      // working set (entries are weak-referenced class bytecode, cheap)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // A service running the full suite compiles hundreds of distinct
+      // generated classes (80+ queries x several stages); the default
+      // 100-entry codegen cache thrashes and re-JITs steady-state plans
+      // (~30% suite-wide cost measured at r6). The cache is a size-bounded
+      // Guava cache holding generated classes STRONGLY until eviction, and
+      // loaded classes occupy metaspace until their classloader is
+      // collected — so a big cache trades driver metaspace for JIT time.
+      // Default sized for this suite's working set; applications with few
+      // distinct plans should dial it down via SPARK_GRAFT_CODEGEN_CACHE
+      // (or override spark.sql.codegen.cache.maxEntries on the session).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession =

@@ -205,7 +205,13 @@ object ProductQuantizer extends QueryModule {
     */
   private def knnPq(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val model = train(e, numSubspaces = 16)
+    // train on a deterministic 20% sample (the reference trains KMeans
+    // on a 10% sample, cluster.py:17): codebook quality degrades only
+    // marginally while the per-iteration shuffle shrinks 5x, and the
+    // exact re-rank makes the final top-10 independent of codebook
+    // noise as long as the shortlist covers the true neighbors (PqSpec
+    // asserts coverage at every SF)
+    val model = train(e.sample(0.2, 42L), numSubspaces = 16)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val noSelf = e.filter(col("vec_id") =!= 0)
