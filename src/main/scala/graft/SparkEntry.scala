@@ -19,6 +19,7 @@ object SparkEntry {
     graft.vector.Quantize,
     graft.vector.ProductQuantizer,
     graft.vector.Pca,
+    graft.vector.Opq,
     graft.pipeline.PipelineOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -79,10 +79,21 @@ object StreamingSearch {
                          model: graft.vector.ProductQuantizer.Model,
                          residual: Boolean, nprobe: Int = 1,
                          idCol: String = "id", codesCol: String = "pq_codes",
-                         shardCol: String = "shard", queryVecCol: String = "qv"): DataFrame = {
+                         shardCol: String = "shard", queryVecCol: String = "qv",
+                         rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val routed = queries.withColumn(shardCol,
       explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
-    val decoded = graft.vector.ProductQuantizer.decodeCol(col(codesCol), model)
+    // an OPQ store's codes live in ROTATED space: reconstructing into
+    // the raw basis needs the INVERSE rotation, or the centroid-plus-
+    // residual sum below would mix two bases and score garbage.
+    // decodeRawCol bakes R^T into the looked-up codewords, so the row
+    // cost stays M lookups + a sum — identical shape to plain decode.
+    val decoded = rotation match {
+      case Some(r) => graft.vector.Opq.decodeRawCol(col(codesCol),
+        graft.vector.Opq.Model(
+          graft.vector.Pca.Model(new Array[Double](r.length), r), model))
+      case None => graft.vector.ProductQuantizer.decodeCol(col(codesCol), model)
+    }
     val recon = if (!residual) decoded else {
       val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
       zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),

@@ -1,7 +1,9 @@
 package graft.vector
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
 
 /** Parametric OPQ (Ge et al., "Optimized Product Quantization", CVPR
   * 2013 — the parametric variant): PQ's subspace quantizers waste
@@ -21,7 +23,7 @@ import org.apache.spark.sql.functions._
   * (rotation is orthogonal, so L2 in rotated space IS L2 in raw
   * space — same neighbors, better codes).
   */
-object Opq {
+object Opq extends QueryModule {
 
   /** rotation = PCA model with components already permuted by the
     * eigenvalue allocation; pq = codebooks trained in rotated space.
@@ -52,11 +54,24 @@ object Opq {
 
   /** Fit rotation + allocation + codebooks. `df` must carry `idCol`
     * (deterministic PQ seeding) and `vecCol`.
+    *
+    * `center = false` drops the mean from the rotation, making it a
+    * PURE LINEAR map `v -> R v` instead of the affine `v -> R(v - mu)`.
+    * Both are isometries (L2 and neighbors preserved; codebooks absorb
+    * the constant shift, so ADC quality is identical), but only the
+    * linear form commutes with inner products — `<q, v> = <R q, R v>`
+    * — which is what [[VectorStore]]'s residual-IVFADC scoring needs:
+    * its approximate dot `<q, c_s> + <q, residual~>` evaluates the
+    * second term in rotated space as `<R q, codes~>`, valid only with
+    * no affine offset. The eigenvalue allocation is unchanged either
+    * way (variances are translation-invariant).
     */
   def train(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             dim: Int = 64, numSubspaces: Int = 8, numCodes: Int = 16,
-            iters: Int = 3): Model = {
-    val pca = Pca.fit(df, vecCol, k = dim)
+            iters: Int = 3, center: Boolean = true): Model = {
+    val fitted = Pca.fit(df, vecCol, k = dim)
+    val pca = if (center) fitted
+      else Pca.Model(new Array[Double](fitted.mean.length), fitted.components)
     val rotated = Pca.project(df, pca, vecCol, "__rot")
     val vars = rotated
       .select((0 until dim).map(j => var_pop(element_at(col("__rot"), j + 1)).as(s"v$j")): _*)
@@ -87,4 +102,80 @@ object Opq {
   /** ADC distance column for a raw-space query against OPQ codes. */
   def adcDistance(codesCol: Column, q: Array[Double], m: Model): Column =
     ProductQuantizer.adcDistance(codesCol, rotateQuery(q, m), m.pq)
+
+  /** Reconstruction in RAW space of OPQ codes — the inverse-rotation
+    * twin of [[ProductQuantizer.decodeCol]]. A plain decode yields the
+    * approximation in ROTATED space; consumers that mix it with raw
+    * vectors (e.g. `recon = centroid + residual~` in
+    * [[graft.streaming.StreamingSearch.scoreIvfCompressed]]) need
+    * `R^T r~'` back in the original basis. Rather than decode-then-
+    * rotate (a dim x dim matrix product per row), each codeword is
+    * inverse-rotated ONCE driver-side into a full-dim partial vector
+    * `u(m)(k) = R_m^T c(m)(k)`, and the row expression sums M array
+    * lookups — the same lookup-sum shape ADC uses, map-only. The
+    * mean does not participate: only valid for `center = false`
+    * models (asserted), which is what [[VectorStore]] persists.
+    */
+  /** Driver query: OPQ-compressed knn — rotate, encode, ADC shortlist
+    * in rotated space, exact re-rank to top-10 (the serving path
+    * `VectorStore.build(opqRotate = true)` + compressed search runs,
+    * flattened to one frame). The re-rank makes the result exact
+    * whenever the shortlist covers the true neighbors, so the oracle
+    * is plain exact-L2 knn SQL — the same contract as `vdb_knn_pq`,
+    * here exercising the ROTATED codes end-to-end. Codebooks train on
+    * a deterministic 20% sample (reference trains on 10%,
+    * cluster.py:17). Query vector: vec_id 1 (vdb_knn_pq uses 0) so the
+    * two compressed paths are checked on different neighborhoods.
+    */
+  private def knnOpq(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.VectorExpressions.l2Dist
+    val e = Tables.embeddings(s, d)
+    val m = train(e.sample(0.2, 42L), "vec_id", "embedding",
+      dim = 64, numSubspaces = 16, numCodes = 16, iters = 3)
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val noSelf = e.filter(col("vec_id") =!= 1)
+    val short = encode(noSelf, m).select(col("vec_id"), col("pq_codes"))
+      .withColumn("adc", adcDistance(col("pq_codes"), q, m))
+      .orderBy(asc("adc"), col("vec_id").asc).limit(256)
+      .select("vec_id")
+    noSelf.join(broadcast(short), Seq("vec_id"))
+      .withColumn("dist", l2Dist(col("embedding").cast("array<double>"), typedlit(q.toSeq)))
+      .orderBy(asc("dist"), col("vec_id").asc).limit(10)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val knnOpqSql =
+    """SELECT b.vec_id,
+      |  ROUND(list_distance(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4) AS dist
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> 1
+      |WHERE a.vec_id = 1
+      |ORDER BY list_distance(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) ASC, b.vec_id
+      |LIMIT 10""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("vdb_knn_opq" -> (knnOpq _))
+  override val oracleSql: Map[String, String] = Map("vdb_knn_opq" -> knnOpqSql)
+
+  def decodeRawCol(codesCol: Column, m: Model): Column = {
+    require(m.rotation.mean.forall(_ == 0.0),
+      "decodeRawCol needs a pure-rotation (center = false) OPQ model")
+    val dim = m.rotation.components.length
+    val sub = m.pq.subDim
+    // u(mm)(k)(i) = sum over this subspace's rotated dims j of
+    // components(mm*sub + j)(i) * codeword(j)
+    val book: Seq[Seq[Seq[Double]]] = (0 until m.pq.numSubspaces).map { mm =>
+      (0 until m.pq.numCodes).map { k =>
+        val cw = m.pq.centroids(mm)(k)
+        (0 until dim).map { i =>
+          var s = 0.0; var j = 0
+          while (j < sub) { s += m.rotation.components(mm * sub + j)(i) * cw(j); j += 1 }
+          s
+        }
+      }
+    }
+    (0 until m.pq.numSubspaces).map { mm =>
+      element_at(typedlit(book(mm)), element_at(codesCol, mm + 1) + 1)
+    }.reduce((a, b) => zip_with(a, b, _ + _))
+  }
 }

@@ -33,6 +33,28 @@ object ProductQuantizer extends QueryModule {
     def numCodes: Int = centroids(0).length
   }
 
+  /** A store's codebook set: one global model, or one model per IVF
+    * shard. One global book models ALL shards' residual distributions
+    * with the same M x K codewords; at high shard counts the standard
+    * win is a LOCAL book per shard — each inverted list's residuals
+    * are tighter than the global mixture, so the same code budget
+    * spends on local structure (Jegou et al. 2011 §IV trains the
+    * product quantizer on learning data per configuration; per-list
+    * codebooks are the locally-adaptive variant).
+    */
+  sealed trait Books {
+    def forShard(shard: Int): Model
+    def isPerShard: Boolean
+  }
+  final case class GlobalBooks(model: Model) extends Books {
+    def forShard(shard: Int): Model = model
+    def isPerShard: Boolean = false
+  }
+  final case class PerShardBooks(models: Map[Int, Model]) extends Books {
+    def forShard(shard: Int): Model = models(shard)
+    def isPerShard: Boolean = true
+  }
+
   /** Train one codebook per subspace over (a sample of) the corpus.
     * All M subspace k-means runs advance TOGETHER: each Lloyd
     * iteration is ONE job over (subspace, subvector) exploded rows —
@@ -98,6 +120,129 @@ object ProductQuantizer extends QueryModule {
     }
     sliced.unpersist()
     Model(sub, cents)
+  }
+
+  /** Per-shard training: one codebook per (shard, subspace), all
+    * advancing together — each Lloyd iteration is still ONE job, now
+    * over (shard, subspace, subvector) exploded rows, and the partial
+    * aggregate is bounded by shards x M x K rows per map partition
+    * (k-scale model rows, never corpus volume). `df` must carry
+    * `shardCol`. Shards with fewer than `numCodes` rows seed from what
+    * they have (codewords beyond the population keep duplicating the
+    * last seed — harmless: codes never pick them over a closer one).
+    */
+  def trainPerShard(emb: DataFrame, shardCol: String = "shard",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dim: Int = 64, numSubspaces: Int = 8, numCodes: Int = 16,
+                    iters: Int = 3): PerShardBooks = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible into $numSubspaces subspaces")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = dim / numSubspaces
+    val v = col(vecCol).cast("array<double>")
+    val sh = col(shardCol).cast("int")
+    // deterministic per-shard seeds: the numCodes lowest-id vectors OF
+    // EACH SHARD (one bounded window job; shards x numCodes rows back)
+    val seedRows = emb
+      .select(sh.as("sh"), col(idCol), v.as("v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh").orderBy(col(idCol))))
+      .filter(col("rn") <= numCodes)
+      .select("sh", "rn", "v").collect()
+      .groupBy(_.getInt(0))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    val shardIds = seedRows.keys.toArray.sorted
+    var cents: Map[Int, Array[Array[Array[Double]]]] = seedRows.map { case (s, seeds) =>
+      // pad a small shard by repeating its last seed
+      val padded = Array.tabulate(numCodes)(k => seeds(math.min(k, seeds.length - 1)))
+      s -> Array.tabulate(numSubspaces)(m => padded.map(_.slice(m * sub, m * sub + sub)))
+    }
+    val sliced = emb.select(sh.as("sh"), posexplode(array((0 until numSubspaces).map(m =>
+      slice(v, m * sub + 1, sub)): _*)).as(Seq("m", "sv"))).cache()
+    for (_ <- 0 until iters) {
+      // per-shard books ride as one broadcast frame keyed by shard;
+      // the equi-join on sh replaces global training's crossJoin
+      val bookDf = shardIds.toSeq
+        .map(s => (s, cents(s).map(_.map(_.toSeq).toSeq).toSeq))
+        .toDF("sh", "__book")
+      val myCodes = element_at(col("__book"), col("m") + 1)
+      val sqDist = (cv: Column) => aggregate(
+        zip_with(col("sv"), cv, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val code = array_min(transform(
+        sequence(lit(0), lit(numCodes - 1)),
+        k => struct(sqDist(element_at(myCodes, k + 1)).as("d"),
+          k.cast(LongType).as("s")))).getField("s")
+      val means = sliced.join(broadcast(bookDf), "sh")
+        .withColumn("code", code)
+        .groupBy("sh", "m", "code")
+        .agg(graft.expressions.VectorSumAgg.vectorSum(col("sv")).as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = means.map { r =>
+        val n = r.getLong(4).toDouble
+        ((r.getInt(0), r.getInt(1), r.getLong(2).toInt), r.getSeq[Double](3).map(_ / n).toArray)
+      }.toMap
+      cents = shardIds.map { s =>
+        s -> Array.tabulate(numSubspaces) { m =>
+          Array.tabulate(numCodes)(k => byKey.getOrElse((s, m, k), cents(s)(m)(k)))
+        }
+      }.toMap
+    }
+    sliced.unpersist()
+    PerShardBooks(cents.map { case (s, c) => s -> Model(sub, c) })
+  }
+
+  /** [[encode]] under per-shard books: the row's shard selects its
+    * codebook from a map literal (shards x M x K x subDim doubles — a
+    * model-sized constant), then the same argmin projection. Map-only.
+    */
+  def encodePerShard(df: DataFrame, books: PerShardBooks,
+                     shardCol: String = "shard",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bookLit = typedlit(books.models.map { case (s, m) =>
+      s -> m.centroids.map(_.map(_.toSeq).toSeq).toSeq
+    })
+    val myBook = element_at(bookLit, col(shardCol).cast("int"))
+    val someModel = books.models.head._2
+    val sub = someModel.subDim
+    df.withColumn("pq_codes", array((0 until someModel.numSubspaces).map { m =>
+      val codes = element_at(myBook, m + 1)
+      val sv = slice(v, m * sub + 1, sub)
+      val sqDist = (cv: Column) => aggregate(
+        zip_with(sv, cv, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      array_min(transform(
+        sequence(lit(0), lit(someModel.numCodes - 1)),
+        k => struct(sqDist(element_at(codes, k + 1)).as("d"),
+          k.cast("int").as("s")))).getField("s")
+    }: _*))
+  }
+
+  /** [[adcDot]] under per-shard books: per-query lookup tables are
+    * computed for every shard's book (shards x M x K doubles) and the
+    * row's shard selects its table — still M lookups + a sum per row.
+    */
+  def adcDotPerShard(codesCol: Column, shardCol: Column, q: Array[Double],
+                     books: PerShardBooks): Column = {
+    val tables: Map[Int, Seq[Seq[Double]]] = books.models.map { case (s, model) =>
+      s -> (0 until model.numSubspaces).map { m =>
+        model.centroids(m).map { c =>
+          var acc = 0.0; var i = 0
+          while (i < model.subDim) { acc += q(m * model.subDim + i) * c(i); i += 1 }
+          acc
+        }.toSeq
+      }
+    }
+    val tabLit = typedlit(tables)
+    val myTab = element_at(tabLit, shardCol.cast("int"))
+    val someModel = books.models.head._2
+    (0 until someModel.numSubspaces).map { m =>
+      element_at(element_at(myTab, m + 1), element_at(codesCol, m + 1) + 1)
+    }.reduce(_ + _)
   }
 
   /** Encode vectors to their per-subspace nearest-codeword ids — a

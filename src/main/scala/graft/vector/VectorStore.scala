@@ -23,6 +23,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val vecDir = s"$path/vectors"
   private val centDir = s"$path/centroids"
   private val pqDir = s"$path/pq"
+  private val opqDir = s"$path/opq"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
@@ -51,7 +52,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def build(vectors: DataFrame, iters: Int = 5, pqSubspaces: Int = 0,
             pqCodes: Int = 16, pqIters: Int = 3, pqTrainFraction: Double = 1.0,
-            pqResidual: Boolean = true): Unit = {
+            pqResidual: Boolean = true, opqRotate: Boolean = false,
+            pqPerShard: Boolean = false): Unit = {
     val (cents, assigned) = Centroids.lloyd(vectors, idCol, vecCol, numShards, iters)
     setCentroids(cents)
     val out = if (pqSubspaces > 0) {
@@ -60,14 +62,53 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val trainCol = if (pqResidual) ResidualCol else vecCol
       val trainSet = if (pqTrainFraction < 1.0) base.sample(pqTrainFraction, 42L)
         else base
-      val model = ProductQuantizer.train(trainSet, idCol, trainCol, dim,
-        pqSubspaces, pqCodes, pqIters)
-      saveModel(model, pqResidual)
-      withCodes(base, model, pqResidual)
+      if (opqRotate) {
+        // OPQ composition: learn a PURE rotation (center = false — the
+        // linear form is the one that commutes with the store's
+        // inner-product scoring, see Opq.train), persist it beside the
+        // codebooks (absent rotation file => identity, so pre-OPQ
+        // stores read back unchanged), and train the codebooks on the
+        // ROTATED residuals/vectors. Serving rotates the query once
+        // driver-side; codes and ADC tables live in rotated space.
+        require(!pqPerShard, "opqRotate + pqPerShard: pick one (a global " +
+          "rotation with per-shard books is sound but not wired yet)")
+        val om = Opq.train(trainSet, idCol, trainCol, dim, pqSubspaces,
+          pqCodes, pqIters, center = false)
+        saveBooks(ProductQuantizer.GlobalBooks(om.pq), pqResidual)
+        saveRotation(om.rotation.components)
+        withCodes(base, ProductQuantizer.GlobalBooks(om.pq), pqResidual,
+          Some(om.rotation.components))
+      } else if (pqPerShard) {
+        // per-shard codebooks: each inverted list's residuals get their
+        // own M x K book — tighter local distributions, same code
+        // budget (VERDICT r6 #3; Jegou et al. 2011's locally-adaptive
+        // variant). Training is still one job per Lloyd iteration,
+        // keyed by (shard, m).
+        val books = ProductQuantizer.trainPerShard(trainSet, "shard", idCol,
+          trainCol, dim, pqSubspaces, pqCodes, pqIters)
+        // every shard the index writes needs its book: a sampled train
+        // set that missed a populated shard would otherwise encode
+        // null codes silently (one cheap distinct over the shard col)
+        val present = assigned.select("shard").distinct().collect()
+          .map(_.get(0).asInstanceOf[Number].intValue())
+        val missing = present.filterNot(books.models.contains)
+        require(missing.isEmpty,
+          s"pqTrainFraction=$pqTrainFraction sampled no rows from shards " +
+            s"${missing.mkString(",")}; raise the fraction")
+        saveBooks(books, pqResidual)
+        deleteDir(opqDir)
+        withCodes(base, books, pqResidual, None)
+      } else {
+        val model = ProductQuantizer.train(trainSet, idCol, trainCol, dim,
+          pqSubspaces, pqCodes, pqIters)
+        saveBooks(ProductQuantizer.GlobalBooks(model), pqResidual)
+        deleteDir(opqDir) // a rebuild without OPQ must not keep a stale rotation
+        withCodes(base, ProductQuantizer.GlobalBooks(model), pqResidual, None)
+      }
     } else {
       // a rebuild without PQ must not leave a stale codebook behind
-      val p = new org.apache.hadoop.fs.Path(pqDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      deleteDir(pqDir)
+      deleteDir(opqDir)
       pqMetaCache = None
       assigned
     }
@@ -92,40 +133,90 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   }
 
   /** Encode + norm columns for rows headed into the index (`df` must
-    * carry the shard column when the store quantizes residuals).
+    * carry the shard column when the store quantizes residuals). With a
+    * rotation the source column is projected into OPQ space first — a
+    * second pure projection fused into the same map stage; `vnorm`
+    * stays the exact RAW norm either way (rotations preserve it, and
+    * serving divides approximate dots by it).
     */
-  private def withCodes(df: DataFrame, m: ProductQuantizer.Model,
-                        residual: Boolean): DataFrame = {
-    val encoded =
-      if (residual) {
-        val src = if (df.columns.contains(ResidualCol)) df
-          else withResidual(df, centroids())
-        ProductQuantizer.encode(src, m, ResidualCol).drop(ResidualCol)
-      } else ProductQuantizer.encode(df, m, vecCol)
+  private def withCodes(df: DataFrame, books: ProductQuantizer.Books,
+                        residual: Boolean,
+                        rotation: Option[Array[Array[Double]]]): DataFrame = {
+    val src0 = if (residual) {
+      if (df.columns.contains(ResidualCol)) df else withResidual(df, centroids())
+    } else df
+    val encCol = if (residual) ResidualCol else vecCol
+    val encoded = (books, rotation) match {
+      case (ProductQuantizer.GlobalBooks(m), Some(r)) =>
+        val rot = Pca.Model(new Array[Double](r.length), r)
+        ProductQuantizer.encode(Pca.project(src0, rot, encCol, "__opq"), m, "__opq")
+          .drop("__opq", ResidualCol)
+      case (ProductQuantizer.GlobalBooks(m), None) =>
+        ProductQuantizer.encode(src0, m, encCol)
+          .drop(ResidualCol)
+      case (ps: ProductQuantizer.PerShardBooks, None) =>
+        ProductQuantizer.encodePerShard(src0, ps, "shard", encCol)
+          .drop(ResidualCol)
+      case (_: ProductQuantizer.PerShardBooks, Some(_)) =>
+        throw new IllegalStateException("per-shard books with a rotation are not wired")
+    }
     encoded.withColumn("vnorm", sqrt(aggregate(col(vecCol).cast("array<double>"),
       lit(0.0), (acc, x) => acc + x * x)))
   }
 
-  private def saveModel(m: ProductQuantizer.Model, residual: Boolean): Unit = {
+  private def deleteDir(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Persist the codebooks: rows (m, k, centroid, residual[, shard]).
+    * Global books omit the shard column; its presence is the
+    * per-shard marker on read (old stores parse unchanged).
+    */
+  private def saveBooks(books: ProductQuantizer.Books, residual: Boolean): Unit = {
     import spark.implicits._
-    val rows = for { mm <- 0 until m.numSubspaces; k <- 0 until m.numCodes }
-      yield (mm, k, m.centroids(mm)(k).toSeq, residual)
-    rows.toDF("m", "k", "centroid", "residual")
-      .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
+    books match {
+      case ProductQuantizer.GlobalBooks(m) =>
+        val rows = for { mm <- 0 until m.numSubspaces; k <- 0 until m.numCodes }
+          yield (mm, k, m.centroids(mm)(k).toSeq, residual)
+        rows.toDF("m", "k", "centroid", "residual")
+          .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
+      case ProductQuantizer.PerShardBooks(ms) =>
+        val rows = for {
+          (s, m) <- ms.toSeq; mm <- 0 until m.numSubspaces; k <- 0 until m.numCodes
+        } yield (s, mm, k, m.centroids(mm)(k).toSeq, residual)
+        rows.toDF("shard", "m", "k", "centroid", "residual")
+          .repartition(1).write.mode(SaveMode.Overwrite).parquet(pqDir)
+    }
     pqMetaCache = None
   }
 
-  /** (codebooks, isResidual) in ONE read of the codebook parquet —
-    * store/upsert/search need both together. Memoized: the codebook
+  /** Persist the OPQ rotation: one row per rotated dim j holding the
+    * j-th row of R (tiny: dim^2 doubles).
+    */
+  private def saveRotation(comps: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    comps.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("j", "component")
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(opqDir)
+    pqMetaCache = None
+  }
+
+  /** (codebooks, isResidual, rotation) in ONE read of the codebook
+    * parquet (+ one of the rotation when present) —
+    * store/upsert/search need them together. Memoized: the codebook
     * only changes on [[build]] (which invalidates), so per-call reads
-    * would add two driver-side parquet jobs of pure overhead to every
+    * would add driver-side parquet jobs of pure overhead to every
     * [[streamStore]] micro-batch. Under the store's single-writer
     * contract no OTHER process rebuilds the codebook out from under a
     * live handle.
     */
-  @volatile private var pqMetaCache: Option[Option[(ProductQuantizer.Model, Boolean)]] = None
+  @volatile private var pqMetaCache: Option[Option[PqMeta]] = None
 
-  private def pqMeta(): Option[(ProductQuantizer.Model, Boolean)] =
+  private final case class PqMeta(books: ProductQuantizer.Books, residual: Boolean,
+                                  rotation: Option[Array[Array[Double]]])
+
+  private def pqMeta(): Option[PqMeta] =
     pqMetaCache match {
       case Some(m) => m
       case None =>
@@ -134,29 +225,55 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         m
     }
 
-  private def readPqMeta(): Option[(ProductQuantizer.Model, Boolean)] = {
+  private def readPqMeta(): Option[PqMeta] = {
     val p = new org.apache.hadoop.fs.Path(pqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val df = spark.read.parquet(pqDir)
       val residual = df.columns.contains("residual")
-      val rows = df.select("m", "k", "centroid").collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      val numSub = rows.map(_._1._1).max + 1
-      val numCodes = rows.map(_._1._2).max + 1
-      val byKey = rows.toMap
-      val model = ProductQuantizer.Model(byKey((0, 0)).length,
-        Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k)))))
-      Some((model, residual && df.select("residual").head().getBoolean(0)))
+      def toModel(rows: Array[((Int, Int), Array[Double])]): ProductQuantizer.Model = {
+        val numSub = rows.map(_._1._1).max + 1
+        val numCodes = rows.map(_._1._2).max + 1
+        val byKey = rows.toMap
+        ProductQuantizer.Model(byKey((0, 0)).length,
+          Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => byKey((m, k)))))
+      }
+      // shard column present => per-shard books (global stores omit it)
+      val books: ProductQuantizer.Books =
+        if (df.columns.contains("shard")) {
+          val rows = df.select("shard", "m", "k", "centroid").collect()
+            .map(r => (r.getInt(0), ((r.getInt(1), r.getInt(2)), r.getSeq[Double](3).toArray)))
+          ProductQuantizer.PerShardBooks(
+            rows.groupBy(_._1).map { case (s, rs) => s -> toModel(rs.map(_._2)) })
+        } else ProductQuantizer.GlobalBooks(toModel(
+          df.select("m", "k", "centroid").collect()
+            .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))))
+      // absent rotation dir => identity (pre-OPQ stores read unchanged)
+      val rot = if (!fs.exists(new org.apache.hadoop.fs.Path(opqDir))) None
+        else Some(spark.read.parquet(opqDir).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2))
+      Some(PqMeta(books, residual && df.select("residual").head().getBoolean(0), rot))
     }
   }
 
-  /** The persisted PQ codebooks, if this store was built with PQ. */
-  def pqModel(): Option[ProductQuantizer.Model] = pqMeta().map(_._1)
+  /** The persisted PQ codebooks, if this store was built with a single
+    * global book (the default). A per-shard store answers through
+    * [[pqBooks]] instead.
+    */
+  def pqModel(): Option[ProductQuantizer.Model] = pqMeta().map(_.books).collect {
+    case ProductQuantizer.GlobalBooks(m) => m
+  }
+
+  /** The persisted codebook set (global or per-shard), if PQ-built. */
+  def pqBooks(): Option[ProductQuantizer.Books] = pqMeta().map(_.books)
 
   /** Whether this store's codes quantize residuals (vs raw vectors). */
-  def pqIsResidual: Boolean = pqMeta().exists(_._2)
+  def pqIsResidual: Boolean = pqMeta().exists(_.residual)
+
+  /** The persisted OPQ rotation (rows of R), if built with opqRotate. */
+  def opqRotation(): Option[Array[Array[Double]]] = pqMeta().flatMap(_.rotation)
 
   /** Override the routing centroids (reference /set_centroids). */
   def setCentroids(cents: Array[(Int, Array[Double])]): Unit = {
@@ -180,7 +297,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
     // a PQ-built store keeps its compressed shape through ingest
-    pqMeta().map { case (m, res) => withCodes(routed, m, res) }.getOrElse(routed)
+    pqMeta().map(pm => withCodes(routed, pm.books, pm.residual, pm.rotation))
+      .getOrElse(routed)
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(vecDir)
   }
@@ -226,7 +344,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val routed = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("shard", Centroids.nearestShard(col(vecCol), cents))
-    val incoming = pqMeta().map { case (m, res) => withCodes(routed, m, res) }
+    val incoming = pqMeta().map(pm => withCodes(routed, pm.books, pm.residual, pm.rotation))
       .getOrElse(routed).localCheckpoint(true)
     try {
       // partition-column inference reads shard back as int: normalize
@@ -303,7 +421,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val relabeled = all.withColumn("__new",
       Centroids.nearestShard(col(vecCol).cast("array<double>"), cents))
     val meta = pqMeta()
-    if (meta.exists(_._2)) {
+    if (meta.exists(_.residual)) {
       // residual codes are parameterized by the serving centroids, so
       // the refresh re-encodes and rewrites the WHOLE index in one
       // pass (the codebook itself stays — residual distributions move
@@ -313,7 +431,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val rebuilt = relabeled
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
           col("__new").as("shard"))
-      val out = withCodes(withResidual(rebuilt, cents), meta.get._1, residual = true)
+      val out = withCodes(withResidual(rebuilt, cents), meta.get.books,
+        residual = true, meta.get.rotation)
       // write the re-encoded index BESIDE the live one, then swap
       // (same tmp-swap contract as sources.Compact): the live
       // directory is never deleted until its replacement is durable
@@ -402,11 +521,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val ranked =
       if (!compressed) probed.withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
       else {
-        val (model, residual) = pqMeta().getOrElse(throw new IllegalStateException(
-          "compressed search needs a PQ-built store: build(pqSubspaces > 0)"))
+        val PqMeta(books, residual, rotation) = pqMeta().getOrElse(
+          throw new IllegalStateException(
+            "compressed search needs a PQ-built store: build(pqSubspaces > 0)"))
         val qn = math.sqrt(q.map(x => x * x).sum)
+        // OPQ stores hold codes in rotated space; rotating the query
+        // once driver-side makes the ADC lookup exact in that space
+        // (<q, r~> = <R q, R r~>, R pure rotation) — centroid offsets
+        // and vnorm stay in raw space, untouched
+        val qAdc = rotation.map(r => r.map { row =>
+          var s = 0.0; var i = 0
+          while (i < q.length) { s += row(i) * q(i); i += 1 }
+          s
+        }).getOrElse(q)
         // residual stores: <q,v> ~ <q,c_s> (per-shard literal) + ADC
-        val adc = ProductQuantizer.adcDot(col("pq_codes"), q, model)
+        val adc = books match {
+          case ProductQuantizer.GlobalBooks(m) =>
+            ProductQuantizer.adcDot(col("pq_codes"), qAdc, m)
+          case ps: ProductQuantizer.PerShardBooks =>
+            ProductQuantizer.adcDotPerShard(col("pq_codes"), col("shard"), qAdc, ps)
+        }
         val approxDot = if (!residual) adc else {
           val offs = cents.sortBy(_._1).map { case (_, c) =>
             var s = 0.0; var i = 0

@@ -295,6 +295,152 @@ class VectorSpec extends AnyFunSuite {
     assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0) === n0 - 1)
   }
 
+  test("OPQ store: rotated compressed search matches raw top-k end-to-end") {
+    // the correlated regime OPQ exists for: 8 latent axes with decaying
+    // scales mixed densely into 64 dims (same shape as OpqSpec)
+    val rnd = new scala.util.Random(4242)
+    val w = Array.fill(8, 64)(rnd.nextGaussian())
+    val z = (0 until 8).map(j => (rand(seed = 900 + j) - 0.5) * (6.0 / (j + 1)))
+    val x = (0 until 64).map { i =>
+      z.zipWithIndex.map { case (zj, j) => zj * w(j)(i) }.reduce(_ + _) +
+        (rand(seed = 2000 + i) - 0.5) * 0.05
+    }
+    val vecs = spark.range(0, 2000, 1, 8)
+      .select(col("id"), array(x: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-opqstore").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(vecs, iters = 3, pqSubspaces = 16, opqRotate = true)
+    assert(vs.opqRotation().exists(r => r.length == 64 && r(0).length == 64))
+
+    val q = vecs.filter(col("id") === 17)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0).toArray
+    // rotated-compressed search reproduces the raw-vector top-k (the
+    // shortlist re-rank is exact; rotation must not break routing,
+    // offsets, or the ADC space)
+    val exact = vs.search(q, topK = 5, nprobe = 4).collect()
+    val comp = vs.search(q, topK = 5, nprobe = 4, compressed = true, shortlist = 100).collect()
+    assert(comp.map(_.getLong(0)).toSeq === exact.map(_.getLong(0)).toSeq)
+    comp.zip(exact).foreach { case (c, e) =>
+      assert(math.abs(c.getDouble(2) - e.getDouble(2)) < 1e-9)
+    }
+
+    // ingest through store() keeps the rotated-code shape: a vector
+    // stored post-build is findable by compressed search
+    import spark.implicits._
+    vs.store(Seq((9999L, q.toSeq)).toDF("id", "vector"))
+    val top2 = vs.search(q, topK = 2, nprobe = 4, compressed = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(17L, 9999L)) // both cosine 1.0; id breaks the tie
+
+    // the streaming reconstruction path applies the INVERSE rotation:
+    // cosine(raw, centroid + R^T decode(codes)) stays ~1, and wiring
+    // the rotation through scoreIvfCompressed tracks exact scoring
+    val model = vs.pqModel().get
+    val cents = vs.centroids()
+    val corpus = spark.read.parquet(s"$dir/vectors")
+      .withColumn("shard", col("shard").cast("long"))
+    val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+    val recon = zip_with(
+      element_at(typedlit(ordered), col("shard").cast("int") + 1),
+      graft.vector.Opq.decodeRawCol(col("pq_codes"), graft.vector.Opq.Model(
+        graft.vector.Pca.Model(new Array[Double](64), vs.opqRotation().get), model)),
+      (c, r) => c + r)
+    // a wrong-basis reconstruction (missing/incorrect inverse) scores
+    // near zero on dense correlated data; genuine 16x16 quantization
+    // error on this corpus leaves the mean ~0.99 with a worst row ~0.88
+    val cos = corpus
+      .select(cosineSim(col("vector").cast("array<double>"), recon).as("c"))
+      .agg(min("c").as("mn"), avg("c").as("av")).head()
+    assert(cos.getDouble(0) > 0.8, s"worst inverse-rotated reconstruction cosine $cos")
+    assert(cos.getDouble(1) > 0.97, s"mean inverse-rotated reconstruction cosine $cos")
+
+    val queries = vecs.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    import graft.streaming.StreamingSearch
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      StreamingSearch.topKPerQuery(df, 5).select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+    val compTop = top5(StreamingSearch.scoreIvfCompressed(
+      queries, corpus, cents.toSeq, model, residual = true, nprobe = 4,
+      rotation = vs.opqRotation()))
+    val exactTop = top5(StreamingSearch.scoreIvf(queries, corpus, cents.toSeq, nprobe = 4))
+    (0L until 3L).foreach { qq =>
+      assert((compTop(qq) intersect exactTop(qq)).size >= 4,
+        s"query $qq: ${compTop(qq)} vs ${exactTop(qq)}")
+    }
+  }
+
+  test("per-shard codebooks cut ADC error vs one global book at 16 shards") {
+    // 16 clusters; within cluster c the residual is t·d_c for a dense
+    // cluster-SPECIFIC direction d_c (plus tiny noise). A global book's
+    // subspaces must model the mixture of 16 different line segments;
+    // a per-shard book models one segment with all 16 codes — the
+    // locally-adaptive regime per-shard books exist for.
+    val rnd = new scala.util.Random(77)
+    val dirs = Array.tabulate(16) { _ =>
+      val d = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(d.map(x => x * x).sum); d.map(_ / n)
+    }
+    val cluster = pmod(col("id"), lit(16)).cast("int")
+    val t = (rand(seed = 5) - 0.5) * 2.0
+    val vec = array((0 until 64).map { i =>
+      val center = element_at(typedlit(Array.tabulate(16)(c =>
+        if (i / 4 == c) 10.0 else 0.0).toSeq), cluster + 1)
+      val drift = element_at(typedlit(dirs.map(_(i)).toSeq), cluster + 1) * t
+      center + drift + (rand(seed = 3000 + i) - 0.5) * 0.02
+    }: _*)
+    val vecs = spark.range(0, 3200, 1, 8).select(col("id"), vec.as("vector"))
+    val dirG = Files.createTempDirectory("graft-psq-g").toString
+    val dirS = Files.createTempDirectory("graft-psq-s").toString
+    val vsG = new VectorStore(spark, dirG, numShards = 16)
+    val vsS = new VectorStore(spark, dirS, numShards = 16)
+    vsG.build(vecs, iters = 3, pqSubspaces = 16)
+    vsS.build(vecs, iters = 3, pqSubspaces = 16, pqPerShard = true)
+    assert(vsG.pqModel().isDefined && vsS.pqModel().isEmpty)
+    assert(vsS.pqBooks().exists(_.isPerShard))
+
+    val q = vecs.filter(col("id") === 1)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def adcErr(vs: VectorStore, dir: String): Double = {
+      val offs = vs.centroids().sortBy(_._1)
+        .map { case (_, c) => c.zip(q).map { case (a, b) => a * b }.sum }.toSeq
+      val adc = vs.pqBooks().get match {
+        case graft.vector.ProductQuantizer.GlobalBooks(m) =>
+          graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, m)
+        case ps: graft.vector.ProductQuantizer.PerShardBooks =>
+          graft.vector.ProductQuantizer.adcDotPerShard(
+            col("pq_codes"), col("shard"), q, ps)
+      }
+      spark.read.parquet(s"$dir/vectors")
+        .withColumn("shard", col("shard").cast("long"))
+        .withColumn("approx",
+          (element_at(typedlit(offs), col("shard").cast("int") + 1) + adc) /
+            (col("vnorm") * qn))
+        .withColumn("truth", cosineSim(col("vector").cast("array<double>"), typedlit(q.toSeq)))
+        .agg(avg(abs(col("approx") - col("truth")))).head().getDouble(0)
+    }
+    val errG = adcErr(vsG, dirG)
+    val errS = adcErr(vsS, dirS)
+    info(s"mean ADC cosine error: global=$errG per-shard=$errS")
+    assert(errS <= errG,
+      s"per-shard books must not lose to the global book: $errS vs $errG")
+    assert(errS < errG * 0.7, s"expected a clear local-book win: $errS vs $errG")
+
+    // compressed search on the per-shard store reproduces exact top-5,
+    // and ingest through store() keeps the per-shard code shape
+    val exact = vsS.search(q, topK = 5, nprobe = 16).collect().map(_.getLong(0)).toSeq
+    val comp = vsS.search(q, topK = 5, nprobe = 16, compressed = true, shortlist = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(comp === exact)
+    import spark.implicits._
+    vsS.store(Seq((9999L, q.toSeq)).toDF("id", "vector"))
+    val top2 = vsS.search(q, topK = 2, nprobe = 16, compressed = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(1L, 9999L))
+  }
+
   test("deterministic centroids match lowest-id vectors") {
     val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
     assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
