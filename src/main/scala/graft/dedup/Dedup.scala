@@ -565,6 +565,41 @@ object Dedup extends QueryModule {
   private def embeddingBlocked(s: SparkSession, d: String): DataFrame =
     embeddingPairsBlocked(Tables.embeddings(s, d))
 
+  /** The SELECTIVE banding regime as a driver query — the 100 TB shape.
+    * The registered 0.40-threshold queries are near-exhaustive by
+    * banding physics (see [[bandingFor]]); real near-dup curation runs
+    * at >= 0.75 where 32x8 banding cuts candidates ~8x. The test
+    * embeddings are near-uniform (no natural pairs above 0.75), so the
+    * query plants deterministic near-dup twins — a constant +0.05
+    * shift of the first 50 vectors, cosine ~0.97 to their originals,
+    * expressible identically in the DuckDB oracle — and the blocked
+    * path must find EXACTLY the planted pairs (banding recall at
+    * cosine ~0.97 is 1 - 1e-10; random pairs sit 6 sigma below the
+    * threshold). The corpus is capped at 2000 base vectors so the
+    * oracle's all-pairs verify stays cheap; the Spark side runs the
+    * same plan it would at full volume.
+    */
+  private def embeddingSelective(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+    embeddingPairsBlocked(base.unionByName(twins), threshold = 0.75)
+  }
+
+  private val embeddingSelectiveSql =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 2000
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.05)
+      |  FROM embeddings WHERE vec_id < 50)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS score
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.75""".stripMargin
+
   private val embeddingSql =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
@@ -580,7 +615,8 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> (simhash _),
     "dedup_edit_distance" -> (editDistance _),
     "dedup_embedding"     -> (embedding _),
-    "dedup_embedding_blocked" -> (embeddingBlocked _))
+    "dedup_embedding_blocked" -> (embeddingBlocked _),
+    "dedup_embedding_selective" -> (embeddingSelective _))
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_paragraph"     -> paragraphSql,
@@ -592,5 +628,6 @@ object Dedup extends QueryModule {
     // the blocked variant verifies candidates with the exact cosine,
     // and its banding is sized so candidate recall is total on the
     // test corpora — so the exact all-pairs SQL is its oracle too
-    "dedup_embedding_blocked" -> embeddingSql)
+    "dedup_embedding_blocked" -> embeddingSql,
+    "dedup_embedding_selective" -> embeddingSelectiveSql)
 }
