@@ -137,13 +137,15 @@ object CurationPipeline {
     }
 
     val all = withDirty.cache()
+    // sums are coalesced: over an EMPTY corpus (e.g. a watermark-advance
+    // micro-batch in StreamingCuration) sum() is NULL while count() is 0
     val acct = all.agg(
       count(lit(1)).as("n"),
-      sum(when(col("__q"), 1L).otherwise(0L)).as("nQ"),
-      sum(when(col("__q") && col("__lm"), 1L).otherwise(0L)).as("nQL"),
-      sum(when(col("__keepE"), 1L).otherwise(0L)).as("nE"),
-      sum(when(col("__loser"), 1L).otherwise(0L)).as("nL"),
-      sum(when(col("__dirty"), 1L).otherwise(0L)).as("nD")).head()
+      coalesce(sum(when(col("__q"), 1L).otherwise(0L)), lit(0L)).as("nQ"),
+      coalesce(sum(when(col("__q") && col("__lm"), 1L).otherwise(0L)), lit(0L)).as("nQL"),
+      coalesce(sum(when(col("__keepE"), 1L).otherwise(0L)), lit(0L)).as("nE"),
+      coalesce(sum(when(col("__loser"), 1L).otherwise(0L)), lit(0L)).as("nL"),
+      coalesce(sum(when(col("__dirty"), 1L).otherwise(0L)), lit(0L)).as("nD")).head()
     val (n, nQ, nQL, nE, nL, nD) =
       (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3),
         acct.getLong(4), acct.getLong(5))

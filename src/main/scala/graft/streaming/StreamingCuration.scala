@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.CurationPipeline
+
+/** Streaming curation end-to-end: the ingest half of
+  * [[CurationPipeline]] running continuously over a document stream,
+  * plus the batch pass that closes the pipeline.
+  *
+  * Stage split, by state semantics:
+  *  - WATERMARK-SAFE (runs in-stream): exact dedup via
+  *    [[StreamingDedup]] (`dropDuplicatesWithinWatermark` — one state
+  *    entry per distinct fingerprint inside the horizon, evicted as
+  *    event time advances), then per-micro-batch
+  *    [[CurationPipeline.curate]] — quality gate, batch-local exact
+  *    dedup, batch-local MinHash near-dup removal. Everything the
+  *    batch pipeline does that needs only THIS batch's rows.
+  *  - BATCH-ONLY (runs in [[finish]]): cross-batch MinHash near-dup
+  *    removal and the optional LM/decontamination gates. MinHash
+  *    banding joins bucket keys across the WHOLE corpus — a pair
+  *    split across micro-batches never collides in-stream, and a
+  *    bounded-state streaming formulation would need the full
+  *    signature index resident; corpus-statistic gates (LM
+  *    perplexity) are meaningless on a micro-batch sample. So the
+  *    stream pass cuts obviously-duplicated/low-quality volume BEFORE
+  *    it is stored (the expensive part at ingest rates), and one
+  *    batch pass over the surviving, much smaller corpus finishes the
+  *    job — the same split the batch pipeline's Scaladoc prescribes
+  *    for its own exact-before-banded ordering.
+  *
+  * Delivery contract: foreachBatch + parquet append is at-least-once
+  * (a batch retried after a sink-side failure appends twice); the
+  * closing [[finish]] pass re-runs exact dedup over the accumulated
+  * output, so replayed duplicates cannot reach the final corpus.
+  */
+object StreamingCuration {
+
+  /** Start curating `docs` (streaming frame with `tsCol` event time,
+    * `doc_id`, `text`) into parquet at `outDir`. Caller stops the
+    * returned query, then runs [[finish]].
+    */
+  def start(docs: DataFrame, outDir: String, checkpoint: String,
+            minWords: Int = 10, jaccardThreshold: Double = 0.8,
+            tsCol: String = "ts", watermark: String = "10 minutes"): StreamingQuery =
+    StreamingDedup.dedup(docs, tsCol, "text", watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // curate() is the SAME operator the batch pipeline runs; here
+        // its corpus is one micro-batch, so its exact/near-dup passes
+        // are batch-local by construction. Drop accounting per batch
+        // is available from the Result if a caller wants to meter it;
+        // the survivors append and the final accounting comes from
+        // finish() over the accumulated corpus.
+        // watermark-advance ticks deliver empty batches; curating them
+        // would run the full pipeline plan to append nothing
+        if (!batch.isEmpty) {
+          val r = CurationPipeline.curate(batch.sparkSession, batch.drop(tsCol),
+            minWords, jaccardThreshold)
+          r.kept.write.mode(SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+
+  /** The closing batch pass over everything the stream accepted:
+    * cross-batch exact dedup (replays + beyond-watermark duplicates),
+    * corpus-wide MinHash near-dup removal, and any corpus-statistic
+    * gates — the full [[CurationPipeline.curate]] with its
+    * single-aggregation drop accounting.
+    */
+  def finish(spark: SparkSession, outDir: String,
+             minWords: Int = 10, jaccardThreshold: Double = 0.8,
+             benchmarkShingles: Option[DataFrame] = None,
+             clusterNearDups: Boolean = false,
+             minLmScoreX1e6: Option[Long] = None): CurationPipeline.Result =
+    CurationPipeline.curate(spark, spark.read.parquet(outDir),
+      minWords, jaccardThreshold,
+      benchmarkShingles = benchmarkShingles,
+      clusterNearDups = clusterNearDups,
+      minLmScoreX1e6 = minLmScoreX1e6)
+}

@@ -166,6 +166,59 @@ class StreamingSpec extends AnyFunSuite {
       === Array(1L, 2L, 5L))
   }
 
+  test("streaming curation + batch closer matches the batch pipeline's survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    val w12 = (1 to 12).map(i => s"w$i").mkString(" ")       // quality-passing body
+    val w40 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val nearA = w40 + " delta"
+    val nearB = w40 + " epsilon" // one word of 41 differs: Jaccard ~ 0.87
+    val batch1 = Seq(
+      doc(1, 0, w12 + " one"),
+      doc(2, 1, w12 + " one"),          // exact dup, same batch -> in-stream drop
+      doc(3, 2, "too short"),           // quality gate -> in-stream drop
+      doc(4, 3, nearA))
+    // advances the watermark to ~3100s, evicting batch1's fingerprints
+    // (distinct vocabulary: doc 7 must not be a near-dup of doc 1)
+    val batch2 = Seq(doc(7, 3702, (1 to 12).map(i => s"u$i").mkString(" ") + " two"))
+    val batch3 = Seq(
+      doc(5, 3700, w12 + " one"),       // exact dup BEYOND watermark -> only finish() drops
+      doc(6, 3701, nearB))              // near-dup CROSS batch -> only finish() drops
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scur-out").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scur-ck").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      input.toDF().toDF("doc_id", "ts", "text"), outDir, ckpt, watermark = "10 minutes")
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(batch3: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the stream pass dropped what it could see: same-batch exact dup
+    // and the quality gate; the beyond-watermark dup and the
+    // cross-batch near-dup got through
+    val streamed = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+    assert(streamed === Array(1L, 4L, 5L, 6L, 7L))
+
+    // the batch closer finishes the job, and the final survivor set
+    // matches the batch pipeline run directly over the full corpus
+    val r = graft.streaming.StreamingCuration.finish(spark, outDir)
+    val got = r.kept.select("doc_id").as[Long].collect().sorted
+    val all = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "ts", "text").drop("ts")
+    val want = graft.pipeline.CurationPipeline.curate(spark, all)
+      .kept.select("doc_id").as[Long].collect().sorted
+    assert(got === want, s"streaming+finish ${got.toSeq} vs batch ${want.toSeq}")
+    assert(got === Array(1L, 4L, 7L))
+    assert(r.droppedExact === 1L && r.droppedNearDup === 1L)
+  }
+
   test("session_window batch result agrees with the lag/cumsum sessionizer") {
     val sw = EventStream.sessionWindows(batchEvents)
       .select("user_id", "start_us", "n_events", "sum_value")
