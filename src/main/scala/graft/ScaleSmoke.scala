@@ -129,6 +129,84 @@ object ScaleSmoke {
         .orderBy(desc("s"), col("id").asc).limit(10).collect()
     }
 
+    // OPQ-rotated IVF+PQ — the same serving shape with codes in rotated
+    // space (rotation + allocation trained on the 10% sample alongside
+    // the codebooks). On uniform random vectors the rotation cannot
+    // HELP (nothing to decorrelate); the check is recall PARITY with
+    // the unrotated store — the composition must cost nothing where it
+    // has nothing to gain, and the spec-measured win on correlated data
+    // (OpqSpec) then comes free at serving time.
+    val dirOpq = Files.createTempDirectory("graft-scale-opq").toString
+    val vsOpq = new VectorStore(spark, dirOpq, numShards = 16)
+    timed(s"ivf+opq build ($nVec vectors, rotation + 16x16 codes, 10% train)") {
+      vsOpq.build(vecs, iters = 3, pqSubspaces = 16, pqTrainFraction = 0.1,
+        opqRotate = true)
+    }
+    val opqComp = timed("ivf+opq search nprobe=2 (rotated ADC scan + rerank-2000)") {
+      vsOpq.search(q, topK = 10, nprobe = 2, compressed = true, shortlist = 2000).collect()
+    }
+    val opqRaw = vsOpq.search(q, topK = 10, nprobe = 2).collect()
+    val opqOverlap = opqComp.map(_.getLong(0)).toSet
+      .intersect(opqRaw.map(_.getLong(0)).toSet).size
+    println(s"[scale] ivf+opq top-10 overlap with raw-vector search: $opqOverlap/10 " +
+      s"(parity check vs unrotated ivf+pq above: $pqOverlap/10)")
+
+    // per-shard codebooks at volume: same IVF+PQ serving shape, one
+    // book per inverted list (16 books; training is still one job per
+    // Lloyd iteration, keyed by (shard, m))
+    val dirPs = Files.createTempDirectory("graft-scale-psq").toString
+    val vsPs = new VectorStore(spark, dirPs, numShards = 16)
+    timed(s"ivf+pq build, PER-SHARD books ($nVec vectors, 16x(16x16) codes, 10% train)") {
+      vsPs.build(vecs, iters = 3, pqSubspaces = 16, pqTrainFraction = 0.1,
+        pqPerShard = true)
+    }
+    val psComp = timed("ivf+pq(per-shard) search nprobe=2 (ADC code scan + rerank-2000)") {
+      vsPs.search(q, topK = 10, nprobe = 2, compressed = true, shortlist = 2000).collect()
+    }
+    val psRaw = vsPs.search(q, topK = 10, nprobe = 2).collect()
+    val psOverlap = psComp.map(_.getLong(0)).toSet
+      .intersect(psRaw.map(_.getLong(0)).toSet).size
+    println(s"[scale] per-shard-book top-10 overlap with raw-vector search: $psOverlap/10")
+
+    // knn JOIN at volume — every query routed to its nprobe=2 shards,
+    // scored through a shard EQUI-JOIN with a bounded-heap top-3
+    // (Serving.knnJoinIvf's plan). Queries are a 5k sample so the local
+    // run is candidate-volume-bounded, but broadcast is disabled for
+    // this step to pin the 100 TB plan: there BOTH sides are
+    // corpus-sized, so the join must shuffle on the shard key — a plan
+    // that only works because the small side got broadcast would lie
+    // about scale.
+    val nQ = 5000
+    val knnQueries = vecs.filter(col("id") % (nVec / nQ) === 0)
+      .select(col("id").as("query_id"), col("vector").as("qv"))
+      .withColumn("shard", explode(graft.vector.Centroids.nearestShards(
+        col("qv"), vsPq.centroids().toSeq, nprobe = 2)))
+    val corpusS = spark.read.parquet(s"$dirPq/vectors")
+      .select(col("shard").cast("long").as("shard"), col("id"), col("vector"))
+    val balance = corpusS.groupBy("shard").count()
+      .agg(min("count"), max("count")).head()
+    println(s"[scale] shard population min=${balance.getLong(0)} max=${balance.getLong(1)} " +
+      "(uniform corpus; a skewed shard would call for within-shard salting)")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val knnJoin = corpusS.join(knnQueries, Seq("shard"))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("s", cosineSim(col("vector"), col("qv")))
+        .groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK(col("s"), col("id"), 3).as("tops"))
+      val plan = knnJoin.queryExecution.executedPlan.toString
+      println(s"[scale] knn-join plan broadcast-free: ${!plan.contains("BroadcastHashJoin")}")
+      val nOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2, shard equi-join, heap top-3)") {
+        knnJoin.count()
+      }
+      println(s"[scale] knn join produced $nOut query rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+
     // upsert/delete at volume. Two contrasting workloads:
     // (a) worst case — ids spread over every shard, negated vectors
     //     re-route across shards, so ALL partitions rewrite;

@@ -465,6 +465,42 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     }
   }
 
+  /** One maintenance pass report: shards rewritten by the centroid
+    * refresh, vectors that moved shards, and the per-partition file
+    * compaction (path, filesBefore, filesAfter).
+    */
+  final case class Maintenance(shardsRewritten: Array[Long], vectorsRerouted: Long,
+                               compaction: Seq[(String, Int, Int)])
+
+  /** The periodic maintenance job for a store under continuous ingest —
+    * the scale-era composition of the reference's /set_centroids
+    * lifecycle (cluster.py re-fits KMeans offline, compute_server.py
+    * /set_centroids swaps the routing table; here the swap also
+    * re-routes drifted rows and heals the file layout):
+    *
+    *  1. [[refreshCentroids]] — re-estimate centroids from the CURRENT
+    *     contents (warm-started Lloyd, stable shard identities),
+    *     persist, and rewrite only what moved (residual-PQ stores
+    *     re-encode, see refreshCentroids).
+    *  2. [[graft.sources.Compact.compactPartitions]] over the shard
+    *     directories — micro-batch ingest leaves one small file per
+    *     batch per shard; compaction restores ~target-size files,
+    *     re-sorted by id so row-group pruning keeps working for point
+    *     lookups and shortlist re-ranks.
+    *
+    * Run on a drift signal (shard balance from `listIds`, or recall
+    * from `Serving.recallEval`) or on a schedule. Single-writer, same
+    * non-atomicity contract as [[upsert]]; both steps are individually
+    * crash-safe (tmp-swap) and re-runnable.
+    */
+  def maintain(sampleFraction: Double = 0.1, iters: Int = 3,
+               targetFileBytes: Long = 128L << 20): Maintenance = {
+    val (touched, moved) = refreshCentroids(sampleFraction, iters)
+    val report = graft.sources.Compact.compactPartitions(
+      spark, vecDir, targetFileBytes, sortCols = Seq(idCol))
+    Maintenance(touched, moved, report)
+  }
+
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,
     * test.py:100-101 firing one HTTP POST per vector). Returns the

@@ -441,6 +441,66 @@ class VectorSpec extends AnyFunSuite {
     assert(top2 === Seq(1L, 9999L))
   }
 
+  test("maintain() heals recall after cluster drift and compacts ingest files") {
+    // 4 clusters on 16-dim axis blocks; cluster = id % 4 so the
+    // deterministic seeds hit distinct clusters
+    // hash-based jitter: a modular-arithmetic jitter like (id*31+d)%7
+    // collapses to id%7 — only 7 distinct jitter patterns, so a point's
+    // exact twins (its whole true-neighbor set) share its shard and the
+    // split never shows in recall
+    def clustered(center: Int => org.apache.spark.sql.Column) =
+      spark.range(0, 2000, 1, 8).select(col("id"),
+        array((0 until 64).map { d =>
+          center(d) +
+            (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+        }: _*).as("vector"))
+    val original = clustered(d =>
+      when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0))
+    val dir = Files.createTempDirectory("graft-maint").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(original, iters = 3)
+
+    // cluster 1 drifts to the MIDPOINT of its old home and cluster 2's:
+    // the stale router splits its points across shards 1 and 2 by
+    // jitter sign — the classic stale-centroid recall killer (a query
+    // probing one shard sees only half the cluster)
+    val drifted = clustered(d =>
+      if (d / 16 == 1 || d / 16 == 2) lit(2.5) else lit(0.0))
+      .filter(pmod(col("id"), lit(4)) === 1)
+    vs.upsert(drifted)
+
+    val q = drifted.filter(col("id") === 1)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    // nudge on block 0 — NEUTRAL to the shard-1/shard-2 tie (equidistant
+    // change to both centroids) and to the split sides, so the true
+    // neighbor set stays uncorrelated with the stale shard assignment
+    // (a nudge inside block 1 would bias the top-10 toward exactly the
+    // points that routed to shard 1 and mask the split)
+    q(0) += 0.5
+    val truth = spark.read.parquet(s"$dir/vectors")
+      .withColumn("s", cosineSim(col("vector").cast("array<double>"), typedlit(q.toSeq)))
+      .orderBy(desc("s"), col("id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recall1 = vs.search(q, topK = 10, nprobe = 1).collect()
+      .map(_.getLong(0)).toSet.intersect(truth).size
+    val before = recall1
+    assert(before <= 7, s"stale centroids should split the drifted cluster: $before/10")
+
+    // one maintenance pass: warm-started refresh consolidates the
+    // drifted cluster into one shard (its old centroid, emptied of
+    // original mass, converges onto the midpoint cluster) and the
+    // upsert-era small files compact back to one per shard
+    val m = vs.maintain(sampleFraction = 1.0, iters = 3, targetFileBytes = 1L << 30)
+    val after = recall1
+    assert(after >= 9, s"refresh should consolidate the drifted cluster: $after/10")
+    assert(after > before)
+    assert(m.vectorsRerouted > 0)
+    assert(m.compaction.forall { case (_, b, a) => a <= b }
+      && m.compaction.exists { case (_, b, a) => a < b },
+      s"compaction report: ${m.compaction}")
+  }
+
   test("deterministic centroids match lowest-id vectors") {
     val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
     assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
