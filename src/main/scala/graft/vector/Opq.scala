@@ -69,6 +69,20 @@ object Opq extends QueryModule {
   def train(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
             dim: Int = 64, numSubspaces: Int = 8, numCodes: Int = 16,
             iters: Int = 3, center: Boolean = true): Model = {
+    val permuted = trainRotation(df, vecCol, dim, numSubspaces, center)
+    val frame = Pca.project(df, permuted, vecCol, "__opq")
+      .select(col(idCol), col("__opq"))
+    val pq = ProductQuantizer.train(frame, idCol, "__opq", dim, numSubspaces, numCodes, iters)
+    Model(permuted, pq)
+  }
+
+  /** Rotation + eigenvalue allocation alone (the OPQ half without the
+    * codebooks) — for callers that train their own quantizer on the
+    * rotated frame, e.g. `VectorStore` composing a GLOBAL rotation
+    * with PER-SHARD codebooks.
+    */
+  def trainRotation(df: DataFrame, vecCol: String = "embedding", dim: Int = 64,
+                    numSubspaces: Int = 8, center: Boolean = true): Pca.Model = {
     val fitted = Pca.fit(df, vecCol, k = dim)
     val pca = if (center) fitted
       else Pca.Model(new Array[Double](fitted.mean.length), fitted.components)
@@ -77,11 +91,7 @@ object Opq extends QueryModule {
       .select((0 until dim).map(j => var_pop(element_at(col("__rot"), j + 1)).as(s"v$j")): _*)
       .head()
     val perm = allocate(Array.tabulate(dim)(vars.getDouble), numSubspaces)
-    val permuted = Pca.Model(pca.mean, perm.map(pca.components))
-    val frame = Pca.project(df, permuted, vecCol, "__opq")
-      .select(col(idCol), col("__opq"))
-    val pq = ProductQuantizer.train(frame, idCol, "__opq", dim, numSubspaces, numCodes, iters)
-    Model(permuted, pq)
+    Pca.Model(pca.mean, perm.map(pca.components))
   }
 
   /** Encode vectors under the model's rotation: project + PQ-encode,

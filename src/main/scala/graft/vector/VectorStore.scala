@@ -70,14 +70,28 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         // stores read back unchanged), and train the codebooks on the
         // ROTATED residuals/vectors. Serving rotates the query once
         // driver-side; codes and ADC tables live in rotated space.
-        require(!pqPerShard, "opqRotate + pqPerShard: pick one (a global " +
-          "rotation with per-shard books is sound but not wired yet)")
-        val om = Opq.train(trainSet, idCol, trainCol, dim, pqSubspaces,
-          pqCodes, pqIters, center = false)
-        saveBooks(ProductQuantizer.GlobalBooks(om.pq), pqResidual)
-        saveRotation(om.rotation.components)
-        withCodes(base, ProductQuantizer.GlobalBooks(om.pq), pqResidual,
-          Some(om.rotation.components))
+        // With pqPerShard the rotation stays GLOBAL (one orthonormal
+        // basis for the whole index — queries rotate once, not per
+        // probed shard) and each shard's book trains on its own
+        // rotated residuals.
+        val rot = Opq.trainRotation(trainSet, trainCol, dim, pqSubspaces,
+          center = false)
+        val books: ProductQuantizer.Books =
+          if (pqPerShard) {
+            val rotated = Pca.project(trainSet, rot, trainCol, "__opq")
+            val b = ProductQuantizer.trainPerShard(rotated, "shard", idCol,
+              "__opq", dim, pqSubspaces, pqCodes, pqIters)
+            requireBookCoverage(assigned, b, pqTrainFraction)
+            b
+          } else {
+            val frame = Pca.project(trainSet, rot, trainCol, "__opq")
+              .select(col(idCol), col("__opq"))
+            ProductQuantizer.GlobalBooks(ProductQuantizer.train(frame, idCol,
+              "__opq", dim, pqSubspaces, pqCodes, pqIters))
+          }
+        saveBooks(books, pqResidual)
+        saveRotation(rot.components)
+        withCodes(base, books, pqResidual, Some(rot.components))
       } else if (pqPerShard) {
         // per-shard codebooks: each inverted list's residuals get their
         // own M x K book — tighter local distributions, same code
@@ -86,15 +100,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         // keyed by (shard, m).
         val books = ProductQuantizer.trainPerShard(trainSet, "shard", idCol,
           trainCol, dim, pqSubspaces, pqCodes, pqIters)
-        // every shard the index writes needs its book: a sampled train
-        // set that missed a populated shard would otherwise encode
-        // null codes silently (one cheap distinct over the shard col)
-        val present = assigned.select("shard").distinct().collect()
-          .map(_.get(0).asInstanceOf[Number].intValue())
-        val missing = present.filterNot(books.models.contains)
-        require(missing.isEmpty,
-          s"pqTrainFraction=$pqTrainFraction sampled no rows from shards " +
-            s"${missing.mkString(",")}; raise the fraction")
+        requireBookCoverage(assigned, books, pqTrainFraction)
         saveBooks(books, pqResidual)
         deleteDir(opqDir)
         withCodes(base, books, pqResidual, None)
@@ -120,6 +126,21 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   }
 
   private val ResidualCol = "__residual"
+
+  /** Every shard the index writes needs its book: a sampled train set
+    * that missed a populated shard would otherwise encode null codes
+    * silently (one cheap distinct over the shard col).
+    */
+  private def requireBookCoverage(assigned: DataFrame,
+                                  books: ProductQuantizer.PerShardBooks,
+                                  fraction: Double): Unit = {
+    val present = assigned.select("shard").distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].intValue())
+    val missing = present.filterNot(books.models.contains)
+    require(missing.isEmpty,
+      s"pqTrainFraction=$fraction sampled no rows from shards " +
+        s"${missing.mkString(",")}; raise the fraction")
+  }
 
   /** `v - centroid(shard)` as a projection: centroids ride as one
     * array-of-arrays literal indexed by the shard column.
@@ -157,8 +178,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       case (ps: ProductQuantizer.PerShardBooks, None) =>
         ProductQuantizer.encodePerShard(src0, ps, "shard", encCol)
           .drop(ResidualCol)
-      case (_: ProductQuantizer.PerShardBooks, Some(_)) =>
-        throw new IllegalStateException("per-shard books with a rotation are not wired")
+      case (ps: ProductQuantizer.PerShardBooks, Some(r)) =>
+        val rot = Pca.Model(new Array[Double](r.length), r)
+        ProductQuantizer.encodePerShard(
+            Pca.project(src0, rot, encCol, "__opq"), ps, "shard", "__opq")
+          .drop("__opq", ResidualCol)
     }
     encoded.withColumn("vnorm", sqrt(aggregate(col(vecCol).cast("array<double>"),
       lit(0.0), (acc, x) => acc + x * x)))

@@ -406,12 +406,17 @@ class VectorSpec extends AnyFunSuite {
     def adcErr(vs: VectorStore, dir: String): Double = {
       val offs = vs.centroids().sortBy(_._1)
         .map { case (_, c) => c.zip(q).map { case (a, b) => a * b }.sum }.toSeq
+      // an OPQ store's codes live in rotated space: the ADC query must
+      // be R q (exactly what searchWhere does internally)
+      val qa = vs.opqRotation()
+        .map(_.map(row => row.zip(q).map { case (a, b) => a * b }.sum))
+        .getOrElse(q)
       val adc = vs.pqBooks().get match {
         case graft.vector.ProductQuantizer.GlobalBooks(m) =>
-          graft.vector.ProductQuantizer.adcDot(col("pq_codes"), q, m)
+          graft.vector.ProductQuantizer.adcDot(col("pq_codes"), qa, m)
         case ps: graft.vector.ProductQuantizer.PerShardBooks =>
           graft.vector.ProductQuantizer.adcDotPerShard(
-            col("pq_codes"), col("shard"), q, ps)
+            col("pq_codes"), col("shard"), qa, ps)
       }
       spark.read.parquet(s"$dir/vectors")
         .withColumn("shard", col("shard").cast("long"))
@@ -439,6 +444,21 @@ class VectorSpec extends AnyFunSuite {
     val top2 = vsS.search(q, topK = 2, nprobe = 16, compressed = true)
       .collect().map(_.getLong(0)).toSeq
     assert(top2 === Seq(1L, 9999L))
+
+    // the COMPOSED store — global OPQ rotation + per-shard books —
+    // builds, round-trips, and keeps the local-book ADC win
+    val dirC = Files.createTempDirectory("graft-psq-c").toString
+    val vsC = new VectorStore(spark, dirC, numShards = 16)
+    vsC.build(vecs, iters = 3, pqSubspaces = 16, pqPerShard = true, opqRotate = true)
+    assert(vsC.pqBooks().exists(_.isPerShard) && vsC.opqRotation().isDefined)
+    val errC = adcErr(vsC, dirC)
+    info(s"mean ADC cosine error: composed(rotation+per-shard)=$errC")
+    assert(errC < errG * 0.7,
+      s"composed store should keep the local-book win over the global book: $errC vs $errG")
+    val exactC = vsC.search(q, topK = 5, nprobe = 16).collect().map(_.getLong(0)).toSeq
+    val compC = vsC.search(q, topK = 5, nprobe = 16, compressed = true, shortlist = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(compC === exactC)
   }
 
   test("maintain() heals recall after cluster drift and compacts ingest files") {
