@@ -67,15 +67,6 @@ object Bench {
     // pass totals keep 3.
     def fN(n: Int)(v: Double): String = s"%.${n}f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = fN(3)(v)
-    def qsAt(dec: Int): String = results
-      .map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }.mkString("{", ",", "}")
-    // graceful degradation: if query growth pushes the map past the
-    // budget that keeps the whole line inside the archived tail, shed
-    // one decimal rather than the parse (still seconds, still JSON)
-    // budget: map + ~130B of other headline fields (passes, failed, sf,
-    // unit, metric, value) + sbt's ~75B success trailer must fit the
-    // 2000B tail -> map <= ~1790; 1770 leaves a safety margin
-    val qs = { val q2 = qsAt(2); if (q2.length <= 1770) q2 else qsAt(1) }
     val passes = (0 until nPasses)
       .map(p => f3(okNames.map(timings(p)).sum)).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if okNames.contains(k) => v }.sum
@@ -87,7 +78,18 @@ object Bench {
     // (per-query mins, per-pass totals for contention diagnosis, failures)
     // rides the same line. sbt's run task inherits stdout (build.sbt
     // outputStrategy), so the line starts with '{' at column 0.
-    println(s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}""")
+    def lineAt(dec: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+    }
+    // graceful degradation measured on the WHOLE line (query count,
+    // value widths, and failure lists all move it): shed per-query
+    // decimals rather than the parse. Budget: 2000B tail minus sbt's
+    // ~75B success trailer and the trailing newline -> 1900 leaves a
+    // margin for a longer trailer.
+    val line = Seq(lineAt(2), lineAt(1)).find(_.length <= 1900).getOrElse(lineAt(0))
+    println(line)
     spark.stop()
   }
 }

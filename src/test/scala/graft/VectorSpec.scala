@@ -369,6 +369,15 @@ class VectorSpec extends AnyFunSuite {
       assert((compTop(qq) intersect exactTop(qq)).size >= 4,
         s"query $qq: ${compTop(qq)} vs ${exactTop(qq)}")
     }
+
+    // a centroid refresh re-encodes THROUGH the rotation (withCodes
+    // gets the persisted rotation from the meta): the rotation
+    // survives and compressed search still matches exact afterwards
+    val (touchedR, _) = vs.refreshCentroids(sampleFraction = 1.0, iters = 2)
+    assert(touchedR.nonEmpty && vs.opqRotation().isDefined)
+    val comp3 = vs.search(q, topK = 5, nprobe = 4, compressed = true, shortlist = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(comp3 === vs.search(q, topK = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq)
   }
 
   test("per-shard codebooks cut ADC error vs one global book at 16 shards") {
@@ -459,6 +468,44 @@ class VectorSpec extends AnyFunSuite {
     val compC = vsC.search(q, topK = 5, nprobe = 16, compressed = true, shortlist = 100)
       .collect().map(_.getLong(0)).toSeq
     assert(compC === exactC)
+
+    // the streaming code-only scoring path handles per-shard books —
+    // plain and composed-with-rotation — tracking exact scoring
+    import graft.streaming.StreamingSearch
+    val queries3 = vecs.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      StreamingSearch.topKPerQuery(df, 5).select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+    for ((vsX, dirX) <- Seq((vsS, dirS), (vsC, dirC))) {
+      val corpusX = spark.read.parquet(s"$dirX/vectors")
+        .withColumn("shard", col("shard").cast("long"))
+      val books = vsX.pqBooks().get.asInstanceOf[graft.vector.ProductQuantizer.PerShardBooks]
+      // basis correctness: the broadcast-book reconstruction must sit
+      // on the raw vectors (a wrong subspace embedding or a missing /
+      // incorrect inverse rotation scores ~0.87 on this data, see the
+      // OPQ test). Top-5 overlap is NOT asserted tightly here: this
+      // corpus packs ~12 points per quantization cell along each
+      // cluster's residual line, so code-only scoring legitimately
+      // ties and reorders within a cell.
+      val scored = StreamingSearch.scoreIvfCompressedPerShard(
+        queries3, corpusX, vsX.centroids().toSeq, books, residual = true,
+        nprobe = 16, rotation = vsX.opqRotation())
+      val exact5 = top5(StreamingSearch.scoreIvf(
+        queries3, corpusX, vsX.centroids().toSeq, nprobe = 16))
+      val comp5 = top5(scored)
+      (0L until 3L).foreach { qq =>
+        assert((comp5(qq) intersect exact5(qq)).size >= 3,
+          s"$dirX query $qq: ${comp5(qq)} vs ${exact5(qq)}")
+        assert(comp5(qq).contains(qq),
+          s"$dirX query $qq must find its own row at cosine ~1")
+      }
+      val meanScore = scored.filter(col("query_id") === col("id"))
+        .agg(avg("score")).head().getDouble(0)
+      assert(meanScore > 0.999,
+        s"$dirX self-score through reconstruction: $meanScore")
+    }
   }
 
   test("maintain() heals recall after cluster drift and compacts ingest files") {
