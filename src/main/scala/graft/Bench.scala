@@ -87,8 +87,14 @@ object Bench {
     // value widths, and failure lists all move it): shed per-query
     // decimals rather than the parse. Budget: 2000B tail minus sbt's
     // ~75B success trailer and the trailing newline -> 1900 leaves a
-    // margin for a longer trailer.
-    val line = Seq(lineAt(2), lineAt(1)).find(_.length <= 1900).getOrElse(lineAt(0))
+    // margin for a longer trailer. Last rung: if even 0 decimals
+    // overflows, drop the per-query map entirely (full detail goes to
+    // stderr) — a parseable headline beats per-query precision.
+    val line = Seq(lineAt(2), lineAt(1), lineAt(0)).find(_.length <= 1900).getOrElse {
+      System.err.println("bench: per-query map exceeds the archived-tail budget; " +
+        "emitting totals only. Full map: " + lineAt(3))
+      s"""{"queries":{},"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+    }
     println(line)
     spark.stop()
   }

@@ -197,7 +197,16 @@ object ScaleSmoke {
         .groupBy("query_id")
         .agg(graft.expressions.TopKAgg.topK(col("s"), col("id"), 3).as("tops"))
       val plan = knnJoin.queryExecution.executedPlan.toString
-      println(s"[scale] knn-join plan broadcast-free: ${!plan.contains("BroadcastHashJoin")}")
+      // hard assert, not a printed hint: a regression that reintroduces
+      // a broadcast JOIN (hash or nested-loop) of either side
+      // invalidates the 100 TB shape the smoke exists to pin. A bare
+      // "Broadcast" match is too wide — dynamic partition pruning's
+      // SubqueryBroadcast node (the shard-pruning machinery, which we
+      // WANT) contains the substring too.
+      require(!plan.contains("BroadcastHashJoin") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"knn-join plan must be broadcast-free with broadcast disabled:\n$plan")
+      println("[scale] knn-join plan broadcast-free: true (asserted)")
       val nOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2, shard equi-join, heap top-3)") {
         knnJoin.count()
       }

@@ -39,6 +39,19 @@ object CurationPipeline {
     def droppedTotal: Long =
       droppedLowQuality + droppedLowLm + droppedExact + droppedNearDup +
         droppedContaminated
+
+    /** Unpin `kept`'s cached backing frame once it has been consumed
+      * (written out / counted) — `kept` is a filter OVER the cached
+      * internal frame, so unpersisting `kept` itself would be a
+      * no-op. A one-shot batch run can skip this — the cache dies
+      * with the session — but a caller invoking curate REPEATEDLY in
+      * one session (per micro-batch in
+      * [[graft.streaming.StreamingCuration]]) must release, or dead
+      * cached frames accumulate in the block manager for the stream's
+      * lifetime.
+      */
+    def release(): Unit = onRelease()
+    private[pipeline] var onRelease: () => Unit = () => ()
   }
 
   /** Filter + dedup (+ optionally decontaminate) the corpus; returns
@@ -152,7 +165,9 @@ object CurationPipeline {
     flagged.unpersist() // `all` is materialized; kept filters the cached `all`
     val kept = all.filter(col("__keepE") && !col("__loser") && !col("__dirty"))
       .drop("__q", "__lm", "__fp", "__keepE", "__loser", "__dirty")
-    Result(kept, n - nQ, nQL - nE, nL, nD, droppedLowLm = nQ - nQL)
+    val result = Result(kept, n - nQ, nQL - nE, nL, nD, droppedLowLm = nQ - nQL)
+    result.onRelease = () => all.unpersist()
+    result
   }
 
   /** Full flow: curate, embed, and build a searchable IVF store. */

@@ -59,7 +59,10 @@ object StreamingCuration {
         if (!batch.isEmpty) {
           val r = CurationPipeline.curate(batch.sparkSession, batch.drop(tsCol),
             minWords, jaccardThreshold)
-          r.kept.write.mode(SaveMode.Append).parquet(outDir)
+          try r.kept.write.mode(SaveMode.Append).parquet(outDir)
+          // one curate() per micro-batch pins one cached frame: release
+          // it or dead caches accumulate for the stream's lifetime
+          finally r.release()
         }
       }
       .start()
@@ -74,10 +77,23 @@ object StreamingCuration {
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
              benchmarkShingles: Option[DataFrame] = None,
              clusterNearDups: Boolean = false,
-             minLmScoreX1e6: Option[Long] = None): CurationPipeline.Result =
-    CurationPipeline.curate(spark, spark.read.parquet(outDir),
+             minLmScoreX1e6: Option[Long] = None): CurationPipeline.Result = {
+    // a stream that accepted nothing never created outDir (empty
+    // batches are skipped at the sink): close with zero survivors
+    // instead of a path-not-found failure
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val accepted =
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(outDir)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      }
+    CurationPipeline.curate(spark, accepted,
       minWords, jaccardThreshold,
       benchmarkShingles = benchmarkShingles,
       clusterNearDups = clusterNearDups,
       minLmScoreX1e6 = minLmScoreX1e6)
+  }
 }

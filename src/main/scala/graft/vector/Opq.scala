@@ -113,19 +113,6 @@ object Opq extends QueryModule {
   def adcDistance(codesCol: Column, q: Array[Double], m: Model): Column =
     ProductQuantizer.adcDistance(codesCol, rotateQuery(q, m), m.pq)
 
-  /** Reconstruction in RAW space of OPQ codes — the inverse-rotation
-    * twin of [[ProductQuantizer.decodeCol]]. A plain decode yields the
-    * approximation in ROTATED space; consumers that mix it with raw
-    * vectors (e.g. `recon = centroid + residual~` in
-    * [[graft.streaming.StreamingSearch.scoreIvfCompressed]]) need
-    * `R^T r~'` back in the original basis. Rather than decode-then-
-    * rotate (a dim x dim matrix product per row), each codeword is
-    * inverse-rotated ONCE driver-side into a full-dim partial vector
-    * `u(m)(k) = R_m^T c(m)(k)`, and the row expression sums M array
-    * lookups — the same lookup-sum shape ADC uses, map-only. The
-    * mean does not participate: only valid for `center = false`
-    * models (asserted), which is what [[VectorStore]] persists.
-    */
   /** Driver query: OPQ-compressed knn — rotate, encode, ADC shortlist
     * in rotated space, exact re-rank to top-10 (the serving path
     * `VectorStore.build(opqRotate = true)` + compressed search runs,
@@ -167,6 +154,19 @@ object Opq extends QueryModule {
     Map("vdb_knn_opq" -> (knnOpq _))
   override val oracleSql: Map[String, String] = Map("vdb_knn_opq" -> knnOpqSql)
 
+  /** Reconstruction in RAW space of OPQ codes — the inverse-rotation
+    * twin of [[ProductQuantizer.decodeCol]]. A plain decode yields the
+    * approximation in ROTATED space; consumers that mix it with raw
+    * vectors (e.g. `recon = centroid + residual~` in
+    * [[graft.streaming.StreamingSearch.scoreIvfCompressed]]) need
+    * `R^T r~'` back in the original basis. Rather than decode-then-
+    * rotate (a dim x dim matrix product per row), each codeword is
+    * inverse-rotated ONCE driver-side into a full-dim partial vector
+    * `u(m)(k) = R_m^T c(m)(k)`, and the row expression sums M array
+    * lookups — the same lookup-sum shape ADC uses, map-only. The
+    * mean does not participate: only valid for `center = false`
+    * models (asserted), which is what [[VectorStore]] persists.
+    */
   def decodeRawCol(codesCol: Column, m: Model): Column = {
     require(m.rotation.mean.forall(_ == 0.0),
       "decodeRawCol needs a pure-rotation (center = false) OPQ model")

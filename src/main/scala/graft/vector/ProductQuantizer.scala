@@ -196,35 +196,49 @@ object ProductQuantizer extends QueryModule {
   }
 
   /** [[encode]] under per-shard books: the row's shard selects its
-    * codebook from a map literal (shards x M x K x subDim doubles — a
-    * model-sized constant), then the same argmin projection. Map-only.
+    * codebook through a BROADCAST equi-join (one row per shard holding
+    * its M x K x subDim book as DATA), then the same argmin
+    * projection. Books ride as data, not plan literals, so generated
+    * code — and the codegen cache entry — is shard-count-independent:
+    * per-shard books are the high-shard-count regime, where a
+    * shards x M x K x subDim literal would grow the plan linearly
+    * (the same rule train() follows for its iteration books). A left
+    * join keeps rows whose shard has no book (codes come out null)
+    * rather than silently dropping them; `VectorStore` guarantees
+    * coverage at build time (padEmptyShards).
     */
   def encodePerShard(df: DataFrame, books: PerShardBooks,
                      shardCol: String = "shard",
                      vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val bookLit = typedlit(books.models.map { case (s, m) =>
-      s -> m.centroids.map(_.map(_.toSeq).toSeq).toSeq
-    })
-    val myBook = element_at(bookLit, col(shardCol).cast("int"))
+    val spark = df.sparkSession
+    import spark.implicits._
     val someModel = books.models.head._2
     val sub = someModel.subDim
-    df.withColumn("pq_codes", array((0 until someModel.numSubspaces).map { m =>
-      val codes = element_at(myBook, m + 1)
-      val sv = slice(v, m * sub + 1, sub)
-      val sqDist = (cv: Column) => aggregate(
-        zip_with(sv, cv, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      array_min(transform(
-        sequence(lit(0), lit(someModel.numCodes - 1)),
-        k => struct(sqDist(element_at(codes, k + 1)).as("d"),
-          k.cast("int").as("s")))).getField("s")
-    }: _*))
+    val bookDf = books.models.toSeq
+      .map { case (s, m) => (s, m.centroids.map(_.map(_.toSeq).toSeq).toSeq) }
+      .toDF("__bsh", "__book")
+    val v = col(vecCol).cast("array<double>")
+    df.join(broadcast(bookDf), col(shardCol).cast("int") === col("__bsh"), "left")
+      .withColumn("pq_codes", array((0 until someModel.numSubspaces).map { m =>
+        val codes = element_at(col("__book"), m + 1)
+        val sv = slice(v, m * sub + 1, sub)
+        val sqDist = (cv: Column) => aggregate(
+          zip_with(sv, cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        array_min(transform(
+          sequence(lit(0), lit(someModel.numCodes - 1)),
+          k => struct(sqDist(element_at(codes, k + 1)).as("d"),
+            k.cast("int").as("s")))).getField("s")
+      }: _*))
+      .drop("__bsh", "__book")
   }
 
-  /** [[adcDot]] under per-shard books: per-query lookup tables are
-    * computed for every shard's book (shards x M x K doubles) and the
-    * row's shard selects its table — still M lookups + a sum per row.
+  /** [[adcDot]] under per-shard books: per-query lookup tables ride as
+    * a map literal and the row's shard selects its table — still M
+    * lookups + a sum per row. Callers should pass only the books of
+    * the shards the query actually scans (`VectorStore.searchWhere`
+    * passes its probed subset), keeping the literal probe-bounded
+    * rather than shard-count-bounded.
     */
   def adcDotPerShard(codesCol: Column, shardCol: Column, q: Array[Double],
                      books: PerShardBooks): Column = {

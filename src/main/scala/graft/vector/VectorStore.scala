@@ -79,10 +79,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         val books: ProductQuantizer.Books =
           if (pqPerShard) {
             val rotated = Pca.project(trainSet, rot, trainCol, "__opq")
-            val b = ProductQuantizer.trainPerShard(rotated, "shard", idCol,
-              "__opq", dim, pqSubspaces, pqCodes, pqIters)
-            requireBookCoverage(assigned, b, pqTrainFraction)
-            b
+            padEmptyShards(ProductQuantizer.trainPerShard(rotated, "shard", idCol,
+              "__opq", dim, pqSubspaces, pqCodes, pqIters),
+              assigned, cents, pqTrainFraction)
           } else {
             val frame = Pca.project(trainSet, rot, trainCol, "__opq")
               .select(col(idCol), col("__opq"))
@@ -98,17 +97,22 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         // budget (VERDICT r6 #3; Jegou et al. 2011's locally-adaptive
         // variant). Training is still one job per Lloyd iteration,
         // keyed by (shard, m).
-        val books = ProductQuantizer.trainPerShard(trainSet, "shard", idCol,
-          trainCol, dim, pqSubspaces, pqCodes, pqIters)
-        requireBookCoverage(assigned, books, pqTrainFraction)
-        saveBooks(books, pqResidual)
+        val books = padEmptyShards(ProductQuantizer.trainPerShard(trainSet,
+          "shard", idCol, trainCol, dim, pqSubspaces, pqCodes, pqIters),
+          assigned, cents, pqTrainFraction)
+        // stale-rotation delete precedes the codebook write: a crash
+        // between the two must not leave an old rotation composed with
+        // new UNROTATED books (rotated queries against unrotated codes
+        // rank garbage silently; the reverse gap — no books yet — just
+        // fails fast)
         deleteDir(opqDir)
+        saveBooks(books, pqResidual)
         withCodes(base, books, pqResidual, None)
       } else {
         val model = ProductQuantizer.train(trainSet, idCol, trainCol, dim,
           pqSubspaces, pqCodes, pqIters)
+        deleteDir(opqDir) // before the write — see the per-shard branch
         saveBooks(ProductQuantizer.GlobalBooks(model), pqResidual)
-        deleteDir(opqDir) // a rebuild without OPQ must not keep a stale rotation
         withCodes(base, ProductQuantizer.GlobalBooks(model), pqResidual, None)
       }
     } else {
@@ -127,19 +131,45 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
 
   private val ResidualCol = "__residual"
 
-  /** Every shard the index writes needs its book: a sampled train set
-    * that missed a populated shard would otherwise encode null codes
-    * silently (one cheap distinct over the shard col).
+  /** Per-shard books must cover every shard id the ROUTER can assign
+    * (0 until numShards), not just the shards populated at build:
+    * store()/upsert() may later route vectors to a shard that was
+    * empty at build time, and a missing book would encode silently-
+    * NULL codes (the map-literal lookup has no error path). Two cases:
+    *  - populated at build but missed by the train SAMPLE — an error;
+    *    raise pqTrainFraction (one cheap distinct over the shard col
+    *    detects it);
+    *  - genuinely EMPTY at build — borrow the nearest populated
+    *    centroid's book: the first vectors routed there sit in that
+    *    neighborhood by construction (they chose this centroid over
+    *    the donor's), and the next build/maintenance retrains locally.
     */
-  private def requireBookCoverage(assigned: DataFrame,
-                                  books: ProductQuantizer.PerShardBooks,
-                                  fraction: Double): Unit = {
+  private def padEmptyShards(books: ProductQuantizer.PerShardBooks,
+                             assigned: DataFrame,
+                             cents: Array[(Int, Array[Double])],
+                             fraction: Double): ProductQuantizer.PerShardBooks = {
     val present = assigned.select("shard").distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].intValue())
+      .map(_.get(0).asInstanceOf[Number].intValue()).toSet
     val missing = present.filterNot(books.models.contains)
     require(missing.isEmpty,
       s"pqTrainFraction=$fraction sampled no rows from shards " +
         s"${missing.mkString(",")}; raise the fraction")
+    val empty = (0 until numShards).filterNot(s =>
+      present.contains(s) || books.models.contains(s))
+    if (empty.isEmpty) books
+    else {
+      val byId = cents.toMap
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val padded = empty.map { s =>
+        val donor = books.models.keys.minBy(p => (d2(byId(p), byId(s)), p))
+        s -> books.models(donor)
+      }
+      ProductQuantizer.PerShardBooks(books.models ++ padded)
+    }
   }
 
   /** `v - centroid(shard)` as a projection: centroids ride as one
@@ -599,7 +629,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           case ProductQuantizer.GlobalBooks(m) =>
             ProductQuantizer.adcDot(col("pq_codes"), qAdc, m)
           case ps: ProductQuantizer.PerShardBooks =>
-            ProductQuantizer.adcDotPerShard(col("pq_codes"), col("shard"), qAdc, ps)
+            // only the PROBED shards' lookup tables ride as plan
+            // literals — nprobe x M x K doubles, so plan size is
+            // probe-bounded, not shard-count-bounded
+            val probed = probe.map(_.toInt).toSet
+            ProductQuantizer.adcDotPerShard(col("pq_codes"), col("shard"), qAdc,
+              ProductQuantizer.PerShardBooks(ps.models.filter(kv => probed(kv._1))))
         }
         val approxDot = if (!residual) adc else {
           val offs = cents.sortBy(_._1).map { case (_, c) =>
