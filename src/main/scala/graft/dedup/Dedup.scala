@@ -589,6 +589,56 @@ object Dedup extends QueryModule {
     embeddingPairsBlocked(base.unionByName(twins), threshold = 0.75)
   }
 
+  /** Span-level exact dedup signal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": repeated >=N-token
+    * spans are the unit of training-data duplication, not whole
+    * documents — boilerplate headers/footers and quoted passages
+    * duplicate across documents whose full texts never hash-match).
+    * Per document: its 8-word rolling windows, and how many of them
+    * appear in at least one OTHER document — the span-duplication
+    * fraction a curation pipeline thresholds on, integer-exact x1e4.
+    *
+    * Scale shape: the window explode is corpus x ~tokens volume (the
+    * same class as the shingle-dedup passes); windows group internally
+    * by xxhash64 (a compact 8-byte shuffle key — the oracle joins raw
+    * window STRINGS for the same counts, a 64-bit-collision-free
+    * equivalence at any realistic corpus), the df count table partial-
+    * aggregates to distinct-window volume, and the per-doc rollup is
+    * one more hash aggregate. No sorts, no windows over the corpus.
+    */
+  def spanDupStats(docs: DataFrame, spanWords: Int = 8): DataFrame = {
+    val words = split(col("text"), " ")
+    val win = when(size(words) >= spanWords,
+      transform(sequence(lit(1), size(words) - (spanWords - 1)),
+        i => xxhash64(array_join(slice(words, i, lit(spanWords)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val exploded = docs.select(col("doc_id"), explode(win).as("wh"))
+    val dfCounts = exploded.groupBy("wh").agg(countDistinct("doc_id").as("ndocs"))
+    exploded.join(dfCounts, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("n_dup * 10000 div n_windows").as("dup_frac_x1e4"))
+  }
+
+  private def spanDup(s: SparkSession, d: String): DataFrame =
+    spanDupStats(Tables.documents(s, d))
+
+  private val spanDupSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, array_to_string(w[t.i:t.i+7], ' ') AS win
+      |  FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+      |  WHERE len(w) >= 8),
+      |dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1)
+      |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) * 10000
+      |       // COUNT(*) AS BIGINT) AS dup_frac_x1e4
+      |FROM wins w LEFT JOIN dup d USING (win)
+      |GROUP BY w.doc_id""".stripMargin
+
   private val embeddingSelectiveSql =
     """WITH aug AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 2000
@@ -616,7 +666,8 @@ object Dedup extends QueryModule {
     "dedup_edit_distance" -> (editDistance _),
     "dedup_embedding"     -> (embedding _),
     "dedup_embedding_blocked" -> (embeddingBlocked _),
-    "dedup_embedding_selective" -> (embeddingSelective _))
+    "dedup_embedding_selective" -> (embeddingSelective _),
+    "dedup_span_exact"    -> (spanDup _))
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_paragraph"     -> paragraphSql,
@@ -629,5 +680,6 @@ object Dedup extends QueryModule {
     // and its banding is sized so candidate recall is total on the
     // test corpora — so the exact all-pairs SQL is its oracle too
     "dedup_embedding_blocked" -> embeddingSql,
-    "dedup_embedding_selective" -> embeddingSelectiveSql)
+    "dedup_embedding_selective" -> embeddingSelectiveSql,
+    "dedup_span_exact"    -> spanDupSql)
 }
