@@ -47,9 +47,10 @@ class PqSpec extends AnyFunSuite {
       .orderBy(asc("d"), asc("vec_id")).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     // the raw 4-bit sketch is coarse: its job is shortlisting. With the
-    // driver query's 16x16 model, the ADC top-256 must cover the true
-    // top-10 (what the rerank relies on)
-    val m16 = ProductQuantizer.train(e, numSubspaces = 16)
+    // driver query's 16x16 model — trained on the SAME deterministic
+    // 20% sample the driver query uses — the ADC top-256 must cover
+    // the true top-10 (what the rerank relies on)
+    val m16 = ProductQuantizer.train(e.sample(0.2, 42L), numSubspaces = 16)
     val enc16 = ProductQuantizer.encode(e.filter(col("vec_id") =!= 0), m16)
     val short256 = ProductQuantizer.search(enc16, q, m16, topK = 256)
       .select("vec_id").collect().map(_.getLong(0)).toSet
