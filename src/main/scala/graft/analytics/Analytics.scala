@@ -767,7 +767,46 @@ object Analytics extends QueryModule {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1""".stripMargin
 
+  // --- decile stats: ntile bucketing of order values -----------------
+  /** Order-value deciles: every order ranked into 10 equal-population
+    * buckets, then per-bucket population stats — the "where does the
+    * money concentrate" profile (decile 10's share vs the rest).
+    *
+    * NTILE needs a TOTAL order ((o_totalprice, o_orderkey) — ties on
+    * price are broken by key) or bucket boundaries are
+    * nondeterministic between engines. Plan shape: the window is one
+    * global sort — exact decile edges are order statistics and
+    * genuinely need it. The 100 TB variant replaces NTILE with
+    * approx-percentile cut-points (q_approx_percentiles machinery)
+    * broadcast back as a projection-only bucket assignment; registered
+    * query keeps the exact form for oracle parity. Sums go through
+    * DECIMAL so per-bucket totals are order-independent (file header).
+    */
+  private def qDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        // Spark's NTILE is int, DuckDB's is bigint — align on bigint
+        ntile(10).over(w).cast(LongType).as("decile"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sumMoney2(col("o_totalprice")).as("sum_price"))
+  }
+
+  private val qDecilesSql =
+    """SELECT decile, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT o_orderkey, o_totalprice,
+      |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |      FROM orders) t
+      |GROUP BY decile""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_deciles"        -> (qDeciles _),
     "q_correlation"    -> (qCorrelation _),
     "q_outliers_mad"   -> (qOutliersMad _),
     "q_gap_fill"       -> (qGapFill _),
@@ -801,6 +840,7 @@ object Analytics extends QueryModule {
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
+    "q_deciles"        -> qDecilesSql,
     "q_correlation"    -> qCorrelationSql,
     "q_outliers_mad"   -> qOutliersMadSql,
     "q_gap_fill"       -> qGapFillSql,

@@ -246,10 +246,52 @@ object Dedup extends QueryModule {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, d))
 
+  // --- shingle containment: asymmetric near-dup ----------------------
+  /** Containment pairs: C(A⊂B) = |A∩B| / |A| over the capped shingle
+    * sets, reported when either direction reaches `threshold`. Jaccard
+    * under-scores doc-in-doc duplication — a page quoting 95% of a
+    * much longer one has J ≈ |A|/|B| (small) but C(A⊂B) ≈ 0.95 — so
+    * a Jaccard-only pass keeps wrapped reposts and quoted boilerplate
+    * that containment catches (Broder 1997 distinguishes resemblance
+    * from containment for exactly this case; reference analogue: none
+    * — its dedup is whole-vector equality only, storage_server.py).
+    *
+    * Plan shape is IDENTICAL to [[ngramJaccardPairs]] (same capped
+    * shingle equi-join, same size join; only the final projection
+    * differs), so the 100 TB posture — candidate generation is an
+    * equi-join on shingles with hot shingles df-capped out — carries
+    * over unchanged. Both directions emit so the consumer can tell
+    * which side is the contained one.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+                       maxDfFraction: Double = DefaultMaxDfFraction,
+                       dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+    val sh = shingles(docs).cache()
+    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val cAinB = col("i").cast(DoubleType) / col("na")
+    val cBinA = col("i").cast(DoubleType) / col("nb")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter(greatest(cAinB, cBinA) >= threshold)
+      // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
+      .select(col("id_a"), col("id_b"),
+        (round(cAinB * 10000.0, 0) / 10000.0).as("c_a_in_b"),
+        (round(cBinA * 10000.0, 0) / 10000.0).as("c_b_in_a"))
+  }
+
+  private def containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d))
+
   // CTEs shared by ngramJaccardSql and editDistanceSql, mirroring
   // ngramJaccardPairs exactly: the df-cap removes hot shingles from the
   // similarity universe (sizes AND intersections over capped sets)
-  private val candSqlCtes =
+  private[graft] val candSqlCtes =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
@@ -269,6 +311,16 @@ object Dedup extends QueryModule {
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  private val containmentSql =
+    s"""$candSqlCtes
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(i AS DOUBLE) / sa.n * 10000.0) / 10000.0 AS c_a_in_b,
+      |       ROUND(CAST(i AS DOUBLE) / sb.n * 10000.0) / 10000.0 AS c_b_in_a
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE GREATEST(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n) >= 0.9""".stripMargin
 
   // the oracle resolves the same pair set with a recursive transitive
   // closure — fine at oracle scale, where Spark uses the iterative
@@ -661,6 +713,7 @@ object Dedup extends QueryModule {
     "dedup_clusters"      -> (clusters _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment"   -> (containment _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_edit_distance" -> (editDistance _),
@@ -674,6 +727,7 @@ object Dedup extends QueryModule {
     "dedup_clusters"      -> clustersSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment"   -> containmentSql,
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_embedding"     -> embeddingSql,
     // the blocked variant verifies candidates with the exact cosine,

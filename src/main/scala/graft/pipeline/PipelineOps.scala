@@ -355,7 +355,103 @@ object PipelineOps extends QueryModule {
       |       md5(array_to_string(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_hash
       |FROM c""".stripMargin
 
+  // --- token-budget selection (quality-ranked data mixing) -----------
+  /** Select docs per language under a token budget, best-quality
+    * first: rank each language's docs by composite quality score
+    * (ties by doc_id), take docs while the running token total stays
+    * within `budgetTokens`. This is the standard data-mixing move —
+    * "N billion tokens of each language, keep the best" — expressed
+    * as one windowed cumulative sum per partition key.
+    *
+    * Scale: the window partitions by lang and the running sum is
+    * rows-unbounded-preceding — Spark evaluates it in one pass per
+    * partition after an ORDER BY within the lang partition. Per-lang
+    * global order is real work at 100 TB but unavoidable for an EXACT
+    * budget cut; the approximate path (quality-threshold from an
+    * approx quantile at the budget point, then a pure filter) avoids
+    * the sort when a few-percent overshoot is acceptable. Lang count
+    * is small, so AQE handles the per-lang skew (en dominates).
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val scored = graft.text.TextAnalysis.qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("quality_bp").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_bp"), col("cum_tokens"))
+  }
+
+  private def tokenBudgetQuery(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(s, d), budgetTokens = 2000L)
+
+  private val tokenBudgetSql =
+    s"""WITH q AS (${graft.text.TextAnalysis.qualitySql}),
+      |t AS (SELECT d.doc_id, d.lang,
+      |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |        q.quality_bp,
+      |        CAST(SUM(CAST(len(string_split(d.text, ' ')) AS BIGINT))
+      |          OVER (PARTITION BY d.lang ORDER BY q.quality_bp DESC, d.doc_id
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM documents d JOIN q ON d.doc_id = q.doc_id)
+      |SELECT doc_id, lang, n_tokens, quality_bp, cum_tokens
+      |FROM t WHERE cum_tokens <= 2000""".stripMargin
+
+  // --- split-leakage audit -------------------------------------------
+  /** Near-duplicate pairs annotated with their train/val/test
+    * assignment — the contamination audit run after [[splitAssign]]:
+    * a near-dup pair straddling train and test leaks training signal
+    * into evaluation (`is_leak`). Emits ALL near-dup pairs with both
+    * splits so the leak rate is read off the same output that names
+    * the offending pairs.
+    *
+    * Plan: [[graft.dedup.Dedup.ngramJaccardPairs]] generates pairs
+    * (df-capped shingle equi-join — the scale posture documented
+    * there); the split columns come from two joins against the
+    * md5-bucket projection, which is itself a pure map of the doc ids
+    * carried by the pairs — at 100 TB both joins are
+    * pairs-volume-sized, not corpus-sized.
+    */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs)
+    val sp = splitAssign(docs, trainPct = trainPct, valPct = valPct)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a"), "id_a")
+      .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+  }
+
+  private def leakageQuery(s: SparkSession, d: String): DataFrame =
+    splitLeakage(Tables.documents(s, d))
+
+  private val leakageSql =
+    s"""${graft.dedup.Dedup.candSqlCtes},
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split FROM documents)
+      |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b,
+      |       sa.split <> sb.split AS is_leak
+      |FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> (tokenBudgetQuery _),
+    "split_leakage"      -> (leakageQuery _),
     "doc_chunk"          -> (chunkQuery _),
     "split_assign"       -> (splitQuery _),
     "sample_stratified"  -> (sampleQuery _),
@@ -365,6 +461,8 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "corpus_token_budget" -> tokenBudgetSql,
+    "split_leakage"      -> leakageSql,
     "doc_chunk"          -> chunkSql,
     "split_assign"       -> splitSql,
     "sample_stratified"  -> sampleSql,

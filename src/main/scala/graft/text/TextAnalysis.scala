@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -87,14 +88,14 @@ object TextAnalysis extends QueryModule {
     * integer scale has no scaling multiply and both engines round
     * positive halves away from zero identically.
     */
-  private def quality(s: SparkSession, d: String): DataFrame = {
+  def qualityScores(docs: DataFrame): DataFrame = {
     val stop = markers.toMap.apply("en")
     val nStop = size(filter(wsAll, w => array_contains(typedlit(stop), w))).cast(DoubleType)
     val lenScore = least(nWords.cast(DoubleType) / 100.0, lit(1.0))
     val stopRatio = nStop / nWords
     val ttr = size(wsDistinct).cast(DoubleType) / nWords
     def bp(c: Column): Column = round(c * 10000.0, 0).cast(LongType)
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       bp(lenScore).as("len_score_bp"),
       bp(stopRatio).as("stop_ratio_bp"),
@@ -102,7 +103,10 @@ object TextAnalysis extends QueryModule {
       bp(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3).as("quality_bp"))
   }
 
-  private val qualitySql = {
+  private def quality(s: SparkSession, d: String): DataFrame =
+    qualityScores(Tables.documents(s, d))
+
+  private[graft] val qualitySql = {
     val stop = sqlList(markers.toMap.apply("en"))
     """WITH t AS (
       |  SELECT doc_id,
@@ -365,6 +369,40 @@ object TextAnalysis extends QueryModule {
       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logp_x1e6
       |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin
 
+  // --- perplexity bucketing (CCNet head/middle/tail) -----------------
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): rank
+    * the corpus by LM score and cut into terciles — "head" (most
+    * corpus-typical, usually cleanest), "middle", "tail" (likely
+    * gibberish / boilerplate). Downstream pipelines train on head+
+    * middle or weight buckets differently; this emits the per-doc
+    * assignment. Unscorable docs (< 2 tokens, score NULL) are excluded
+    * from ranking rather than defaulted into "tail" — no evidence is
+    * not bad evidence.
+    *
+    * NTILE over (score DESC, doc_id) is a TOTAL order, so bucket edges
+    * are engine-deterministic. Like q_deciles, the exact tercile is a
+    * global sort; at 100 TB the cut-points come from approx-percentile
+    * over scores (2 values broadcast) and assignment becomes a pure
+    * projection — registered query keeps the exact form for oracle
+    * parity.
+    */
+  private def pplBucket(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("avg_logp_x1e6").desc, col("doc_id"))
+    lmScores(Tables.documents(s, d))
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("avg_logp_x1e6"), ntile(3).over(w).as("b"))
+      .select(col("doc_id"), col("avg_logp_x1e6"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  private val pplBucketSql =
+    s"""SELECT doc_id, avg_logp_x1e6,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM (SELECT doc_id, avg_logp_x1e6,
+       |        NTILE(3) OVER (ORDER BY avg_logp_x1e6 DESC, doc_id) AS b
+       |      FROM ($lmScoreSql) lm WHERE n_bigrams > 0) t""".stripMargin
+
   // --- BM25 ranking --------------------------------------------------
   /** BM25 top-10 documents for a fixed conjunctive keyword query
     * (Robertson & Walker's Okapi weighting, k1=1.2 b=0.75) — the
@@ -444,6 +482,7 @@ object TextAnalysis extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score"    -> (lmScore _),
+    "text_ppl_bucket"  -> (pplBucket _),
     "text_bm25"        -> (bm25 _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
@@ -459,6 +498,7 @@ object TextAnalysis extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "text_lm_score"    -> lmScoreSql,
+    "text_ppl_bucket"  -> pplBucketSql,
     "text_bm25"        -> bm25Sql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.pipeline.PipelineOps
+import graft.text.TextAnalysis
+
+/** Semantic checks for the round-7 curation additions (containment
+  * dedup, token-budget selection, split-leakage audit, perplexity
+  * bucketing, decile stats) — each beyond what the hash-match oracle
+  * proves: directionality, prefix-closure, bucket balance.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.01"
+
+  test("containment catches doc-in-doc pairs that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = the first 30 words of doc 2 (100 words): every shingle of
+    // 1 is in 2, so C(1 in 2) = 1.0, but J = 28/98 ~ 0.29 — far below
+    // the 0.8 Jaccard gate
+    val w = (1 to 100).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, w.take(30).mkString(" ")),
+      (2L, w.mkString(" ")),
+      (3L, (1 to 50).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs).collect()
+    assert(jac.isEmpty, "Jaccard@0.8 must NOT flag the contained pair")
+    val cont = Dedup.containmentPairs(docs).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0, "all of doc 1's shingles are in doc 2")
+    assert(r.getDouble(3) < 0.5, "doc 2 is NOT contained in doc 1")
+  }
+
+  test("containment pair set is a superset of Jaccard pairs on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val jacIds = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contIds = Dedup.containmentPairs(docs).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J >= 0.8 implies containment of the smaller side >= 0.8... but the
+    // gate is 0.9, so only near-exact pairs carry over; on this corpus
+    // dups are near-exact, so the sets coincide — assert superset, the
+    // invariant that holds for any corpus is C_max >= J
+    assert(jacIds.subsetOf(contIds),
+      s"missing: ${jacIds.diff(contIds).take(5)}")
+    assert(contIds.nonEmpty)
+  }
+
+  test("token budget selection is the per-lang best-quality prefix") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 2000L
+    val out = PipelineOps.tokenBudgetSelect(docs, budget).collect()
+    // recompute the expected prefix driver-side from the same scores
+    val scored = TextAnalysis.qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      .select("doc_id", "lang", "n_tokens", "quality_bp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (-r._4, r._1)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.toSeq
+    }.map(_._1).toSet
+    val got = out.map(_.getLong(0)).toSet
+    assert(got === expected)
+    // and the running totals respect the budget per lang
+    out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val sum = rows.map(_.getLong(2)).sum
+      assert(sum <= budget, s"lang $lang over budget: $sum")
+      assert(rows.map(_.getLong(4)).max === sum, s"lang $lang cum_tokens mismatch")
+    }
+  }
+
+  test("split leakage flags exactly the cross-split near-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val out = PipelineOps.splitLeakage(docs).collect()
+    val jacIds = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === jacIds,
+      "every near-dup pair is audited, none invented")
+    val splits = PipelineOps.splitAssign(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getString(3) === splits(r.getLong(0)))
+      assert(r.getString(4) === splits(r.getLong(1)))
+      assert(r.getBoolean(5) === (r.getString(3) != r.getString(4)))
+    }
+    assert(out.exists(_.getBoolean(5)), "corpus has at least one leak")
+  }
+
+  test("perplexity buckets are balanced terciles in score order") {
+    val out = SparkEntry.queries("text_ppl_bucket")(spark, sf).collect()
+    val byBucket = out.groupBy(_.getString(2))
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // head holds the highest scores (most corpus-typical)
+    def scores(b: String) = byBucket(b).map(_.getLong(1))
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("middle").min >= scores("tail").max)
+  }
+
+  test("deciles partition orders into 10 balanced, ordered buckets") {
+    val out = SparkEntry.queries("q_deciles")(spark, sf)
+      .orderBy("decile").collect()
+    assert(out.length === 10)
+    val total = Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === total)
+    assert(out.map(_.getLong(1)).max - out.map(_.getLong(1)).min <= 1)
+    // value ranges are non-overlapping and ascending
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"decile ${a.getLong(0)} max ${a.getDouble(3)} > decile ${b.getLong(0)} min ${b.getDouble(2)}")
+    }
+  }
+}
