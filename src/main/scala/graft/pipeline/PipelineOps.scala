@@ -373,9 +373,11 @@ object PipelineOps extends QueryModule {
     * is small, so AQE handles the per-lang skew (en dominates).
     */
   def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    // qualityScores passes input columns through, so scoring + token
+    // counting is ONE projection over one scan — no re-join on doc_id
     val scored = graft.text.TextAnalysis.qualityScores(docs)
-      .join(docs.select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_bp"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
       .orderBy(col("quality_bp").desc, col("doc_id"))

@@ -88,6 +88,11 @@ object TextAnalysis extends QueryModule {
     * integer scale has no scaling multiply and both engines round
     * positive halves away from zero identically.
     */
+  /** Appends the four score columns to the input (all input columns
+    * pass through) so composing operators — token-budget selection,
+    * curation gates — score in the SAME projection as their other
+    * work: one scan, no corpus-sized re-join on doc_id.
+    */
   def qualityScores(docs: DataFrame): DataFrame = {
     val stop = markers.toMap.apply("en")
     val nStop = size(filter(wsAll, w => array_contains(typedlit(stop), w))).cast(DoubleType)
@@ -95,16 +100,16 @@ object TextAnalysis extends QueryModule {
     val stopRatio = nStop / nWords
     val ttr = size(wsDistinct).cast(DoubleType) / nWords
     def bp(c: Column): Column = round(c * 10000.0, 0).cast(LongType)
-    docs.select(
-      col("doc_id"),
-      bp(lenScore).as("len_score_bp"),
-      bp(stopRatio).as("stop_ratio_bp"),
-      bp(ttr).as("type_token_ratio_bp"),
-      bp(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3).as("quality_bp"))
+    docs.withColumns(Map(
+      "len_score_bp" -> bp(lenScore),
+      "stop_ratio_bp" -> bp(stopRatio),
+      "type_token_ratio_bp" -> bp(ttr),
+      "quality_bp" -> bp(lenScore * 0.4 + stopRatio * 0.3 + ttr * 0.3)))
   }
 
   private def quality(s: SparkSession, d: String): DataFrame =
-    qualityScores(Tables.documents(s, d))
+    qualityScores(Tables.documents(s, d)).select("doc_id",
+      "len_score_bp", "stop_ratio_bp", "type_token_ratio_bp", "quality_bp")
 
   private[graft] val qualitySql = {
     val stop = sqlList(markers.toMap.apply("en"))

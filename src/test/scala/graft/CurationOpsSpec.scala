@@ -56,12 +56,19 @@ class CurationOpsSpec extends AnyFunSuite {
   test("token budget selection is the per-lang best-quality prefix") {
     val docs = Tables.documents(spark, sf)
     val budget = 2000L
-    val out = PipelineOps.tokenBudgetSelect(docs, budget).collect()
+    val sel = PipelineOps.tokenBudgetSelect(docs, budget)
+    // scoring rides the scan projection: one documents scan, no
+    // corpus-sized self-join before the per-lang window
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"token budget must not join the corpus to itself:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, "exactly one scan")
+    val out = sel.collect()
     // recompute the expected prefix driver-side from the same scores
     val scored = TextAnalysis.qualityScores(docs)
-      .join(docs.select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
-      .select("doc_id", "lang", "n_tokens", "quality_bp").collect()
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("quality_bp")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
       var cum = 0L
