@@ -128,6 +128,45 @@ object Dedup extends QueryModule {
   private def clusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
 
+  // --- survivor selection: keep the best doc per cluster -------------
+  /** The decision step a dedup pass exists for: for every near-dup
+    * cluster, KEEP the highest-quality member (composite quality
+    * score, ties to the lowest doc_id — deterministic) and report the
+    * cluster size. min-of-struct aggregation, not a row_number window:
+    * partial aggregation reduces each cluster map-side, so the shuffle
+    * carries one row per (partition, cluster), never the full
+    * membership sorted. Membership is pairs-volume (docs in no pair
+    * are implicitly kept), so the quality join is dup-volume-sized
+    * against the scored scan, broadcastable whenever the dup rate is
+    * sane.
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val labels = connectedComponents(ngramJaccardPairs(docs))
+    val scored = graft.text.TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("quality_bp"))
+    labels.join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(struct((-col("quality_bp")).as("nq"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("kept_doc"),
+        (-col("best.nq")).as("kept_quality_bp"), col("n_members"))
+  }
+
+  private def keepBestQuery(s: SparkSession, d: String): DataFrame =
+    keepBest(Tables.documents(s, d))
+
+  private lazy val keepBestSql =
+    s"""WITH labels AS (SELECT * FROM ($clustersSql) z),
+      |q AS (SELECT * FROM (${graft.text.TextAnalysis.qualitySql}) y)
+      |SELECT cluster_id, doc_id AS kept_doc, quality_bp AS kept_quality_bp, n_members
+      |FROM (SELECT l.cluster_id, l.doc_id, q.quality_bp,
+      |        ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |                           ORDER BY q.quality_bp DESC, l.doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      |      FROM labels l JOIN q ON l.doc_id = q.doc_id) t
+      |WHERE rn = 1""".stripMargin
+
   // --- paragraph-level dedup: repeated 10-word chunks ----------------
   /** Sub-document exact dedup (the CCNet-style paragraph pass): carve
     * each doc into NON-overlapping 10-word chunks, fingerprint each,
@@ -714,6 +753,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment"   -> (containment _),
+    "dedup_keep_best"     -> (keepBestQuery _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_edit_distance" -> (editDistance _),
@@ -728,6 +768,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment"   -> containmentSql,
+    "dedup_keep_best"     -> keepBestSql,
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_embedding"     -> embeddingSql,
     // the blocked variant verifies candidates with the exact cosine,

@@ -103,6 +103,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.exists(_.getBoolean(5)), "corpus has at least one leak")
   }
 
+  test("keep-best picks each cluster's max-quality member") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.keepBest(docs).collect()
+    val labels = Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextAnalysis.qualityScores(docs).select("doc_id", "quality_bp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(out.map(_.getLong(0)).toSet === byCluster.keySet)
+    out.foreach { r =>
+      val members = byCluster(r.getLong(0))
+      assert(r.getLong(3) === members.length.toLong)
+      val expect = members.minBy(id => (-quality(id), id))
+      assert(r.getLong(1) === expect, s"cluster ${r.getLong(0)}")
+      assert(r.getLong(2) === quality(expect))
+      assert(members.length >= 2, "singletons never appear in pair-derived clusters")
+    }
+  }
+
   test("perplexity buckets are balanced terciles in score order") {
     val out = SparkEntry.queries("text_ppl_bucket")(spark, sf).collect()
     val byBucket = out.groupBy(_.getString(2))
