@@ -805,8 +805,35 @@ object Analytics extends QueryModule {
       |      FROM orders) t
       |GROUP BY decile""".stripMargin
 
+  /** The 100 TB decile plan [[qDeciles]]'s scaladoc promises: decile
+    * EDGES from a KLL sketch (one partial-aggregated pass, 9 doubles
+    * out), broadcast back, bucket assignment as a pure projection —
+    * no global sort anywhere. Registered rows-only (sketch edges are
+    * engine-specific); CurationOpsSpec bounds the per-bucket
+    * population drift vs the exact NTILE at ≤2 rows + 1% on testdata.
+    * Ties land left of the edge (`> cut`), matching NTILE's
+    * first-bucket bias closely enough for the spec bound.
+    */
+  private def qDecilesApprox(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cuts = o.agg(percentile_approx(col("o_totalprice"),
+      typedlit((1 to 9).map(_ / 10.0)), lit(10000)).as("cuts"))
+    val bucket = aggregate(
+      transform(col("cuts"), c => when(col("o_totalprice") > c, 1L).otherwise(0L)),
+      lit(1L), _ + _)
+    o.crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"), col("o_totalprice"), bucket.as("decile"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sumMoney2(col("o_totalprice")).as("sum_price"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_deciles"        -> (qDeciles _),
+    "q_deciles_approx" -> (qDecilesApprox _),
     "q_correlation"    -> (qCorrelation _),
     "q_outliers_mad"   -> (qOutliersMad _),
     "q_gap_fill"       -> (qGapFill _),

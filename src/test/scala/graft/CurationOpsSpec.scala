@@ -103,6 +103,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.exists(_.getBoolean(5)), "corpus has at least one leak")
   }
 
+  test("approx deciles track the exact NTILE within sketch tolerance, sans sort") {
+    val approx = SparkEntry.queries("q_deciles_approx")(spark, sf)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not use a window")
+    assert(!plan.toLowerCase.contains("sortmergejoin"), "no shuffle join")
+    val a = approx.orderBy("decile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = SparkEntry.queries("q_deciles")(spark, sf).orderBy("decile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keySet === (1L to 10L).toSet)
+    val total = e.values.sum
+    (1L to 10L).foreach { dIdx =>
+      val tol = 2 + total / 1000  // sketch accuracy 10000 => ~n/10000 rank error
+      assert(math.abs(a(dIdx) - e(dIdx)) <= tol,
+        s"decile $dIdx: approx ${a(dIdx)} vs exact ${e(dIdx)}")
+    }
+    assert(a.values.sum === total, "every order lands in exactly one bucket")
+  }
+
   test("keep-best picks each cluster's max-quality member") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.keepBest(docs).collect()
