@@ -15,6 +15,9 @@ import graft.vector.VectorStore
   *                               threshold, TextAnalysis.lmScores)
   *     -> exact dedup           (content-hash survivors)
   *     -> near-dup removal      (MinHash-LSH pairs, keep lowest doc_id)
+  *     -> containment gate      (optional: drop docs mostly contained
+  *                               in a kept doc — quote/subset dups
+  *                               Jaccard under-scores)
   *     -> decontamination       (optional: drop benchmark-overlapping docs)
   *     -> embed                 (hashing-trick unit vectors)
   *     -> IVF index             (KMeans-routed shard-partitioned store)
@@ -32,13 +35,13 @@ object CurationPipeline {
 
   case class Result(kept: DataFrame, droppedLowQuality: Long, droppedExact: Long,
                     droppedNearDup: Long, droppedContaminated: Long = 0L,
-                    droppedLowLm: Long = 0L) {
+                    droppedLowLm: Long = 0L, droppedContained: Long = 0L) {
     /** Sum of every stage's drops — input count minus this equals
       * kept.count(), by construction.
       */
     def droppedTotal: Long =
       droppedLowQuality + droppedLowLm + droppedExact + droppedNearDup +
-        droppedContaminated
+        droppedContained + droppedContaminated
 
     /** Unpin `kept`'s cached backing frame once it has been consumed
       * (written out / counted) — `kept` is a filter OVER the cached
@@ -81,7 +84,8 @@ object CurationPipeline {
              benchmark: Option[DataFrame] = None, minSharedShingles: Int = 5,
              benchmarkShingles: Option[DataFrame] = None,
              clusterNearDups: Boolean = false,
-             minLmScoreX1e6: Option[Long] = None): Result = {
+             minLmScoreX1e6: Option[Long] = None,
+             containmentThreshold: Option[Double] = None): Result = {
     val nWords = size(split(col("text"), " "))
     // optional LM-quality gate (CCNet-style): docs whose corpus-bigram
     // mean log-prob sits below the threshold (micro-nats, negative —
@@ -134,19 +138,45 @@ object CurationPipeline {
     val withLoser = flagged.join(losers, Seq("doc_id"), "left")
       .withColumn("__loser", col("__keepE") && coalesce(col("__loser"), lit(false)))
 
+    // optional containment gate: the near-dup pass keeps doc-in-doc
+    // pairs (a page quoting most of another has LOW Jaccard when sizes
+    // differ); containment catches them. The CONTAINED side drops —
+    // the container carries all its information — and when both
+    // directions clear the threshold (near-identical sizes the minhash
+    // stage happened to miss at its own threshold) the higher id drops,
+    // matching the pairwise near-dup rule. Runs on the near-dup
+    // SURVIVORS so a doc already dropped never re-drops its container.
+    val withContained = containmentThreshold match {
+      case Some(cthr) =>
+        val base = withLoser.filter(col("__keepE") && !col("__loser"))
+        val drops = Dedup.containmentPairs(base, cthr)
+          .select(
+            when(col("c_a_in_b") >= cthr && col("c_b_in_a") >= cthr,
+              greatest(col("id_a"), col("id_b")))
+              .when(col("c_a_in_b") >= cthr, col("id_a"))
+              .otherwise(col("id_b")).as("doc_id"),
+            lit(true).as("__contained")).distinct()
+        withLoser.join(drops, Seq("doc_id"), "left")
+          .withColumn("__contained",
+            col("__keepE") && !col("__loser") && coalesce(col("__contained"), lit(false)))
+      case None => withLoser.withColumn("__contained", lit(false))
+    }
+
     // benchmark decontamination: drop kept docs overlapping the eval
     // set. A precomputed shingle frame (write-once, broadcast-many —
     // PipelineOps.benchmarkShingles) wins over re-shingling the suite
     // per run; a raw benchmark is shingled in-plan.
     val withDirty = benchmarkShingles.orElse(benchmark.map(PipelineOps.benchmarkShingles)) match {
       case Some(benchSh) =>
-        val deduped = withLoser.filter(col("__keepE") && !col("__loser"))
+        val deduped = withContained.filter(
+          col("__keepE") && !col("__loser") && !col("__contained"))
         val dirty = PipelineOps.decontaminateWith(deduped, benchSh, minSharedShingles)
           .select(col("doc_id"), lit(true).as("__dirty"))
-        withLoser.join(dirty, Seq("doc_id"), "left")
+        withContained.join(dirty, Seq("doc_id"), "left")
           .withColumn("__dirty",
-            col("__keepE") && !col("__loser") && coalesce(col("__dirty"), lit(false)))
-      case None => withLoser.withColumn("__dirty", lit(false))
+            col("__keepE") && !col("__loser") && !col("__contained") &&
+              coalesce(col("__dirty"), lit(false)))
+      case None => withContained.withColumn("__dirty", lit(false))
     }
 
     val all = withDirty.cache()
@@ -158,14 +188,17 @@ object CurationPipeline {
       coalesce(sum(when(col("__q") && col("__lm"), 1L).otherwise(0L)), lit(0L)).as("nQL"),
       coalesce(sum(when(col("__keepE"), 1L).otherwise(0L)), lit(0L)).as("nE"),
       coalesce(sum(when(col("__loser"), 1L).otherwise(0L)), lit(0L)).as("nL"),
+      coalesce(sum(when(col("__contained"), 1L).otherwise(0L)), lit(0L)).as("nC"),
       coalesce(sum(when(col("__dirty"), 1L).otherwise(0L)), lit(0L)).as("nD")).head()
-    val (n, nQ, nQL, nE, nL, nD) =
+    val (n, nQ, nQL, nE, nL, nC, nD) =
       (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3),
-        acct.getLong(4), acct.getLong(5))
+        acct.getLong(4), acct.getLong(5), acct.getLong(6))
     flagged.unpersist() // `all` is materialized; kept filters the cached `all`
-    val kept = all.filter(col("__keepE") && !col("__loser") && !col("__dirty"))
-      .drop("__q", "__lm", "__fp", "__keepE", "__loser", "__dirty")
-    val result = Result(kept, n - nQ, nQL - nE, nL, nD, droppedLowLm = nQ - nQL)
+    val kept = all.filter(
+      col("__keepE") && !col("__loser") && !col("__contained") && !col("__dirty"))
+      .drop("__q", "__lm", "__fp", "__keepE", "__loser", "__contained", "__dirty")
+    val result = Result(kept, n - nQ, nQL - nE, nL, nD,
+      droppedLowLm = nQ - nQL, droppedContained = nC)
     result.onRelease = () => all.unpersist()
     result
   }

@@ -35,6 +35,33 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(vs.search(v, topK = 1, nprobe = 4).head().getLong(0) === someId)
   }
 
+  test("containment gate drops the contained doc, not the container") {
+    import spark.implicits._
+    val w = (1 to 120).map(i => s"tok$i")
+    // doc 11 is the first 40 words of doc 12: Jaccard ~0.33 slips the
+    // minhash gate, containment = 1.0 hits the containment gate; docs
+    // 13-15 are unrelated filler above the word gate
+    val docs = Seq(
+      (11L, w.take(40).mkString(" ")),
+      (12L, w.mkString(" ")),
+      (13L, (1 to 60).map(i => s"alt$i").mkString(" ")),
+      (14L, (1 to 60).map(i => s"beta$i").mkString(" ")),
+      (15L, (1 to 60).map(i => s"gam$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val without = CurationPipeline.curate(spark, docs)
+    assert(without.droppedContained === 0L)
+    assert(without.kept.collect().map(_.getLong(0)).toSet.contains(11L),
+      "without the gate the contained doc survives")
+    without.release()
+    val r = CurationPipeline.curate(spark, docs, containmentThreshold = Some(0.9))
+    val keptIds = r.kept.collect().map(_.getLong(0)).toSet
+    assert(r.droppedContained === 1L)
+    assert(!keptIds.contains(11L), "contained doc dropped")
+    assert(keptIds.contains(12L), "container kept")
+    assert(r.kept.count() === docs.count() - r.droppedTotal)
+    r.release()
+  }
+
   test("LM gate drops low-scoring docs and reconciles the ledger") {
     val docs = Tables.documents(spark, sf)
     // median corpus score as a threshold: roughly half the gate-passing
