@@ -555,6 +555,38 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     Maintenance(touched, moved, report)
   }
 
+  /** One-scan health probe: per shard, the population, the load
+    * factor (n·numShards/total, x1e4 — 10000 means perfectly
+    * balanced), and the CENTROID DRIFT — L2 distance between the
+    * persisted routing centroid and the shard's current member mean
+    * (x1e6). Appends and upserts shift the true mean away from the
+    * centroid queries route by; drift rising across shards is the
+    * "run [[maintain]]" signal, the ops counterpart of the
+    * reference's manual /set_centroids lifecycle.
+    *
+    * Cost: one scan of the store, partial-aggregated to one
+    * (count, sum-vector) row per shard, centroids joined as a
+    * broadcast literal — safe to run on a schedule at any index size.
+    */
+  def health(): DataFrame = {
+    val cents = centroids()
+    val centLit = typedlit(cents.map { case (s, c) => (s.toLong, c.toSeq) }.toMap)
+    val perShard = spark.read.parquet(vecDir)
+      .withColumn("shard", col("shard").cast(LongType))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        graft.expressions.VectorSumAgg.vectorSum(
+          col(vecCol).cast("array<double>")).as("__vsum"))
+    val mean = transform(col("__vsum"), x => x / col("n"))
+    val drift = l2Dist(mean, element_at(centLit, col("shard")))
+    perShard
+      .crossJoin(broadcast(perShard.agg(sum(col("n")).as("__total")).select("__total")))
+      .select(col("shard"), col("n"),
+        round(col("n") * numShards * 10000.0 / col("__total"), 0)
+          .cast(LongType).as("load_x1e4"),
+        round(drift * 1000000.0, 0).cast(LongType).as("drift_x1e6"))
+  }
+
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,
     * test.py:100-101 firing one HTTP POST per vector). Returns the

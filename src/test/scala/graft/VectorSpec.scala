@@ -568,6 +568,39 @@ class VectorSpec extends AnyFunSuite {
       s"compaction report: ${m.compaction}")
   }
 
+  test("health() reports balance and centroid drift that appends create") {
+    val dir = Files.createTempDirectory("graft-health").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 3)
+    val before = vs.health().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(before.keySet.size === 4)
+    assert(before.values.map(_._1).sum === emb.count())
+    // load factors average to balanced by construction
+    assert(math.abs(before.values.map(_._2).sum / 4 - 10000L) <= 1)
+    // fresh build: every shard's mean sits near its routing centroid
+    assert(before.values.map(_._3).max < 300000L,
+      s"fresh-build drift should be small: $before")
+
+    // append a clump far from every centroid: it lands in ONE shard and
+    // drags that shard's mean — drift and load rise there
+    val dim = emb.select(size(col("vector"))).head().getInt(0)
+    import spark.implicits._
+    val clump = (0 until 200).map(i =>
+      (100000L + i, Seq.fill(dim)(3.0))).toDF("id", "vector")
+    vs.store(clump)
+    val after = vs.health().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val grew = after.filter { case (s, (n, _, _)) => n > before(s)._1 }
+    assert(grew.size === 1, s"clump must land in one shard: $after")
+    val (shard, (_, load, drift)) = grew.head
+    assert(load > before(shard)._2, "load factor rose on the hot shard")
+    assert(drift > before(shard)._3 * 2,
+      s"drift must jump on the dragged shard: before=${before(shard)._3} after=$drift")
+  }
+
   test("deterministic centroids match lowest-id vectors") {
     val cents = Centroids.deterministicInit(Tables.embeddings(spark, sf), k = 4)
     assert(cents.map(_._1).toSeq === Seq(0, 1, 2, 3))
