@@ -166,6 +166,39 @@ class StreamingSpec extends AnyFunSuite {
       === Array(1L, 2L, 5L))
   }
 
+  test("StreamingDedup state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sdedup-out").toString
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    // file sink: the one that supports checkpoint recovery (memory
+    // sink refuses to restart from a checkpoint)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.StreamingDedup
+        .dedup(input.toDF().toDF("doc_id", "ts", "text"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val q1 = run()
+    try {
+      input.addData(doc(1, 0, "a b c"), doc(2, 1, "d e f"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // restart from the same checkpoint: the fingerprint state store
+    // reloads, so a dup of a PRE-restart doc still drops
+    input.addData(doc(3, 2, "a b c"), doc(4, 3, "j k l"))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L), "doc 3 must drop against restored pre-restart state")
+  }
+
   test("streaming curation + batch closer matches the batch pipeline's survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
