@@ -408,6 +408,29 @@ object TextAnalysis extends QueryModule {
        |        NTILE(3) OVER (ORDER BY avg_logp_x1e6 DESC, doc_id) AS b
        |      FROM ($lmScoreSql) lm WHERE n_bigrams > 0) t""".stripMargin
 
+  /** The 100 TB tercile plan [[pplBucket]]'s scaladoc promises: the
+    * 33rd/67th percentile cut-points come from one KLL-sketch
+    * aggregation (2 longs out, broadcast back) and bucket assignment
+    * is a pure projection — no global sort. Scores cache so the cut
+    * estimation and the assignment share one LM-scoring pass.
+    * Rows-only (sketch cuts are engine-specific); CurationOpsSpec
+    * bounds bucket-size drift vs the exact NTILE terciles. Ties land
+    * in the lower bucket (`> cut`), mirroring NTILE's bias closely
+    * enough for the bound.
+    */
+  private def pplBucketApprox(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScores(Tables.documents(s, d))
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("avg_logp_x1e6")).cache()
+    val cuts = scored.agg(percentile_approx(col("avg_logp_x1e6"),
+      typedlit(Seq(1.0 / 3, 2.0 / 3)), lit(10000)).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_logp_x1e6"),
+        when(col("avg_logp_x1e6") > element_at(col("cuts"), 2), "head")
+          .when(col("avg_logp_x1e6") > element_at(col("cuts"), 1), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   // --- BM25 ranking --------------------------------------------------
   /** BM25 top-10 documents for a fixed conjunctive keyword query
     * (Robertson & Walker's Okapi weighting, k1=1.2 b=0.75) — the
@@ -488,6 +511,7 @@ object TextAnalysis extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score"    -> (lmScore _),
     "text_ppl_bucket"  -> (pplBucket _),
+    "text_ppl_bucket_approx" -> (pplBucketApprox _),
     "text_bm25"        -> (bm25 _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),

@@ -153,6 +153,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(scores("middle").min >= scores("tail").max)
   }
 
+  test("approx ppl terciles track the exact buckets within sketch tolerance") {
+    val approx = SparkEntry.queries("text_ppl_bucket_approx")(spark, sf)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Window"),
+      "approx path must not use a window")
+    val a = approx.collect()
+    val byBucket = a.groupBy(_.getString(2))
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // score ordering holds exactly (thresholds construct it)
+    assert(byBucket("head").map(_.getLong(1)).min >
+      byBucket("middle").map(_.getLong(1)).max)
+    assert(byBucket("middle").map(_.getLong(1)).min >
+      byBucket("tail").map(_.getLong(1)).max)
+    // sizes drift from n/3 only by sketch error + tie mass at the cut
+    val n = a.length
+    val exact = SparkEntry.queries("text_ppl_bucket")(spark, sf).collect()
+      .groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    byBucket.foreach { case (b, rows) =>
+      assert(math.abs(rows.length - exact(b)) <= 2 + n / 100,
+        s"bucket $b: approx ${rows.length} vs exact ${exact(b)}")
+    }
+  }
+
   test("deciles partition orders into 10 balanced, ordered buckets") {
     val out = SparkEntry.queries("q_deciles")(spark, sf)
       .orderBy("decile").collect()
