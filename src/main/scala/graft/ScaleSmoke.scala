@@ -274,15 +274,6 @@ object ScaleSmoke {
     }
     println(s"[scale] minhash found $found pairs (injected ${nDoc / 100} exact dupes)")
 
-    // the full decision pipeline: pairs -> components -> survivor per
-    // cluster. Costs one jaccard pass + diameter rounds of edge-sized
-    // joins + a dup-volume quality join — the same class as the pair
-    // passes, so "which doc do we keep" adds no new scale hazard
-    val nKept = timed(s"keep-best survivors (pairs→clusters→quality, ${nDoc + nDoc / 100} docs)") {
-      graft.dedup.Dedup.keepBest(corpus).count()
-    }
-    println(s"[scale] keep-best resolved $nKept clusters (injected ${nDoc / 100})")
-
     // skewed corpus: every doc shares one hot leading trigram. The
     // df-cap drops it from candidate generation — uncapped, that one
     // shingle alone yields |corpus|^2/2 candidate pairs
@@ -317,6 +308,20 @@ object ScaleSmoke {
       graft.text.TextAnalysis.lmScores(corpus).count()
     }
     println(s"[scale] lm-scored $lmN docs")
+
+    // the full decision pipeline: pairs -> components -> survivor per
+    // cluster. Costs one jaccard pass + diameter rounds of edge-sized
+    // joins + a dup-volume quality join — the same class as the pair
+    // passes, so "which doc do we keep" adds no new scale hazard.
+    // Runs LAST: its internal localCheckpoint (components) and shingle
+    // caches are released here, not pinned across later timed steps.
+    val kb = graft.dedup.Dedup.keepBest(corpus)
+    val nKept = timed(s"keep-best survivors (pairs→clusters→quality, ${nDoc + nDoc / 100} docs)") {
+      kb.count()
+    }
+    println(s"[scale] keep-best resolved $nKept clusters (injected ${nDoc / 100})")
+    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(kb)
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

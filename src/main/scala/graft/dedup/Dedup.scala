@@ -260,9 +260,16 @@ object Dedup extends QueryModule {
     * dfCapFloor = Long.MaxValue; on corpora with no shingle above the
     * cap (true of every test SF) the two are identical.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
-                        maxDfFraction: Double = DefaultMaxDfFraction,
-                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+  /** Shared candidate generation for the set-similarity pair
+    * operators: (id_a, id_b, i = |A∩B|, na = |A|, nb = |B|) over the
+    * df-capped shingle universe. One cached explode + one capped
+    * self-join + the two size joins — [[ngramJaccardPairs]] and
+    * [[containmentPairs]] differ only in the measure they project
+    * from these counts, so cap semantics / cache policy / skew
+    * handling live in exactly one place.
+    */
+  private def sizedCandidates(docs: DataFrame, maxDfFraction: Double,
+                              dfCapFloor: Long): DataFrame = {
     // cache the exploded shingles (referenced by the df table AND the
     // join side) and the capped rows (self-joined + sized): one explode
     // pass total, not one per reference
@@ -273,10 +280,16 @@ object Dedup extends QueryModule {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        maxDfFraction: Double = DefaultMaxDfFraction,
+                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+    sizedCandidates(docs, maxDfFraction, dfCapFloor)
       .filter(jac >= threshold)
       // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
       .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
@@ -304,24 +317,28 @@ object Dedup extends QueryModule {
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
                        maxDfFraction: Double = DefaultMaxDfFraction,
-                       dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
-    val sh = shingles(docs).cache()
-    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shc.as("a").join(shc.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
+                       dfCapFloor: Long = DefaultDfCapFloor): DataFrame =
+    // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
+    containmentPairsRaw(docs, threshold, maxDfFraction, dfCapFloor)
+      .select(col("id_a"), col("id_b"),
+        (round(col("__c_a_in_b") * 10000.0, 0) / 10000.0).as("c_a_in_b"),
+        (round(col("__c_b_in_a") * 10000.0, 0) / 10000.0).as("c_b_in_a"))
+
+  /** [[containmentPairs]] with the UNROUNDED containment columns
+    * (`__c_a_in_b`, `__c_b_in_a`) — for consumers that branch on the
+    * threshold (the curation gate): deciding which side to drop from
+    * the 4-dp display rounding would flip direction when a
+    * sub-threshold value rounds up to it (0.89996 → 0.9000).
+    */
+  private[graft] def containmentPairsRaw(docs: DataFrame, threshold: Double,
+                                         maxDfFraction: Double = DefaultMaxDfFraction,
+                                         dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
     val cAinB = col("i").cast(DoubleType) / col("na")
     val cBinA = col("i").cast(DoubleType) / col("nb")
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    sizedCandidates(docs, maxDfFraction, dfCapFloor)
       .filter(greatest(cAinB, cBinA) >= threshold)
-      // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
       .select(col("id_a"), col("id_b"),
-        (round(cAinB * 10000.0, 0) / 10000.0).as("c_a_in_b"),
-        (round(cBinA * 10000.0, 0) / 10000.0).as("c_b_in_a"))
+        cAinB.as("__c_a_in_b"), cBinA.as("__c_b_in_a"))
   }
 
   private def containment(s: SparkSession, d: String): DataFrame =
@@ -342,14 +359,20 @@ object Dedup extends QueryModule {
       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
-  private val ngramJaccardSql =
-    s"""$candSqlCtes
-      |SELECT id_a, id_b,
+  // the jaccard-pair SELECT over candSqlCtes' inter/sizes — shared
+  // with PipelineOps.leakageSql so the oracle's pair set can never
+  // silently diverge from dedup_ngram_jaccard's
+  private[graft] val jaccardPairsSelectSql =
+    """SELECT id_a, id_b,
       |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""$candSqlCtes
+      |$jaccardPairsSelectSql""".stripMargin
 
   private val containmentSql =
     s"""$candSqlCtes

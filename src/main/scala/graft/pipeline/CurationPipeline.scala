@@ -146,16 +146,26 @@ object CurationPipeline {
     // stage happened to miss at its own threshold) the higher id drops,
     // matching the pairwise near-dup rule. Runs on the near-dup
     // SURVIVORS so a doc already dropped never re-drops its container.
+    // the drop-side branch reads the UNROUNDED containments: deciding
+    // from the 4-dp display columns would flip direction when a
+    // sub-threshold value rounds up to the threshold (0.89996→0.9000
+    // would drop the container). `drops` is cached: it is a tiny
+    // doc-id set whose subtree (the capped-shingle self-join) would
+    // otherwise re-execute via both the accounting spine and the
+    // decontamination branch below — released with `flagged` once
+    // `all` is materialized.
+    var containDrops: Option[DataFrame] = None
     val withContained = containmentThreshold match {
       case Some(cthr) =>
         val base = withLoser.filter(col("__keepE") && !col("__loser"))
-        val drops = Dedup.containmentPairs(base, cthr)
+        val drops = Dedup.containmentPairsRaw(base, cthr)
           .select(
-            when(col("c_a_in_b") >= cthr && col("c_b_in_a") >= cthr,
+            when(col("__c_a_in_b") >= cthr && col("__c_b_in_a") >= cthr,
               greatest(col("id_a"), col("id_b")))
-              .when(col("c_a_in_b") >= cthr, col("id_a"))
+              .when(col("__c_a_in_b") >= cthr, col("id_a"))
               .otherwise(col("id_b")).as("doc_id"),
-            lit(true).as("__contained")).distinct()
+            lit(true).as("__contained")).distinct().cache()
+        containDrops = Some(drops)
         withLoser.join(drops, Seq("doc_id"), "left")
           .withColumn("__contained",
             col("__keepE") && !col("__loser") && coalesce(col("__contained"), lit(false)))
@@ -194,6 +204,7 @@ object CurationPipeline {
       (acct.getLong(0), acct.getLong(1), acct.getLong(2), acct.getLong(3),
         acct.getLong(4), acct.getLong(5), acct.getLong(6))
     flagged.unpersist() // `all` is materialized; kept filters the cached `all`
+    containDrops.foreach(_.unpersist())
     val kept = all.filter(
       col("__keepE") && !col("__loser") && !col("__contained") && !col("__dirty"))
       .drop("__q", "__lm", "__fp", "__keepE", "__loser", "__contained", "__dirty")

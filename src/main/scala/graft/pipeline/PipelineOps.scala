@@ -281,28 +281,49 @@ object PipelineOps extends QueryModule {
     * (stratified sampling's rank key) — without it the val/test docs
     * would be exactly the sampler's highest-ranked ones.
     */
+  /** md5 bucket (0-99) of an id — the pure function behind split
+    * assignment, exposed as a Column so consumers (the leakage audit)
+    * can PROJECT a split from any id column instead of joining back
+    * to a corpus-sized assignment frame.
+    */
+  private def splitBucket(id: Column): Column =
+    conv(substring(md5(concat(lit("split:"), id.cast("string"))), 1, 13),
+      16, 10).cast(LongType) % 100L
+
+  private def splitOf(id: Column, trainPct: Int, valPct: Int): Column = {
+    val b = splitBucket(id)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   def splitAssign(docs: DataFrame, idCol: String = "doc_id",
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"percentages must partition [0,100): got train=$trainPct val=$valPct")
-    val bucket = conv(substring(md5(concat(lit("split:"), col(idCol).cast("string"))), 1, 13),
-      16, 10).cast(LongType) % 100L
-    docs.select(col(idCol), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainPct, lit("train"))
-          .when(col("bucket") < trainPct + valPct, lit("val"))
-          .otherwise(lit("test")))
+    docs.select(col(idCol), splitBucket(col(idCol)).as("bucket"),
+      splitOf(col(idCol), trainPct, valPct).as("split"))
   }
 
   private def splitQuery(s: SparkSession, d: String): DataFrame =
     splitAssign(Tables.documents(s, d))
 
+  // the one definition of the oracle-side bucket/split expressions —
+  // splitSql and leakageSql both build from these, so the Spark hash
+  // ('split:' prefix, 13-hex window, 90/5/5 cut) can never diverge
+  // from one oracle but not the other
+  private def splitBucketSql(idExpr: String): String =
+    s"CAST(('0x' || substring(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 13)) AS BIGINT) % 100"
+
+  private def splitCaseSql(idExpr: String): String =
+    s"""CASE WHEN ${splitBucketSql(idExpr)} < 90 THEN 'train'
+       |     WHEN ${splitBucketSql(idExpr)} < 95 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   private val splitSql =
-    """SELECT doc_id,
-      |  CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 AS bucket,
-      |  CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
-      |       WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
-      |       ELSE 'test' END AS split
+    s"""SELECT doc_id,
+      |  ${splitBucketSql("doc_id")} AS bucket,
+      |  ${splitCaseSql("doc_id")} AS split
       |FROM documents""".stripMargin
 
   /** Overlapping token-window chunking — the unit-of-work transform for
@@ -414,42 +435,32 @@ object PipelineOps extends QueryModule {
     *
     * Plan: [[graft.dedup.Dedup.ngramJaccardPairs]] generates pairs
     * (df-capped shingle equi-join — the scale posture documented
-    * there); the split columns come from two joins against the
-    * md5-bucket projection, which is itself a pure map of the doc ids
-    * carried by the pairs — at 100 TB both joins are
-    * pairs-volume-sized, not corpus-sized.
+    * there); the split is a pure FUNCTION of the id (md5 bucket), so
+    * both splits are projected straight onto the pair columns — no
+    * join back to a corpus-sized assignment frame, nothing after
+    * candidate generation costs more than the pairs themselves.
     */
-  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs)
-    val sp = splitAssign(docs, trainPct = trainPct, valPct = valPct)
-      .select(col("doc_id"), col("split"))
-    pairs
-      .join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a"), "id_a")
-      .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b"), "id_b")
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    graft.dedup.Dedup.ngramJaccardPairs(docs)
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        col("split_a"), col("split_b"),
-        (col("split_a") =!= col("split_b")).as("is_leak"))
-  }
+        splitOf(col("id_a"), trainPct, valPct).as("split_a"),
+        splitOf(col("id_b"), trainPct, valPct).as("split_b"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
 
   private def leakageQuery(s: SparkSession, d: String): DataFrame =
     splitLeakage(Tables.documents(s, d))
 
+  // pairs come from Dedup's shared SELECT, splits from the shared
+  // CASE — this oracle holds no similarity or hash logic of its own
   private val leakageSql =
     s"""${graft.dedup.Dedup.candSqlCtes},
-      |pairs AS (
-      |  SELECT id_a, id_b,
-      |         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0) / 10000.0 AS jaccard
-      |  FROM inter
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-      |sp AS (SELECT doc_id,
-      |  CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
-      |       WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
-      |       ELSE 'test' END AS split FROM documents)
-      |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b,
-      |       sa.split <> sb.split AS is_leak
-      |FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b""".stripMargin
+      |pairs AS (${graft.dedup.Dedup.jaccardPairsSelectSql})
+      |SELECT id_a, id_b, jaccard, split_a, split_b,
+      |       split_a <> split_b AS is_leak
+      |FROM (SELECT id_a, id_b, jaccard,
+      |        ${splitCaseSql("id_a")} AS split_a,
+      |        ${splitCaseSql("id_b")} AS split_b
+      |      FROM pairs) t""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> (tokenBudgetQuery _),

@@ -410,25 +410,25 @@ object TextAnalysis extends QueryModule {
 
   /** The 100 TB tercile plan [[pplBucket]]'s scaladoc promises: the
     * 33rd/67th percentile cut-points come from one KLL-sketch
-    * aggregation (2 longs out, broadcast back) and bucket assignment
-    * is a pure projection — no global sort. Scores cache so the cut
-    * estimation and the assignment share one LM-scoring pass.
-    * Rows-only (sketch cuts are engine-specific); CurationOpsSpec
-    * bounds bucket-size drift vs the exact NTILE terciles. Ties land
-    * in the lower bucket (`> cut`), mirroring NTILE's bias closely
-    * enough for the bound.
+    * aggregation (2 longs, taken eagerly driver-side) and bucket
+    * assignment is a pure projection with the cuts as literals — no
+    * global sort, no session cache pinned. The scoring runs twice
+    * (cut pass + assignment pass); a production job persists the
+    * scores once and reads them for both. Rows-only (sketch cuts are
+    * engine-specific); CurationOpsSpec bounds bucket-size drift vs
+    * the exact NTILE terciles. Ties land in the lower bucket
+    * (`> cut`), mirroring NTILE's bias closely enough for the bound.
     */
   private def pplBucketApprox(s: SparkSession, d: String): DataFrame = {
-    val scored = lmScores(Tables.documents(s, d))
+    def scored = lmScores(Tables.documents(s, d))
       .filter(col("n_bigrams") > 0)
-      .select(col("doc_id"), col("avg_logp_x1e6")).cache()
+      .select(col("doc_id"), col("avg_logp_x1e6"))
     val cuts = scored.agg(percentile_approx(col("avg_logp_x1e6"),
-      typedlit(Seq(1.0 / 3, 2.0 / 3)), lit(10000)).as("cuts"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("avg_logp_x1e6"),
-        when(col("avg_logp_x1e6") > element_at(col("cuts"), 2), "head")
-          .when(col("avg_logp_x1e6") > element_at(col("cuts"), 1), "middle")
-          .otherwise("tail").as("ppl_bucket"))
+      typedlit(Seq(1.0 / 3, 2.0 / 3)), lit(10000))).head().getSeq[Long](0)
+    scored.select(col("doc_id"), col("avg_logp_x1e6"),
+      when(col("avg_logp_x1e6") > cuts(1), "head")
+        .when(col("avg_logp_x1e6") > cuts(0), "middle")
+        .otherwise("tail").as("ppl_bucket"))
   }
 
   // --- BM25 ranking --------------------------------------------------

@@ -579,10 +579,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           col(vecCol).cast("array<double>")).as("__vsum"))
     val mean = transform(col("__vsum"), x => x / col("n"))
     val drift = l2Dist(mean, element_at(centLit, col("shard")))
+    // the total comes from an unpartitioned window over the ALREADY
+    // AGGREGATED frame — ≤ numShards rows, so the single-partition
+    // window is bounded by construction and the store is scanned
+    // exactly once (a separate agg subtree would re-scan it)
+    val total = sum(col("n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
     perShard
-      .crossJoin(broadcast(perShard.agg(sum(col("n")).as("__total")).select("__total")))
       .select(col("shard"), col("n"),
-        round(col("n") * numShards * 10000.0 / col("__total"), 0)
+        round(col("n") * numShards * 10000.0 / total, 0)
           .cast(LongType).as("load_x1e4"),
         round(drift * 1000000.0, 0).cast(LongType).as("drift_x1e6"))
   }

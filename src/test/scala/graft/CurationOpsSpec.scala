@@ -42,15 +42,17 @@ class CurationOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val jacIds = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val contIds = Dedup.containmentPairs(docs).select("id_a", "id_b")
+    // the corpus-independent invariant: J >= t guarantees max
+    // containment >= 2t/(1+t) (equal-size worst case) = 0.889 at
+    // t=0.8, so compare against the gate BELOW that bound — the
+    // default 0.9 gate may legitimately exclude a borderline pair
+    val contIds = Dedup.containmentPairs(docs, threshold = 0.88)
+      .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // J >= 0.8 implies containment of the smaller side >= 0.8... but the
-    // gate is 0.9, so only near-exact pairs carry over; on this corpus
-    // dups are near-exact, so the sets coincide — assert superset, the
-    // invariant that holds for any corpus is C_max >= J
     assert(jacIds.subsetOf(contIds),
       s"missing: ${jacIds.diff(contIds).take(5)}")
-    assert(contIds.nonEmpty)
+    assert(Dedup.containmentPairs(docs).count() > 0,
+      "the registered 0.9 gate still fires on this corpus")
   }
 
   test("token budget selection is the per-lang best-quality prefix") {
