@@ -315,9 +315,12 @@ object ScaleSmoke {
     // passes, so "which doc do we keep" adds no new scale hazard.
     // Runs LAST: its internal localCheckpoint (components) and shingle
     // caches are released here, not pinned across later timed steps.
-    val kb = graft.dedup.Dedup.keepBest(corpus)
-    val nKept = timed(s"keep-best survivors (pairs→clusters→quality, ${nDoc + nDoc / 100} docs)") {
-      kb.count()
+    // constructed INSIDE the timer: connectedComponents materializes
+    // its rounds eagerly (localCheckpoint), so construction is most of
+    // the cost
+    val (kb, nKept) = timed(s"keep-best survivors (pairs→clusters→quality, ${nDoc + nDoc / 100} docs)") {
+      val f = graft.dedup.Dedup.keepBest(corpus)
+      (f, f.count())
     }
     println(s"[scale] keep-best resolved $nKept clusters (injected ${nDoc / 100})")
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(kb)
