@@ -726,7 +726,10 @@ object Dedup extends QueryModule {
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
         i => xxhash64(array_join(slice(words, i, lit(spanWords)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val exploded = docs.select(col("doc_id"), explode(win).as("wh"))
+    // cached: referenced by the df-count aggregate AND the join side —
+    // without it the explode + per-window xxhash64 subtree executes
+    // twice (same convention as the shingle cache in sizedCandidates)
+    val exploded = docs.select(col("doc_id"), explode(win).as("wh")).cache()
     val dfCounts = exploded.groupBy("wh").agg(countDistinct("doc_id").as("ndocs"))
     exploded.join(dfCounts, "wh")
       .groupBy("doc_id")
