@@ -87,13 +87,22 @@ object Bench {
     // value widths, and failure lists all move it): shed per-query
     // decimals rather than the parse. Budget: 2000B tail minus sbt's
     // ~75B success trailer and the trailing newline -> 1900 leaves a
-    // margin for a longer trailer. Last rung: if even 0 decimals
-    // overflows, drop the per-query map entirely (full detail goes to
-    // stderr) — a parseable headline beats per-query precision.
+    // margin for a longer trailer. Last rung: past ~95 queries the
+    // NAME mass alone outgrows the tail at any precision, so keep the
+    // SLOWEST queries — the set plan audits read — plus an explicit
+    // omission count; the full map goes to stderr. A parseable,
+    // diagnostic headline beats completeness.
     val line = Seq(lineAt(2), lineAt(1), lineAt(0)).find(_.length <= 1900).getOrElse {
       System.err.println("bench: per-query map exceeds the archived-tail budget; " +
-        "emitting totals only. Full map: " + lineAt(3))
-      s"""{"queries":{},"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        "keeping the slowest queries. Full map: " + lineAt(3))
+      val sorted = results.filter(r => okNames.contains(r._1)).sortBy(-_._2)
+      def lineTop(k: Int): String = {
+        val qs = sorted.take(k)
+          .map { case (n, v) => "\"" + n + "\":" + fN(2)(v) }.mkString("{", ",", "}")
+        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+      }
+      (sorted.size to 0 by -1).view.map(lineTop).find(_.length <= 1900)
+        .getOrElse(lineTop(0))
     }
     println(line)
     spark.stop()

@@ -141,6 +141,53 @@ object TextAnalysis extends QueryModule {
        |  CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS n_re_tokens
        |FROM documents""".stripMargin
 
+  // --- character entropy ---------------------------------------------
+  /** Per-doc character-level Shannon entropy — the classic gibberish /
+    * encoded-blob signal (natural language sits ~2.7-4.3 nats·1e6 at
+    * this granularity; base64 noise and single-char runs land far
+    * outside). Each char class contributes
+    * FLOOR(1e6 · (c/n) · ln(n/c)) BEFORE the per-doc sum — the same
+    * order-independent integer quantization as [[lmScores]], so the
+    * sum is exact and engine-stable.
+    *
+    * Plan: explode to (doc, char) → partial-aggregated groupBy (the
+    * shuffle carries ≤ |alphabet| rows per doc, not corpus bytes) →
+    * per-doc window over those ≤ |alphabet| rows (bounded by
+    * construction) → per-doc sum. Scan-bound at 100 TB.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val perDoc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("n", sum(col("c")).over(perDoc))
+      .withColumn("q",
+        floor(lit(1000000.0) * col("c") * log(col("n").cast(DoubleType) / col("c")) / col("n"))
+          .cast(LongType))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("q")).as("entropy_x1e6"))
+  }
+
+  private def entropy(s: SparkSession, d: String): DataFrame =
+    charEntropy(Tables.documents(s, d))
+
+  private val entropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, u.ch
+      |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents) t,
+      |       UNNEST(cs) AS u(ch)),
+      |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1)
+      |SELECT cnt.doc_id,
+      |  CAST(MAX(t.n) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+      |  CAST(SUM(CAST(FLOOR(1000000.0 * cnt.c * ln(CAST(t.n AS DOUBLE) / cnt.c) / t.n) AS BIGINT)) AS BIGINT) AS entropy_x1e6
+      |FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
+      |GROUP BY cnt.doc_id""".stripMargin
+
   // --- content fingerprint -------------------------------------------
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -523,6 +570,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition"  -> (repetition _),
     "text_cms_topk"    -> (cmsTopk _),
     "text_scrub"       -> (scrubQuery _),
+    "text_entropy"     -> (entropy _),
     "text_fingerprint" -> (fingerprint _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -538,5 +586,6 @@ object TextAnalysis extends QueryModule {
     "text_tokens"      -> tokensSql,
     "text_repetition"  -> repetitionSql,
     "text_scrub"       -> scrubSql,
+    "text_entropy"     -> entropySql,
     "text_fingerprint" -> fingerprintSql)
 }

@@ -16,6 +16,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("avg_word_len") <= 0).count() === 0)
   }
 
+  test("character entropy: zero for constant docs, ~ln(k) for uniform") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),          // one class: entropy exactly 0
+      (2L, "abcd"),          // uniform over 4: ln(4) = 1.386294 nats
+      (3L, "aabb")           // uniform over 2: ln(2) = 0.693147 nats
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((4L, 1L, 0L)))
+    // FLOOR quantization loses < 1 micro-nat per char class
+    assert(out(2L)._3 > 1386290L && out(2L)._3 <= 1386294L)
+    assert(out(3L)._3 > 693145L && out(3L)._3 <= 693147L)
+    assert(out(2L)._2 === 4L && out(3L)._2 === 2L)
+    // corpus sanity: natural-language docs sit well above constant-run
+    // entropy and below the uniform-byte ceiling
+    val corpus = SparkEntry.queries("text_entropy")(spark, sf).collect()
+    assert(corpus.length === Tables.documents(spark, sf).count())
+    assert(corpus.forall(r => r.getLong(3) > 1000000L && r.getLong(3) < 5000000L))
+  }
+
   test("lm score: every doc scores negative with one bigram per word pair") {
     val lm = SparkEntry.queries("text_lm_score")(spark, sf)
     assert(lm.filter(col("avg_logp_x1e6") >= 0).count() === 0,
