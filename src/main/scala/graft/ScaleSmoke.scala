@@ -242,6 +242,30 @@ object ScaleSmoke {
     println(s"[scale] count after upserts+delete ok: ${nAfter == nVec - 1000L} " +
       s"(delete touched ${touchedDel.length} shards)")
 
+    // SemDeDup at volume: cluster-scoped pairwise cosine bounds the
+    // quadratic at n^2/k — 100k vectors in 16 clusters is ~6k per
+    // cluster, ~16x fewer comparisons than all-pairs, all through one
+    // equi-join on the cluster id. Planted +0.05-shift twins (cosine
+    // ~0.97 to their originals) drop at threshold 0.75; the uniform
+    // base has no 0.75-cosine pairs (6 sigma above the cosine
+    // concentration at 64-d) so it survives untouched. A twin can
+    // survive only by landing across a Voronoi boundary from its
+    // original — the paper's known recall cost of cluster scoping.
+    val sdBase = vecs.filter(col("id") < 100000)
+    val sdTwins = sdBase.filter(col("id") % 100 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        transform(col("vector"), x => x + lit(0.05)).as("vector"))
+    val sd = timed("semdedup (100k + 1k twins, k=16, t=0.75, cluster-scoped pairs)") {
+      val r = graft.dedup.Dedup.semDedup(sdBase.unionByName(sdTwins),
+        k = 16, threshold = 0.75, idCol = "id", vecCol = "vector").cache()
+      r.count(); r
+    }
+    val sdDropped = sd.filter(col("keep") === 0).count()
+    val sdTwinDropped = sd.filter(col("vec_id") >= 10000000L && col("keep") === 0).count()
+    println(s"[scale] semdedup dropped $sdDropped total, $sdTwinDropped/1000 planted twins " +
+      "(misses = twins routed across a cluster boundary)")
+    sd.unpersist()
+
     // sequence packing under extreme stratum skew: 5M docs, 90% in ONE
     // source. The naive per-stratum cumulative sum would sort 4.5M rows
     // in a single task; the blocked formulation never sorts more than

@@ -703,6 +703,64 @@ object Dedup extends QueryModule {
     embeddingPairsBlocked(base.unionByName(twins), threshold = 0.75)
   }
 
+  // --- SemDeDup: cluster-then-dedup keep/drop decisions --------------
+  /** Semantic dedup via cluster-scoped pairwise cosine (SemDeDup,
+    * Abbas et al. 2023): assign every embedding to its nearest
+    * centroid, then WITHIN each cluster drop any vector that has a
+    * lower-id cluster peer at cosine >= `threshold`; the kept set is
+    * exactly the vectors with no such peer. Deterministic end to end:
+    * centroids are the SURVEY §4 seeded init (lowest-id vectors), the
+    * survivor rule is keep-lowest-id (the paper keeps an arbitrary
+    * representative per similar group — low-id is that choice made
+    * reproducible, so the DuckDB oracle can replay it).
+    *
+    * THIS is the 100 TB shape for embedding dedup: the quadratic is
+    * bounded by cluster population, not corpus size. With k clusters
+    * of ~n/k members the pair volume is n^2/k, and candidate
+    * generation is a plain equi-join shuffle on the cluster id — the
+    * paper runs k=11k clusters over 1.3B embeddings. k=4 here mirrors
+    * the reference's NUM_SHARDS at test SF; at scale k is the knob
+    * (size clusters to ~10k members). A pathological hot cluster
+    * re-concentrates the quadratic — the mitigation is recursing the
+    * split on the hot cluster or falling back to
+    * [[embeddingPairsBlocked]] within it, same posture as the banded
+    * star-degradation above.
+    *
+    * Output: one row per vector — (vec_id, shard, keep 0/1).
+    */
+  def semDedup(emb: DataFrame, k: Int = 4, threshold: Double = 0.40,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val cents = graft.vector.Centroids.deterministicInit(e, k = k)
+    val a = e.withColumn("shard",
+      graft.vector.Centroids.nearestShard(col("embedding"), cents))
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.shard") === col("y.shard") && col("y.vec_id") < col("x.vec_id"))
+      .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
+      .select(col("x.vec_id")).distinct()
+      .withColumn("__dup", lit(1L))
+    a.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("shard"),
+        when(col("__dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  private def semdedup(s: SparkSession, d: String): DataFrame =
+    semDedup(Tables.embeddings(s, d))
+
+  private val semdedupSql =
+    s"""WITH ${graft.vector.VectorQueries.centSql},
+       |${graft.vector.VectorQueries.assignSql},
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assign a JOIN assign b ON a.shard = b.shard AND b.vec_id < a.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.40)
+       |SELECT s.vec_id, s.shard,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id""".stripMargin
+
   /** Span-level exact dedup signal (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better": repeated >=N-token
     * spans are the unit of training-data duplication, not whole
@@ -786,6 +844,7 @@ object Dedup extends QueryModule {
     "dedup_embedding"     -> (embedding _),
     "dedup_embedding_blocked" -> (embeddingBlocked _),
     "dedup_embedding_selective" -> (embeddingSelective _),
+    "dedup_semdedup"      -> (semdedup _),
     "dedup_span_exact"    -> (spanDup _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -802,5 +861,6 @@ object Dedup extends QueryModule {
     // test corpora — so the exact all-pairs SQL is its oracle too
     "dedup_embedding_blocked" -> embeddingSql,
     "dedup_embedding_selective" -> embeddingSelectiveSql,
+    "dedup_semdedup"      -> semdedupSql,
     "dedup_span_exact"    -> spanDupSql)
 }

@@ -32,14 +32,14 @@ object VectorQueries extends QueryModule {
       .head().getSeq[Double](0).toArray
 
   // SQL fragment: deterministic centroids + per-vector shard assignment
-  // (shared with graft.vector.Serving's oracles)
-  private[vector] val centSql =
+  // (shared with graft.vector.Serving's and graft.dedup.Dedup's oracles)
+  private[graft] val centSql =
     """cent AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS shard,
       |         embedding::DOUBLE[] AS c
       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
       |)""".stripMargin
-  private[vector] val assignSql =
+  private[graft] val assignSql =
     """assign AS (
       |  SELECT vec_id, shard, dist FROM (
       |    SELECT e.vec_id, c.shard,

@@ -151,6 +151,35 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.filter(col("jaccard") =!= 1.0).count() === 0)
   }
 
+  test("semdedup drops exactly the vectors with a lower-id same-cluster near-dup peer") {
+    val e = Tables.embeddings(spark, sf)
+    val out = SparkEntry.queries("dedup_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === e.count())
+    assert(out.forall(r => r._3 == 0L || r._3 == 1L))
+    // independent replay of the rule from the all-pairs result + routing
+    val shard = out.map(r => r._1 -> r._2).toMap
+    val expectedDropped = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .filter(r => shard(r.getLong(0)) == shard(r.getLong(1)))
+      .map(_.getLong(1)).toSet
+    assert(out.filter(_._3 == 0L).map(_._1).toSet === expectedDropped)
+  }
+
+  test("semdedup drops planted near-identical twins") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+    val out = graft.dedup.Dedup.semDedup(base.unionByName(twins), threshold = 0.75)
+    val twinRows = out.filter(col("vec_id") >= 100000).collect()
+    assert(twinRows.length === 10)
+    // a +0.05 shift keeps cosine ~0.97 with the original, which routes
+    // to the same centroid and has the lower id -> every twin drops
+    assert(twinRows.forall(_.getLong(2) == 0L))
+  }
+
   test("connected components resolve transitivity that pairwise removal misses") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique {10,11,12}, lone pair (20,21),
