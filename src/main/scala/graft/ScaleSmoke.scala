@@ -314,6 +314,20 @@ object ScaleSmoke {
     }
     println(s"[scale] uncapped-on-slice found $smallPairs pairs — compare the timings above")
 
+    // incremental dedup: a 2%-of-corpus batch judged against the rest.
+    // The near-check join is new-side shingles x old-side shingles, so
+    // candidate volume is batch-bounded — wall time should sit well
+    // under the corpus-wide jaccard pass above even though both
+    // re-shingle the full corpus (at 100 TB the old side's shingles
+    // come from the maintained incremental index instead).
+    val incVerdicts = timed(s"incremental dedup (2% batch vs ${nDoc}-doc corpus)") {
+      graft.dedup.Dedup.incrementalVerdicts(corpus, col("doc_id") >= nDoc)
+        .groupBy("verdict").count().collect()
+    }
+    println("[scale] incremental verdicts: " + incVerdicts.sortBy(_.getString(0))
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
+      s" (the ${nDoc / 100}-doc injected batch duplicates the corpus exactly)")
+
     // chunking fan-out: a pure projection, so wall time tracks OUTPUT
     // row count, not any shuffle — the corpus chunks at scan speed
     val nChunks = timed(s"doc_chunk (${nDoc + nDoc / 100} docs, size 32 stride 24)") {

@@ -344,6 +344,86 @@ object Dedup extends QueryModule {
   private def containment(s: SparkSession, d: String): DataFrame =
     containmentPairs(Tables.documents(s, d))
 
+  // --- incremental dedup: new batch vs existing corpus ---------------
+  /** Dedup an INCOMING batch against an existing corpus — the shape a
+    * continuously-fed pipeline actually runs (daily crawl increments),
+    * asymmetric where the corpus-wide passes above are symmetric: old
+    * docs are never re-judged, and a new doc is dropped the moment it
+    * duplicates anything already kept. Verdict per new doc:
+    * 'exact' (content hash already in the corpus), 'near' (capped-
+    * shingle Jaccard >= threshold against some old doc), else 'keep'.
+    * Within-batch duplicates are NOT judged here — that is the
+    * corpus-wide pass's job on the merged result.
+    *
+    * Scale shape: the exact check is a semi-join on 16-byte
+    * fingerprints (batch side broadcastable); the near check reuses
+    * the df-capped shingle universe (cap over old ∪ new, so a
+    * boilerplate shingle is judged on its full frequency) but joins
+    * ONLY new-side shingles against old-side shingles — candidate
+    * volume is batch-bounded, never corpus². A production deployment
+    * keeps the old corpus's capped shingles + sizes as a maintained
+    * incremental index instead of re-shingling per batch; the
+    * dataframes here are exactly the tables that index persists.
+    */
+  def incrementalVerdicts(docs: DataFrame, isNew: org.apache.spark.sql.Column,
+                          threshold: Double = 0.8,
+                          maxDfFraction: Double = DefaultMaxDfFraction,
+                          dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+    val sh = shingles(docs).cache()
+    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
+    val ids = docs.select(col("doc_id"), isNew.as("__is_new"), md5(col("text")).as("__fp"))
+    val newIds = ids.filter(col("__is_new"))
+    val oldIds = ids.filter(!col("__is_new"))
+    val exactDup = newIds
+      .join(oldIds.select(col("__fp")).distinct(), Seq("__fp"), "left_semi")
+      .select(col("doc_id")).withColumn("__exact", lit(1L))
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shNew = shc.join(newIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val shOld = shc.join(oldIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val inter = shNew.as("a").join(shOld.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+    val nearDup = inter
+      .join(sizes.withColumnRenamed("doc_id", "id_new").withColumnRenamed("n", "na"), "id_new")
+      .join(sizes.withColumnRenamed("doc_id", "id_old").withColumnRenamed("n", "nb"), "id_old")
+      .filter(jac >= threshold)
+      .select(col("id_new").as("doc_id")).distinct().withColumn("__near", lit(1L))
+    newIds.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact").isNotNull, "exact")
+          .when(col("__near").isNotNull, "near")
+          .otherwise("keep").as("verdict"))
+  }
+
+  private def incremental(s: SparkSession, d: String): DataFrame =
+    incrementalVerdicts(Tables.documents(s, d), col("doc_id") % 5 === 0)
+
+  private lazy val incrementalSql =
+    s"""$candSqlCtes,
+       |newdocs AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0),
+       |olddocs AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+       |exact_dup AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN olddocs o ON n.fp = o.fp),
+       |inter2 AS (
+       |  SELECT a.doc_id AS id_new, b.doc_id AS id_old, COUNT(*) AS i
+       |  FROM shc a JOIN shc b ON a.s = b.s
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY 1, 2),
+       |near_dup AS (
+       |  SELECT DISTINCT id_new AS doc_id FROM inter2
+       |  JOIN sizes sa ON sa.doc_id = id_new
+       |  JOIN sizes sb ON sb.doc_id = id_old
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'keep' END AS verdict
+       |FROM newdocs n
+       |LEFT JOIN exact_dup e ON e.doc_id = n.doc_id
+       |LEFT JOIN near_dup nr ON nr.doc_id = n.doc_id""".stripMargin
+
   // CTEs shared by ngramJaccardSql and editDistanceSql, mirroring
   // ngramJaccardPairs exactly: the df-cap removes hot shingles from the
   // similarity universe (sizes AND intersections over capped sets)
@@ -845,6 +925,7 @@ object Dedup extends QueryModule {
     "dedup_embedding_blocked" -> (embeddingBlocked _),
     "dedup_embedding_selective" -> (embeddingSelective _),
     "dedup_semdedup"      -> (semdedup _),
+    "dedup_incremental"   -> (incremental _),
     "dedup_span_exact"    -> (spanDup _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -862,5 +943,6 @@ object Dedup extends QueryModule {
     "dedup_embedding_blocked" -> embeddingSql,
     "dedup_embedding_selective" -> embeddingSelectiveSql,
     "dedup_semdedup"      -> semdedupSql,
+    "dedup_incremental"   -> incrementalSql,
     "dedup_span_exact"    -> spanDupSql)
 }

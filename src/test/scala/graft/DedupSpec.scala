@@ -180,6 +180,27 @@ class DedupSpec extends AnyFunSuite {
     assert(twinRows.forall(_.getLong(2) == 0L))
   }
 
+  test("incremental dedup judges the new batch against the old corpus only") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val oldDocs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.map(w => w + "x").mkString(" ")),
+      (3L, "tiny doc here")).toDF("doc_id", "text")
+    // 100: exact copy of old 1; 101: near-dup of old 2 (one word
+    // changed, J ~ 0.92); 102: fresh; 103: exact copy of new 102 —
+    // within-batch, so it must still be 'keep'
+    val newDocs = Seq(
+      (100L, words.mkString(" ")),
+      (101L, (words.map(w => w + "x").init :+ "zzz").mkString(" ")),
+      (102L, (0 until 40).map(i => s"q$i").mkString(" ")),
+      (103L, (0 until 40).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val v = graft.dedup.Dedup.incrementalVerdicts(
+        oldDocs.unionByName(newDocs), col("doc_id") >= 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v === Map(100L -> "exact", 101L -> "near", 102L -> "keep", 103L -> "keep"))
+  }
+
   test("connected components resolve transitivity that pairwise removal misses") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique {10,11,12}, lone pair (20,21),
