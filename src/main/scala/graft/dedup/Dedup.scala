@@ -368,7 +368,19 @@ object Dedup extends QueryModule {
   def incrementalVerdicts(docs: DataFrame, isNew: org.apache.spark.sql.Column,
                           threshold: Double = 0.8,
                           maxDfFraction: Double = DefaultMaxDfFraction,
-                          dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+                          dfCapFloor: Long = DefaultDfCapFloor): DataFrame =
+    incrementalVerdictsCached(docs, isNew, threshold, maxDfFraction, dfCapFloor)._1
+
+  /** [[incrementalVerdicts]] plus the cached intermediate frames, for
+    * callers that run it repeatedly in one session (the streaming
+    * micro-batch gate): unpersist them once the verdicts are consumed,
+    * or one shingle cache accumulates per batch for the stream's
+    * lifetime.
+    */
+  private[graft] def incrementalVerdictsCached(
+      docs: DataFrame, isNew: org.apache.spark.sql.Column, threshold: Double,
+      maxDfFraction: Double = DefaultMaxDfFraction,
+      dfCapFloor: Long = DefaultDfCapFloor): (DataFrame, Seq[DataFrame]) = {
     val sh = shingles(docs).cache()
     val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
     val ids = docs.select(col("doc_id"), isNew.as("__is_new"), md5(col("text")).as("__fp"))
@@ -389,13 +401,27 @@ object Dedup extends QueryModule {
       .join(sizes.withColumnRenamed("doc_id", "id_old").withColumnRenamed("n", "nb"), "id_old")
       .filter(jac >= threshold)
       .select(col("id_new").as("doc_id")).distinct().withColumn("__near", lit(1L))
-    newIds.select("doc_id")
+    val verdicts = newIds.select("doc_id")
       .join(exactDup, Seq("doc_id"), "left")
       .join(nearDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__exact").isNotNull, "exact")
           .when(col("__near").isNotNull, "near")
           .otherwise("keep").as("verdict"))
+    (verdicts, Seq(sh, shc))
+  }
+
+  /** [[incrementalVerdicts]] with the old/new split given as two
+    * frames — the shape a streaming micro-batch gate calls with.
+    * doc_ids must be disjoint across the frames (the ingest
+    * contract). Returns (verdicts over `batch`'s docs, caches to
+    * unpersist once consumed).
+    */
+  private[graft] def batchVerdictsCached(corpus: DataFrame, batch: DataFrame,
+                                         threshold: Double = 0.8): (DataFrame, Seq[DataFrame]) = {
+    val u = corpus.select(col("doc_id"), col("text")).withColumn("__new", lit(false))
+      .unionByName(batch.select(col("doc_id"), col("text")).withColumn("__new", lit(true)))
+    incrementalVerdictsCached(u, col("__new"), threshold)
   }
 
   private def incremental(s: SparkSession, d: String): DataFrame =

@@ -40,10 +40,22 @@ object StreamingCuration {
   /** Start curating `docs` (streaming frame with `tsCol` event time,
     * `doc_id`, `text`) into parquet at `outDir`. Caller stops the
     * returned query, then runs [[finish]].
+    *
+    * With `corpus = Some(existing)`, every micro-batch is first judged
+    * against that STATIC corpus via [[graft.dedup.Dedup]]'s
+    * incremental verdicts (exact fingerprint + capped-shingle Jaccard)
+    * and only 'keep' docs continue — the live half of the
+    * daily-increment shape `dedup_incremental` runs in batch. The
+    * gate is stream-static and stateless (no state store growth); it
+    * re-derives the corpus-side shingles per batch, which is fine at
+    * test scale and stands in for probing the maintained incremental
+    * shingle index at 100 TB. Batch doc_ids must be disjoint from
+    * corpus doc_ids.
     */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
             minWords: Int = 10, jaccardThreshold: Double = 0.8,
-            tsCol: String = "ts", watermark: String = "10 minutes"): StreamingQuery =
+            tsCol: String = "ts", watermark: String = "10 minutes",
+            corpus: Option[DataFrame] = None): StreamingQuery =
     StreamingDedup.dedup(docs, tsCol, "text", watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -57,12 +69,22 @@ object StreamingCuration {
         // watermark-advance ticks deliver empty batches; curating them
         // would run the full pipeline plan to append nothing
         if (!batch.isEmpty) {
-          val r = CurationPipeline.curate(batch.sparkSession, batch.drop(tsCol),
+          import org.apache.spark.sql.functions.col
+          val b0 = batch.drop(tsCol)
+          val (incoming, gateCaches) = corpus match {
+            case Some(c) =>
+              val (v, caches) = graft.dedup.Dedup.batchVerdictsCached(c, b0, jaccardThreshold)
+              (b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
+                Seq("doc_id"), "left_semi"), caches)
+            case None => (b0, Seq.empty[DataFrame])
+          }
+          val r = CurationPipeline.curate(batch.sparkSession, incoming,
             minWords, jaccardThreshold)
           try r.kept.write.mode(SaveMode.Append).parquet(outDir)
-          // one curate() per micro-batch pins one cached frame: release
-          // it or dead caches accumulate for the stream's lifetime
-          finally r.release()
+          // one curate() per micro-batch pins one cached frame (plus
+          // the gate's shingle caches): release them or dead caches
+          // accumulate for the stream's lifetime
+          finally { r.release(); gateCaches.foreach(_.unpersist()) }
         }
       }
       .start()

@@ -252,6 +252,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.droppedExact === 1L && r.droppedNearDup === 1L)
   }
 
+  test("streaming curation gates micro-batches against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    val w40 = (1 to 40).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, (1 to 12).map(i => s"k$i").mkString(" ")),
+      (2L, w40)).toDF("doc_id", "text")
+    // 100: exact copy of corpus 1 -> gate drops; 101: near-dup of
+    // corpus 2 (1 of 41 words differs, J ~ 0.87) -> gate drops;
+    // 102: fresh -> lands. Second batch: 103 fresh -> lands, proving
+    // the gate re-applies per micro-batch.
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scg-out").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scg-ck").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      input.toDF().toDF("doc_id", "ts", "text"), outDir, ckpt,
+      corpus = Some(corpus))
+    try {
+      input.addData(
+        doc(100, 0, (1 to 12).map(i => s"k$i").mkString(" ")),
+        doc(101, 1, w40 + " delta"),
+        doc(102, 2, (1 to 12).map(i => s"f$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData(doc(103, 3, (1 to 12).map(i => s"g$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+      === Array(102L, 103L))
+  }
+
   test("session_window batch result agrees with the lag/cumsum sessionizer") {
     val sw = EventStream.sessionWindows(batchEvents)
       .select("user_id", "start_us", "n_events", "sum_value")
