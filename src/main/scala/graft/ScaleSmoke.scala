@@ -255,9 +255,18 @@ object ScaleSmoke {
     val sdTwins = sdBase.filter(col("id") % 100 === 0)
       .select((col("id") + 10000000L).as("id"),
         transform(col("vector"), x => x + lit(0.05)).as("vector"))
-    val sd = timed("semdedup (100k + 1k twins, k=16, t=0.75, cluster-scoped pairs)") {
+    // unsalted contrast: the pair join keys on the cluster id alone, so
+    // k=16 caps parallelism at 16 tasks on 32 cores; pairSalt=8 splits
+    // each cluster's quadratic over 8 tasks (identical result,
+    // spec-asserted)
+    timed("semdedup UNSALTED (100k + 1k twins, k=16 -> 16 pair tasks)") {
+      graft.dedup.Dedup.semDedup(sdBase.unionByName(sdTwins),
+        k = 16, threshold = 0.75, idCol = "id", vecCol = "vector")
+        .filter(col("keep") === 0).count()
+    }
+    val sd = timed("semdedup (100k + 1k twins, k=16, t=0.75, pairSalt=8)") {
       val r = graft.dedup.Dedup.semDedup(sdBase.unionByName(sdTwins),
-        k = 16, threshold = 0.75, idCol = "id", vecCol = "vector").cache()
+        k = 16, threshold = 0.75, idCol = "id", vecCol = "vector", pairSalt = 8).cache()
       r.count(); r
     }
     val sdDropped = sd.filter(col("keep") === 0).count()

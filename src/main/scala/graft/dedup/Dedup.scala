@@ -835,14 +835,31 @@ object Dedup extends QueryModule {
     * Output: one row per vector — (vec_id, shard, keep 0/1).
     */
   def semDedup(emb: DataFrame, k: Int = 4, threshold: Double = 0.40,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               pairSalt: Int = 1): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
     val cents = graft.vector.Centroids.deterministicInit(e, k = k)
     val a = e.withColumn("shard",
       graft.vector.Centroids.nearestShard(col("embedding"), cents))
-    val dropped = a.as("x").join(a.as("y"),
-        col("x.shard") === col("y.shard") && col("y.vec_id") < col("x.vec_id"))
+    // The pair join's shuffle key is the cluster id: k distinct values
+    // = at most k parallel tasks, regardless of executor count — the
+    // per-cluster quadratic lands on one task each. `pairSalt` > 1
+    // splits it RESULT-INVARIANTLY: the probe side partitions by
+    // vec_id % pairSalt, the build side replicates to every salt, the
+    // join keys on (shard, salt) so each cluster's pair volume spreads
+    // over pairSalt tasks. Price: the build side shuffles pairSalt
+    // copies — the standard salting trade (same posture as the salted
+    // q_skew_join). The pair SET is identical for any pairSalt.
+    val (xs, ys, joinKeys) =
+      if (pairSalt <= 1) (a.as("x"), a.as("y"),
+        col("x.shard") === col("y.shard"))
+      else (
+        a.withColumn("__salt", pmod(col("vec_id"), lit(pairSalt))).as("x"),
+        a.withColumn("__salt",
+          explode(array((0 until pairSalt).map(s => lit(s.toLong)): _*))).as("y"),
+        col("x.shard") === col("y.shard") && col("x.__salt") === col("y.__salt"))
+    val dropped = xs.join(ys, joinKeys && col("y.vec_id") < col("x.vec_id"))
       .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
       .select(col("x.vec_id")).distinct()
       .withColumn("__dup", lit(1L))
@@ -851,8 +868,11 @@ object Dedup extends QueryModule {
         when(col("__dup").isNull, 1L).otherwise(0L).as("keep"))
   }
 
+  // registered with pairSalt = 4: the oracle is salt-blind, so a green
+  // row PROVES the salted plan computes the identical pair set (the
+  // same "salting proven invisible" contract as q_skew_join)
   private def semdedup(s: SparkSession, d: String): DataFrame =
-    semDedup(Tables.embeddings(s, d))
+    semDedup(Tables.embeddings(s, d), pairSalt = 4)
 
   private val semdedupSql =
     s"""WITH ${graft.vector.VectorQueries.centSql},

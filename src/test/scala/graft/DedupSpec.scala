@@ -166,6 +166,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter(_._3 == 0L).map(_._1).toSet === expectedDropped)
   }
 
+  test("semdedup pair-salting never changes the result") {
+    val e = Tables.embeddings(spark, sf)
+    def rows(salt: Int) =
+      graft.dedup.Dedup.semDedup(e, pairSalt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(1) === rows(7))
+  }
+
   test("semdedup drops planted near-identical twins") {
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
