@@ -462,7 +462,42 @@ object PipelineOps extends QueryModule {
       |        ${splitCaseSql("id_b")} AS split_b
       |      FROM pairs) t""".stripMargin
 
+  // --- deterministic corpus shuffle (training order) -----------------
+  /** Per-epoch training-data shuffle WITHOUT a global sort: every doc
+    * gets a seeded md5 order key; `bucket` = key-derived hash bucket,
+    * `pos` = rank within the bucket by key. Reading buckets in order,
+    * each sorted by pos, replays one deterministic pseudorandom
+    * permutation of the corpus; a different `seed` gives the next
+    * epoch's permutation. The scale shape: the only wide operation is
+    * numBuckets independent window ranks — each bucket sorts its own
+    * ~n/numBuckets slice in parallel (at 100 TB, numBuckets is sized
+    * to the output file count, so the sort stays partition-local).
+    * A corpus-wide ORDER BY md5 would be the textbook global-sort
+    * anti-pattern this operator exists to avoid.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String = "doc_id",
+                   numBuckets: Int = 16, seed: String = "ep0"): DataFrame = {
+    val key = md5(concat(lit(s"shuf:$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("__k"), col(idCol))
+    docs.select(col(idCol), key.as("__k"),
+        (conv(substring(key, 1, 13), 16, 10).cast(LongType) % numBuckets).as("bucket"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col(idCol), col("bucket"), col("pos"))
+  }
+
+  private def shuffleQuery(s: SparkSession, d: String): DataFrame =
+    shuffleOrder(Tables.documents(s, d))
+
+  private val shuffleSql =
+    """SELECT doc_id, bucket,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT doc_id, md5('shuf:ep0:' || CAST(doc_id AS VARCHAR)) AS k,
+      |        CAST(('0x' || substring(md5('shuf:ep0:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 16 AS bucket
+      |      FROM documents) t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle"     -> (shuffleQuery _),
     "corpus_token_budget" -> (tokenBudgetQuery _),
     "split_leakage"      -> (leakageQuery _),
     "doc_chunk"          -> (chunkQuery _),
@@ -474,6 +509,7 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "corpus_shuffle"     -> shuffleSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "split_leakage"      -> leakageSql,
     "doc_chunk"          -> chunkSql,

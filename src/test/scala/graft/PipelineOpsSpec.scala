@@ -207,4 +207,25 @@ class PipelineOpsSpec extends AnyFunSuite {
         "split assignment must be map-side")
     } finally assigned.unpersist()
   }
+
+  test("corpus shuffle is a deterministic permutation that varies by seed") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val s1 = PipelineOps.shuffleOrder(docs)
+    // a permutation: every doc exactly once, (bucket, pos) unique,
+    // pos contiguous 1..count within each bucket
+    assert(s1.count() === n)
+    assert(s1.select("bucket", "pos").distinct().count() === n)
+    val perBucket = s1.groupBy("bucket")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn")).collect()
+    perBucket.foreach(r =>
+      assert(r.getLong(2) === r.getLong(1) && r.getLong(3) === 1L, s"bucket ${r.get(0)}"))
+    // deterministic under re-evaluation; a new seed reorders
+    def order(seed: String) = PipelineOps.shuffleOrder(docs, seed = seed)
+      .orderBy("bucket", "pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order("ep0") === order("ep0"))
+    assert(order("ep0") !== order("ep1"))
+    // not the identity order either
+    assert(order("ep0") !== docs.orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
 }
