@@ -257,6 +257,85 @@ object TextAnalysis extends QueryModule {
       |      FROM scored) q
       |WHERE rank <= 3""".stripMargin
 
+  // --- sparse tf-idf document similarity -----------------------------
+  /** Doc-to-doc top-5 by SPARSE tf-idf cosine — the inverted-index
+    * complement to the dense embedding knn family: similarity flows
+    * through an equi-join on shared TERMS, so only term-overlapping
+    * doc pairs are ever scored (no dense all-pairs shape anywhere).
+    * Query docs 0-2 rank the rest of the corpus.
+    *
+    * Determinism: weights quantize to 1e4-scaled BIGINTs (same
+    * integer-micro-unit convention as text_lm_score), so dots and
+    * norms are ORDER-INDEPENDENT integer sums — a double SUM here
+    * would hash-drift on shuffle order. The final
+    * `dot / (sqrt(nq)·sqrt(nd))` is correctly-rounded IEEE ops on
+    * identical integers, bit-equal in both engines.
+    *
+    * Scale shape: the corpus-side weight table is one explode + two
+    * hash aggregates (corpus-volume, the tf-idf build the pipeline
+    * already pays); the QUERY side is a handful of docs whose weights
+    * broadcast, so scoring is a map-side join over the corpus scan +
+    * one partial-aggregated groupBy — per-query cost rides document
+    * frequency of the query's terms, never corpus².
+    */
+  private def tfidfSim(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val words = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val wts = tf.join(broadcast(df), "word").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("__n_docs") / col("df")) * 10000.0, 0)
+          .cast(LongType).as("w"))
+    val norms = wts.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val qw = wts.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("word"), col("w").as("wq"))
+    val dots = wts.as("d")
+      .join(broadcast(qw).as("q"),
+        col("d.word") === col("q.word") && col("d.doc_id") =!= col("q.q_id"))
+      .groupBy(col("q.q_id").as("q_id"), col("d.doc_id").as("doc_id"))
+      .agg(sum(col("q.wq") * col("d.w")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sim0"), asc("doc_id"))
+    dots
+      .join(norms.select(col("doc_id").as("q_id"), col("n2").as("nq")), "q_id")
+      .join(norms.select(col("doc_id"), col("n2").as("nd")), "doc_id")
+      .withColumn("sim0", col("dot") / (sqrt(col("nq")) * sqrt(col("nd"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), round(col("sim0"), 4).as("sim"))
+  }
+
+  private val tfidfSimSql =
+    """WITH words AS (
+      |  SELECT doc_id, w AS word FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |wts AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         CAST(ROUND(tf.tf * ln(n.n / df.df) * 10000.0) AS BIGINT) AS w
+      |  FROM tf JOIN df USING (word) CROSS JOIN n),
+      |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1),
+      |dots AS (
+      |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id, CAST(SUM(q.w * d.w) AS BIGINT) AS dot
+      |  FROM wts q JOIN wts d ON q.word = d.word AND d.doc_id <> q.doc_id
+      |  WHERE q.doc_id < 3
+      |  GROUP BY 1, 2)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ROUND(sim0, 4) AS sim
+      |FROM (SELECT dots.q_id, dots.doc_id,
+      |        dots.dot / (sqrt(nq.n2) * sqrt(nd.n2)) AS sim0,
+      |        ROW_NUMBER() OVER (PARTITION BY dots.q_id
+      |          ORDER BY dots.dot / (sqrt(nq.n2) * sqrt(nd.n2)) DESC, dots.doc_id) AS rank
+      |      FROM dots
+      |      JOIN norms nq ON nq.doc_id = dots.q_id
+      |      JOIN norms nd ON nd.doc_id = dots.doc_id) z
+      |WHERE rank <= 5""".stripMargin
+
   // --- within-document repetition (Gopher-style quality signals) -----
   /** Repetition signals per document, the Gopher repetition filters
     * (Rae et al. 2021, §A1.1): share of the corpus-free signals that
@@ -563,6 +642,7 @@ object TextAnalysis extends QueryModule {
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
+    "text_tfidf_sim"   -> (tfidfSim _),
     "text_stats"       -> (stats _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -580,6 +660,7 @@ object TextAnalysis extends QueryModule {
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,
+    "text_tfidf_sim"   -> tfidfSimSql,
     "text_stats"       -> statsSql,
     "text_langid"      -> langidSql,
     "text_quality"     -> qualitySql,

@@ -88,6 +88,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(withTerm.count() === 10)
   }
 
+  test("tfidf similarity: 3 query docs, descending top-5, cosine-bounded, no self") {
+    val df = SparkEntry.queries("text_tfidf_sim")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length).toSeq, s"q=$q ranks")
+      val sims = byRank.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"q=$q descending")
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001), s"q=$q cosine bound")
+      assert(!rs.exists(_.getLong(2) == q), s"q=$q must exclude itself")
+    }
+  }
+
   test("langid prediction equals the argmax of its scores") {
     val df = SparkEntry.queries("text_langid")(spark, sf)
     val bad = df.filter(
