@@ -71,20 +71,26 @@ object StreamingCuration {
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.col
           val b0 = batch.drop(tsCol)
-          val (incoming, gateCaches) = corpus match {
-            case Some(c) =>
-              val (v, caches) = graft.dedup.Dedup.batchVerdictsCached(c, b0, jaccardThreshold)
-              (b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
-                Seq("doc_id"), "left_semi"), caches)
-            case None => (b0, Seq.empty[DataFrame])
-          }
-          val r = CurationPipeline.curate(batch.sparkSession, incoming,
-            minWords, jaccardThreshold)
-          try r.kept.write.mode(SaveMode.Append).parquet(outDir)
           // one curate() per micro-batch pins one cached frame (plus
           // the gate's shingle caches): release them or dead caches
-          // accumulate for the stream's lifetime
-          finally { r.release(); gateCaches.foreach(_.unpersist()) }
+          // accumulate for the stream's lifetime. The gate release
+          // wraps EVERYTHING downstream of cache registration — a
+          // curate() analysis error must not strand the shingle caches
+          var gateCaches: Seq[DataFrame] = Nil
+          try {
+            val incoming = corpus match {
+              case Some(c) =>
+                val (v, caches) = graft.dedup.Dedup.batchVerdictsCached(c, b0, jaccardThreshold)
+                gateCaches = caches
+                b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
+                  Seq("doc_id"), "left_semi")
+              case None => b0
+            }
+            val r = CurationPipeline.curate(batch.sparkSession, incoming,
+              minWords, jaccardThreshold)
+            try r.kept.write.mode(SaveMode.Append).parquet(outDir)
+            finally r.release()
+          } finally gateCaches.foreach(_.unpersist())
         }
       }
       .start()

@@ -286,10 +286,15 @@ object TextAnalysis extends QueryModule {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = words.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
+    // cached: norms, the broadcast query side, and the dots probe side
+    // all reference this explode+aggregate subtree — one build pass,
+    // not one per consumer (same convention as Dedup.sizedCandidates;
+    // Bench's clearCache between timings releases it)
     val wts = tf.join(broadcast(df), "word").crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("word"),
         round(col("tf") * log(col("__n_docs") / col("df")) * 10000.0, 0)
           .cast(LongType).as("w"))
+      .cache()
     val norms = wts.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val qw = wts.filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"), col("word"), col("w").as("wq"))
