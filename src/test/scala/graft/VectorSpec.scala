@@ -241,6 +241,48 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("store-level semdedup drops planted twins within shards; delete closes the loop") {
+    val dir = Files.createTempDirectory("graft-vs-sd").toString
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vector"))
+    val twins = base.filter(col("id") < 10)
+      .select((col("id") + 100000).as("id"),
+        transform(col("vector"), x => x + lit(0.05)).as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(base.unionByName(twins), iters = 3)
+
+    val verdicts = vs.semDedup(threshold = 0.75)
+    assert(verdicts.count() === base.count() + 10)
+    // identical result with and without pair salting
+    val unsalted = vs.semDedup(threshold = 0.75, pairSalt = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(verdicts.collect().map(r => (r.getLong(0), r.getLong(2))).toSet === unsalted)
+    // a twin routes with its original (KMeans centroids, tiny shift):
+    // every twin must drop; the rule replays from the store's own rows
+    val rows = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("shard").cast("long"),
+        col("vector").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expectDrop = rows.filter { case (id, sh, v) =>
+      rows.exists { case (id2, sh2, v2) =>
+        sh2 == sh && id2 < id && cos(v, v2) >= 0.75 }
+    }.map(_._1).toSet
+    val gotDrop = verdicts.filter(col("keep") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotDrop === expectDrop)
+    assert((0 until 10).forall(i => gotDrop.contains(i + 100000L)), "all twins drop")
+
+    // the maintenance loop: delete the drops, store is twin-free
+    vs.delete(gotDrop.toSeq.sorted)
+    assert(vs.listIds().agg(sum("n_vectors")).head().getLong(0)
+      === base.count() + 10 - gotDrop.size)
+  }
+
   test("upsert replaces by id and delete removes, touching only affected shards") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val emb = Tables.embeddings(spark, sf)
