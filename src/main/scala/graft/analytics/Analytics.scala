@@ -528,6 +528,43 @@ object Analytics extends QueryModule {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY user_id""".stripMargin
 
+  // --- Markov transitions: event_type -> next event_type ---------------
+  /** First-order transition matrix over per-user event sequences — the
+    * behavioral-model input (what follows a `view`? how often does
+    * `error` self-loop?). One lead() window partitioned by user (same
+    * shuffle shape as sessionization: per-user partitions, never a
+    * global sort), then a groupBy on (from, to) whose cardinality is
+    * |event_types|^2 regardless of corpus size — partial aggregation
+    * collapses it map-side, so the second shuffle carries a handful of
+    * rows per partition at any SF. Probabilities leave as x1e4 BIGINTs
+    * (the avg convention, SURVEY §4); the per-from normalizer is a
+    * window over the |types|^2-row aggregate, not over the events.
+    */
+  private def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_x1e4",
+        round(col("n") * 10000.0 / sum(col("n")).over(Window.partitionBy("from_type")), 0)
+          .cast(LongType))
+  }
+
+  private val qEventTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |agg AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(ROUND(n * 10000.0 / SUM(n) OVER (PARTITION BY from_type), 0) AS BIGINT) AS p_x1e4
+      |FROM agg""".stripMargin
+
   // --- set ops: INTERSECT / EXCEPT -----------------------------------
   private def qSetOps(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -842,6 +879,7 @@ object Analytics extends QueryModule {
     "q_funnel"         -> (qFunnel _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_last_event"     -> (qLastEvent _),
+    "q_event_transitions" -> (qEventTransitions _),
     "q_set_ops"        -> (qSetOps _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_asof_join"      -> (qAsof _),
@@ -876,6 +914,7 @@ object Analytics extends QueryModule {
     "q_funnel"         -> qFunnelSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_last_event"     -> qLastEventSql,
+    "q_event_transitions" -> qEventTransitionsSql,
     "q_set_ops"        -> qSetOpsSql,
     "q_json_extract"   -> qJsonExtractSql,
     "q_asof_join"      -> qAsofSql,

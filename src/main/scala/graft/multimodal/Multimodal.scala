@@ -150,13 +150,70 @@ object Multimodal extends QueryModule {
       |  n_bytes
       |FROM h""".stripMargin
 
+  // --- media near-dup by shared content blocks ------------------------
+  /** Media-object near-dup pairs: objects sharing >= `minShared`
+    * distinct stride-64 content-block digests — the payload-level
+    * analogue of shingle dedup (re-encoded copies, watermarked
+    * variants, and container-wrapped reposts share most raw blocks
+    * even when whole-file digests differ). Same scale posture as
+    * `dedup_ngram_jaccard`: per-object distinct block digests, blocks
+    * present in more than max(20, 0.5%·N) objects df-capped OUT of the
+    * similarity universe (an all-zeros block or shared codec header
+    * would otherwise make the block self-join quadratic in its df),
+    * then ONE equi-join on digest + groupBy pair. Pair volume is
+    * bounded by cap · |block rows| — linear in the corpus for a fixed
+    * cap. Digests (16 B) travel the joins; payload bytes never leave
+    * the scan.
+    */
+  def frameNearDupPairs(docs: DataFrame, minShared: Long = 3L): DataFrame = {
+    val frames = docs
+      .withColumn("n_bytes", length(col("text").cast("binary")))
+      .select(col("doc_id"),
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0), expr("(n_bytes - 1) div 64").cast("int")))
+          .otherwise(array())).as("frame_no"), col("text"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, frame_no * 64 + 1, 64)")).as("fd"))
+      .distinct()
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val keep = frames.groupBy("fd").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(20L), ceil(col("n_docs") * 0.005)))
+      .select("fd")
+    val fc = frames.join(keep, "fd")
+    fc.as("a").join(fc.as("b"),
+        col("a.fd") === col("b.fd") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
+  private def frameNearDup(s: SparkSession, d: String): DataFrame =
+    frameNearDupPairs(Tables.documents(s, d))
+
+  private val frameNearDupSql =
+    """WITH fr AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fd
+      |  FROM documents, UNNEST(generate_series(0, (strlen(text) - 1) // 64)) AS t(i)),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |keep AS (
+      |  SELECT fd FROM fr, nd GROUP BY fd, n_docs
+      |  HAVING COUNT(*) <= GREATEST(20, CAST(CEIL(n_docs * 0.005) AS BIGINT))),
+      |fc AS (SELECT fr.doc_id, fr.fd FROM fr JOIN keep USING (fd))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_frames
+      |FROM fc a JOIN fc b ON a.fd = b.fd AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> (binaryFeatures _),
     "mm_frame_sample"    -> (frameSample _),
+    "mm_frame_neardup"   -> (frameNearDup _),
     "mm_modality_route"  -> (modalityRoute _))
 
   override val oracleSql: Map[String, String] = Map(
     "mm_binary_features" -> binaryFeaturesSql,
     "mm_frame_sample"    -> frameSampleSql,
+    "mm_frame_neardup"   -> frameNearDupSql,
     "mm_modality_route"  -> modalityRouteSql)
 }

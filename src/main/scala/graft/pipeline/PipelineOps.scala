@@ -496,7 +496,84 @@ object PipelineOps extends QueryModule {
       |        CAST(('0x' || substring(md5('shuf:ep0:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 16 AS bucket
       |      FROM documents) t""".stripMargin
 
+  // --- DSIR importance weights (data selection toward a target) -------
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by the log importance
+    * weight log p_target(x) − p_raw(x) under bag-of-hashed-unigram
+    * models — the published recipe for "select web data that looks
+    * like my target corpus". Downstream, sampling ∝ exp(weight)
+    * (Gumbel top-k) yields the DSIR subset; this operator emits the
+    * per-doc log-weights that drive it (reference analogue: none —
+    * selection there is vector-similarity only).
+    *
+    * Both models are hashed-multinomial with add-one smoothing over
+    * B buckets: p(bucket b) = (c_b + 1) / (total + B). A token's
+    * bucket is the 52-bit md5-prefix mod B ([[splitAssign]]'s stable
+    * cross-engine hash). Per-bucket log-ratios are FLOOR-quantized to
+    * micro-nats BEFORE the weighted per-doc sum (the [[graft.text
+    * .TextAnalysis.lmScores]] convention — integer sums are
+    * order-independent where float sums are not), and every token in
+    * a bucket shares the ratio, so the sum is count·ratio exactly.
+    *
+    * Scale shape: one token explode collapses map-side into per-(doc,
+    * bucket) counts (the shuffle carries ≤ B rows per doc); both
+    * models aggregate THOSE counts (bucket-sized tables, B rows);
+    * the scored model is a B-row broadcast joined back map-side.
+    * Nothing corpus-sized shuffles twice, and the target predicate
+    * is evaluated on doc ids, never re-scanning text.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 1024): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 13), 16, 10).cast(LongType)
+          % buckets).as("b"))
+    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c")).cache()
+    val raw = db.groupBy("b").agg(sum(col("c")).as("r"))
+    val tgt = db.filter(targetPred).groupBy("b").agg(sum(col("c")).as("t"))
+    val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("t"))
+    val totals = model.agg(sum(col("r")).as("rr"), sum(col("t")).as("tt"))
+    val scored = model.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        floor((log((col("t") + 1) / (col("tt") + buckets))
+             - log((col("r") + 1) / (col("rr") + buckets))) * 1000000.0)
+          .cast(LongType))
+      .select("b", "lr")
+    val out = db.join(broadcast(scored), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lr")).as("dsir_x1e6"))
+    db.unpersist()
+    out
+  }
+
+  private def dsirQuery(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.documents(s, d), col("doc_id") < 20)
+
+  private val dsirSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(u.w), 1, 13)) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+      |       UNNEST(ws) AS u(w)),
+      |db AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM db GROUP BY 1),
+      |tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS t FROM db WHERE doc_id < 20 GROUP BY 1),
+      |model AS (
+      |  SELECT raw.b, raw.r, COALESCE(tgt.t, 0) AS t
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rr, CAST(SUM(t) AS BIGINT) AS tt FROM model),
+      |scored AS (
+      |  SELECT b, CAST(FLOOR((ln((t + 1) / (tt + 1024))
+      |                      - ln((r + 1) / (rr + 1024))) * 1000000.0) AS BIGINT) AS lr
+      |  FROM model CROSS JOIN tot)
+      |SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(db.c * scored.lr) AS BIGINT) AS dsir_x1e6
+      |FROM db JOIN scored USING (b)
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir"        -> (dsirQuery _),
     "corpus_shuffle"     -> (shuffleQuery _),
     "corpus_token_budget" -> (tokenBudgetQuery _),
     "split_leakage"      -> (leakageQuery _),
@@ -509,6 +586,7 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "corpus_dsir"        -> dsirSql,
     "corpus_shuffle"     -> shuffleSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "split_leakage"      -> leakageSql,

@@ -228,4 +228,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     // not the identity order either
     assert(order("ep0") !== docs.orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
   }
+
+  test("dsir weights rank target-domain docs above off-domain docs") {
+    import spark.implicits._
+    // two vocabularies: "sci" (the target domain) and "web" (noise).
+    // Target = docs 0-4 (pure sci). Raw pool: sci-like docs 10-19,
+    // web docs 20-29. DSIR must score every sci-like raw doc above
+    // every web doc — that ordering IS the selection semantics.
+    val sci = "quantum electron proton neutrino boson fermion lattice spin"
+    val web = "click here buy now free offer deal sale shop cart"
+    val docs = (
+      (0L to 4L).map(i => (i, sci)) ++
+      (10L to 19L).map(i => (i, sci + s" variant$i")) ++
+      (20L to 29L).map(i => (i, web + s" variant$i"))
+    ).toDF("doc_id", "text")
+    val w = PipelineOps.dsirWeights(docs, col("doc_id") < 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sciMin = (10L to 19L).map(w).min
+    val webMax = (20L to 29L).map(w).max
+    assert(sciMin > webMax,
+      s"sci-like min $sciMin must exceed web max $webMax")
+    // weights are per-token comparable: target docs themselves score
+    // highest of all (their tokens define p_target)
+    assert((0L to 4L).map(w).min >= sciMin)
+  }
 }

@@ -182,4 +182,38 @@ class TextMultimodalSpec extends AnyFunSuite {
     val chars = Tables.documents(spark, sf).agg(sum(length(col("text")))).head().getLong(0)
     assert(total === chars)
   }
+
+  test("frame near-dup finds planted shared-block pairs, df-caps universal blocks") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // blocks are EXACTLY 64 chars so planted frame boundaries align
+    def blk(c: Char): String = c.toString * 64
+    val shared = blk('a') + blk('b') + blk('c')
+    val docs = (Seq(
+      (1L, shared + "tail one"),
+      (2L, shared + "a different tail"),
+      (3L, blk('x') + blk('y'))) ++
+      // 25 docs all containing one universal block: df=25 > cap=20 —
+      // that block must be removed from the similarity universe
+      (10L to 34L).map(i => (i, blk('z') + s"unique suffix $i"))
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.frameNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 3L),
+      s"expected only the planted 3-shared-block pair, got $pairs")
+  }
+
+  test("event transitions: per-source probabilities normalize, counts conserve") {
+    val tr = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    // every (user's) event except its last has exactly one successor
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(tr.map(_.getLong(2)).sum === expected)
+    // x1e4 probabilities sum to ~10000 within rounding per from_type
+    tr.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val p = rows.map(_.getLong(3)).sum
+      assert(p >= 10000 - rows.length && p <= 10000 + rows.length,
+        s"from=$from p_sum=$p")
+    }
+  }
 }
