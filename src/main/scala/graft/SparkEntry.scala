@@ -14,6 +14,7 @@ object SparkEntry {
     graft.vector.Serving,
     graft.dedup.Dedup,
     graft.text.TextAnalysis,
+    graft.text.TopicCluster,
     graft.multimodal.Multimodal,
     graft.embed.HashEmbedder,
     graft.vector.Quantize,

@@ -65,9 +65,13 @@ object HashEmbedder extends QueryModule {
     sparse
       .groupBy(idCol)
       .agg(map_from_arrays(collect_list("dim"), collect_list("v")).as("m"))
+      // transform-over-sequence instead of 64 inlined coalesce columns:
+      // the unrolled form blew generated hashAgg methods past janino's
+      // method-size limit and dropped the whole stage to interpreted
+      // execution
       .select(col(idCol),
-        array((0 until Dim).map(i => coalesce(element_at(col("m"), i), lit(0.0))): _*)
-          .as("embedding"))
+        transform(sequence(lit(0), lit(Dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
   }
 
   private def embedQuery(s: SparkSession, d: String): DataFrame =

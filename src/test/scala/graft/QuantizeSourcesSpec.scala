@@ -60,6 +60,16 @@ class QuantizeSourcesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall@10 = $recall")
   }
 
+  test("sq serving path (shortlist + exact re-rank) equals exact knn at two SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("vdb_knn_sq")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = SparkEntry.queries("vdb_knn_exact")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === exact, s"sq re-rank diverged from exact knn at $dir")
+    }
+  }
+
   test("quantization error bounded by half a code step") {
     val df = SparkEntry.queries("vdb_quantize")(spark, sf)
     // max per-element error is 0.5/scale; outputs are rounded (scale

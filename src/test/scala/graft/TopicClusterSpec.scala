@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TopicCluster
+
+class TopicClusterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("clustering partitions the corpus and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val a = TopicCluster.clusterDocs(docs)
+    // a partition: one row per doc, sizes consistent
+    assert(a.count() === docs.count())
+    assert(a.select("doc_id").distinct().count() === docs.count())
+    val sizes = a.groupBy("cluster").agg(
+      count(lit(1)).as("n"), max("cluster_size").as("cs"), min("cluster_size").as("cs2"))
+    sizes.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) && r.getLong(1) === r.getLong(3))
+    }
+    // deterministic under re-evaluation
+    val b = TopicCluster.clusterDocs(docs)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("two planted vocabularies separate into pure clusters at k=2") {
+    import spark.implicits._
+    val sci = "quantum electron proton neutrino boson fermion lattice spin orbit decay"
+    val law = "court statute plaintiff defendant verdict appeal clause tort estoppel brief"
+    def perturb(base: String, i: Long): String = {
+      val ws = base.split(" ")
+      // drop one word per doc so docs differ but stay in-domain
+      (ws.take((i % ws.length).toInt) ++ ws.drop((i % ws.length).toInt + 1)).mkString(" ")
+    }
+    val docs = ((0L to 19L).map(i => (i, perturb(sci, i))) ++
+      (20L to 39L).map(i => (i, perturb(law, i)))).toDF("doc_id", "text")
+    val a = TopicCluster.clusterDocs(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sciClusters = (0L to 19L).map(a).toSet
+    val lawClusters = (20L to 39L).map(a).toSet
+    assert(sciClusters.size === 1, s"sci docs split across $sciClusters")
+    assert(lawClusters.size === 1, s"law docs split across $lawClusters")
+    assert(sciClusters != lawClusters, "domains merged into one cluster")
+  }
+}
