@@ -572,8 +572,48 @@ object PipelineOps extends QueryModule {
       |FROM db JOIN scored USING (b)
       |GROUP BY 1""".stripMargin
 
+  /** The selection step DSIR runs on top of [[dsirWeights]]: sample
+    * k docs with probability ∝ exp(weight) via the Gumbel top-k trick
+    * (Xie et al. 2023 §2 sample exactly this way) — key = weight +
+    * Gumbel noise, take the k largest. Noise is DETERMINISTIC here:
+    * u = (52-bit md5 prefix of "dsir:"+doc_id + 0.5) / 2^52 ∈ (0,1),
+    * g = −ln(−ln u) — reproducible across engines and runs (same
+    * rationale as corpus_shuffle's seeded order). Integer key
+    * discipline: the doc's weight is already micro-nat integer
+    * (dsir_x1e6); the noise is FLOOR-quantized to micro-units
+    * independently, so the sum is exact integer arithmetic and the
+    * (key DESC, doc_id) order is engine-stable. Plan: a pure
+    * projection over the weights output + TakeOrdered(k) —
+    * per-partition heaps, no global sort.
+    */
+  def dsirSample(weights: DataFrame, k: Int = 100): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))),
+        1, 13), 16, 10).cast("double") + 0.5) / 4503599627370496.0
+    weights
+      .withColumn("sel_key_x1e6",
+        (col("dsir_x1e6") + floor(-log(-log(u)) * 1000000.0).cast(LongType))
+          .as("sel_key_x1e6"))
+      .orderBy(desc("sel_key_x1e6"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("sel_key_x1e6"))
+  }
+
+  private def dsirSampleQuery(s: SparkSession, d: String): DataFrame =
+    dsirSample(dsirWeights(Tables.documents(s, d), col("doc_id") < 20))
+
+  private val dsirSampleSql =
+    s"""WITH w AS ($dsirSql),
+      |keyed AS (
+      |  SELECT doc_id, dsir_x1e6 + CAST(FLOOR(-ln(-ln(
+      |      (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0)) * 1000000.0) AS BIGINT) AS sel_key_x1e6
+      |  FROM w)
+      |SELECT doc_id, sel_key_x1e6 FROM keyed
+      |ORDER BY sel_key_x1e6 DESC, doc_id LIMIT 100""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dsir"        -> (dsirQuery _),
+    "corpus_dsir_sample" -> (dsirSampleQuery _),
     "corpus_shuffle"     -> (shuffleQuery _),
     "corpus_token_budget" -> (tokenBudgetQuery _),
     "split_leakage"      -> (leakageQuery _),
@@ -587,6 +627,7 @@ object PipelineOps extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "corpus_dsir"        -> dsirSql,
+    "corpus_dsir_sample" -> dsirSampleSql,
     "corpus_shuffle"     -> shuffleSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "split_leakage"      -> leakageSql,

@@ -251,5 +251,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     // weights are per-token comparable: target docs themselves score
     // highest of all (their tokens define p_target)
     assert((0L to 4L).map(w).min >= sciMin)
+
+    // Gumbel top-k selection over those weights: the raw pool is 10
+    // sci-like + 10 web docs; weight gaps dominate the noise, so a
+    // k=10 draw (target docs excluded) is overwhelmingly sci-like
+    val weights = PipelineOps.dsirWeights(docs, col("doc_id") < 5)
+      .filter(col("doc_id") >= 5)
+    val picked = PipelineOps.dsirSample(weights, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val sciPicked = picked.count(id => id >= 10L && id <= 19L)
+    assert(sciPicked >= 8, s"only $sciPicked of 10 picks were sci-like: $picked")
+    // deterministic: same corpus, same draw
+    assert(PipelineOps.dsirSample(weights, k = 10)
+      .collect().map(_.getLong(0)).toSet === picked)
   }
 }
