@@ -81,7 +81,7 @@ object Bench {
     def lineAt(dec: Int): String = {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+      s"""{"queries":$qs,"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
     }
     // graceful degradation measured on the WHOLE line (query count,
     // value widths, and failure lists all move it): shed per-query
@@ -99,7 +99,7 @@ object Bench {
       def lineTop(k: Int): String = {
         val qs = sorted.take(k)
           .map { case (n, v) => "\"" + n + "\":" + fN(2)(v) }.mkString("{", ",", "}")
-        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"failed":$failed,"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
       }
       (sorted.size to 0 by -1).view.map(lineTop).find(_.length <= 1900)
         .getOrElse(lineTop(0))

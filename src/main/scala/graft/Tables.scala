@@ -20,18 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it reads as Long nanos,
-    * which we floor-divide to micros and restore to TimestampType so
-    * downstream window/date functions behave normally.
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations; normalize all of them to session-tz TimestampType so
+    * downstream window / unix_micros / session_window consumers see one
+    * shape:
+    *  - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong=true
+    *    it reads as Long nanos → floor-divide to micros, rebuild.
+    *  - timestamp[us] without tz: reads as TIMESTAMP_NTZ → cast to
+    *    TimestampType. The session tz is pinned UTC (GraftSession), so
+    *    the wall-clock reinterpretation is the identity on the instant
+    *    and DuckDB oracle parity holds.
+    *  - timestamp with tz: already TimestampType, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

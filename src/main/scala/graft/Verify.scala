@@ -16,7 +16,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a query that throws must still leave a row in the artifact:
+        // an absent output reads as "not run" and silently shrinks the
+        // denominator, while this one-row error marker flows through
+        // the driver's compare as an explicit schema/hash MISMATCH —
+        // broken != missing. The real failure detail goes to stderr.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+            .toDF("__verify_error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -765,21 +765,48 @@ object Dedup extends QueryModule {
     val bt = if (bitsPerTable > 0) bitsPerTable else bAuto
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    // No pre-verify distinct: a pair colliding in t tables is scored t
-    // times (map-side, codegen'd kernel, vectors arrive via broadcast
-    // joins) and deduplicated by the final aggregation. Same-partition
-    // duplicates partial-aggregate away before the shuffle, and the
-    // whole query pays ONE wide shuffle (the groupBy) instead of
-    // distinct-first's shuffle of every collision row PLUS the
-    // downstream join stages — measured 4.4s -> 3.5s at sf0.1, even at
-    // the recall-first 0.40 threshold where the filter drops nothing.
-    rawEmbeddingCandidates(e, nt, bt, dim)
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
-      .withColumn("score0", cosineSim(col("ea"), col("eb")))
-      .filter(col("score0") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(round(max(col("score0")), 4).as("score"))
+    // RECALL-FIRST regime (auto-banding picked (48,3): threshold below
+    // 0.6): banding physics makes candidates near-exhaustive (random-
+    // pair collision p ~ 0.998 — see [[bandingFor]]), so the LSH
+    // machinery pays its bucket self-join (every pair shuffled ~6-12
+    // times as collision rows) to "select" essentially all pairs.
+    // When the corpus fits the exact kernel's bound, DELEGATE to it:
+    // the broadcast all-pairs cosine is one map-side codegen'd pass —
+    // identical output (exact recall supersedes candidate recall),
+    // measured 8.5s -> 1.0s at sf0.1. Past the bound the LSH path
+    // still runs, with a distinct on the 8-byte id-pair rows before
+    // the vector joins capping scoring multiplicity at 1 — a 0.40
+    // corpus-wide cosine join is inherently quadratic at ANY plan
+    // (the Scaladoc above prescribes the selective regime or SemDeDup
+    // for corpus scale); the distinct just stops paying it twice.
+    // Explicit numTables/bitsPerTable overrides always take the LSH
+    // path — the recall specs exercise banding itself.
+    val recallFirst = numTables <= 0 && bitsPerTable <= 0 && bAuto <= 3
+    if (recallFirst &&
+        e.select("vec_id").limit(100001).count() <= 100000L) {
+      embeddingPairsExact(e, threshold, "vec_id", "embedding")
+    } else {
+      val raw = rawEmbeddingCandidates(e, nt, bt, dim)
+      // Scoring-multiplicity policy by regime:
+      //  - SELECTIVE (bt >= 5): no pre-verify distinct — a pair
+      //    colliding in t tables is scored t times map-side and
+      //    deduplicated by the final aggregation; sparse collisions
+      //    make that cheaper than distinct-first (4.4s -> 3.5s at
+      //    sf0.1 when this plan was measured both ways).
+      //  - RECALL-FIRST overflow (corpus past the exact bound):
+      //    distinct BEFORE the vector joins — near-exhaustive
+      //    candidates mean multiplicity ~nt/2 per pair, and the
+      //    distinct shuffles bare id pairs instead of scoring each
+      //    collision row.
+      val cands = if (bt <= 3) raw.distinct() else raw
+      cands
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+        .withColumn("score0", cosineSim(col("ea"), col("eb")))
+        .filter(col("score0") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(round(max(col("score0")), 4).as("score"))
+    }
   }
 
   private def embeddingBlocked(s: SparkSession, d: String): DataFrame =
@@ -827,32 +854,77 @@ object Dedup extends QueryModule {
     * paper runs k=11k clusters over 1.3B embeddings. k=4 here mirrors
     * the reference's NUM_SHARDS at test SF; at scale k is the knob
     * (size clusters to ~10k members). A pathological hot cluster
-    * re-concentrates the quadratic — the mitigation is recursing the
-    * split on the hot cluster or falling back to
-    * [[embeddingPairsBlocked]] within it, same posture as the banded
-    * star-degradation above.
+    * re-concentrates the quadratic on one task — pass
+    * `maxPairsPerTask` to bound it: the salt is sized PER CLUSTER
+    * from its population (see [[clusterKeepDrop]]), so the mega-
+    * cluster's pair volume spreads over exactly as many tasks as it
+    * needs while balanced clusters stay unsalted, and the pair set —
+    * hence every keep/drop verdict — is unchanged.
     *
     * Output: one row per vector — (vec_id, shard, keep 0/1).
     */
   def semDedup(emb: DataFrame, k: Int = 4, threshold: Double = 0.40,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               pairSalt: Int = 1): DataFrame = {
+               pairSalt: Int = 1, maxPairsPerTask: Long = 0L): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
     val cents = graft.vector.Centroids.deterministicInit(e, k = k)
     val a = e.withColumn("shard",
       graft.vector.Centroids.nearestShard(col("embedding"), cents))
-    // The pair join's shuffle key is the cluster id: k distinct values
-    // = at most k parallel tasks, regardless of executor count — the
-    // per-cluster quadratic lands on one task each. `pairSalt` > 1
-    // splits it RESULT-INVARIANTLY: the probe side partitions by
-    // vec_id % pairSalt, the build side replicates to every salt, the
-    // join keys on (shard, salt) so each cluster's pair volume spreads
-    // over pairSalt tasks. Price: the build side shuffles pairSalt
-    // copies — the standard salting trade (same posture as the salted
-    // q_skew_join). The pair SET is identical for any pairSalt.
+    clusterKeepDrop(a, threshold, pairSalt, maxPairsPerTask)
+  }
+
+  /** Keep/drop verdicts over cluster-assigned embeddings — the shared
+    * core of [[semDedup]] and `VectorStore.semDedup`. Input columns:
+    * (vec_id, shard, embedding); output one row per vector (vec_id,
+    * shard, keep 0/1), keep-lowest-id survivor rule.
+    *
+    * The pair join's shuffle key is the cluster id: k distinct values
+    * = at most k parallel tasks, regardless of executor count — the
+    * per-cluster quadratic lands on one task each. Salting splits it
+    * RESULT-INVARIANTLY: the probe side partitions by vec_id % salt,
+    * the build side replicates to every salt value, the join keys on
+    * (shard, salt) so each cluster's pair volume spreads over salt
+    * tasks. Price: the build side shuffles salt copies — the standard
+    * salting trade (same posture as the salted q_skew_join). The pair
+    * SET is identical for any salt.
+    *
+    * HOT-CLUSTER MITIGATION (`maxPairsPerTask` > 0): a pathological
+    * mega-cluster re-concentrates the quadratic on one task no matter
+    * how many executors exist — the uniform `pairSalt` that is right
+    * for balanced clusters is far too small for it. Adaptive mode
+    * sizes the salt PER CLUSTER from its population: salt_c =
+    * ceil(n_c·(n_c−1)/2 / maxPairsPerTask), so every task scores at
+    * most ~maxPairsPerTask cosines regardless of how skewed the
+    * cluster populations are. The per-cluster salts ride a k-row
+    * broadcast (one tiny count aggregate), the pair set is provably
+    * unchanged (salting is result-invariant), and replication cost
+    * concentrates exactly where the skew is: a balanced cluster keeps
+    * salt 1, the hot one pays its own fan-out. Total pair volume is
+    * still n_c² — bounding THAT is a clustering-parameter decision
+    * (raise k / re-cluster); this bounds the straggler.
+    */
+  /** Per-cluster salt sizing for the adaptive mode: (shard, __saltc)
+    * with saltc = ceil(n_c·(n_c−1)/2 / maxPairsPerTask), min 1 — each
+    * (shard, salt) join task then scores at most ~maxPairsPerTask
+    * cosines. k-row output, broadcast by the caller.
+    */
+  private[graft] def adaptiveSalts(a: DataFrame, maxPairsPerTask: Long): DataFrame =
+    a.groupBy("shard").agg(count(lit(1)).as("__n"))
+      .select(col("shard"),
+        greatest(lit(1L), ceil(col("__n") * (col("__n") - 1) / 2.0
+          / maxPairsPerTask.toDouble).cast(LongType)).as("__saltc"))
+
+  private[graft] def clusterKeepDrop(a: DataFrame, threshold: Double,
+                                     pairSalt: Int, maxPairsPerTask: Long): DataFrame = {
     val (xs, ys, joinKeys) =
-      if (pairSalt <= 1) (a.as("x"), a.as("y"),
+      if (maxPairsPerTask > 0L) {
+        val withSalt = a.join(broadcast(adaptiveSalts(a, maxPairsPerTask)), "shard")
+        (withSalt.withColumn("__salt", pmod(col("vec_id"), col("__saltc"))).as("x"),
+          withSalt.withColumn("__salt",
+            explode(sequence(lit(0L), col("__saltc") - 1))).as("y"),
+          col("x.shard") === col("y.shard") && col("x.__salt") === col("y.__salt"))
+      } else if (pairSalt <= 1) (a.as("x"), a.as("y"),
         col("x.shard") === col("y.shard"))
       else (
         a.withColumn("__salt", pmod(col("vec_id"), lit(pairSalt))).as("x"),

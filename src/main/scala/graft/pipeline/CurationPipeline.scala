@@ -78,6 +78,19 @@ object CurationPipeline {
     * share a near-dup neighbor but were never paired directly. The
     * default stays pairwise: it drops less and never chains A~B~C
     * into dropping a C that is genuinely unlike A.
+    *
+    * `keepBest = true` upgrades the survivor POLICY: the component's
+    * highest-quality member survives (composite quality_bp, ties to
+    * the lowest doc_id — [[graft.dedup.Dedup.keepBest]]'s rule wired
+    * into the pipeline) instead of the lowest id. Implies component
+    * resolution (a quality survivor is only well-defined per cluster,
+    * so `clusterNearDups` is forced on); the ledger is unchanged —
+    * each cluster still drops n−1 members into droppedNearDup, only
+    * WHICH member survives moves. Cost over cluster mode: one
+    * quality-score join on the pairs-volume membership (the scored
+    * side is a map-side projection of the already-cached corpus
+    * frame) and a min-of-struct aggregate per cluster — no new
+    * corpus-wide shuffle.
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minWords: Int = 10, jaccardThreshold: Double = 0.8,
@@ -85,7 +98,8 @@ object CurationPipeline {
              benchmarkShingles: Option[DataFrame] = None,
              clusterNearDups: Boolean = false,
              minLmScoreX1e6: Option[Long] = None,
-             containmentThreshold: Option[Double] = None): Result = {
+             containmentThreshold: Option[Double] = None,
+             keepBest: Boolean = false): Result = {
     val nWords = size(split(col("text"), " "))
     // optional LM-quality gate (CCNet-style): docs whose corpus-bigram
     // mean log-prob sits below the threshold (micro-nats, negative —
@@ -130,7 +144,21 @@ object CurationPipeline {
     // cluster mode drops every non-minimal member of each component
     val pairs = Dedup.minhashPairs(survivors, jaccardThreshold)
     val loserIds =
-      if (clusterNearDups)
+      if (keepBest) {
+        // quality-survivor policy: everyone in the component except
+        // its best-quality member drops. Scores come from the near-dup
+        // stage's own input (survivors of the exact pass) — membership
+        // is pairs-volume, so the join is dup-volume-sized.
+        val labels = Dedup.connectedComponents(pairs)
+        val scored = graft.text.TextAnalysis.qualityScores(survivors)
+          .select(col("doc_id"), col("quality_bp"))
+        val best = labels.join(scored, "doc_id")
+          .groupBy("cluster_id")
+          .agg(min(struct((-col("quality_bp")).as("nq"), col("doc_id"))).as("best"))
+          .select(col("cluster_id"), col("best.doc_id").as("__keep_doc"))
+        labels.join(best, "cluster_id")
+          .filter(col("doc_id") =!= col("__keep_doc")).select("doc_id")
+      } else if (clusterNearDups)
         Dedup.connectedComponents(pairs).filter(col("doc_id") =!= col("cluster_id"))
           .select("doc_id")
       else pairs.select(col("id_b").as("doc_id"))

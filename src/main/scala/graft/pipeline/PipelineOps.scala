@@ -539,12 +539,16 @@ object PipelineOps extends QueryModule {
              - log((col("r") + 1) / (col("rr") + buckets))) * 1000000.0)
           .cast(LongType))
       .select("b", "lr")
-    val out = db.join(broadcast(scored), "b")
+    // NOTE: db stays cached — the returned plan still references it
+    // (raw/tgt aggregate it AND the final join re-reads it), and an
+    // unpersist here would run at plan-construction time, before any
+    // action materializes the cache, silently tripling the token
+    // explode. The cache is released by the caller's catalog-wide
+    // clearCache (Bench) or session teardown (specs).
+    db.join(broadcast(scored), "b")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("lr")).as("dsir_x1e6"))
-    db.unpersist()
-    out
   }
 
   private def dsirQuery(s: SparkSession, d: String): DataFrame =

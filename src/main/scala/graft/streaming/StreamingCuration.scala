@@ -47,15 +47,24 @@ object StreamingCuration {
     * and only 'keep' docs continue — the live half of the
     * daily-increment shape `dedup_incremental` runs in batch. The
     * gate is stream-static and stateless (no state store growth); it
-    * re-derives the corpus-side shingles per batch, which is fine at
-    * test scale and stands in for probing the maintained incremental
-    * shingle index at 100 TB. Batch doc_ids must be disjoint from
-    * corpus doc_ids.
+    * re-derives the corpus-side shingles per batch — fine at test
+    * scale, but a per-batch corpus scan at real ingest rates.
+    *
+    * With `corpusIndex = Some(idx)` (a pre-built
+    * [[graft.dedup.ShingleIndex]]) the gate probes the MAINTAINED
+    * index instead: per-batch work explodes only the batch's text
+    * (corpus-side inputs are scans of the persisted fingerprint /
+    * capped-shingle tables), and each batch's post-curation survivors
+    * are APPENDED to the index — so unlike the static gate, later
+    * batches are also judged against everything accepted before them.
+    * This is the 100 TB formulation. Mutually exclusive with
+    * `corpus`. Batch doc_ids must be disjoint from indexed doc_ids.
     */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
             minWords: Int = 10, jaccardThreshold: Double = 0.8,
             tsCol: String = "ts", watermark: String = "10 minutes",
-            corpus: Option[DataFrame] = None): StreamingQuery =
+            corpus: Option[DataFrame] = None,
+            corpusIndex: Option[graft.dedup.ShingleIndex] = None): StreamingQuery =
     StreamingDedup.dedup(docs, tsCol, "text", watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -78,18 +87,29 @@ object StreamingCuration {
           // curate() analysis error must not strand the shingle caches
           var gateCaches: Seq[DataFrame] = Nil
           try {
-            val incoming = corpus match {
-              case Some(c) =>
+            val incoming = (corpusIndex, corpus) match {
+              case (Some(idx), _) =>
+                // judge() is eagerly materialized and self-releasing;
+                // verdicts here reflect corpus + all prior appends
+                b0.join(idx.judge(b0, jaccardThreshold)
+                    .filter(col("verdict") === "keep").select("doc_id"),
+                  Seq("doc_id"), "left_semi")
+              case (None, Some(c)) =>
                 val (v, caches) = graft.dedup.Dedup.batchVerdictsCached(c, b0, jaccardThreshold)
                 gateCaches = caches
                 b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
                   Seq("doc_id"), "left_semi")
-              case None => b0
+              case _ => b0
             }
             val r = CurationPipeline.curate(batch.sparkSession, incoming,
               minWords, jaccardThreshold)
-            try r.kept.write.mode(SaveMode.Append).parquet(outDir)
-            finally r.release()
+            try {
+              r.kept.write.mode(SaveMode.Append).parquet(outDir)
+              // index maintenance AFTER the sink write: a batch retried
+              // between the two appends re-runs both (at-least-once on
+              // each side; replayed index rows are judge-harmless)
+              corpusIndex.foreach(_.append(r.kept.select("doc_id", "text")))
+            } finally r.release()
           } finally gateCaches.foreach(_.unpersist())
         }
       }

@@ -377,31 +377,21 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * needs NO routing pass — the pair join's equi-key is the parquet
     * partition column, candidate volume is bounded per inverted list,
     * and `pairSalt` spreads a list's quadratic over tasks exactly as
-    * in [[graft.dedup.Dedup.semDedup]]. Returns (id, shard, keep 0/1)
-    * with the keep-lowest-id survivor rule; callers drop keep=0 ids
-    * via [[delete]]. This is the dedup maintenance job an embedding
-    * store runs between ingest rounds — the same shards serve search
-    * and bound the dedup quadratic.
+    * in [[graft.dedup.Dedup.semDedup]] (pass `maxPairsPerTask` > 0 to
+    * size the salt per shard instead — the hot-shard mitigation, see
+    * [[graft.dedup.Dedup.clusterKeepDrop]]). Returns (id, shard,
+    * keep 0/1) with the keep-lowest-id survivor rule; callers drop
+    * keep=0 ids via [[delete]]. This is the dedup maintenance job an
+    * embedding store runs between ingest rounds — the same shards
+    * serve search and bound the dedup quadratic.
     */
-  def semDedup(threshold: Double = 0.75, pairSalt: Int = 8): DataFrame = {
+  def semDedup(threshold: Double = 0.75, pairSalt: Int = 8,
+               maxPairsPerTask: Long = 0L): DataFrame = {
     val a = spark.read.parquet(vecDir)
       .select(col(idCol).as("vec_id"), col("shard").cast(LongType).as("shard"),
         col(vecCol).cast("array<double>").as("embedding"))
-    val (xs, ys, joinKeys) =
-      if (pairSalt <= 1) (a.as("x"), a.as("y"),
-        col("x.shard") === col("y.shard"))
-      else (
-        a.withColumn("__salt", pmod(col("vec_id"), lit(pairSalt))).as("x"),
-        a.withColumn("__salt",
-          explode(array((0 until pairSalt).map(s => lit(s.toLong)): _*))).as("y"),
-        col("x.shard") === col("y.shard") && col("x.__salt") === col("y.__salt"))
-    val dropped = xs.join(ys, joinKeys && col("y.vec_id") < col("x.vec_id"))
-      .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
-      .select(col("x.vec_id")).distinct()
-      .withColumn("__dup", lit(1L))
-    a.join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id").as(idCol), col("shard"),
-        when(col("__dup").isNull, 1L).otherwise(0L).as("keep"))
+    graft.dedup.Dedup.clusterKeepDrop(a, threshold, pairSalt, maxPairsPerTask)
+      .withColumnRenamed("vec_id", idCol)
   }
 
   /** Upsert: replace-or-insert by id (reference /store is REPLACE INTO,

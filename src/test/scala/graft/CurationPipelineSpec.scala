@@ -105,6 +105,29 @@ class CurationPipelineSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("keepBest mode keeps the max-quality cluster member, ledger reconciles") {
+    import spark.implicits._
+    // one planted near-dup cluster of 3 (pairwise Jaccard ~0.9): same
+    // 60 words except word 1 — doc 22 swaps in the stopword "the", so
+    // its stop_ratio (hence quality_bp) is strictly highest while the
+    // default policy would keep lowest-id 20
+    val base = (1 to 60).map(i => s"tok$i")
+    val docs = Seq(
+      (20L, ("zzz" +: base.tail).mkString(" ")),
+      (21L, base.mkString(" ")),
+      (22L, ("the" +: base.tail).mkString(" "))
+    ).toDF("doc_id", "text")
+    val byId = CurationPipeline.curate(spark, docs, clusterNearDups = true)
+    assert(byId.kept.collect().map(_.getLong(0)).toSet === Set(20L))
+    byId.release()
+    val byQ = CurationPipeline.curate(spark, docs, keepBest = true)
+    assert(byQ.kept.collect().map(_.getLong(0)).toSet === Set(22L),
+      "the highest-quality member survives, not the lowest id")
+    assert(byQ.droppedNearDup === 2L)
+    assert(byQ.kept.count() === docs.count() - byQ.droppedTotal)
+    byQ.release()
+  }
+
   test("cluster mode drops at least as much as pairwise and reconciles counts") {
     val docs = Tables.documents(spark, sf)
     val pairwise = CurationPipeline.curate(spark, docs)

@@ -51,6 +51,13 @@ class DedupSpec extends AnyFunSuite {
     val blocked = rows("dedup_embedding_blocked")
     assert(exact.nonEmpty)
     assert(blocked === exact)
+    // the registered query delegates to the exact kernel in this
+    // regime (see embeddingPairsBlocked); force the LSH overflow path
+    // with explicit banding and require the same exact-recall result
+    val lsh = graft.dedup.Dedup.embeddingPairsBlocked(
+        Tables.embeddings(spark, sf), numTables = 48, bitsPerTable = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
   }
 
   test("high-threshold blocked embedding dedup is selective AND recall-complete") {
@@ -172,6 +179,44 @@ class DedupSpec extends AnyFunSuite {
       graft.dedup.Dedup.semDedup(e, pairSalt = salt)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows(1) === rows(7))
+  }
+
+  test("semdedup adaptive salting bounds the hot cluster's per-task pairs, verdicts unchanged") {
+    // mega-cluster: 300 of 500 vectors land in one cluster (the twins
+    // of vec 0 all route to its centroid), the rest spread — exactly
+    // the skew the per-cluster salt sizing exists for
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") < 200)
+    val hot = base.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1, 301).select(col("id")))
+      .select((col("id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + col("id") % 7 * lit(0.001)).as("embedding"))
+    val corpus = base.unionByName(hot)
+    val plain  = graft.dedup.Dedup.semDedup(corpus, threshold = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = graft.dedup.Dedup.semDedup(corpus, threshold = 0.75,
+        maxPairsPerTask = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // result-invariance: the adaptive salt changes task layout only
+    assert(salted === plain)
+    // salt sizing: the hot cluster (>= 300 members -> >= 44850 pairs)
+    // must fan out over >= 45 tasks at 1000 pairs/task; a balanced
+    // small cluster stays unsalted
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cents = graft.vector.Centroids.deterministicInit(e, k = 4)
+    val assigned = e.withColumn("shard",
+      graft.vector.Centroids.nearestShard(col("embedding"), cents))
+    val salts = graft.dedup.Dedup.adaptiveSalts(assigned, 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = assigned.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (sh, n) =>
+      val expect = math.max(1L, math.ceil(n * (n - 1) / 2.0 / 1000.0).toLong)
+      assert(salts(sh) === expect, s"shard $sh size $n")
+    }
+    assert(sizes.values.max >= 300L)
+    assert(salts(sizes.maxBy(_._2)._1) >= 45L)
   }
 
   test("semdedup drops planted near-identical twins") {
