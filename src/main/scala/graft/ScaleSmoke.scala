@@ -275,6 +275,53 @@ object ScaleSmoke {
       "(misses = twins routed across a cluster boundary)")
     sd.unpersist()
 
+    // hot-cluster mitigation: 8k near-copies of ONE vector all route to
+    // a single cluster (~32M pairs). Bounding that straggler at ~1M
+    // pairs/task with a UNIFORM salt needs pairSalt=32 — which
+    // replicates EVERY cluster's build side 32x (and at a real k of
+    // thousands of clusters, 32x the whole corpus through the
+    // shuffle). Adaptive salting reads the same bound from each
+    // cluster's own population: the mega-cluster fans out over ~32
+    // tasks, the balanced ~3k-member clusters get salt ~5 — the
+    // replication cost lands exactly where the skew is. Identical
+    // verdicts (spec-asserted); compare the wall-clocks.
+    val hcBase = vecs.filter(col("id") < 50000)
+    val hcHot = vecs.filter(col("id") === 7)
+      .crossJoin(spark.range(1, 8001).select(col("id").as("j")))
+      .select((col("j") + 20000000L).as("id"),
+        transform(col("vector"), x => x + (col("j") % 11) * lit(0.002)).as("vector"))
+    val hcCorpus = hcBase.unionByName(hcHot).cache()
+    hcCorpus.count()
+    val hcUniform = timed("semdedup HOT cluster (50k + 8k mega-cluster, UNIFORM pairSalt=32 for the 1M-pair bound)") {
+      graft.dedup.Dedup.semDedup(hcCorpus, k = 16, threshold = 0.75,
+        idCol = "id", vecCol = "vector", pairSalt = 32)
+        .filter(col("keep") === 0).count()
+    }
+    val hcAdaptive = timed("semdedup HOT cluster (same corpus + bound, ADAPTIVE maxPairsPerTask=1M)") {
+      graft.dedup.Dedup.semDedup(hcCorpus, k = 16, threshold = 0.75,
+        idCol = "id", vecCol = "vector", maxPairsPerTask = 1000000L)
+        .filter(col("keep") === 0).count()
+    }
+    println(s"[scale] hot-cluster verdict parity: ${hcUniform == hcAdaptive} " +
+      s"($hcAdaptive dropped)")
+    hcCorpus.unpersist()
+
+    // self-tuning nprobe: one exact-arm pass persists the measured
+    // recall@10 curve for ALL probe depths (each true hit carries its
+    // shard's probe rank); searchAtRecall then serves at the cheapest
+    // depth meeting the target — the /search shards_to_search knob
+    // made data-driven
+    val rcurve = timed("evalRecall (1M vectors, 48 queries, full curve in one pass)") {
+      vs.evalRecall(nQueries = 48, topK = 10)
+        .orderBy("nprobe").collect()
+    }
+    println("[scale] recall curve: " + rcurve.map(r =>
+      s"p=${r.getLong(0)}:${r.getLong(1) / 100.0}%").mkString(" "))
+    val pTuned = vs.nprobeFor(0.95)
+    timed(s"searchAtRecall(0.95) -> nprobe=$pTuned") {
+      vs.searchAtRecall(q, topK = 10, targetRecall = 0.95).collect()
+    }
+
     // sequence packing under extreme stratum skew: 5M docs, 90% in ONE
     // source. The naive per-stratum cumulative sum would sort 4.5M rows
     // in a single task; the blocked formulation never sorts more than
@@ -336,6 +383,23 @@ object ScaleSmoke {
     println("[scale] incremental verdicts: " + incVerdicts.sortBy(_.getString(0))
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
       s" (the ${nDoc / 100}-doc injected batch duplicates the corpus exactly)")
+
+    // the maintained index formulation of the same gate: the corpus
+    // shingles/fingerprints/df persist ONCE (build), and judging the
+    // batch explodes only batch text — per-batch work scales with the
+    // batch. Compare judge time against the one-shot pass above,
+    // which re-derived the corpus side in-plan.
+    val idxDir = Files.createTempDirectory("graft-scale-shidx").toString
+    val shIdx = new graft.dedup.ShingleIndex(spark, idxDir)
+    timed(s"shingle-index build ($nDoc-doc corpus, one-time)") {
+      shIdx.build(corpus.filter(col("doc_id") < nDoc))
+    }
+    val idxVerdicts = timed("shingle-index judge (2% batch, corpus-side = index scans)") {
+      shIdx.judge(corpus.filter(col("doc_id") >= nDoc))
+        .groupBy("verdict").count().collect()
+    }
+    println("[scale] index-gate verdicts: " + idxVerdicts.sortBy(_.getString(0))
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
 
     // chunking fan-out: a pure projection, so wall time tracks OUTPUT
     // row count, not any shuffle — the corpus chunks at scan speed

@@ -344,6 +344,47 @@ object Dedup extends QueryModule {
   private def containment(s: SparkSession, d: String): DataFrame =
     containmentPairs(Tables.documents(s, d))
 
+  // --- cross-source duplication matrix -------------------------------
+  /** Provenance overlap: which sources duplicate each other. Every
+    * verified near-dup pair ([[ngramJaccardPairs]]'s df-capped
+    * candidates + exact Jaccard) annotated with both sides' `source`
+    * and rolled up per unordered source pair — the matrix a curation
+    * team reads to find mirror sites, syndication feeds, and
+    * scraper overlap before deciding which source to drop wholesale.
+    * Same-source rows are kept: intra-source dup rate is the other
+    * half of that decision.
+    *
+    * Scale shape: pair volume (never corpus²) from the shared capped-
+    * shingle plan; the two source lookups are pairs-volume equi-joins
+    * against a (doc_id, source) projection of the scan; the rollup is
+    * one hash aggregate on a low-cardinality key.
+    */
+  def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(docs, threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def crossSource(s: SparkSession, d: String): DataFrame =
+    crossSourceMatrix(Tables.documents(s, d))
+
+  // lazy: interpolates candSqlCtes/jaccardPairsSelectSql, which are
+  // declared later in the object (same pattern as keepBestSql)
+  private lazy val crossSourceSql =
+    s"""$candSqlCtes,
+       |pairs AS ($jaccardPairsSelectSql)
+       |SELECT LEAST(sa.source, sb.source) AS source_a,
+       |       GREATEST(sa.source, sb.source) AS source_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN documents sa ON sa.doc_id = pairs.id_a
+       |JOIN documents sb ON sb.doc_id = pairs.id_b
+       |GROUP BY 1, 2""".stripMargin
+
   // --- incremental dedup: new batch vs existing corpus ---------------
   /** Dedup an INCOMING batch against an existing corpus — the shape a
     * continuously-fed pipeline actually runs (daily crawl increments),
@@ -1044,7 +1085,8 @@ object Dedup extends QueryModule {
     "dedup_embedding_selective" -> (embeddingSelective _),
     "dedup_semdedup"      -> (semdedup _),
     "dedup_incremental"   -> (incremental _),
-    "dedup_span_exact"    -> (spanDup _))
+    "dedup_span_exact"    -> (spanDup _),
+    "dedup_cross_source"  -> (crossSource _))
 
   override val oracleSql: Map[String, String] = Map(
     "dedup_paragraph"     -> paragraphSql,
@@ -1062,5 +1104,6 @@ object Dedup extends QueryModule {
     "dedup_embedding_selective" -> embeddingSelectiveSql,
     "dedup_semdedup"      -> semdedupSql,
     "dedup_incremental"   -> incrementalSql,
-    "dedup_span_exact"    -> spanDupSql)
+    "dedup_span_exact"    -> spanDupSql,
+    "dedup_cross_source"  -> crossSourceSql)
 }

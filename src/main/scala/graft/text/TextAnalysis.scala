@@ -80,6 +80,71 @@ object TextAnalysis extends QueryModule {
        |      FROM documents) t""".stripMargin
   }
 
+  /** The language the marker heuristic picks for `text` — [[langid]]'s
+    * decision rule as a standalone expression, for operators that need
+    * the verdict without the per-language score columns.
+    */
+  private val predLangExpr: Column = {
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(array_intersect(wsDistinct, array(ws.map(lit): _*))).cast(LongType)
+    }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === m, lit(lang)).otherwise(acc)
+    }
+  }
+
+  // --- per-(source, lang) curation report ----------------------------
+  /** The corpus health dashboard a curation team keeps per provenance
+    * cell: for every (source, labeled lang) — document and token
+    * volume, character mass, mean composite quality (integer
+    * basis-points, sum-div-count so the mean is engine-exact), and
+    * LABEL DISAGREEMENT (docs whose marker-heuristic language differs
+    * from the label — mislabeled or code-mixed sources surface here
+    * first). Everything is computed in ONE map-side projection over
+    * the scan ([[qualityScores]] appends, [[predLangExpr]] decides)
+    * followed by a single hash aggregate on a low-cardinality key:
+    * scan-bound at 100 TB, no joins, no second pass.
+    */
+  def qualityReport(docs: DataFrame): DataFrame =
+    qualityScores(docs)
+      .withColumn("pred_lang", predLangExpr)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nWords).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("sum(quality_bp) div count(1)").as("avg_quality_bp"),
+        sum(when(col("pred_lang") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_lang_mismatch"))
+
+  private def qualityReportQ(s: SparkSession, d: String): DataFrame =
+    qualityReport(Tables.documents(s, d))
+
+  // lazy: interpolates qualitySql, which is declared later in the object
+  private lazy val qualityReportSql = {
+    val m = markers.map { case (l, _) => s"score_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = markers.map { case (l, _) => s"WHEN score_$l = $m THEN '$l'" }.mkString(" ")
+    val scoreExprs = markers.map { case (lang, ws) =>
+      s"    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ${sqlList(ws)})) AS BIGINT) AS score_$lang"
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT * FROM (${qualitySql}) t),
+       |scored AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+       |    CASE $cases ELSE 'und' END AS pred_lang
+       |  FROM (SELECT doc_id, source, lang, n_chars, text,
+       |$scoreExprs
+       |        FROM documents) t)
+       |SELECT s.source, s.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.nw) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(q.quality_bp) // COUNT(*) AS BIGINT) AS avg_quality_bp,
+       |  CAST(SUM(CASE WHEN s.pred_lang <> s.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch
+       |FROM scored s JOIN q ON q.doc_id = s.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // --- quality score -------------------------------------------------
   /** Scores leave as BASIS-POINT BIGINTs (x/10000), not round(x, 4):
     * fractional ROUND differs between engines at boundary doubles
@@ -656,7 +721,8 @@ object TextAnalysis extends QueryModule {
     "text_cms_topk"    -> (cmsTopk _),
     "text_scrub"       -> (scrubQuery _),
     "text_entropy"     -> (entropy _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "corpus_quality_report" -> (qualityReportQ _))
 
   override val oracleSql: Map[String, String] = Map(
     "text_lm_score"    -> lmScoreSql,
@@ -673,5 +739,6 @@ object TextAnalysis extends QueryModule {
     "text_repetition"  -> repetitionSql,
     "text_scrub"       -> scrubSql,
     "text_entropy"     -> entropySql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "corpus_quality_report" -> qualityReportSql)
 }

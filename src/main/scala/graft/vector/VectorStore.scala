@@ -24,6 +24,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val centDir = s"$path/centroids"
   private val pqDir = s"$path/pq"
   private val opqDir = s"$path/opq"
+  private val recallDir = s"$path/recall_eval"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
@@ -614,6 +615,84 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           .cast(LongType).as("load_x1e4"),
         round(drift * 1000000.0, 0).cast(LongType).as("drift_x1e6"))
   }
+
+  /** Offline recall-curve evaluation, persisted with the store: for
+    * `nQueries` sample vectors drawn from the index itself (lowest
+    * ids — deterministic), compute recall@`topK` of probing the p
+    * nearest shards for EVERY p in 1..numShards, in one exact-arm
+    * pass. The trick: an exact top-k member found at probe depth p is
+    * found at every depth >= p, and because IVF candidates are a
+    * subset of the corpus, the exact top-k members inside the probed
+    * shards ARE the IVF top-k hits — so per hit we only need the
+    * PROBE RANK of its shard for this query (position in the
+    * centroid-distance order), and the whole curve is one small
+    * aggregate over (hit, probe_rank) rows. No per-p re-search.
+    *
+    * Persists (nprobe, recall_x1e4, n_queries, top_k) at
+    * `path/recall_eval` — the table [[nprobeFor]] and
+    * [[searchAtRecall]] consult. Cost: one broadcast-join scoring
+    * pass over the store (the same shape as one exact knn batch) —
+    * an offline maintenance job, like [[maintain]]; re-run it after
+    * drift or rebuilds (the reference leaves shards_to_search to the
+    * caller entirely, compute_server.py:108-138).
+    */
+  def evalRecall(nQueries: Int = 64, topK: Int = 10): DataFrame = {
+    val cents = centroids()
+    val store = spark.read.parquet(vecDir)
+      .select(col(idCol).as("vec_id"), col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("embedding"))
+    val queries = store
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .orderBy("query_id").limit(nQueries)
+    val nq = queries.count()
+    val hits = store.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
+      .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
+      .join(store.select(col("vec_id"), col("shard")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("probe_rank",
+        array_position(Centroids.nearestShards(col("qv"), cents, numShards), col("shard")))
+    val curve = hits
+      .select(explode(sequence(lit(1L), lit(numShards.toLong))).as("nprobe"),
+        col("probe_rank"))
+      .groupBy("nprobe")
+      .agg((sum(when(col("probe_rank") <= col("nprobe"), 1L).otherwise(0L))
+        * 10000L).as("__hits_x1e4"))
+      .select(col("nprobe"),
+        expr(s"__hits_x1e4 div ${nq * topK}").as("recall_x1e4"))
+      .withColumn("n_queries", lit(nq))
+      .withColumn("top_k", lit(topK.toLong))
+    curve.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
+    spark.read.parquet(recallDir)
+  }
+
+  /** Smallest nprobe whose persisted measured recall meets `target`
+    * (numShards when nothing does, or when [[evalRecall]] has not run
+    * — full probe is always recall 1.0 by construction). numShards-row
+    * read, driver-side pick: the same decision the reference caller
+    * makes by hand via /search's shards_to_search knob, made
+    * self-tuning from measured data.
+    */
+  def nprobeFor(target: Double): Int = {
+    val p = new org.apache.hadoop.fs.Path(recallDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) numShards
+    else {
+      val rows = spark.read.parquet(recallDir)
+        .filter(col("recall_x1e4") >= math.ceil(target * 10000).toLong)
+        .agg(min("nprobe")).head()
+      if (rows.isNullAt(0)) numShards else rows.getLong(0).toInt
+    }
+  }
+
+  /** [[search]] with nprobe chosen from the persisted recall curve:
+    * the cheapest probe depth whose MEASURED recall@topK meets
+    * `targetRecall` on this index's own data distribution.
+    */
+  def searchAtRecall(q: Array[Double], topK: Int = 5, targetRecall: Double = 0.95,
+                     compressed: Boolean = false, shortlist: Int = 100): DataFrame =
+    search(q, topK, nprobeFor(targetRecall), compressed, shortlist)
 
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,

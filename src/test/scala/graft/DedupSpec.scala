@@ -233,6 +233,23 @@ class DedupSpec extends AnyFunSuite {
     assert(twinRows.forall(_.getLong(2) == 0L))
   }
 
+  test("cross-source matrix rolls up near-dup pairs per unordered source pair") {
+    import spark.implicits._
+    val w40 = (1 to 40).map(i => s"w$i")
+    // near-dup pairs: (1,2) across srcA/srcB, (3,4) within srcB;
+    // doc 5 is unrelated — no row for its source
+    val docs = Seq(
+      (1L, w40.mkString(" "), "srcB"),
+      (2L, (w40 :+ "delta").mkString(" "), "srcA"),
+      (3L, w40.map(_ + "x").mkString(" "), "srcB"),
+      (4L, (w40.map(_ + "x") :+ "eps").mkString(" "), "srcB"),
+      (5L, (1 to 40).map(i => s"z$i").mkString(" "), "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.dedup.Dedup.crossSourceMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L))
+  }
+
   test("incremental dedup judges the new batch against the old corpus only") {
     import spark.implicits._
     val words = (0 until 40).map(i => s"w$i")

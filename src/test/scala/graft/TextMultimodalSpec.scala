@@ -114,6 +114,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("corpus quality report: volumes, mean quality, and label disagreement per cell") {
+    import spark.implicits._
+    // two (source, lang) cells; doc 3 is labeled 'de' but its text is
+    // marker-English -> exactly one mismatch in cell (sB, de)
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog", "en", "sA", 34L),
+      (2L, "a boat of the sea and to shore went", "en", "sA", 35L),
+      (3L, "the quick brown fox and the lazy dog", "de", "sB", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.text.TextAnalysis.qualityReport(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet === Set(("sA", "en"), ("sB", "de")))
+    val (nA, tokA, chA, qA, mmA) = rows(("sA", "en"))
+    assert(nA === 2L && tokA === 18L && chA === 69L && mmA === 0L)
+    assert(qA > 0L && qA <= 10000L)
+    val (nB, tokB, _, _, mmB) = rows(("sB", "de"))
+    assert(nB === 1L && tokB === 8L && mmB === 1L,
+      "the marker-English doc labeled 'de' must count as a mismatch")
+  }
+
   test("quality score stays in [0, 10000] basis points") {
     val df = SparkEntry.queries("text_quality")(spark, sf)
     assert(df.filter(col("quality_bp") < 0 || col("quality_bp") > 10000).count() === 0)

@@ -610,6 +610,49 @@ class VectorSpec extends AnyFunSuite {
       s"compaction report: ${m.compaction}")
   }
 
+  test("recall-curve eval makes search self-tune nprobe to a recall target") {
+    // 4 true clusters on 16-dim axis blocks, indexed into 8 shards:
+    // Lloyd splits each cluster across ~2 shards, so a query's true
+    // neighbor set straddles shards and nprobe=1 CANNOT reach high
+    // recall — the regime the persisted recall curve exists for
+    val corpus = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-recall").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3)
+
+    val curve = vs.evalRecall(nQueries = 48, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve(8L) === 10000L, "full probe is exact by construction")
+    assert(curve(1L) < 9500L, "the split clusters must make nprobe=1 insufficient")
+
+    val p = vs.nprobeFor(0.95)
+    assert(p > 1 && p < 8, s"tuning should prune (1 < p < 8), got $p")
+
+    // measured recall at the tuned nprobe on queries OUTSIDE the eval
+    // sample (eval used ids 0-47)
+    val qs = corpus.filter(col("id") >= 100 && col("id") < 116)
+      .select(col("id"), col("vector").cast("array<double>").as("v")).collect()
+    val store = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+    var hit = 0; var tot = 0
+    qs.foreach { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val truth = store.filter(col("id") =!= r.getLong(0))
+        .withColumn("s", cosineSim(col("v"), typedlit(qv.toSeq)))
+        .orderBy(desc("s"), col("id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = vs.searchAtRecall(qv, topK = 11, targetRecall = 0.95)
+        .collect().map(_.getLong(0)).filter(_ != r.getLong(0)).take(10).toSet
+      hit += truth.intersect(got).size; tot += 10
+    }
+    assert(hit.toDouble / tot >= 0.95,
+      s"requested recall 0.95 -> measured ${hit.toDouble / tot} at nprobe=$p")
+  }
+
   test("health() reports balance and centroid drift that appends create") {
     val dir = Files.createTempDirectory("graft-health").toString
     val emb = Tables.embeddings(spark, sf)
