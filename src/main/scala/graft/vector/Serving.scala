@@ -204,6 +204,66 @@ object Serving extends QueryModule {
         expr("n_hit * 10000 div n_exact").as("recall_x1e4"))
   }
 
+  // --- the full recall curve: recall@10 for EVERY probe depth ---------
+  /** [[recallEval]] generalized to the whole tuning surface in one
+    * pass — the table `VectorStore.evalRecall` persists and
+    * `searchAtRecall` consults, as an oracle-checked query. Key
+    * property: an exact top-10 member is an IVF hit at probe depth p
+    * iff its shard's PROBE RANK for that query (position in the
+    * centroid-distance order) is ≤ p — so one exact-arm top-10 pass
+    * annotated with probe ranks yields recall@10 for all K depths
+    * with no per-depth re-search. Output: (nprobe, recall_x1e4),
+    * K rows, integer-exact.
+    */
+  private def recallCurve(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val hits = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 10).as("tops"))
+      .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
+      .join(e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+        .select("vec_id", "shard"), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("prank",
+        array_position(Centroids.nearestShards(col("qv"), cents, K), col("shard")))
+    hits
+      .select(explode(sequence(lit(1L), lit(K.toLong))).as("nprobe"), col("prank"))
+      .groupBy("nprobe")
+      .agg((sum(when(col("prank") <= col("nprobe"), 1L).otherwise(0L)) * 10000L)
+        .as("__h"))
+      .select(col("nprobe"), expr("__h div 200").as("recall_x1e4"))
+  }
+
+  private val recallCurveSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, b.vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id) t WHERE rank <= 10),
+       |qsh AS (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS prank
+       |  FROM q CROSS JOIN cent c),
+       |hits AS (
+       |  SELECT e.query_id, qsh.prank
+       |  FROM exact e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN qsh ON qsh.query_id = e.query_id AND qsh.shard = a.shard)
+       |SELECT p.nprobe,
+       |       CAST(SUM(CASE WHEN hits.prank <= p.nprobe THEN 1 ELSE 0 END) * 10000
+       |            // 200 AS BIGINT) AS recall_x1e4
+       |FROM hits CROSS JOIN (SELECT UNNEST(range(1, 5)) AS nprobe) p
+       |GROUP BY 1""".stripMargin
+
   private val recallEvalSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -300,10 +360,12 @@ object Serving extends QueryModule {
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
     "vdb_recall_eval"   -> (recallEval _),
+    "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _))
 
   override val oracleSql: Map[String, String] = Map(
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
-    "vdb_recall_eval"   -> recallEvalSql)
+    "vdb_recall_eval"   -> recallEvalSql,
+    "vdb_recall_curve"  -> recallCurveSql)
 }
