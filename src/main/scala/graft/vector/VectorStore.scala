@@ -641,6 +641,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val store = spark.read.parquet(vecDir)
       .select(col(idCol).as("vec_id"), col("shard").cast(LongType).as("shard"),
         col(vecCol).cast("array<double>").as("embedding"))
+    // the exact arm's bounded-heap aggregate (TopKAgg) carries Long
+    // ids; a string-id store would fail deep inside codegen — fail
+    // loudly here instead (recall is an id-agnostic property: eval a
+    // long-keyed twin, or extend TopKAgg, before relying on this)
+    require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(store.schema("vec_id").dataType),
+      s"evalRecall requires an integral id column; store '$idCol' is " +
+        store.schema("vec_id").dataType.simpleString)
     val queries = store
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .orderBy("query_id").limit(nQueries)
