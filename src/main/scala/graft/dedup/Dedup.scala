@@ -1039,6 +1039,47 @@ object Dedup extends QueryModule {
   private def spanDup(s: SparkSession, d: String): DataFrame =
     spanDupStats(Tables.documents(s, d))
 
+  /** The actionable half of the span-dup signal: WHICH spans are the
+    * boilerplate — the top-N most-duplicated `spanWords`-word windows
+    * with their text, document reach, and occurrence count. This is
+    * the report a curation team reads before writing strip rules
+    * (site chrome, license headers, navigation text all surface
+    * here). Scale shape: the same corpus×tokens window explode as
+    * [[spanDupStats]], one hash aggregate keyed by the span string
+    * (the shuffle carries ~spanWords-word strings, the same class as
+    * the shingle passes), then TakeOrdered(topN) — per-partition
+    * heaps, no global sort. Deterministic total order: reach desc,
+    * occurrences desc, span asc.
+    */
+  def topDupSpans(docs: DataFrame, spanWords: Int = 8, topN: Int = 20): DataFrame = {
+    val words = split(col("text"), " ")
+    val win = when(size(words) >= spanWords,
+      transform(sequence(lit(1), size(words) - (spanWords - 1)),
+        i => array_join(slice(words, i, lit(spanWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(win).as("span"))
+      .groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), asc("span"))
+      .limit(topN)
+  }
+
+  private def topSpans(s: SparkSession, d: String): DataFrame =
+    topDupSpans(Tables.documents(s, d))
+
+  private val topSpansSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sp AS (
+      |  SELECT doc_id, array_to_string(ws[t.i:t.i+7], ' ') AS span
+      |  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+      |  WHERE len(ws) >= 8)
+      |SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, span
+      |LIMIT 20""".stripMargin
+
   private val spanDupSql =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |wins AS (
@@ -1086,6 +1127,7 @@ object Dedup extends QueryModule {
     "dedup_semdedup"      -> (semdedup _),
     "dedup_incremental"   -> (incremental _),
     "dedup_span_exact"    -> (spanDup _),
+    "dedup_top_spans"     -> (topSpans _),
     "dedup_cross_source"  -> (crossSource _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -1105,5 +1147,6 @@ object Dedup extends QueryModule {
     "dedup_semdedup"      -> semdedupSql,
     "dedup_incremental"   -> incrementalSql,
     "dedup_span_exact"    -> spanDupSql,
+    "dedup_top_spans"     -> topSpansSql,
     "dedup_cross_source"  -> crossSourceSql)
 }
