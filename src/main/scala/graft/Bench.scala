@@ -33,7 +33,16 @@ object Bench {
     // can ALL land inside one long burst; 5 passes make that much
     // rarer at ~2 min extra sf0.1 wall time.
     val names = SparkEntry.queries.keys.toVector.sorted
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.trim) match {
+      case Some(v) =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"SPARK_GRAFT_PASSES must be a positive integer, got '$v'")
+        }
+        require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n")
+        n
+      case None => 5
+    }
     val timings = Array.fill(nPasses)(scala.collection.mutable.Map.empty[String, Double])
     (0 until nPasses).foreach { p =>
       val order = new scala.util.Random(1000 + p).shuffle(names)

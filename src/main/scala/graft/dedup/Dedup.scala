@@ -720,9 +720,26 @@ object Dedup extends QueryModule {
     * at [[embeddingPairsBlocked]], which finds the same pairs through
     * LSH bucket collisions without ever materializing n^2 pairs.
     */
+  /** Row bound for the all-pairs oracle kernel — shared by
+    * [[embeddingPairsExact]]'s guard and [[embeddingPairsBlocked]]'s
+    * recall-first delegation probe, so the two can never drift apart.
+    */
+  val ExactPairsMaxRows = 100000
+
+  /** The guardless all-pairs kernel: input must already be bounded
+    * (callers run the [[ExactPairsMaxRows]] probe first).
+    */
+  private def exactPairsPlan(e: DataFrame, threshold: Double): DataFrame = {
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    e.join(broadcast(b), col("vec_id") < col("id_b"))
+      .withColumn("score0", cosineSim(col("embedding"), col("emb_b")))
+      .filter(col("score0") >= threshold)
+      .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
+  }
+
   def embeddingPairsExact(emb: DataFrame, threshold: Double = 0.40,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          maxRows: Int = 100000): DataFrame = {
+                          maxRows: Int = ExactPairsMaxRows): DataFrame = {
     val over = emb.select(col(idCol)).limit(maxRows + 1).count() > maxRows
     require(!over,
       s"embeddingPairsExact is the all-pairs oracle path (quadratic): input exceeds " +
@@ -730,11 +747,7 @@ object Dedup extends QueryModule {
     // cast to double BEFORE the join: once per row, not once per pair
     val e = emb
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("embedding"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    e.join(broadcast(b), col("vec_id") < col("id_b"))
-      .withColumn("score0", cosineSim(col("embedding"), col("emb_b")))
-      .filter(col("score0") >= threshold)
-      .select(col("vec_id").as("id_a"), col("id_b"), round(col("score0"), 4).as("score"))
+    exactPairsPlan(e, threshold)
   }
 
   private def embedding(s: SparkSession, d: String): DataFrame =
@@ -824,8 +837,10 @@ object Dedup extends QueryModule {
     // path — the recall specs exercise banding itself.
     val recallFirst = numTables <= 0 && bitsPerTable <= 0 && bAuto <= 3
     if (recallFirst &&
-        e.select("vec_id").limit(100001).count() <= 100000L) {
-      embeddingPairsExact(e, threshold, "vec_id", "embedding")
+        e.select("vec_id").limit(ExactPairsMaxRows + 1).count() <= ExactPairsMaxRows) {
+      // one bounded count probe, then straight to the guardless kernel
+      // (re-entering embeddingPairsExact would run the same probe twice)
+      exactPairsPlan(e, threshold)
     } else {
       val raw = rawEmbeddingCandidates(e, nt, bt, dim)
       // Scoring-multiplicity policy by regime:

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -10,14 +11,18 @@ import org.apache.spark.sql.types.DoubleType
   * appended per accepted batch, so judging a new batch never
   * re-shingles (or even touches) the corpus text again.
   *
-  * Layout under `path` (all plain parquet — the index IS data, so the
-  * store inherits Spark's scan parallelism and partition pruning):
+  * Layout under `path` (plain parquet, one `batch=<label>` partition
+  * directory per ingested batch — the index IS data, so the store
+  * inherits Spark's scan parallelism, and the label layout makes
+  * writes IDEMPOTENT: a replayed batch overwrites its own directory
+  * instead of appending duplicate rows):
   *  - `fp/`     (doc_id, fp)  content fingerprints — the exact-dup side
   *  - `sh/`     (doc_id, s)   df-capped trigram shingles — the near-dup side
   *  - `sizes/`  (doc_id, n)   capped-set sizes (Jaccard denominators)
-  *  - `dfc/`    (s, df)       RAW document-frequency deltas, append-only;
-  *                            the current df of a shingle is the SUM of
-  *                            its rows ([[compact]] folds them)
+  *  - `dfc/`    (s, df)       RAW document-frequency deltas, one delta
+  *                            row-set per batch; the current df of a
+  *                            shingle is the SUM over batch dirs
+  *                            ([[compact]] folds them)
   *
   * Per-batch cost model (the point of the index): [[judge]] explodes
   * ONLY the incoming batch's text; every corpus-side input is a scan
@@ -38,11 +43,15 @@ import org.apache.spark.sql.types.DoubleType
   * generation still applies the CURRENT cap to the probe side, so a
   * newly-hot shingle stops generating new candidates immediately.
   *
-  * Delivery contract: append-only parquet is at-least-once under
-  * retries, same as the streaming sink it serves — replayed fp/sh
-  * rows are harmless for judging (semi-join / distinct-pair
-  * semantics); df deltas can double-count under replay, which only
-  * tightens caps. Single writer, like [[graft.vector.VectorStore]].
+  * Consistency contract: SINGLE WRITER. [[append]] writes four tables
+  * in sequence under the same batch label — a crash mid-append leaves
+  * that batch partially visible (a doc with postings but no size row
+  * is invisible to near-dup judging until healed), and RE-RUNNING the
+  * same append heals it exactly: every write overwrites the batch's
+  * own directory, so at-least-once delivery converges to exactly-once
+  * index state. This is why the label, not SaveMode.Append, carries
+  * the ingest — blind appends would double df counts and intersection
+  * counts under replay and silently corrupt Jaccard.
   */
 class ShingleIndex(spark: SparkSession, path: String,
                    maxDfFraction: Double = Dedup.DefaultMaxDfFraction,
@@ -51,52 +60,60 @@ class ShingleIndex(spark: SparkSession, path: String,
   private val shDir = s"$path/sh"
   private val szDir = s"$path/sizes"
   private val dfDir = s"$path/dfc"
+  private val dirs = Seq(fpDir, shDir, szDir, dfDir)
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def fpOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
 
-  /** Current df per shingle (delta rows summed). */
+  /** Current df per shingle (per-batch delta rows summed). */
   private def dfNow(): DataFrame =
     spark.read.parquet(dfDir).groupBy("s").agg(sum("df").as("df"))
 
   private def nDocs(): Long = spark.read.parquet(fpDir).count()
 
-  /** Build the index from the initial corpus — the one-time pass whose
-    * amortization every later [[judge]] enjoys.
+  private def writeBatch(df: DataFrame, dir: String, label: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$label")
+
+  /** Build the index from the initial corpus (label `base`) — the
+    * one-time pass whose amortization every later [[judge]] enjoys.
+    * Rebuilding clears all previously appended batches.
     */
   def build(corpus: DataFrame): Unit = {
+    dirs.foreach(d => fs.delete(new Path(d), true))
     val sh = Dedup.shinglesOf(corpus).cache()
-    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    dfc.write.mode(SaveMode.Overwrite).parquet(dfDir)
+    writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, "base")
     val n = corpus.select("doc_id").distinct().count()
     val cap = math.max(dfCapFloor, math.ceil(n * maxDfFraction).toLong)
-    val capped = sh.join(
-      spark.read.parquet(dfDir).filter(col("df") <= cap).select("s"), "s")
-    capped.write.mode(SaveMode.Overwrite).parquet(shDir)
-    spark.read.parquet(shDir).groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(szDir)
-    fpOf(corpus).write.mode(SaveMode.Overwrite).parquet(fpDir)
+    val capped = sh.join(dfNow().filter(col("df") <= cap).select("s"), "s")
+    writeBatch(capped, shDir, "base")
+    writeBatch(spark.read.parquet(shDir).groupBy("doc_id").agg(count(lit(1)).as("n")),
+      szDir, "base")
+    writeBatch(fpOf(corpus), fpDir, "base")
     sh.unpersist()
   }
 
-  /** Append an accepted batch: its fingerprints, df deltas, and
-    * insert-time-capped shingles join the index; subsequent batches
-    * are judged against corpus + everything appended so far. Work is
-    * batch-explode + one df-table probe — no corpus re-derivation.
+  /** Ingest an accepted batch under `label`: its fingerprints, df
+    * deltas, and insert-time-capped shingles join the index;
+    * subsequent batches are judged against corpus + everything
+    * appended so far. Work is batch-explode + one df-table probe — no
+    * corpus re-derivation. Idempotent per label (see class doc);
+    * labels must be unique per logical batch (streaming callers pass
+    * the micro-batch id).
     */
-  def append(batch: DataFrame): Unit = {
+  def append(batch: DataFrame, label: String): Unit = {
+    require(label != "base" && label.nonEmpty, s"reserved/empty batch label '$label'")
     val sh = Dedup.shinglesOf(batch).cache()
-    val bdf = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    bdf.write.mode(SaveMode.Append).parquet(dfDir)
+    writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
     val cap = math.max(dfCapFloor,
       math.ceil((nDocs() + batch.select("doc_id").distinct().count()) * maxDfFraction).toLong)
     // df as of AFTER this batch's delta landed (the insert-time cap)
     val capped = sh.join(dfNow().filter(col("df") <= cap).select("s"), "s")
       .localCheckpoint(true)
-    capped.write.mode(SaveMode.Append).parquet(shDir)
-    capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(szDir)
-    fpOf(batch).write.mode(SaveMode.Append).parquet(fpDir)
+    writeBatch(capped, shDir, label)
+    writeBatch(capped.groupBy("doc_id").agg(count(lit(1)).as("n")), szDir, label)
+    writeBatch(fpOf(batch), fpDir, label)
     sh.unpersist()
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(capped)
   }
@@ -106,7 +123,10 @@ class ShingleIndex(spark: SparkSession, path: String,
     * doc), else 'keep' — [[Dedup.incrementalVerdicts]]'s contract with
     * the corpus side served from the index. Eagerly materialized
     * (verdicts are batch-sized); internal caches are released before
-    * returning.
+    * returning, but the returned frame's checkpoint blocks are the
+    * CALLER's to release once consumed
+    * (`CheckpointInterop.unpersistCheckpoint`) — a long-lived stream
+    * judging thousands of batches must, or blocks accumulate.
     */
   def judge(batch: DataFrame, threshold: Double = 0.8): DataFrame = {
     val (v, caches) = judgeFrame(batch, threshold)
@@ -132,9 +152,9 @@ class ShingleIndex(spark: SparkSession, path: String,
     val cap = math.max(dfCapFloor,
       math.ceil((nDocs() + batch.select("doc_id").distinct().count()) * maxDfFraction).toLong)
     val bdf = bsh.groupBy("s").agg(count(lit(1)).as("df_b"))
-    val unionDf = spark.read.parquet(dfDir).groupBy("s").agg(sum("df").as("df_c"))
+    val unionDf = dfNow()
       .join(bdf, Seq("s"), "full")
-      .filter(coalesce(col("df_c"), lit(0L)) + coalesce(col("df_b"), lit(0L)) <= cap)
+      .filter(coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)) <= cap)
       .select("s")
     val bCapped = bsh.join(unionDf, "s")
     val bSizes = bCapped.groupBy("doc_id").agg(count(lit(1)).as("na"))
@@ -159,12 +179,20 @@ class ShingleIndex(spark: SparkSession, path: String,
     (verdicts, Seq(bsh))
   }
 
-  /** Fold the df delta rows (one per appended batch per shingle) into
-    * one row each — run periodically, like any LSM-ish compaction.
+  /** Fold the per-batch df delta directories into one — run
+    * periodically, like any LSM-ish compaction. Crash window: folded
+    * directory written but stale delta directories not yet deleted →
+    * those shingles double-count, which only TIGHTENS caps (judge-safe
+    * direction); re-running compact heals.
     */
   def compact(): Unit = {
+    val existing = fs.listStatus(new Path(dfDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
     val folded = dfNow().localCheckpoint(true)
-    folded.write.mode(SaveMode.Overwrite).parquet(dfDir)
+    val label = s"compact${existing.length}"
+    writeBatch(folded, dfDir, label)
+    existing.filter(_ != s"batch=$label")
+      .foreach(n => fs.delete(new Path(s"$dfDir/$n"), true))
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(folded)
   }
 }

@@ -64,11 +64,14 @@ object StreamingCuration {
             minWords: Int = 10, jaccardThreshold: Double = 0.8,
             tsCol: String = "ts", watermark: String = "10 minutes",
             corpus: Option[DataFrame] = None,
-            corpusIndex: Option[graft.dedup.ShingleIndex] = None): StreamingQuery =
+            corpusIndex: Option[graft.dedup.ShingleIndex] = None): StreamingQuery = {
+    require(corpus.isEmpty || corpusIndex.isEmpty,
+      "pass corpus OR corpusIndex, not both: the index gate would silently " +
+        "ignore the static corpus (build the index FROM that corpus instead)")
     StreamingDedup.dedup(docs, tsCol, "text", watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // curate() is the SAME operator the batch pipeline runs; here
         // its corpus is one micro-batch, so its exact/near-dup passes
         // are batch-local by construction. Drop accounting per batch
@@ -81,18 +84,20 @@ object StreamingCuration {
           import org.apache.spark.sql.functions.col
           val b0 = batch.drop(tsCol)
           // one curate() per micro-batch pins one cached frame (plus
-          // the gate's shingle caches): release them or dead caches
-          // accumulate for the stream's lifetime. The gate release
-          // wraps EVERYTHING downstream of cache registration — a
-          // curate() analysis error must not strand the shingle caches
+          // the gate's shingle caches / the index gate's checkpointed
+          // verdicts): release them or dead blocks accumulate for the
+          // stream's lifetime. The gate release wraps EVERYTHING
+          // downstream of registration — a curate() analysis error
+          // must not strand them
           var gateCaches: Seq[DataFrame] = Nil
+          var gateCheckpoint: Option[DataFrame] = None
           try {
             val incoming = (corpusIndex, corpus) match {
               case (Some(idx), _) =>
-                // judge() is eagerly materialized and self-releasing;
-                // verdicts here reflect corpus + all prior appends
-                b0.join(idx.judge(b0, jaccardThreshold)
-                    .filter(col("verdict") === "keep").select("doc_id"),
+                // verdicts reflect corpus + all prior appended batches
+                val v = idx.judge(b0, jaccardThreshold)
+                gateCheckpoint = Some(v)
+                b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
                   Seq("doc_id"), "left_semi")
               case (None, Some(c)) =>
                 val (v, caches) = graft.dedup.Dedup.batchVerdictsCached(c, b0, jaccardThreshold)
@@ -105,15 +110,22 @@ object StreamingCuration {
               minWords, jaccardThreshold)
             try {
               r.kept.write.mode(SaveMode.Append).parquet(outDir)
-              // index maintenance AFTER the sink write: a batch retried
-              // between the two appends re-runs both (at-least-once on
-              // each side; replayed index rows are judge-harmless)
-              corpusIndex.foreach(_.append(r.kept.select("doc_id", "text")))
+              // index maintenance AFTER the sink write, keyed by the
+              // micro-batch id: a retried batch re-runs both — the
+              // sink append is at-least-once (finish() dedups), the
+              // index write OVERWRITES its own batch=b<id> directory,
+              // so index state converges to exactly-once
+              corpusIndex.foreach(_.append(r.kept.select("doc_id", "text"), s"b$batchId"))
             } finally r.release()
-          } finally gateCaches.foreach(_.unpersist())
+          } finally {
+            gateCaches.foreach(_.unpersist())
+            gateCheckpoint.foreach(
+              org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint)
+          }
         }
       }
       .start()
+  }
 
   /** The closing batch pass over everything the stream accepted:
     * cross-batch exact dedup (replays + beyond-watermark duplicates),

@@ -218,25 +218,40 @@ object Serving extends QueryModule {
   private def recallCurve(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val cents = Centroids.deterministicInit(e, k = K)
+    val assigned = e.withColumn("shard",
+      Centroids.nearestShard(col("embedding"), cents))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val hits = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    curveFrom(assigned, queries, cents, K, topK = 10, nQueries = 20L)
+  }
+
+  /** The one-pass probe-rank curve shared by this query and
+    * `VectorStore.evalRecall`: exact top-`topK` per query (bounded
+    * heap), each hit annotated with the PROBE RANK of its shard for
+    * that query, rolled up to recall@topK for every depth 1..k.
+    * `assigned` columns: (vec_id LONG, shard, embedding); `queries`:
+    * (query_id, qv). Note: array_position's not-found sentinel is 0,
+    * which would count as a hit at every depth — safe here because
+    * the rank array always holds ALL k shards (nprobe = k) and every
+    * assigned shard comes from the same centroid set.
+    */
+  private[vector] def curveFrom(assigned: DataFrame, queries: DataFrame,
+                                cents: Seq[(Int, Array[Double])], k: Int,
+                                topK: Int, nQueries: Long): DataFrame =
+    assigned.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
       .groupBy("query_id")
-      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 10).as("tops"))
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
       .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
-      .join(e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
-        .select("vec_id", "shard"), "vec_id")
+      .join(assigned.select("vec_id", "shard"), "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("prank",
-        array_position(Centroids.nearestShards(col("qv"), cents, K), col("shard")))
-    hits
-      .select(explode(sequence(lit(1L), lit(K.toLong))).as("nprobe"), col("prank"))
+        array_position(Centroids.nearestShards(col("qv"), cents, k), col("shard")))
+      .select(explode(sequence(lit(1L), lit(k.toLong))).as("nprobe"), col("prank"))
       .groupBy("nprobe")
       .agg((sum(when(col("prank") <= col("nprobe"), 1L).otherwise(0L)) * 10000L)
         .as("__h"))
-      .select(col("nprobe"), expr("__h div 200").as("recall_x1e4"))
-  }
+      .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
 
   private val recallCurveSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},

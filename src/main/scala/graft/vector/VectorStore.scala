@@ -638,39 +638,29 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def evalRecall(nQueries: Int = 64, topK: Int = 10): DataFrame = {
     val cents = centroids()
-    val store = spark.read.parquet(vecDir)
-      .select(col(idCol).as("vec_id"), col("shard").cast(LongType).as("shard"),
-        col(vecCol).cast("array<double>").as("embedding"))
+    val raw = spark.read.parquet(vecDir)
     // the exact arm's bounded-heap aggregate (TopKAgg) carries Long
     // ids; a string-id store would fail deep inside codegen — fail
     // loudly here instead (recall is an id-agnostic property: eval a
-    // long-keyed twin, or extend TopKAgg, before relying on this)
-    require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+    // long-keyed twin, or extend TopKAgg, before relying on this).
+    // Integral ids then CAST to Long: TopKAgg's buffer reads the
+    // value as a Long, so an Int column passing the type check but
+    // reaching the aggregate uncast would still ClassCastException.
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.ShortType)
-        .contains(store.schema("vec_id").dataType),
+        .contains(raw.schema(idCol).dataType),
       s"evalRecall requires an integral id column; store '$idCol' is " +
-        store.schema("vec_id").dataType.simpleString)
+        raw.schema(idCol).dataType.simpleString)
+    val store = raw
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("embedding"))
     val queries = store
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .orderBy("query_id").limit(nQueries)
     val nq = queries.count()
-    val hits = store.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
-      .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
-      .join(store.select(col("vec_id"), col("shard")), "vec_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("probe_rank",
-        array_position(Centroids.nearestShards(col("qv"), cents, numShards), col("shard")))
-    val curve = hits
-      .select(explode(sequence(lit(1L), lit(numShards.toLong))).as("nprobe"),
-        col("probe_rank"))
-      .groupBy("nprobe")
-      .agg((sum(when(col("probe_rank") <= col("nprobe"), 1L).otherwise(0L))
-        * 10000L).as("__hits_x1e4"))
-      .select(col("nprobe"),
-        expr(s"__hits_x1e4 div ${nq * topK}").as("recall_x1e4"))
+    val curve = Serving.curveFrom(store, queries, cents, numShards, topK, nq)
       .withColumn("n_queries", lit(nq))
       .withColumn("top_k", lit(topK.toLong))
     curve.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)

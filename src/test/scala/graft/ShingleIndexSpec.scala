@@ -50,7 +50,11 @@ class ShingleIndexSpec extends AnyFunSuite {
     val idx = new ShingleIndex(spark, dir)
     idx.build(corpus)
     assert(idx.judge(batch1).filter(col("verdict") === "keep").count() === 1L)
-    idx.append(batch1)
+    idx.append(batch1, "b1")
+    // at-least-once replay: re-running the same append overwrites its
+    // own batch directory — df counts and postings must NOT double
+    // (blind appends would inflate intersection counts past Jaccard 1)
+    idx.append(batch1, "b1")
     val v2 = idx.judge(batch2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v2 === Map(200L -> "exact", 201L -> "near", 202L -> "keep"),
       "the gate must see batch1's accepted docs, not just the build-time corpus")
@@ -73,7 +77,7 @@ class ShingleIndexSpec extends AnyFunSuite {
     val idx = new ShingleIndex(spark, dir)
     idx.build(corpus)
     (0 until 3).foreach { i =>
-      idx.append(Seq((10L + i, w(s"p$i", 40))).toDF("doc_id", "text"))
+      idx.append(Seq((10L + i, w(s"p$i", 40))).toDF("doc_id", "text"), s"b$i")
     }
     val batch = Seq((300L, w("p1", 40)), (301L, w("q", 40))).toDF("doc_id", "text")
     val before = idx.judge(batch).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
