@@ -395,8 +395,12 @@ object ScaleSmoke {
       shIdx.build(corpus.filter(col("doc_id") < nDoc))
     }
     val idxVerdicts = timed("shingle-index judge (2% batch, corpus-side = index scans)") {
-      shIdx.judge(corpus.filter(col("doc_id") >= nDoc))
-        .groupBy("verdict").count().collect()
+      val v = shIdx.judge(corpus.filter(col("doc_id") >= nDoc))
+      val out = v.groupBy("verdict").count().collect()
+      // judge()'s contract: the checkpointed verdicts are the caller's
+      // to release — or they stay pinned across the later timed steps
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(v)
+      out
     }
     println("[scale] index-gate verdicts: " + idxVerdicts.sortBy(_.getString(0))
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))

@@ -43,15 +43,28 @@ import org.apache.spark.sql.types.DoubleType
   * generation still applies the CURRENT cap to the probe side, so a
   * newly-hot shingle stops generating new candidates immediately.
   *
-  * Consistency contract: SINGLE WRITER. [[append]] writes four tables
-  * in sequence under the same batch label — a crash mid-append leaves
-  * that batch partially visible (a doc with postings but no size row
-  * is invisible to near-dup judging until healed), and RE-RUNNING the
-  * same append heals it exactly: every write overwrites the batch's
-  * own directory, so at-least-once delivery converges to exactly-once
-  * index state. This is why the label, not SaveMode.Append, carries
-  * the ingest — blind appends would double df counts and intersection
-  * counts under replay and silently corrupt Jaccard.
+  * Consistency contract: SINGLE WRITER, and at-least-once delivery of
+  * the LATEST batch only (the streaming retry model — a replay can
+  * only be of the most recent uncommitted batch). Under that model:
+  *  - [[append]] is idempotent per label: every write overwrites the
+  *    batch's own directory, and its df-cap arithmetic EXCLUDES the
+  *    batch's own previously-written rows (`nDocs` minus own label),
+  *    so a replayed append rewrites byte-identical state. A crash
+  *    mid-append leaves the batch partially visible (a doc with
+  *    postings but no size row is invisible to near-dup judging);
+  *    the retry completes it. Blind SaveMode.Append would instead
+  *    double df and intersection counts and silently corrupt Jaccard.
+  *  - [[judge]] takes the same `excludeLabel` so a REPLAYED
+  *    micro-batch can exclude its own prior writes and reproduce its
+  *    first-run verdicts — without it, a replay would see its own
+  *    docs in the index, judge them all duplicates, and gate them out
+  *    (see `StreamingCuration`'s index-gate wiring).
+  *  - [[compact]] is tmp-swap crash-safe (same protocol as
+  *    [[graft.sources.Compact]]): the folded table is durable in a
+  *    sibling tmp dir before the live dfc/ is touched, and the one
+  *    crash window (between delete and rename) fails LOUDLY — reads
+  *    find no dfc/ — and heals on the next compact() call, never
+  *    silently double-counting.
   */
 class ShingleIndex(spark: SparkSession, path: String,
                    maxDfFraction: Double = Dedup.DefaultMaxDfFraction,
@@ -67,11 +80,21 @@ class ShingleIndex(spark: SparkSession, path: String,
   private def fpOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
 
-  /** Current df per shingle (per-batch delta rows summed). */
-  private def dfNow(): DataFrame =
-    spark.read.parquet(dfDir).groupBy("s").agg(sum("df").as("df"))
+  /** Read one index table, optionally excluding a batch label (the
+    * `batch` column comes from partition discovery, so the exclusion
+    * prunes that directory before any IO).
+    */
+  private def readIdx(dir: String, excludeLabel: Option[String]): DataFrame = {
+    val df = spark.read.parquet(dir)
+    excludeLabel.fold(df)(l => df.filter(col("batch") =!= l))
+  }
 
-  private def nDocs(): Long = spark.read.parquet(fpDir).count()
+  /** Current df per shingle (per-batch delta rows summed). */
+  private def dfNow(excludeLabel: Option[String] = None): DataFrame =
+    readIdx(dfDir, excludeLabel).groupBy("s").agg(sum("df").as("df"))
+
+  private def nDocs(excludeLabel: Option[String] = None): Long =
+    readIdx(fpDir, excludeLabel).count()
 
   private def writeBatch(df: DataFrame, dir: String, label: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$label")
@@ -98,17 +121,22 @@ class ShingleIndex(spark: SparkSession, path: String,
     * deltas, and insert-time-capped shingles join the index;
     * subsequent batches are judged against corpus + everything
     * appended so far. Work is batch-explode + one df-table probe — no
-    * corpus re-derivation. Idempotent per label (see class doc);
-    * labels must be unique per logical batch (streaming callers pass
-    * the micro-batch id).
+    * corpus re-derivation. Idempotent per label (see class doc: the
+    * cap arithmetic excludes the label's own prior rows, so a replay
+    * rewrites identical state); labels must be unique per logical
+    * batch (streaming callers pass the micro-batch id).
     */
   def append(batch: DataFrame, label: String): Unit = {
     require(label != "base" && label.nonEmpty, s"reserved/empty batch label '$label'")
     val sh = Dedup.shinglesOf(batch).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
+    // corpus size EXCLUDES this label's own fp rows (present on a
+    // replay, absent on the first run — excluding makes both equal);
+    // df INCLUDES this label's delta exactly once (just overwritten):
+    // the insert-time cap, identical on first run and replay
     val cap = math.max(dfCapFloor,
-      math.ceil((nDocs() + batch.select("doc_id").distinct().count()) * maxDfFraction).toLong)
-    // df as of AFTER this batch's delta landed (the insert-time cap)
+      math.ceil((nDocs(Some(label)) + batch.select("doc_id").distinct().count())
+        * maxDfFraction).toLong)
     val capped = sh.join(dfNow().filter(col("df") <= cap).select("s"), "s")
       .localCheckpoint(true)
     writeBatch(capped, shDir, label)
@@ -121,15 +149,19 @@ class ShingleIndex(spark: SparkSession, path: String,
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),
     * 'near' (capped-shingle Jaccard >= threshold against an indexed
     * doc), else 'keep' — [[Dedup.incrementalVerdicts]]'s contract with
-    * the corpus side served from the index. Eagerly materialized
+    * the corpus side served from the index. Pass `excludeLabel` when
+    * re-judging a batch that may ALREADY be in the index (a streaming
+    * replay): its own prior writes are pruned from every corpus-side
+    * read, reproducing the first run's verdicts. Eagerly materialized
     * (verdicts are batch-sized); internal caches are released before
     * returning, but the returned frame's checkpoint blocks are the
     * CALLER's to release once consumed
     * (`CheckpointInterop.unpersistCheckpoint`) — a long-lived stream
     * judging thousands of batches must, or blocks accumulate.
     */
-  def judge(batch: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val (v, caches) = judgeFrame(batch, threshold)
+  def judge(batch: DataFrame, threshold: Double = 0.8,
+            excludeLabel: Option[String] = None): DataFrame = {
+    val (v, caches) = judgeFrame(batch, threshold, excludeLabel)
     val out = v.localCheckpoint(true)
     caches.foreach(_.unpersist())
     out
@@ -139,33 +171,34 @@ class ShingleIndex(spark: SparkSession, path: String,
     * spec's plan assertions (no corpus-side explode: the only Generate
     * is the batch's own shingling; corpus inputs are index scans).
     */
-  private[graft] def judgeFrame(batch: DataFrame,
-                                threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def judgeFrame(batch: DataFrame, threshold: Double,
+                                excludeLabel: Option[String] = None): (DataFrame, Seq[DataFrame]) = {
     val bsh = Dedup.shinglesOf(batch).cache()
     val bIds = batch.select("doc_id")
     val exactDup = fpOf(batch)
-      .join(spark.read.parquet(fpDir).select("fp").distinct(), Seq("fp"), "left_semi")
+      .join(readIdx(fpDir, excludeLabel).select("fp").distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("__exact", lit(1L))
     // judge-time cap over the union: index df (compact probe) + this
     // batch's own df — a shingle that went hot since its insert stops
     // producing candidates NOW, even before any rebuild re-caps it
     val cap = math.max(dfCapFloor,
-      math.ceil((nDocs() + batch.select("doc_id").distinct().count()) * maxDfFraction).toLong)
+      math.ceil((nDocs(excludeLabel) + batch.select("doc_id").distinct().count())
+        * maxDfFraction).toLong)
     val bdf = bsh.groupBy("s").agg(count(lit(1)).as("df_b"))
-    val unionDf = dfNow()
+    val unionDf = dfNow(excludeLabel)
       .join(bdf, Seq("s"), "full")
       .filter(coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)) <= cap)
       .select("s")
     val bCapped = bsh.join(unionDf, "s")
     val bSizes = bCapped.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val inter = bCapped.as("a")
-      .join(spark.read.parquet(shDir).as("b"), col("a.s") === col("b.s"))
+      .join(readIdx(shDir, excludeLabel).as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     val nearDup = inter
       .join(bSizes.withColumnRenamed("doc_id", "id_new"), "id_new")
-      .join(spark.read.parquet(szDir)
+      .join(readIdx(szDir, excludeLabel)
         .select(col("doc_id").as("id_old"), col("n").as("nb")), "id_old")
       .filter(jac >= threshold)
       .select(col("id_new").as("doc_id")).distinct().withColumn("__near", lit(1L))
@@ -180,19 +213,33 @@ class ShingleIndex(spark: SparkSession, path: String,
   }
 
   /** Fold the per-batch df delta directories into one — run
-    * periodically, like any LSM-ish compaction. Crash window: folded
-    * directory written but stale delta directories not yet deleted →
-    * those shingles double-count, which only TIGHTENS caps (judge-safe
-    * direction); re-running compact heals.
+    * periodically, like any LSM-ish compaction. Tmp-swap protocol
+    * ([[graft.sources.Compact]]'s): the folded table is written
+    * durably to a sibling `_dfc__compact_tmp` BEFORE the live
+    * directory is touched, then delete + rename. A crash between the
+    * last two steps fails loudly (no dfc/) and the next compact()
+    * call recovers with one rename — a re-run can never re-fold its
+    * own output into the inputs (the silent double-count a
+    * fold-in-place protocol suffers).
     */
   def compact(): Unit = {
-    val existing = fs.listStatus(new Path(dfDir))
-      .filter(_.isDirectory).map(_.getPath.getName)
+    val dfPath = new Path(dfDir)
+    val tmp = new Path(dfPath.getParent, "_dfc__compact_tmp")
+    if (!fs.exists(dfPath)) {
+      require(fs.exists(tmp),
+        s"compact: neither $dfDir nor its tmp exist — index not built?")
+      // a prior compact crashed between delete and rename: finish it
+      if (!fs.rename(tmp, dfPath)) throw new IllegalStateException(
+        s"compact recovery: rename $tmp -> $dfDir failed; all df data is in $tmp")
+      return
+    }
     val folded = dfNow().localCheckpoint(true)
-    val label = s"compact${existing.length}"
-    writeBatch(folded, dfDir, label)
-    existing.filter(_ != s"batch=$label")
-      .foreach(n => fs.delete(new Path(s"$dfDir/$n"), true))
+    folded.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(folded)
+    if (!fs.delete(dfPath, true)) throw new IllegalStateException(
+      s"compact: delete of $dfDir failed; originals intact, folded copy at $tmp")
+    if (!fs.rename(tmp, dfPath)) throw new IllegalStateException(
+      s"compact: rename $tmp -> $dfDir failed; all df data is in $tmp, " +
+        "re-running compact() recovers")
   }
 }

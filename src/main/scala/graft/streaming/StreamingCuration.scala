@@ -94,8 +94,15 @@ object StreamingCuration {
           try {
             val incoming = (corpusIndex, corpus) match {
               case (Some(idx), _) =>
-                // verdicts reflect corpus + all prior appended batches
-                val v = idx.judge(b0, jaccardThreshold)
+                // verdicts reflect corpus + all prior appended batches.
+                // excludeLabel = this batch's own label: a REPLAYED
+                // batch (crash after append, before checkpoint commit)
+                // would otherwise find its own docs in the index, judge
+                // them all duplicates, and overwrite its batch dir with
+                // empty — erasing it. Excluding self reproduces the
+                // first run's verdicts exactly.
+                val v = idx.judge(b0, jaccardThreshold,
+                  excludeLabel = Some(s"b$batchId"))
                 gateCheckpoint = Some(v)
                 b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
                   Seq("doc_id"), "left_semi")

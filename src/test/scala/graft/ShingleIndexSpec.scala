@@ -55,6 +55,14 @@ class ShingleIndexSpec extends AnyFunSuite {
     // own batch directory — df counts and postings must NOT double
     // (blind appends would inflate intersection counts past Jaccard 1)
     idx.append(batch1, "b1")
+    // a REPLAYED batch re-judged with its own label excluded must get
+    // its first-run verdicts back (all keep), not see itself as dup
+    val replay = idx.judge(batch1, excludeLabel = Some("b1"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay === Map(100L -> "keep"),
+      "self-exclusion must reproduce the pre-append verdicts on replay")
+    assert(idx.judge(batch1).collect().head.getString(1) === "exact",
+      "without exclusion the replayed batch sees its own indexed copy")
     val v2 = idx.judge(batch2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v2 === Map(200L -> "exact", 201L -> "near", 202L -> "keep"),
       "the gate must see batch1's accepted docs, not just the build-time corpus")
