@@ -229,6 +229,65 @@ object Analytics extends QueryModule {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  // --- events: trailing-window volume anomalies ----------------------
+  /** Hourly event-volume anomaly detection — the metrics-monitoring
+    * query an ops team runs on its event firehose: per (hour, type),
+    * flag hours whose count sits more than 3 sigma from the TRAILING
+    * 24-observed-hours mean. Aggregate-then-window: the window runs
+    * over the tiny hourly rollup (hours × types rows), never the raw
+    * events — at 100 TB the wide work is the one hash aggregate, and
+    * the windows cost nothing.
+    *
+    * Engine parity: mean/variance come from exact integer window sums
+    * (sum, sum of squares, count) combined in double arithmetic with
+    * the IDENTICAL expression shape on both sides — built-in stddev
+    * would compare Welford-vs-naive float paths and flip the flag at
+    * boundaries. The sigma test is squared (no sqrt) and cleared of
+    * division by (w_n − 1): (n − mean)²·(w_n−1) > 9·(Σn² − (Σn)²/w_n).
+    * Hours with fewer than 6 trailing observations are never flagged.
+    */
+  private def qHourlyAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy(asc("hour_epoch"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("w_n", count(col("n_events")).over(w))
+      .withColumn("w_sum", sum(col("n_events")).over(w))
+      .withColumn("w_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .select(col("hour_epoch"), col("event_type"), col("n_events"), col("w_n"),
+        when(col("w_n") > 0,
+          round(col("w_sum") * 10000.0 / col("w_n"), 0).cast(LongType)).as("mean_x1e4"),
+        when(col("w_n") >= 6 &&
+            pow(col("n_events") - col("w_sum").cast("double") / col("w_n"), 2)
+              * (col("w_n") - 1) >
+              lit(9.0) * (col("w_sumsq") - col("w_sum").cast("double") * col("w_sum") / col("w_n")),
+          1L).otherwise(0L).as("is_anomaly"))
+  }
+
+  private val qHourlyAnomalySql =
+    """WITH hourly AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT hour_epoch, event_type, n_events,
+      |    COUNT(n_events) OVER win AS w_n,
+      |    SUM(n_events) OVER win AS w_sum,
+      |    SUM(n_events * n_events) OVER win AS w_sumsq
+      |  FROM hourly
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_epoch
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT hour_epoch, event_type, n_events, w_n,
+      |  CASE WHEN w_n > 0 THEN CAST(ROUND(w_sum * 10000.0 / w_n) AS BIGINT) END AS mean_x1e4,
+      |  CAST(CASE WHEN w_n >= 6 AND
+      |    POWER(n_events - CAST(w_sum AS DOUBLE) / w_n, 2) * (w_n - 1) >
+      |      9.0 * (w_sumsq - CAST(w_sum AS DOUBLE) * w_sum / w_n)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM w""".stripMargin
+
   // --- events: gap-based sessionization (30-min gap) -----------------
   private def qSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
@@ -902,6 +961,7 @@ object Analytics extends QueryModule {
     "q_semi_join"      -> (qSemiJoin _),
     "q_anti_join"      -> (qAntiJoin _),
     "q_events_hourly"  -> (qEventsHourly _),
+    "q_hourly_anomaly" -> (qHourlyAnomaly _),
     "q_sessionize"     -> (qSessionize _))
 
   override val oracleSql: Map[String, String] = Map(
@@ -935,5 +995,6 @@ object Analytics extends QueryModule {
     "q_semi_join"      -> qSemiJoinSql,
     "q_anti_join"      -> qAntiJoinSql,
     "q_events_hourly"  -> qEventsHourlySql,
+    "q_hourly_anomaly" -> qHourlyAnomalySql,
     "q_sessionize"     -> qSessionizeSql)
 }
