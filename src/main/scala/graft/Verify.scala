@@ -13,8 +13,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(df)
+      }
       catch { case e: Throwable =>
         // a query that throws must still leave a row in the artifact:
         // an absent output reads as "not run" and silently shrinks the
@@ -29,6 +32,11 @@ object Verify {
             .parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
+      // operator-local caches are each operator's to build but this
+      // one-session-for-112-queries loop's to release — without this the
+      // pair helpers' shingle caches pin memory for the rest of the run
+      // (same between-queries release Bench does between timings)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -238,13 +238,17 @@ object Analytics extends QueryModule {
     * events — at 100 TB the wide work is the one hash aggregate, and
     * the windows cost nothing.
     *
-    * Engine parity: mean/variance come from exact integer window sums
-    * (sum, sum of squares, count) combined in double arithmetic with
-    * the IDENTICAL expression shape on both sides — built-in stddev
-    * would compare Welford-vs-naive float paths and flip the flag at
-    * boundaries. The sigma test is squared (no sqrt) and cleared of
-    * division by (w_n − 1): (n − mean)²·(w_n−1) > 9·(Σn² − (Σn)²/w_n).
-    * Hours with fewer than 6 trailing observations are never flagged.
+    * Engine parity: mean/variance come from window sums (sum, sum of
+    * squares, count) combined in double arithmetic with the IDENTICAL
+    * expression shape on both sides — built-in stddev would compare
+    * Welford-vs-naive float paths and flip the flag at boundaries. The
+    * sigma test is squared (no sqrt) and cleared of division by
+    * (w_n − 1): (n − mean)²·(w_n−1) > 9·(Σn² − (Σn)²/w_n). The squared
+    * term is summed as DOUBLE on both engines: counts are window sums
+    * of ≤24 hourly values, exact in a double below 2^53, while Long
+    * n² wraps silently past ~3e9 events/hour under non-ANSI Spark —
+    * the 100 TB regime this query's Scaladoc targets. Hours with
+    * fewer than 6 trailing observations are never flagged.
     */
   private def qHourlyAnomaly(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
@@ -256,7 +260,8 @@ object Analytics extends QueryModule {
     hourly
       .withColumn("w_n", count(col("n_events")).over(w))
       .withColumn("w_sum", sum(col("n_events")).over(w))
-      .withColumn("w_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("w_sumsq",
+        sum(col("n_events").cast("double") * col("n_events")).over(w))
       .select(col("hour_epoch"), col("event_type"), col("n_events"), col("w_n"),
         when(col("w_n") > 0,
           round(col("w_sum") * 10000.0 / col("w_n"), 0).cast(LongType)).as("mean_x1e4"),
@@ -276,7 +281,7 @@ object Analytics extends QueryModule {
       |  SELECT hour_epoch, event_type, n_events,
       |    COUNT(n_events) OVER win AS w_n,
       |    SUM(n_events) OVER win AS w_sum,
-      |    SUM(n_events * n_events) OVER win AS w_sumsq
+      |    SUM(CAST(n_events AS DOUBLE) * n_events) OVER win AS w_sumsq
       |  FROM hourly
       |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_epoch
       |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))

@@ -809,6 +809,14 @@ object Dedup extends QueryModule {
     * exact variant's pairs on every test corpus (oracle-checked); the
     * selective high-threshold regime is spec-proven on a synthetic
     * near-dup corpus (DedupSpec).
+    *
+    * NOT fully lazy in the auto-banded recall-first regime: deciding
+    * whether the corpus fits the exact kernel runs a bounded
+    * `limit(N+1).count()` probe AT PLAN-CONSTRUCTION TIME (a Spark job
+    * per call, repeated on repeated calls over uncached input). Callers
+    * that build plans without executing them, or call in a loop, should
+    * pass explicit numTables/bitsPerTable (always lazy, always LSH) or
+    * cache the input before probing.
     */
   def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.40,
                             idCol: String = "vec_id", vecCol: String = "embedding",
@@ -1059,12 +1067,20 @@ object Dedup extends QueryModule {
     * with their text, document reach, and occurrence count. This is
     * the report a curation team reads before writing strip rules
     * (site chrome, license headers, navigation text all surface
-    * here). Scale shape: the same corpus×tokens window explode as
-    * [[spanDupStats]], one hash aggregate keyed by the span string
-    * (the shuffle carries ~spanWords-word strings, the same class as
-    * the shingle passes), then TakeOrdered(topN) — per-partition
-    * heaps, no global sort. Deterministic total order: reach desc,
-    * occurrences desc, span asc.
+    * here).
+    *
+    * Scale shape — [[spanDupStats]]'s xxhash64-key discipline applied
+    * to its sibling: the corpus×tokens explode shuffles (hash, doc_id)
+    * — 8-byte keys, never the raw token stream as strings (the same
+    * 64-bit-collision-free equivalence spanDupStats documents) — and
+    * span TEXT is recovered for the top-N candidates only, by a
+    * second map-only derive pass filtered against the broadcast
+    * winner-hash set. The winner set includes every row TIED with the
+    * Nth (n_docs, n_occurrences) — a struct-min threshold from a
+    * TakeOrdered(topN), kept lazy — so the final span-asc tiebreak
+    * selects the identical rows the string-keyed plan would.
+    * Deterministic total order: reach desc, occurrences desc, span
+    * asc.
     */
   def topDupSpans(docs: DataFrame, spanWords: Int = 8, topN: Int = 20): DataFrame = {
     val words = split(col("text"), " ")
@@ -1072,10 +1088,29 @@ object Dedup extends QueryModule {
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
         i => array_join(slice(words, i, lit(spanWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(win).as("span"))
-      .groupBy("span")
+    val spans = docs.select(col("doc_id"), explode(win).as("span"))
+    val counts = spans
+      .select(xxhash64(col("span")).as("wh"), col("doc_id"))
+      .groupBy("wh")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
+    // worst (n_docs, n_occurrences) among the top N — 1-row frame via
+    // per-partition heaps; ties AT the threshold all qualify, so the
+    // candidate set is >= the final N and string order decides
+    val thresh = counts
+      .orderBy(desc("n_docs"), desc("n_occurrences")).limit(topN)
+      .agg(min(struct(col("n_docs"), col("n_occurrences"))).as("__cut"))
+    val winners = counts.crossJoin(thresh)
+      .filter(struct(col("n_docs"), col("n_occurrences")) >= col("__cut"))
+      .select("wh", "n_docs", "n_occurrences")
+    // text recovery: re-derive the windows (CPU-only second scan, no
+    // shuffle) and keep only winner hashes — the join is broadcast by
+    // size (winners ~ topN + ties)
+    val texts = spans.select(col("span")).withColumn("wh", xxhash64(col("span")))
+      .join(broadcast(winners.select("wh")), "wh")
+      .distinct()
+    winners.join(texts, "wh")
+      .select(col("span"), col("n_docs"), col("n_occurrences"))
       .orderBy(desc("n_docs"), desc("n_occurrences"), asc("span"))
       .limit(topN)
   }

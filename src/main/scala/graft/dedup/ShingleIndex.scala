@@ -127,7 +127,11 @@ class ShingleIndex(spark: SparkSession, path: String,
     * batch (streaming callers pass the micro-batch id).
     */
   def append(batch: DataFrame, label: String): Unit = {
-    require(label != "base" && label.nonEmpty, s"reserved/empty batch label '$label'")
+    // 'base' is build()'s directory; 'compact0' is the directory
+    // compact() folds the ENTIRE df history into — a caller writing
+    // either label would silently overwrite aggregated state
+    require(label != "base" && label != "compact0" && label.nonEmpty,
+      s"reserved/empty batch label '$label'")
     val sh = Dedup.shinglesOf(batch).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
     // corpus size EXCLUDES this label's own fp rows (present on a
@@ -221,8 +225,18 @@ class ShingleIndex(spark: SparkSession, path: String,
     * call recovers with one rename — a re-run can never re-fold its
     * own output into the inputs (the silent double-count a
     * fold-in-place protocol suffers).
+    *
+    * RETRY INTERACTION: [[append]]/[[judge]]'s `excludeLabel` replay
+    * protection prunes the label's own dfc partition — once a label's
+    * delta is folded into `batch=compact0` that pruning no longer
+    * removes its df contribution and a replay's verdicts can drift.
+    * Under the single-writer / latest-batch-only retry contract, pass
+    * the in-flight label as `keepLabel`: its delta partition is
+    * carried through the fold UNFOLDED (copied verbatim into the new
+    * dfc/), so exclusion keeps working until the batch is known
+    * committed. Folding with no label in flight needs no argument.
     */
-  def compact(): Unit = {
+  def compact(keepLabel: Option[String] = None): Unit = {
     val dfPath = new Path(dfDir)
     val tmp = new Path(dfPath.getParent, "_dfc__compact_tmp")
     if (!fs.exists(dfPath)) {
@@ -233,9 +247,16 @@ class ShingleIndex(spark: SparkSession, path: String,
         s"compact recovery: rename $tmp -> $dfDir failed; all df data is in $tmp")
       return
     }
-    val folded = dfNow().localCheckpoint(true)
+    val folded = dfNow(keepLabel).localCheckpoint(true)
     folded.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(folded)
+    // the kept label's delta rides into the new dfc/ as its own
+    // partition, byte-equivalent to its pre-compact state — both
+    // writes are durable in tmp before the live directory is touched
+    keepLabel.foreach { l =>
+      spark.read.parquet(dfDir).filter(col("batch") === l).select("s", "df")
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=$l")
+    }
     if (!fs.delete(dfPath, true)) throw new IllegalStateException(
       s"compact: delete of $dfDir failed; originals intact, folded copy at $tmp")
     if (!fs.rename(tmp, dfPath)) throw new IllegalStateException(
