@@ -126,37 +126,18 @@ object StreamingSearch {
                                  shardCol: String = "shard", queryVecCol: String = "qv",
                                  rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val someModel = books.models.head._2
-    val (m0, k0, sub) = (someModel.numSubspaces, someModel.numCodes, someModel.subDim)
-    val dim = rotation.map(_.length).getOrElse(m0 * sub)
-    // partials(m)(k)(i): raw-space contribution of codeword (m, k)
-    def partials(model: graft.vector.ProductQuantizer.Model): Seq[Seq[Seq[Double]]] =
-      (0 until m0).map { mm =>
-        (0 until k0).map { k =>
-          val cw = model.centroids(mm)(k)
-          rotation match {
-            case Some(r) => (0 until dim).map { i =>
-              var s = 0.0; var j = 0
-              while (j < sub) { s += r(mm * sub + j)(i) * cw(j); j += 1 }
-              s
-            }
-            case None => Seq.tabulate(dim)(i =>
-              if (i >= mm * sub && i < (mm + 1) * sub) cw(i - mm * sub) else 0.0)
-          }
-        }
-      }
-    val bookDf = books.models.toSeq
-      .map { case (s, model) => (s.toLong, partials(model)) }
-      .toDF(shardCol, "__book")
+    val m0 = books.models.head._2.numSubspaces
+    // (shard, __book): codewords pre-mapped into raw space driver-side
+    // (rotation baked in) — shared builder with the batch recall eval
+    val bookDf = graft.vector.ProductQuantizer.rawBookFrame(spark, books,
+      rotation, shardCol)
     val routed = queries.withColumn(shardCol,
       explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
     val side = corpus.select(col(shardCol).cast("long").as(shardCol),
       col(idCol), col(codesCol))
       .join(broadcast(bookDf), shardCol)
-    val resid = (0 until m0).map { mm =>
-      element_at(element_at(col("__book"), mm + 1), element_at(col(codesCol), mm + 1) + 1)
-    }.reduce((a, b) => zip_with(a, b, _ + _))
+    val resid = graft.vector.ProductQuantizer.rawDecodeFromBook(
+      col(codesCol), col("__book"), m0)
     val recon = if (!residual) resid else {
       val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
       zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),

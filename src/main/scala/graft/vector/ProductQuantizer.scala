@@ -322,6 +322,54 @@ object ProductQuantizer extends QueryModule {
       m => element_at(element_at(book, m + 1), element_at(codesCol, m + 1) + 1)))
   }
 
+  /** Per-shard codebooks pre-mapped driver-side into RAW-SPACE partial
+    * vectors, as one (shard, __book) frame to broadcast-join against a
+    * coded corpus: `__book(m)(k)(i)` is codeword (m, k)'s contribution
+    * to raw dim i — zero-embedded into its subspace's dims, or
+    * inverse-rotated (`R_m^T c`) when the store carries an OPQ
+    * rotation. Reconstruction is then a uniform SUM of M dim-length
+    * lookups regardless of rotation ([[rawDecodeFromBook]]). Books
+    * ride as model-sized DATA, not plan literals, so generated code is
+    * shard-count-independent. Shared by the streaming scorer
+    * ([[graft.streaming.StreamingSearch.scoreIvfCompressedPerShard]])
+    * and `VectorStore.evalRecall(compressed = true)`.
+    */
+  def rawBookFrame(spark: SparkSession, books: PerShardBooks,
+                   rotation: Option[Array[Array[Double]]],
+                   shardCol: String = "shard"): DataFrame = {
+    import spark.implicits._
+    val someModel = books.models.head._2
+    val (m0, k0, sub) = (someModel.numSubspaces, someModel.numCodes, someModel.subDim)
+    val dim = rotation.map(_.length).getOrElse(m0 * sub)
+    def partials(model: Model): Seq[Seq[Seq[Double]]] =
+      (0 until m0).map { mm =>
+        (0 until k0).map { k =>
+          val cw = model.centroids(mm)(k)
+          rotation match {
+            case Some(r) => (0 until dim).map { i =>
+              var s = 0.0; var j = 0
+              while (j < sub) { s += r(mm * sub + j)(i) * cw(j); j += 1 }
+              s
+            }
+            case None => Seq.tabulate(dim)(i =>
+              if (i >= mm * sub && i < (mm + 1) * sub) cw(i - mm * sub) else 0.0)
+          }
+        }
+      }
+    books.models.toSeq
+      .map { case (s, model) => (s.toLong, partials(model)) }
+      .toDF(shardCol, "__book")
+  }
+
+  /** Raw-space reconstruction from a [[rawBookFrame]]-joined row: the
+    * sum of each code's pre-mapped partial vector (rotation, if any,
+    * is already baked into the book).
+    */
+  def rawDecodeFromBook(codesCol: Column, bookCol: Column, numSubspaces: Int): Column =
+    (0 until numSubspaces).map { mm =>
+      element_at(element_at(bookCol, mm + 1), element_at(codesCol, mm + 1) + 1)
+    }.reduce((a, b) => zip_with(a, b, _ + _))
+
   /** Top-k by ADC distance over an encoded corpus: map-only lookup sum
     * + TakeOrdered.
     */

@@ -238,11 +238,31 @@ object Serving extends QueryModule {
   private[vector] def curveFrom(assigned: DataFrame, queries: DataFrame,
                                 cents: Seq[(Int, Array[Double])], k: Int,
                                 topK: Int, nQueries: Long): DataFrame =
+    curveFromHits(exactHits(assigned, queries, topK), assigned, queries,
+      cents, k, topK, nQueries)
+
+  /** The shared exact arm: per query, the exact cosine top-`topK` ids
+    * (self excluded) via the bounded-heap aggregate — (query_id,
+    * vec_id) rows. Both the raw-IVF curve and `VectorStore.evalRecall`'s
+    * compressed (ADC-shortlist) curve measure against this ground
+    * truth, so `evalRecall(compressed = true)` runs it ONCE for both.
+    */
+  private[vector] def exactHits(assigned: DataFrame, queries: DataFrame,
+                                topK: Int): DataFrame =
     assigned.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
       .groupBy("query_id")
       .agg(TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
       .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
+
+  /** Probe-rank rollup of [[exactHits]] output into the raw-path
+    * recall curve (see [[curveFrom]]'s Scaladoc for the trick).
+    */
+  private[vector] def curveFromHits(hits: DataFrame, assigned: DataFrame,
+                                    queries: DataFrame,
+                                    cents: Seq[(Int, Array[Double])], k: Int,
+                                    topK: Int, nQueries: Long): DataFrame =
+    hits
       .join(assigned.select("vec_id", "shard"), "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("prank",

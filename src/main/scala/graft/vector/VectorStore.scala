@@ -636,7 +636,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * drift or rebuilds (the reference leaves shards_to_search to the
     * caller entirely, compute_server.py:108-138).
     */
-  def evalRecall(nQueries: Int = 64, topK: Int = 10): DataFrame = {
+  def evalRecall(nQueries: Int = 64, topK: Int = 10, compressed: Boolean = false,
+                 shortlist: Int = 100): DataFrame = {
     val cents = centroids()
     val raw = spark.read.parquet(vecDir)
     // the exact arm's bounded-heap aggregate (TopKAgg) carries Long
@@ -660,25 +661,156 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .orderBy("query_id").limit(nQueries)
     val nq = queries.count()
-    val curve = Serving.curveFrom(store, queries, cents, numShards, topK, nq)
-      .withColumn("n_queries", lit(nq))
-      .withColumn("top_k", lit(topK.toLong))
-    curve.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
+    // ONE exact-arm pass feeds both curves: the raw-IVF curve reads
+    // each hit's probe rank; the compressed curve additionally asks
+    // whether the hit survives the ADC shortlist at each depth. The
+    // hits frame is tiny (nQueries x topK) — checkpointed so the two
+    // rollups don't re-run the corpus-scoring pass.
+    val hits = Serving.exactHits(store, queries, topK).localCheckpoint(true)
+    try {
+      val rawCurve = Serving
+        .curveFromHits(hits, store, queries, cents, numShards, topK, nq)
+        .withColumn("compressed", lit(false))
+        .withColumn("shortlist", lit(0L))
+      val curve =
+        if (!compressed) rawCurve
+        else {
+          val meta = pqMeta().getOrElse(throw new IllegalStateException(
+            "evalRecall(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
+          rawCurve.unionByName(
+            compressedCurve(hits, queries, cents, topK, shortlist, nq, meta)
+              .withColumn("compressed", lit(true))
+              .withColumn("shortlist", lit(shortlist.toLong)))
+        }
+      curve
+        .withColumn("n_queries", lit(nq))
+        .withColumn("top_k", lit(topK.toLong))
+        .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed", "shortlist")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hits)
     spark.read.parquet(recallDir)
+  }
+
+  /** Recall@topK of the COMPRESSED serving path — [[search]]
+    * `(compressed = true)`'s two-phase plan (ADC-approx shortlist,
+    * exact re-rank) measured against the shared exact arm, for every
+    * probe depth in one pass. The raw-path probe-rank trick extends:
+    * a true neighbor survives compressed serving at depth p iff its
+    * shard's probe rank ≤ p AND it places in the top-`shortlist` by
+    * ADC-approx score among all candidates at that depth (an exact
+    * re-rank can never evict a GLOBAL exact-top-k member from the
+    * final top-k — fewer than k rows score higher anywhere). Because
+    * depth-p candidates are the union of per-probe-rank groups 1..p,
+    * a depth-p shortlist member is necessarily in its OWN group's
+    * top-`shortlist` — so one bounded-heap pass per (query, probe
+    * rank) group reduces the corpus to nQueries·k·shortlist rows, and
+    * the per-depth shortlist membership is a window over that small
+    * frame. The ADC score reproduces search()'s shortlist key exactly:
+    * approx-dot (codes-reconstruction dotted with the query — same
+    * value adcDot computes, per-shard books and OPQ rotation included)
+    * over `vnorm · |q|`, ties to the lower id.
+    *
+    * Cost: one code-columns scan of the store (the raw vectors stay on
+    * disk, exactly as compressed serving leaves them).
+    */
+  private def compressedCurve(hits: DataFrame, queries: DataFrame,
+                              cents: Array[(Int, Array[Double])], topK: Int,
+                              shortlist: Int, nq: Long, meta: PqMeta): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = numShards
+    val codes = spark.read.parquet(vecDir)
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm"))
+    val (frame, recon) = withRecon(codes, meta, cents)
+    val q = queries.withColumn("qn", vecNorm(col("qv")))
+    val scored = frame.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx", when(col("vnorm") === 0.0 || col("qn") === 0.0, 0.0)
+        .otherwise(dotProduct(col("qv"), recon) / (col("vnorm") * col("qn"))))
+      .withColumn("prank",
+        array_position(Centroids.nearestShards(col("qv"), cents, k), col("shard")))
+    val perGroup = scored.groupBy("query_id", "prank")
+      .agg(graft.expressions.TopKAgg.topK(col("approx"), col("vec_id"), shortlist)
+        .as("tops"))
+      .select(col("query_id"), col("prank"), explode(col("tops")).as("t"))
+      .select(col("query_id"), col("prank"), col("t.id").as("vec_id"),
+        col("t.score").as("approx"))
+    // a row is a candidate at every depth >= its probe rank; the
+    // windows rank <= k·shortlist rows per (query, depth) — bounded
+    // by construction, corpus-size-independent
+    val byDepth = perGroup.select(col("query_id"), col("vec_id"), col("approx"),
+      explode(sequence(col("prank"), lit(k.toLong))).as("nprobe"))
+    val w = Window.partitionBy("query_id", "nprobe")
+      .orderBy(desc("approx"), asc("vec_id"))
+    val members = byDepth.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "vec_id", "nprobe")
+    val found = members.join(hits, Seq("query_id", "vec_id"))
+      .groupBy("nprobe").agg((count(lit(1)) * 10000L).as("__h"))
+    // depths where NO hit survives must still emit a 0 row
+    spark.range(1, k + 1).toDF("nprobe")
+      .join(found, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        expr(s"coalesce(__h, 0L) div ${nq * topK}").as("recall_x1e4"))
+  }
+
+  /** (frame ready for scoring, raw-space reconstruction column) for a
+    * coded store frame carrying (shard, pq_codes): global books decode
+    * via plan-literal codebooks (rotation folded in for OPQ stores);
+    * per-shard books join the broadcast raw-space book frame
+    * ([[ProductQuantizer.rawBookFrame]]). Residual stores add the
+    * shard centroid back, completing `v~ = c_shard + R^T(decode)`.
+    */
+  private def withRecon(codesFrame: DataFrame, meta: PqMeta,
+                        cents: Array[(Int, Array[Double])]): (DataFrame, org.apache.spark.sql.Column) = {
+    val (frame, decoded) = (meta.books, meta.rotation) match {
+      case (ProductQuantizer.GlobalBooks(m), None) =>
+        (codesFrame, ProductQuantizer.decodeCol(col("pq_codes"), m))
+      case (ProductQuantizer.GlobalBooks(m), Some(r)) =>
+        (codesFrame, Opq.decodeRawCol(col("pq_codes"),
+          Opq.Model(Pca.Model(new Array[Double](r.length), r), m)))
+      case (ps: ProductQuantizer.PerShardBooks, rot) =>
+        val bookDf = ProductQuantizer.rawBookFrame(spark, ps, rot)
+        (codesFrame.join(broadcast(bookDf), "shard"),
+          ProductQuantizer.rawDecodeFromBook(col("pq_codes"), col("__book"),
+            ps.models.head._2.numSubspaces))
+    }
+    val recon = if (!meta.residual) decoded else {
+      val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+      zip_with(element_at(typedlit(ordered), col("shard").cast("int") + 1),
+        decoded, (c, r) => c + r)
+    }
+    (frame, recon)
   }
 
   /** Smallest nprobe whose persisted measured recall meets `target`
     * (numShards when nothing does, or when [[evalRecall]] has not run
-    * — full probe is always recall 1.0 by construction). numShards-row
+    * — full probe is always recall 1.0 by construction ON THE RAW
+    * PATH). With `compressed = true` the pick consults the
+    * COMPRESSED curve rows measured at the same `shortlist` — ADC
+    * shortlist truncation adds its own recall loss, so the raw curve
+    * systematically under-provisions compressed serving; if no
+    * matching compressed curve has been persisted (run
+    * `evalRecall(compressed = true, shortlist = ...)` first), or no
+    * depth meets the target (shortlist too small for the target at
+    * ANY depth), the fallback is the deepest probe. numShards-row
     * read, driver-side pick: the same decision the reference caller
     * makes by hand via /search's shards_to_search knob, made
     * self-tuning from measured data.
     */
-  def nprobeFor(target: Double): Int = {
+  def nprobeFor(target: Double, compressed: Boolean = false,
+                shortlist: Int = 0): Int = {
     val p = new org.apache.hadoop.fs.Path(recallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) numShards
     else {
-      val rows = spark.read.parquet(recallDir)
+      val t = spark.read.parquet(recallDir)
+      // curves persisted before the compressed extension carry no mode
+      // columns: they are raw-path measurements
+      val mode =
+        if (!t.columns.contains("compressed")) { if (compressed) t.limit(0) else t }
+        else if (compressed)
+          t.filter(col("compressed") && col("shortlist") === shortlist.toLong)
+        else t.filter(!col("compressed"))
+      val rows = mode
         .filter(col("recall_x1e4") >= math.ceil(target * 10000).toLong)
         .agg(min("nprobe")).head()
       if (rows.isNullAt(0)) numShards else rows.getLong(0).toInt
@@ -687,11 +819,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
 
   /** [[search]] with nprobe chosen from the persisted recall curve:
     * the cheapest probe depth whose MEASURED recall@topK meets
-    * `targetRecall` on this index's own data distribution.
+    * `targetRecall` on this index's own data distribution. With
+    * `compressed = true` the depth comes from the compressed curve at
+    * this `shortlist` — the curve that accounts for ADC truncation
+    * loss, the regime compression exists for (see [[nprobeFor]]).
     */
   def searchAtRecall(q: Array[Double], topK: Int = 5, targetRecall: Double = 0.95,
                      compressed: Boolean = false, shortlist: Int = 100): DataFrame =
-    search(q, topK, nprobeFor(targetRecall), compressed, shortlist)
+    search(q, topK, nprobeFor(targetRecall, compressed, shortlist), compressed,
+      shortlist)
 
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,

@@ -653,6 +653,81 @@ class VectorSpec extends AnyFunSuite {
       s"requested recall 0.95 -> measured ${hit.toDouble / tot} at nprobe=$p")
   }
 
+  test("compressed recall curve measures ADC truncation the raw curve cannot see") {
+    // 250 subclusters of 8 near-identical members: a query's top-7
+    // true neighbors are its own group (one quantizable pattern), and
+    // ranks 8-10 come from the nearest OTHER group — landing in
+    // whatever shard Lloyd put that group, so the raw curve RISES
+    // GRADUALLY across all 8 depths instead of saturating at the
+    // cluster count. The group patterns are coarse (multiples of 0.5)
+    // so ADC resolves groups but confuses near-tied ones — a real,
+    // measurable shortlist-truncation loss at every depth
+    val corpus = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        (pmod(hash((col("id") / 8).cast("int"), lit(d)), lit(9)).cast("double") - 4.0) * 0.5 +
+          (pmod(hash(col("id"), lit(d + 1000)), lit(101)).cast("double") - 50.0) * 0.001
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-comp-recall").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3, pqSubspaces = 16, pqCodes = 16)
+
+    val shortlist = 24
+    val rows = vs.evalRecall(nQueries = 32, topK = 10, compressed = true,
+      shortlist = shortlist).collect()
+    val rawC = rows.filter(!_.getBoolean(4)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compC = rows.filter(_.getBoolean(4)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawC.keySet === (1L to 8L).toSet)
+    assert(compC.keySet === (1L to 8L).toSet)
+    assert(rows.filter(_.getBoolean(4)).forall(_.getLong(5) === shortlist.toLong))
+    // compressed hits are raw hits that ALSO survived the shortlist:
+    // a strict subset relation, depth by depth
+    (1L to 8L).foreach(p => assert(compC(p) <= rawC(p),
+      s"compressed recall must never exceed raw at the same depth (p=$p)"))
+    assert(compC(8L) < 10000L,
+      "truncation loss must be visible at full probe for this test to bite")
+
+    // the round's point: at target 0.80 the raw curve picks a depth
+    // whose COMPRESSED recall misses the target; the compressed curve
+    // provisions deeper and meets it
+    val target = 0.80
+    val pRaw = vs.nprobeFor(target)
+    val pComp = vs.nprobeFor(target, compressed = true, shortlist = shortlist)
+    assert(rawC(pRaw.toLong) >= 8000L)
+    assert(compC(pRaw.toLong) < 8000L,
+      s"raw pick p=$pRaw must under-provision compressed serving for this test to bite")
+    assert(pComp > pRaw, s"compressed pick $pComp must be deeper than raw pick $pRaw")
+    assert(compC(pComp.toLong) >= 8000L,
+      s"compressed curve value at its own pick p=$pComp must meet the target")
+
+    // end-to-end: actual compressed searches at each pick, measured
+    // against exact truth — the curve's prediction, reproduced by the
+    // serving path itself
+    val queries = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+      .orderBy("id").limit(16).collect()
+    val store = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+    var hitAt = 0; var hitUnder = 0; var tot = 0
+    queries.foreach { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val self = r.getLong(0)
+      val truth = store.filter(col("id") =!= self)
+        .withColumn("s", cosineSim(col("v"), typedlit(qv.toSeq)))
+        .orderBy(desc("s"), col("id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      def got(p: Int) = vs.search(qv, topK = 11, nprobe = p, compressed = true,
+          shortlist = shortlist)
+        .collect().map(_.getLong(0)).filter(_ != self).take(10).toSet
+      hitAt += truth.intersect(got(pComp)).size
+      hitUnder += truth.intersect(got(pRaw)).size
+      tot += 10
+    }
+    assert(hitAt.toDouble / tot >= target - 0.03,
+      s"requested $target -> measured ${hitAt.toDouble / tot} at compressed-curve pick $pComp")
+    assert(hitAt > hitUnder,
+      s"the raw pick must measurably under-serve: $hitUnder vs $hitAt hits")
+  }
+
   test("health() reports balance and centroid drift that appends create") {
     val dir = Files.createTempDirectory("graft-health").toString
     val emb = Tables.embeddings(spark, sf)
