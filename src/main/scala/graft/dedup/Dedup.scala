@@ -63,14 +63,21 @@ object Dedup extends QueryModule {
   /** Resolve near-dup PAIRS into clusters — the principled step
     * between pair detection and survivor selection: pairwise removal
     * can't see transitivity (pairs (a,c),(b,c) leave both a and b even
-    * though they share a near-dup), components can. Min-label
-    * propagation: every node starts as its own label, and each round
-    * takes the min label across neighbors — one equi-join + partial
-    * min-agg per round, rounds = component diameter (near-dup graphs
-    * are small cliques and short chains, so a handful), convergence
-    * checked per round like [[graft.vector.Centroids.lloyd]]'s driver
-    * loop. Shuffles scale with |edges|, never edges², at any corpus
-    * size.
+    * though they share a near-dup), components can.
+    *
+    * Algorithm: alternating large-star/small-star (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"). Each
+    * round rewires edges toward component minima — large-star hangs
+    * every larger neighbor off the neighborhood min, small-star
+    * collapses each node's smaller neighbors onto it — and the edge
+    * set converges to per-component stars in O(log n) rounds
+    * INDEPENDENT of graph diameter. The earlier min-label propagation
+    * needed diameter rounds, and chained boilerplate (doc A shares a
+    * span with B, B with C, ...) makes long paths at corpus scale;
+    * star contraction's doubling behavior caps a million-node chain
+    * at ~20 rounds. Per round the work is the same shape as before:
+    * two groupBy-min + equi-join passes over the edge set — shuffles
+    * scale with |edges|, never edges², at any corpus size.
     *
     * Returns (doc_id, cluster_id = min doc_id of the component) for
     * every doc appearing in a pair. The result is a localCheckpoint'd
@@ -81,48 +88,92 @@ object Dedup extends QueryModule {
     * timings), after which the frame is no longer recomputable.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIters)._1
+
+  /** Large-star step: for every node u with neighborhood Γ(u) (both
+    * orientations), emit (v, min(Γ(u) ∪ {u})) for each v ∈ Γ(u) with
+    * v > u. Output stays (bigger, smaller)-oriented and self-loop-free
+    * by construction (v > u ≥ m).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")).distinct()
+  }
+
+  /** Small-star step over (bigger, smaller)-oriented edges: for every
+    * node u, m = min of its smaller neighbors; rewire each other
+    * smaller neighbor to m and keep (u, m). Orientation and
+    * self-loop-freedom preserved (every emitted dst is the group min).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** [[connectedComponents]] plus the round count it converged in —
+    * exposed for the spec that pins the O(log n) behavior (a planted
+    * 1000-node chain must converge in ~log₂ rounds, not 1000).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 50): (DataFrame, Int) = {
     // eager localCheckpoints truncate lineage: without them every round
     // NESTS the previous round's plan plus the caller's whole candidate
     // pipeline, and plan construction itself (AQE explain, optimizer)
     // blows up long before the data does — the standard posture for
     // iterative graph algorithms on DataFrames
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    val nodes = pairs.select(col(idA).as("doc_id"))
+      .unionByName(pairs.select(col(idB).as("doc_id")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
-        .groupBy("src").agg(min("nbr").as("nbr_min"))
-        .select(col("src").as("doc_id"), col("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("__improved"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__improved")).count() == 0L
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are distinct sets: equal counts + an empty one-sided
+      // anti-join ⇔ identical edge sets (the fixed point of both stars)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       // `next` is eagerly materialized, so the previous round's
       // checkpoint blocks are superseded — release them, or executor
-      // storage grows by one labels-frame per round for the session
-      CheckpointInterop.unpersistCheckpoint(labels)
-      labels = next.drop("__improved")
+      // storage grows by one edges-frame per round for the session
+      CheckpointInterop.unpersistCheckpoint(edges)
+      edges = next
       it += 1
     }
-    // edges only feed the loop; the returned labels keep their blocks
+    // exhausting maxIters means the edge set had not reached the star
+    // fixed point — labels read off it would be hop-bounded minima,
+    // NOT component minima, and silently returning them would keep
+    // spurious "survivors" downstream. Fail loudly; the default 50
+    // rounds covers any component star contraction can meet (log₂
+    // scale — ~2^50 nodes).
+    if (!converged) {
+      CheckpointInterop.unpersistCheckpoint(edges)
+      CheckpointInterop.unpersistCheckpoint(nodes)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "labels would be non-canonical — raise maxIters")
+    }
+    // converged state is one star per component, oriented (member,
+    // root): every non-root appears exactly once on the u side. Roots
+    // (and any node whose every pair self-collapsed) label themselves.
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(nodes
+        .join(edges.select(col("u").as("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id")))
+      .localCheckpoint(true)
     CheckpointInterop.unpersistCheckpoint(edges)
-    // exhausting maxIters means some label is a 50-hop-neighborhood
-    // min, NOT the component min — silently returning it would keep
-    // spurious "survivors" downstream. Fail loudly; a component with
-    // diameter > 50 is pathological near-dup structure the caller
-    // should look at (or raise maxIters for).
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(a component's diameter exceeds maxIters); labels would be non-canonical — raise maxIters")
-    labels
+    CheckpointInterop.unpersistCheckpoint(nodes)
+    (labels, it)
   }
 
   private def clusters(s: SparkSession, d: String): DataFrame =

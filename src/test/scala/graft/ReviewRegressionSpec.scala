@@ -101,8 +101,8 @@ class ReviewRegressionSpec extends AnyFunSuite {
 
   test("connectedComponents fails loudly instead of returning partial labels") {
     import spark.implicits._
-    // a 6-node chain has diameter 5: one round of min-label propagation
-    // cannot canonicalize it
+    // a 6-node chain needs several star-contraction rounds: one
+    // large-star/small-star alternation cannot canonicalize it
     val chain = (0 until 5).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
       graft.dedup.Dedup.connectedComponents(chain, maxIters = 1)
@@ -111,6 +111,22 @@ class ReviewRegressionSpec extends AnyFunSuite {
     // with enough rounds the same chain resolves to one component
     val labels = graft.dedup.Dedup.connectedComponents(chain)
     assert(labels.select("cluster_id").distinct().count() === 1)
+  }
+
+  test("connectedComponents converges in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // the diameter-round killer: a 1000-node chain (diameter 999).
+    // Min-label propagation needs 999 rounds; large-star/small-star
+    // contraction must resolve it in ~log₂(1000) ≈ 10 (+ the fixed
+    // point detection round), proving rounds track log n, not diameter
+    val chain = (0 until 999).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      graft.dedup.Dedup.connectedComponentsWithRounds(chain, maxIters = 20)
+    assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
+    val collected = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(collected.length === 1000)
+    assert(collected.forall(_._2 == 0L), "every chain node must label to the min id")
+    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(labels)
   }
 
   test("rebuilding a store without PQ invalidates the memoized codebook") {
