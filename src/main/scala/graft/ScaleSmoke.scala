@@ -186,7 +186,7 @@ object ScaleSmoke {
     val balance = corpusS.groupBy("shard").count()
       .agg(min("count"), max("count")).head()
     println(s"[scale] shard population min=${balance.getLong(0)} max=${balance.getLong(1)} " +
-      "(uniform corpus; a skewed shard would call for within-shard salting)")
+      "(uniform corpus; the planted-skew section below exercises the within-shard salt)")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -211,6 +211,63 @@ object ScaleSmoke {
         knnJoin.count()
       }
       println(s"[scale] knn join produced $nOut query rows")
+
+      // knn JOIN under PLANTED SHARD SKEW — half the corpus forced
+      // into shard 0 (the drifted/clustered-ingest pathology). The
+      // shard-key join then lands ~500k corpus rows x every query
+      // probing shard 0 on ONE task. Three measurements tell the
+      // honest story:
+      //  1. unsalted with AQE skew-split DISABLED — the regime
+      //     Structured Streaming's stream-static joins live in (no AQE
+      //     in streaming) and the true single-task straggler;
+      //  2. salted (joinByPopulation, maxRowsPerTask) in the same
+      //     regime — the manual defense, result-invariant;
+      //  3. unsalted with AQE skew-split ON — the batch engine's own
+      //     byte-bounded split, which covers the plain batch join
+      //     (documented in SaltedJoin's Scaladoc: prefer AQE where it
+      //     runs; salt where it can't).
+      val hotCorpus = corpusS.withColumn("shard",
+        when(pmod(col("id"), lit(2)) === 0, lit(0L)).otherwise(col("shard")))
+        .cache()
+      val hotPop = hotCorpus.groupBy("shard").count()
+        .agg(min("count"), max("count")).head()
+      val maxRows = 50000L
+      val hotQueries = knnQueries.filter(col("query_id") % 500 === 0)
+      println(s"[scale] planted skew: shard population min=${hotPop.getLong(0)} " +
+        s"max=${hotPop.getLong(1)} -> hot-shard salt " +
+        s"${math.ceil(hotPop.getLong(1) / maxRows.toDouble).toLong}, balanced salt 1")
+      def knnTops(salt: Long): Array[(Long, Seq[Long])] = {
+        val joined =
+          if (salt > 0) graft.operators.SaltedJoin
+            .joinByPopulation(hotCorpus, hotQueries, "shard", salt,
+              saltOn = Some(col("id")))
+          else hotCorpus.join(hotQueries, Seq("shard"))
+        joined.filter(col("id") =!= col("query_id"))
+          .withColumn("s", cosineSim(col("vector"), col("qv")))
+          .groupBy("query_id")
+          .agg(graft.expressions.TopKAgg.topK(col("s"), col("id"), 3).as("tops"))
+          .select(col("query_id"), col("tops.id").as("ids"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val unsalted = timed("knn JOIN hot-shard UNSALTED, skew-split off (the streaming regime)") {
+        knnTops(0L)
+      }
+      val saltedTop = timed(s"knn JOIN hot-shard salted maxRowsPerTask=$maxRows, skew-split off") {
+        knnTops(maxRows)
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val aqeTop = timed("knn JOIN hot-shard UNSALTED, AQE skew-split on (the batch engine's own defense)") {
+        knnTops(0L)
+      }
+      require(unsalted.length == saltedTop.length &&
+          unsalted.zip(saltedTop).forall { case (a, b) => a._1 == b._1 && a._2 == b._2 },
+        "salted knn JOIN must reproduce the unsalted top-3 exactly")
+      require(unsalted.zip(aqeTop).forall { case (a, b) => a._1 == b._1 && a._2 == b._2 },
+        "AQE-split knn JOIN must reproduce the same top-3")
+      println(s"[scale] hot-shard salted top-3 identical to unsalted: true " +
+        s"(${unsalted.length} queries, asserted)")
+      hotCorpus.unpersist()
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

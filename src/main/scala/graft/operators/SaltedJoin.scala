@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys — the manual fallback when AQE's
@@ -27,6 +27,65 @@ object SaltedJoin {
     // retried tasks salt identically
     val salted = big.withColumn("__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
     val replicated = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Population-adaptive salted equi-join for LOW-CARDINALITY skewed
+    * keys (shard / cluster ids): the salt count per key value is sized
+    * from the big side's population — saltc = ceil(n_key /
+    * maxRowsPerTask) — so every join task carries at most
+    * ~maxRowsPerTask big-side rows REGARDLESS of how skewed the key
+    * populations are. This is [[graft.dedup.Dedup.adaptiveSalts]]'s
+    * per-cluster discipline applied to a two-sided join: a uniform
+    * salt sized for the hot key replicates every balanced key's probe
+    * rows that many times too; the adaptive table concentrates
+    * replication exactly where the skew is (balanced keys keep
+    * saltc = 1).
+    *
+    * Mechanics: the big side partitions by a deterministic row hash
+    * mod its key's saltc; `other` replicates per key to all salt
+    * values; the join keys on (key, salt). The salt table is one
+    * count-agg over the big side, broadcast — key cardinality must be
+    * broadcast-small (shard counts are). Result-invariant: every
+    * (big, other) row pair matching on `key` meets in exactly one
+    * (key, salt) task. `other` may be a STREAMING frame (the
+    * replication explode is a projection after a broadcast join, and
+    * the final join is stream-static) — the hook
+    * `StreamingSearch.scoreIvf(maxRowsPerTask = …)` threads through
+    * here.
+    *
+    * WHEN TO REACH FOR THIS vs AQE: for a plain batch shuffle join,
+    * AQE's own skew-split (`spark.sql.adaptive.skewJoin`) already
+    * chops an oversized join partition into byte-bounded splits —
+    * measured on a planted 50%-hot shard it beats this salt (no salt
+    * columns, finer splits). The salt earns its keep where AQE cannot
+    * run or cannot split: STREAM-STATIC joins (no AQE in streaming —
+    * ScaleSmoke measures the straggler at ~3x the salted time there),
+    * joins whose output partitioning a parent operator pins, and
+    * engines/configs with skew-split off. `saltOn`: pass a CHEAP
+    * deterministic per-row column (an id) — the default hashes the
+    * whole row, which for wide rows (embedding arrays) is measurable
+    * overhead; retried tasks must salt identically, so never pass a
+    * nondeterministic expression.
+    */
+  def joinByPopulation(big: DataFrame, other: DataFrame, key: String,
+                       maxRowsPerTask: Long, joinType: String = "inner",
+                       saltOn: Option[Column] = None): DataFrame = {
+    require(maxRowsPerTask > 0, s"maxRowsPerTask must be positive, got $maxRowsPerTask")
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"salted join supports big-side-preserving join types only, got $joinType")
+    val salts = big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .select(col(key), greatest(lit(1L),
+        ceil(col("__n") / maxRowsPerTask.toDouble).cast("long")).as("__saltc"))
+    val basis = saltOn.getOrElse(struct(big.columns.map(col): _*))
+    val salted = big.join(broadcast(salts), key)
+      .withColumn("__salt", pmod(xxhash64(basis), col("__saltc")))
+      .drop("__saltc")
+    val replicated = other.join(broadcast(salts), key)
+      .withColumn("__salt", explode(sequence(lit(0L), col("__saltc") - 1)))
+      .drop("__saltc")
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

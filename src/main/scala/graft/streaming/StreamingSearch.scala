@@ -50,16 +50,35 @@ object StreamingSearch {
     * (centroids are plan literals, k of them); candidates come from an
     * equi-join on the shard id against a corpus that carries its shard
     * assignment (the `VectorStore` layout).
+    *
+    * SKEW: the equi-join's task grain is the shard id, so a hot shard
+    * (over-populated, and attracting more query routes too) straggles
+    * one task per micro-batch. `maxRowsPerTask > 0` salts the join via
+    * [[graft.operators.SaltedJoin.joinByPopulation]] — the STATIC
+    * corpus side partitions by a per-shard salt sized from its
+    * population, the streamed query side replicates per probed shard's
+    * salt (a projection after a broadcast join, so the plan stays
+    * stream-static legal). Scores are result-invariant for any salt.
+    * This hook matters MORE here than in batch: AQE (whose skew-split
+    * covers a batch join's hot partition) does not run in streaming,
+    * so an unsalted stream-static join has NO skew defense at all —
+    * ScaleSmoke measures the difference on a planted hot shard.
     */
   def scoreIvf(queries: DataFrame, corpus: DataFrame,
                cents: Seq[(Int, Array[Double])], nprobe: Int = 1,
                idCol: String = "id", vecCol: String = "vector",
-               shardCol: String = "shard", queryVecCol: String = "qv"): DataFrame = {
+               shardCol: String = "shard", queryVecCol: String = "qv",
+               maxRowsPerTask: Long = 0L): DataFrame = {
     val routed = queries.withColumn(shardCol,
       explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
     val side = corpus.select(col(shardCol).cast("long").as(shardCol),
       col(idCol), col(vecCol).cast("array<double>").as("cv"))
-    routed.join(side, shardCol)
+    val joined =
+      if (maxRowsPerTask > 0L)
+        graft.operators.SaltedJoin.joinByPopulation(side, routed, shardCol,
+          maxRowsPerTask, saltOn = Some(col(idCol)))
+      else routed.join(side, shardCol)
+    joined
       .withColumn("score", cosineSim(col(queryVecCol), col("cv")))
       .select(col("query_id"), col(idCol), col("score"))
   }

@@ -126,14 +126,37 @@ object Serving extends QueryModule {
     * rows per (query, map partition). At testdata's K=4/nprobe=2 the
     * probe set is wide enough that the oracle below — which replays
     * the SAME pruning — matches hash-exactly.
+    *
+    * SKEW: the join's task grain is the shard id — a hot shard (more
+    * members AND more queries routed to it; clustered data makes both
+    * at once) re-concentrates its candidate volume on one task no
+    * matter how many executors exist. `maxRowsPerTask > 0` bounds the
+    * straggler via [[graft.operators.SaltedJoin.joinByPopulation]]:
+    * per-shard salt = ceil(population / maxRowsPerTask), corpus side
+    * partitioned, query side replicated per probed shard's salt.
+    * Result-invariant (every candidate pair meets in exactly one
+    * task); the TopKAgg's partial aggregation is salt-blind. The
+    * registered query runs SALTED with a bound that forces saltc ≥ 2
+    * at sf0.01+ against a salt-blind oracle, so a green row PROVES
+    * invariance — the q_skew_join contract. Note AQE's own skew-split
+    * covers the plain BATCH join (measured: it beats the salt on a
+    * planted hot shard); the salt is the defense for the regimes AQE
+    * can't reach — stream-static scoring (`StreamingSearch.scoreIvf`),
+    * pinned output partitionings, skew-split-off configs — and
+    * `maxRowsPerTask` is the direct task-size knob AQE's byte
+    * threshold only approximates.
     */
-  private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
+  private[graft] def knnJoinFrame(e: DataFrame, maxRowsPerTask: Long = 0L): DataFrame = {
     val cents = Centroids.deterministicInit(e, k = K)
     val corpus = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
     val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
-    corpus.join(queries, Seq("shard"))
+    val joined =
+      if (maxRowsPerTask > 0L)
+        graft.operators.SaltedJoin.joinByPopulation(corpus, queries, "shard",
+          maxRowsPerTask, saltOn = Some(col("vec_id")))
+      else corpus.join(queries, Seq("shard"))
+    joined
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
       .groupBy("query_id")
@@ -142,6 +165,9 @@ object Serving extends QueryModule {
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
   }
+
+  private def knnJoinIvf(s: SparkSession, d: String): DataFrame =
+    knnJoinFrame(emb(s, d), maxRowsPerTask = 64L)
 
   private val knnJoinIvfSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},

@@ -22,6 +22,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("population-adaptive salted join equals plain join under skew") {
+    import spark.implicits._
+    // one hot key (900 rows), several balanced keys (~25 each):
+    // saltc(hot) = ceil(900/100) = 9, balanced keys stay saltc 1
+    val big = (1 to 1000)
+      .map(i => (if (i <= 900) 1L else (i % 4).toLong + 2L, i)).toDF("k", "v")
+    val other = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (9L, "unmatched"))
+      .toDF("k", "name")
+    val plain = big.join(other, Seq("k")).select("k", "v", "name")
+    val salted = SaltedJoin.joinByPopulation(big, other, "k", maxRowsPerTask = 100)
+      .select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
+    // big-side-preserving left join: unmatched big rows survive exactly once
+    val plainL = big.join(other, Seq("k"), "left").select("k", "v", "name")
+    val saltedL = SaltedJoin.joinByPopulation(big, other, "k", 100, "left")
+      .select("k", "v", "name")
+    assert(saltedL.exceptAll(plainL).count() === 0 && plainL.exceptAll(saltedL).count() === 0)
+  }
+
+  test("streaming scoreIvf with maxRowsPerTask matches the unsalted scores") {
+    import spark.implicits._
+    import graft.vector.VectorStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssalt").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(emb, iters = 2)
+    val cents = vs.centroids()
+    val corpus = spark.read.parquet(s"$dir/vectors")
+    val qv = emb.filter(col("id") === 3)
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+
+    // the salted plan must stay stream-static legal: the salt table is
+    // a static broadcast, the stream side's replication is a projection
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData((7L, qv), (8L, qv.map(-_)))
+    // maxRowsPerTask = 10 forces saltc > 1 on every probed shard
+    // (sf0.001 shards hold ~12 vectors each)
+    val salted = StreamingSearch.scoreIvf(
+      input.toDF().toDF("query_id", "qv"), corpus, cents, nprobe = 2,
+      maxRowsPerTask = 10L)
+    val sq = salted.writeStream.format("memory").queryName("ssalted")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+
+    val plain = StreamingSearch.scoreIvf(
+      Seq((7L, qv), (8L, qv.map(-_))).toDF("query_id", "qv"),
+      corpus, cents, nprobe = 2)
+    val got = spark.table("ssalted").select("query_id", "id", "score")
+    assert(got.count() > 0)
+    assert(got.exceptAll(plain.select("query_id", "id", "score")).count() === 0 &&
+      plain.select("query_id", "id", "score").exceptAll(got).count() === 0)
+  }
+
   test("as-of join picks the latest strictly-prior row per key") {
     import spark.implicits._
     val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"))
