@@ -618,6 +618,21 @@ object Dedup extends QueryModule {
       .agg(graft.expressions.MinHashAgg.minhashSigs(col("h")).as("sigs"))
   }
 
+  /** (doc_id, band, bv) LSH band keys from a (doc_id, s) shingle frame:
+    * 128 minhashes per doc ([[signatures]]) sliced into 16 bands of 8,
+    * each band a 64-bit slice hash — a long join key, not a
+    * concatenated string. Shared by [[minhashPairs]] and the
+    * [[ShingleIndex]] banded candidate path (signatures there are
+    * computed over the same capped shingle frames the Jaccard verify
+    * uses, so candidate recall follows the published 16x8 s-curve).
+    */
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
+    val rows = NumPerms / Bands
+    signatures(sh).select(col("doc_id"),
+      posexplode(array((0 until Bands).map(j =>
+        xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
+  }
+
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d))
 
@@ -642,14 +657,8 @@ object Dedup extends QueryModule {
                    bandCapFloor: Long = 100L): DataFrame = {
     require(threshold >= 0.7,
       s"banding (16 bands x 8 rows) loses recall below ~0.7; got $threshold")
-    val rows = NumPerms / Bands
     val sh = shingles(docs).cache()
-    val sigs = signatures(sh)
-    // band key = (band idx, hash of the signature slice): a long join
-    // key, not a concatenated string
-    val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(j =>
-          xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
+    val bands = bandKeys(sh)
     val cand = bandedCandidates(bands, docs, maxBucketFraction, bandCapFloor)
     // verify candidates with true shingle-set Jaccard
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("set"))

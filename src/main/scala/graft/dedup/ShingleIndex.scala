@@ -73,7 +73,9 @@ class ShingleIndex(spark: SparkSession, path: String,
   private val shDir = s"$path/sh"
   private val szDir = s"$path/sizes"
   private val dfDir = s"$path/dfc"
-  private val dirs = Seq(fpDir, shDir, szDir, dfDir)
+  private val metaDir = s"$path/meta"
+  private val bandDir = s"$path/bands"
+  private val dirs = Seq(fpDir, shDir, szDir, dfDir, metaDir, bandDir)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -93,8 +95,18 @@ class ShingleIndex(spark: SparkSession, path: String,
   private def dfNow(excludeLabel: Option[String] = None): DataFrame =
     readIdx(dfDir, excludeLabel).groupBy("s").agg(sum("df").as("df"))
 
-  private def nDocs(excludeLabel: Option[String] = None): Long =
-    readIdx(fpDir, excludeLabel).count()
+  /** Indexed-corpus doc count, folded from the per-batch meta rows —
+    * one row per batch, so this never scans fp/ row data ([[append]]
+    * and [[judge]] call it per invocation; at thousands of batches an
+    * fp count would be the dominant fixed cost).
+    */
+  private[graft] def nDocs(excludeLabel: Option[String] = None): Long =
+    readIdx(metaDir, excludeLabel)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+
+  private def writeMeta(label: String, nDocs: Long, nShingles: Long): Unit =
+    writeBatch(spark.range(1).select(lit(nDocs).as("n_docs"),
+      lit(nShingles).as("n_shingles")), metaDir, label)
 
   private def writeBatch(df: DataFrame, dir: String, label: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$label")
@@ -114,6 +126,9 @@ class ShingleIndex(spark: SparkSession, path: String,
     writeBatch(spark.read.parquet(shDir).groupBy("doc_id").agg(count(lit(1)).as("n")),
       szDir, "base")
     writeBatch(fpOf(corpus), fpDir, "base")
+    writeBatch(Dedup.bandKeys(spark.read.parquet(s"$shDir/batch=base")), bandDir, "base")
+    // meta last: it describes a fully-written batch directory set
+    writeMeta("base", n, spark.read.parquet(s"$shDir/batch=base").count())
     sh.unpersist()
   }
 
@@ -134,18 +149,21 @@ class ShingleIndex(spark: SparkSession, path: String,
       s"reserved/empty batch label '$label'")
     val sh = Dedup.shinglesOf(batch).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
-    // corpus size EXCLUDES this label's own fp rows (present on a
+    // corpus size EXCLUDES this label's own meta row (present on a
     // replay, absent on the first run — excluding makes both equal);
     // df INCLUDES this label's delta exactly once (just overwritten):
     // the insert-time cap, identical on first run and replay
+    val nBatch = batch.select("doc_id").distinct().count()
     val cap = math.max(dfCapFloor,
-      math.ceil((nDocs(Some(label)) + batch.select("doc_id").distinct().count())
-        * maxDfFraction).toLong)
+      math.ceil((nDocs(Some(label)) + nBatch) * maxDfFraction).toLong)
     val capped = sh.join(dfNow().filter(col("df") <= cap).select("s"), "s")
       .localCheckpoint(true)
     writeBatch(capped, shDir, label)
     writeBatch(capped.groupBy("doc_id").agg(count(lit(1)).as("n")), szDir, label)
     writeBatch(fpOf(batch), fpDir, label)
+    writeBatch(Dedup.bandKeys(capped), bandDir, label)
+    // meta last: it describes a fully-written batch directory set
+    writeMeta(label, nBatch, capped.count())
     sh.unpersist()
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(capped)
   }
@@ -164,8 +182,9 @@ class ShingleIndex(spark: SparkSession, path: String,
     * judging thousands of batches must, or blocks accumulate.
     */
   def judge(batch: DataFrame, threshold: Double = 0.8,
-            excludeLabel: Option[String] = None): DataFrame = {
-    val (v, caches) = judgeFrame(batch, threshold, excludeLabel)
+            excludeLabel: Option[String] = None,
+            bandCandidates: Boolean = false): DataFrame = {
+    val (v, caches) = judgeFrame(batch, threshold, excludeLabel, bandCandidates)
     val out = v.localCheckpoint(true)
     caches.foreach(_.unpersist())
     out
@@ -176,7 +195,10 @@ class ShingleIndex(spark: SparkSession, path: String,
     * is the batch's own shingling; corpus inputs are index scans).
     */
   private[graft] def judgeFrame(batch: DataFrame, threshold: Double,
-                                excludeLabel: Option[String] = None): (DataFrame, Seq[DataFrame]) = {
+                                excludeLabel: Option[String] = None,
+                                bandCandidates: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    if (bandCandidates) require(threshold >= 0.7,
+      s"banded candidates (16 bands x 8 rows) lose recall below ~0.7; got $threshold")
     val bsh = Dedup.shinglesOf(batch).cache()
     val bIds = batch.select("doc_id")
     val exactDup = fpOf(batch)
@@ -195,8 +217,39 @@ class ShingleIndex(spark: SparkSession, path: String,
       .select("s")
     val bCapped = bsh.join(unionDf, "s")
     val bSizes = bCapped.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    // Candidate generation, two regimes:
+    //  - default: probe the FULL postings table — every shared capped
+    //    shingle is a candidate edge (exact candidate recall; postings
+    //    volume matching the batch's shingles rides the s-join).
+    //  - bandCandidates: probe the 16-rows-per-doc bands/ table first —
+    //    old docs sharing >= 1 MinHash band key with the batch form the
+    //    candidate set, and ONLY their postings enter the s-join. The
+    //    shuffle drops from (all postings matching batch shingles) to
+    //    (candidate docs' postings): at a daily-crawl corpus/batch
+    //    ratio that is the near-dup-rate fraction of the baseline.
+    //    Candidate recall follows the published 16x8 banding s-curve
+    //    (threshold >= 0.7 enforced); precision stays exact — every
+    //    candidate is verified with the true capped-shingle Jaccard.
+    // Broadcast posture: the batch's band keys are batch-bounded (16
+    // per doc) and the surviving candidate id set is NEAR-DUP-bounded
+    // (8 bytes per old doc with a colliding band) — both are explicit
+    // broadcasts so the corpus-side tables are SCANNED map-side, never
+    // re-shuffled; without the hints the candidate semi-join would
+    // shuffle the whole postings table by doc_id and give the saving
+    // back. A batch whose candidate set outgrows the broadcast budget
+    // is a batch that near-dups a huge corpus slice — split it.
+    val oldSh =
+      if (!bandCandidates) readIdx(shDir, excludeLabel)
+      else {
+        val batchBands = Dedup.bandKeys(bCapped).select(col("band"), col("bv"))
+        val candOld = readIdx(bandDir, excludeLabel)
+          .join(broadcast(batchBands), Seq("band", "bv"), "left_semi")
+          .select(col("doc_id")).distinct()
+        readIdx(shDir, excludeLabel)
+          .join(broadcast(candOld), Seq("doc_id"), "left_semi")
+      }
     val inter = bCapped.as("a")
-      .join(readIdx(shDir, excludeLabel).as("b"), col("a.s") === col("b.s"))
+      .join(oldSh.as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
