@@ -104,6 +104,21 @@ object Bench {
     // SLOWEST queries — the set plan audits read — plus an explicit
     // omission count; the full map goes to stderr. A parseable,
     // diagnostic headline beats completeness.
+    // Full-precision per-query detail, ARCHIVED ON DISK: the stdout
+    // tail keeps ~2kB, so past ~95 queries the headline line sheds the
+    // FASTEST queries (q_omitted) — exactly the ones whose silent 2x
+    // regressions round-over-round tracking needs. bench_detail.json
+    // (committed each round) carries every query at 3 decimals;
+    // SPARK_GRAFT_DETAIL overrides the path, empty disables.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
+    if (detailPath.nonEmpty) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val detail =
+        s"""{"queries":$qs,"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
+    }
     val line = Seq(lineAt(2), lineAt(1), lineAt(0)).find(_.length <= 1900).getOrElse {
       System.err.println("bench: per-query map exceeds the archived-tail budget; " +
         "keeping the slowest queries. Full map: " + lineAt(3))
