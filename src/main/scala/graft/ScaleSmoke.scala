@@ -462,6 +462,22 @@ object ScaleSmoke {
     println("[scale] index-gate verdicts: " + idxVerdicts.sortBy(_.getString(0))
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
 
+    // banded candidate generation over the same index: candidates come
+    // from the 16-rows-per-doc bands table instead of the full postings
+    // join, with only colliding docs' postings entering the Jaccard
+    // verify — verdicts must be identical on this corpus (all planted
+    // dups are exact or near-exact, far above the banding s-curve knee)
+    val bandVerdicts = timed("shingle-index judge, BANDED candidates (2% batch)") {
+      val v = shIdx.judge(corpus.filter(col("doc_id") >= nDoc), bandCandidates = true)
+      val out = v.groupBy("verdict").count().collect()
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(v)
+      out
+    }
+    val sameVerdicts = bandVerdicts.sortBy(_.getString(0)).map(r => (r.getString(0), r.getLong(1)))
+      .sameElements(idxVerdicts.sortBy(_.getString(0)).map(r => (r.getString(0), r.getLong(1))))
+    require(sameVerdicts, "banded judge must reproduce the exact judge's verdict counts")
+    println(s"[scale] banded judge verdict counts identical: true (asserted)")
+
     // chunking fan-out: a pure projection, so wall time tracks OUTPUT
     // row count, not any shuffle — the corpus chunks at scan speed
     val nChunks = timed(s"doc_chunk (${nDoc + nDoc / 100} docs, size 32 stride 24)") {

@@ -59,12 +59,19 @@ object StreamingCuration {
     * batches are also judged against everything accepted before them.
     * This is the 100 TB formulation. Mutually exclusive with
     * `corpus`. Batch doc_ids must be disjoint from indexed doc_ids.
+    * `indexBandCandidates` switches the index gate to MinHash-band
+    * candidate generation (`ShingleIndex.judge(bandCandidates =
+    * true)`): per-batch candidate work probes the 16-rows-per-doc
+    * bands table instead of the full postings join — the cheaper gate
+    * at high corpus/batch ratios, at banding-s-curve candidate recall
+    * (threshold ≥ 0.7 enforced by judge; verification stays exact).
     */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
             minWords: Int = 10, jaccardThreshold: Double = 0.8,
             tsCol: String = "ts", watermark: String = "10 minutes",
             corpus: Option[DataFrame] = None,
-            corpusIndex: Option[graft.dedup.ShingleIndex] = None): StreamingQuery = {
+            corpusIndex: Option[graft.dedup.ShingleIndex] = None,
+            indexBandCandidates: Boolean = false): StreamingQuery = {
     require(corpus.isEmpty || corpusIndex.isEmpty,
       "pass corpus OR corpusIndex, not both: the index gate would silently " +
         "ignore the static corpus (build the index FROM that corpus instead)")
@@ -102,7 +109,8 @@ object StreamingCuration {
                 // empty — erasing it. Excluding self reproduces the
                 // first run's verdicts exactly.
                 val v = idx.judge(b0, jaccardThreshold,
-                  excludeLabel = Some(s"b$batchId"))
+                  excludeLabel = Some(s"b$batchId"),
+                  bandCandidates = indexBandCandidates)
                 gateCheckpoint = Some(v)
                 b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
                   Seq("doc_id"), "left_semi")

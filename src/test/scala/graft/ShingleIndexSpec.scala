@@ -202,4 +202,31 @@ class ShingleIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
       === Array(101L, 201L))
   }
+
+  test("streaming gate with banded candidates blocks the same dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    val corpus = Seq((1L, w("k", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx7").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    val outDir = Files.createTempDirectory("graft-sig-out2").toString + "/docs"
+    val ckpt = Files.createTempDirectory("graft-sig-ck2").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      input.toDF().toDF("doc_id", "ts", "text"), outDir, ckpt,
+      corpusIndex = Some(idx), indexBandCandidates = true)
+    try {
+      input.addData(doc(100, 0, w("k", 40)), doc(101, 1, w("m", 40)))
+      q.processAllAvailable()
+      input.addData(doc(200, 2, w("m", 40) + " delta"), doc(201, 3, w("n", 40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+      === Array(101L, 201L),
+      "the banded index gate must drop the corpus dup and the cross-batch near-dup")
+  }
 }
