@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.LongType
   * q_hourly_anomaly, q3) over deterministic synthetic data ~10x the
   * sf0.1 test volume: 1M events / 50k users, and an sf1-ish TPC-H
   * slice (150k customers, 1.5M orders, 6M lineitems). The queries
-  * here mirror the Analytics implementations line-for-line (the
-  * registered ones read the driver parquet via Tables, so the shapes
-  * are inlined over generated frames); what is being measured is the
+  * here mirror the Analytics implementations (the registered ones
+  * read the driver parquet via Tables, so the shapes are inlined
+  * over generated frames); what is being measured is the
   * plan class — one user-keyed window shuffle for sessionization, one
   * partial-agg pass + tiny-window for the funnel and anomaly flags,
   * join order + partial aggregation for q3 — not the testdata.
@@ -96,7 +96,8 @@ object AnalyticsSmoke {
 
     // q_hourly_anomaly shape: aggregate-then-window — the trailing-24h
     // 3-sigma flags run over the HOURLY ROLLUP (~720 x types rows),
-    // never the raw events
+    // never the raw events. Same statistic as the registered query:
+    // (n - mean)^2 (w_n - 1) > 9 (sumsq - sum^2/w_n), w_n >= 6
     val anomalies = timed(s"hourly anomaly flags ($nEv events -> hourly rollup -> window)") {
       val hourly = events.groupBy(
           (unix_micros(col("ts")) / 3600000000L).cast(LongType).as("hour"),
@@ -104,14 +105,13 @@ object AnalyticsSmoke {
         .agg(count(lit(1)).as("n_events"))
       val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
       hourly
-        .withColumn("w_n", count(lit(1)).over(w))
+        .withColumn("w_n", count(col("n_events")).over(w))
         .withColumn("w_sum", sum("n_events").over(w))
         .withColumn("w_sumsq", sum(col("n_events").cast("double") * col("n_events")).over(w))
-        .filter(col("w_n") === 24)
-        .filter((col("n_events") - col("w_sum") / col("w_n")) > lit(0) &&
-          (col("n_events") * col("w_n") - col("w_sum")) *
-            (col("n_events") * col("w_n") - col("w_sum")) >
-            lit(9.0) * col("w_n") * (col("w_sumsq") - col("w_sum") * col("w_sum") / col("w_n")))
+        .filter(col("w_n") >= 6 &&
+          pow(col("n_events") - col("w_sum").cast("double") / col("w_n"), 2)
+            * (col("w_n") - 1) >
+            lit(9.0) * (col("w_sumsq") - col("w_sum").cast("double") * col("w_sum") / col("w_n")))
         .count()
     }
     println(s"[asmoke] anomalous (hour, type) cells: $anomalies")

@@ -188,6 +188,7 @@ object ScaleSmoke {
     println(s"[scale] shard population min=${balance.getLong(0)} max=${balance.getLong(1)} " +
       "(uniform corpus; the planted-skew section below exercises the within-shard salt)")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -256,7 +257,7 @@ object ScaleSmoke {
       val saltedTop = timed(s"knn JOIN hot-shard salted maxRowsPerTask=$maxRows, skew-split off") {
         knnTops(maxRows)
       }
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
       val aqeTop = timed("knn JOIN hot-shard UNSALTED, AQE skew-split on (the batch engine's own defense)") {
         knnTops(0L)
       }
@@ -271,6 +272,9 @@ object ScaleSmoke {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      // a knnTops failure must not leave skew-split disabled for the
+      // sections that follow (their timings would silently distort)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
     }
 
     // upsert/delete at volume. Two contrasting workloads:

@@ -1163,11 +1163,17 @@ object Dedup extends QueryModule {
     val winners = counts.crossJoin(thresh)
       .filter(struct(col("n_docs"), col("n_occurrences")) >= col("__cut"))
       .select("wh", "n_docs", "n_occurrences")
-    // text recovery: re-derive the windows (CPU-only second scan, no
-    // shuffle) and keep only winner hashes — the join is broadcast by
-    // size (winners ~ topN + ties)
+    // text recovery: re-derive the windows (CPU-only second scan) and
+    // keep only winner hashes. NO broadcast hint: winners is USUALLY
+    // ~topN rows, but the >= cut filter keeps the whole boundary tie
+    // class, and on a pairwise-dup-dominated corpus that class can be
+    // millions of rows (every span at exactly (2, 2)) — a forced
+    // broadcast would OOM the driver exactly there. Left to the
+    // planner, the tiny case still broadcasts (AQE sees the real
+    // size) and the pathological case degrades to a shuffled join of
+    // tie-class rows — bounded by the dup structure, never corpus².
     val texts = spans.select(col("span")).withColumn("wh", xxhash64(col("span")))
-      .join(broadcast(winners.select("wh")), "wh")
+      .join(winners.select("wh"), "wh")
       .distinct()
     winners.join(texts, "wh")
       .select(col("span"), col("n_docs"), col("n_occurrences"))

@@ -100,9 +100,20 @@ class ShingleIndex(spark: SparkSession, path: String,
     * and [[judge]] call it per invocation; at thousands of batches an
     * fp count would be the dominant fixed cost).
     */
-  private[graft] def nDocs(excludeLabel: Option[String] = None): Long =
+  private[graft] def nDocs(excludeLabel: Option[String] = None): Long = {
+    requireDir(metaDir, "meta/ table")
     readIdx(metaDir, excludeLabel)
       .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+  }
+
+  /** Loud, actionable failure for an index directory persisted by a
+    * layout version that predates `dir` — the alternative is a bare
+    * path-does-not-exist AnalysisException deep inside a judge plan
+    * (or, worse for meta/, a silent wrong cap).
+    */
+  private def requireDir(dir: String, what: String): Unit =
+    require(fs.exists(new Path(dir)),
+      s"index at $path has no $what — it predates this layout; rebuild() the index")
 
   private def writeMeta(label: String, nDocs: Long, nShingles: Long): Unit =
     writeBatch(spark.range(1).select(lit(nDocs).as("n_docs"),
@@ -241,6 +252,7 @@ class ShingleIndex(spark: SparkSession, path: String,
     val oldSh =
       if (!bandCandidates) readIdx(shDir, excludeLabel)
       else {
+        requireDir(bandDir, "bands/ table")
         val batchBands = Dedup.bandKeys(bCapped).select(col("band"), col("bv"))
         val candOld = readIdx(bandDir, excludeLabel)
           .join(broadcast(batchBands), Seq("band", "bv"), "left_semi")

@@ -75,6 +75,14 @@ object StreamingCuration {
     require(corpus.isEmpty || corpusIndex.isEmpty,
       "pass corpus OR corpusIndex, not both: the index gate would silently " +
         "ignore the static corpus (build the index FROM that corpus instead)")
+    // fail at configuration time, not inside the first micro-batch —
+    // judge() enforces the same bound, but from foreachBatch it would
+    // kill a RUNNING stream instead of the start() call
+    require(!indexBandCandidates || corpusIndex.nonEmpty,
+      "indexBandCandidates is an index-gate mode: pass corpusIndex with it")
+    require(!indexBandCandidates || jaccardThreshold >= 0.7,
+      s"indexBandCandidates needs jaccardThreshold >= 0.7 (16x8 banding loses " +
+        s"candidate recall below); got $jaccardThreshold")
     StreamingDedup.dedup(docs, tsCol, "text", watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -136,8 +136,8 @@ object Serving extends QueryModule {
     * partitioned, query side replicated per probed shard's salt.
     * Result-invariant (every candidate pair meets in exactly one
     * task); the TopKAgg's partial aggregation is salt-blind. The
-    * registered query runs SALTED with a bound that forces saltc ≥ 2
-    * at sf0.01+ against a salt-blind oracle, so a green row PROVES
+    * registered query runs SALTED with a population-scaled bound that
+    * forces saltc ≥ 2 at every SF against a salt-blind oracle, so a green row PROVES
     * invariance — the q_skew_join contract. Note AQE's own skew-split
     * covers the plain BATCH join (measured: it beats the salt on a
     * planted hot shard); the salt is the defense for the regimes AQE
@@ -166,8 +166,19 @@ object Serving extends QueryModule {
         col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
   }
 
-  private def knnJoinIvf(s: SparkSession, d: String): DataFrame =
-    knnJoinFrame(emb(s, d), maxRowsPerTask = 64L)
+  private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // POPULATION-SCALED task bound, not a constant: with a fixed
+    // maxRowsPerTask the per-shard salt — and with it the query side's
+    // replication factor — would grow linearly with corpus size
+    // (saltc = ceil(n/K / bound)). n/(8K) keeps saltc ≈ 8 at any n,
+    // so replicated shuffle volume stays a constant multiple of the
+    // query side, while still forcing saltc ≥ 2 at every test SF — the
+    // salt-blind oracle keeps proving invariance. One count() job at
+    // plan construction (parquet metadata at real scale).
+    val n = e.count()
+    knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / (8L * K)))
+  }
 
   private val knnJoinIvfSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},

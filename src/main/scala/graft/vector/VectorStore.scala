@@ -682,11 +682,32 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
               .withColumn("compressed", lit(true))
               .withColumn("shortlist", lit(shortlist.toLong)))
         }
-      curve
+      val fresh = curve
         .withColumn("n_queries", lit(nq))
         .withColumn("top_k", lit(topK.toLong))
         .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed", "shortlist")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
+      // MERGE with the persisted table, don't clobber it: a raw-only
+      // re-measurement would otherwise erase a previously measured
+      // compressed curve (and vice versa), and searchAtRecall for the
+      // erased mode would silently fall back to full probing. Rows for
+      // the (compressed, shortlist) keys THIS run reproduces are
+      // replaced; other keys carry over — note carried curves are as
+      // stale as their own last run, so re-measure every mode you
+      // serve after drift. The table is K-rows-per-mode; the carried
+      // rows ride a localCheckpoint because lazily reading and
+      // overwriting the same path would race the write with its input.
+      val rp = new org.apache.hadoop.fs.Path(recallDir)
+      val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val newKeys: Seq[(Boolean, Long)] =
+        (false, 0L) +: (if (compressed) Seq((true, shortlist.toLong)) else Nil)
+      val all =
+        if (!rfs.exists(rp)) fresh.localCheckpoint(true)
+        else fresh.unionByName(
+          spark.read.parquet(recallDir).filter(!newKeys.map(k =>
+            col("compressed") === k._1 && col("shortlist") === k._2)
+            .reduce(_ || _))).localCheckpoint(true)
+      try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
+      finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hits)
     spark.read.parquet(recallDir)
   }
@@ -741,8 +762,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       explode(sequence(col("prank"), lit(k.toLong))).as("nprobe"))
     val w = Window.partitionBy("query_id", "nprobe")
       .orderBy(desc("approx"), asc("vec_id"))
+    // CAPACITY = shortlist - 1, not shortlist: serving's ADC shortlist
+    // ranks over the probed rows INCLUDING the query's own vector when
+    // the query is a corpus member (it scores ~1 and occupies a slot),
+    // while this eval excludes self from candidates — modeling the
+    // full shortlist would overestimate boundary recall for exactly
+    // the case the eval queries exercise. For foreign queries (no self
+    // in the corpus) the -1 is one slot conservative — the safe
+    // direction for a recall contract.
     val members = byDepth.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= shortlist)
+      .filter(col("rn") <= math.max(1, shortlist - 1))
       .select("query_id", "vec_id", "nprobe")
     val found = members.join(hits, Seq("query_id", "vec_id"))
       .groupBy("nprobe").agg((count(lit(1)) * 10000L).as("__h"))
