@@ -281,51 +281,98 @@ class ShingleIndex(spark: SparkSession, path: String,
     (verdicts, Seq(bsh))
   }
 
-  /** Fold the per-batch df delta directories into one — run
-    * periodically, like any LSM-ish compaction. Tmp-swap protocol
-    * ([[graft.sources.Compact]]'s): the folded table is written
-    * durably to a sibling `_dfc__compact_tmp` BEFORE the live
-    * directory is touched, then delete + rename. A crash between the
-    * last two steps fails loudly (no dfc/) and the next compact()
-    * call recovers with one rename — a re-run can never re-fold its
-    * own output into the inputs (the silent double-count a
-    * fold-in-place protocol suffers).
+  /** Fold EVERY per-batch directory into one `batch=compact0`
+    * partition (plus the optional in-flight `keepLabel`, carried
+    * verbatim) — run periodically, like any LSM-ish compaction. At
+    * thousands of micro-batches the per-batch directory layout's
+    * fixed cost is FILE COUNT: every read lists and opens one parquet
+    * footer per batch per table; folding restores O(1) files per
+    * table. dfc/ folds by SUMMING deltas and meta/ by summing counts
+    * (both reads are sums, so arithmetic is preserved); the row-set
+    * tables (fp/, sh/, sizes/, bands/) fold by plain rewrite.
+    *
+    * Crash safety, per directory (the [[graft.sources.Compact]]
+    * tmp-swap protocol): the folded copy is durable in a sibling
+    * `_<name>__compact_tmp` BEFORE the live directory is touched;
+    * the one crash window (between delete and rename) fails loudly —
+    * reads find no directory — and the next compact() call recovers
+    * with one rename. A crash between DIRECTORIES leaves some folded
+    * and some not, which is consistent (each table is independently
+    * complete — only relative file counts differ).
     *
     * RETRY INTERACTION: [[append]]/[[judge]]'s `excludeLabel` replay
-    * protection prunes the label's own dfc partition — once a label's
-    * delta is folded into `batch=compact0` that pruning no longer
-    * removes its df contribution and a replay's verdicts can drift.
+    * protection prunes the label's own partitions — once a label's
+    * rows are folded into `batch=compact0` that pruning no longer
+    * removes its contribution and a replay's verdicts can drift.
     * Under the single-writer / latest-batch-only retry contract, pass
-    * the in-flight label as `keepLabel`: its delta partition is
-    * carried through the fold UNFOLDED (copied verbatim into the new
-    * dfc/), so exclusion keeps working until the batch is known
-    * committed. Folding with no label in flight needs no argument.
+    * the in-flight label as `keepLabel`: its partitions are carried
+    * through every fold UNFOLDED, so exclusion keeps working until
+    * the batch is known committed. Folding with no label in flight
+    * needs no argument.
     */
   def compact(keepLabel: Option[String] = None): Unit = {
-    val dfPath = new Path(dfDir)
-    val tmp = new Path(dfPath.getParent, "_dfc__compact_tmp")
-    if (!fs.exists(dfPath)) {
-      require(fs.exists(tmp),
-        s"compact: neither $dfDir nor its tmp exist — index not built?")
-      // a prior compact crashed between delete and rename: finish it
-      if (!fs.rename(tmp, dfPath)) throw new IllegalStateException(
-        s"compact recovery: rename $tmp -> $dfDir failed; all df data is in $tmp")
-      return
+    // finish any crashed fold first (the delete-then-rename window): a
+    // directory whose live copy is missing but whose tmp exists
+    // recovers with one rename. dfc/ absent entirely (no tmp either)
+    // means the index was never built.
+    dirs.foreach(recoverFold)
+    require(fs.exists(new Path(dfDir)),
+      s"compact: $dfDir does not exist — index not built?")
+    val folds: Seq[(String, () => DataFrame)] = Seq(
+      dfDir   -> (() => dfNow(keepLabel)),
+      fpDir   -> (() => readIdx(fpDir, keepLabel).select("doc_id", "fp")),
+      shDir   -> (() => readIdx(shDir, keepLabel).select("s", "doc_id")),
+      szDir   -> (() => readIdx(szDir, keepLabel).select("doc_id", "n")),
+      bandDir -> (() => readIdx(bandDir, keepLabel).select("doc_id", "band", "bv")),
+      metaDir -> (() => readIdx(metaDir, keepLabel)
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("n_shingles"), lit(0L)).as("n_shingles"))))
+    // a legacy index may lack the newer tables (meta/, bands/) — skip,
+    // don't invent them (the guards in nDocs/judge prescribe a rebuild)
+    folds.foreach { case (d, mk) =>
+      if (fs.exists(new Path(d))) foldDir(d, mk(), keepLabel)
     }
-    val folded = dfNow(keepLabel).localCheckpoint(true)
-    folded.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
-    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(folded)
-    // the kept label's delta rides into the new dfc/ as its own
+  }
+
+  private def tmpFor(dir: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, s"_${p.getName}__compact_tmp")
+  }
+
+  private def recoverFold(dir: String): Unit = {
+    val p = new Path(dir)
+    val tmp = tmpFor(dir)
+    if (!fs.exists(p) && fs.exists(tmp) && !fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"compact recovery: rename $tmp -> $dir failed; all data is in $tmp")
+  }
+
+  /** One directory's fold: write `folded` (and the kept label's rows,
+    * verbatim) durably into the tmp sibling, then swap. `folded` must
+    * read from the LIVE directory — it is materialized (checkpoint)
+    * before the live copy is touched.
+    */
+  private def foldDir(dir: String, folded: DataFrame,
+                      keepLabel: Option[String]): Unit = {
+    val p = new Path(dir)
+    val tmp = tmpFor(dir)
+    // debris from a crash DURING a previous tmp write (live copy still
+    // intact in that window) — clear it before rebuilding
+    fs.delete(tmp, true)
+    val f = folded.localCheckpoint(true)
+    try f.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
+    finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(f)
+    // the kept label rides into the new directory as its own
     // partition, byte-equivalent to its pre-compact state — both
     // writes are durable in tmp before the live directory is touched
     keepLabel.foreach { l =>
-      spark.read.parquet(dfDir).filter(col("batch") === l).select("s", "df")
+      spark.read.parquet(dir).filter(col("batch") === l).drop("batch")
         .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=$l")
     }
-    if (!fs.delete(dfPath, true)) throw new IllegalStateException(
-      s"compact: delete of $dfDir failed; originals intact, folded copy at $tmp")
-    if (!fs.rename(tmp, dfPath)) throw new IllegalStateException(
-      s"compact: rename $tmp -> $dfDir failed; all df data is in $tmp, " +
+    if (!fs.delete(p, true)) throw new IllegalStateException(
+      s"compact: delete of $dir failed; originals intact, folded copy at $tmp")
+    if (!fs.rename(tmp, p)) throw new IllegalStateException(
+      s"compact: rename $tmp -> $dir failed; all data is in $tmp, " +
         "re-running compact() recovers")
   }
 }

@@ -78,7 +78,7 @@ class ShingleIndexSpec extends AnyFunSuite {
     caches.foreach(_.unpersist())
   }
 
-  test("df compaction folds delta rows without changing verdicts") {
+  test("compaction folds every per-batch directory without changing verdicts") {
     import spark.implicits._
     val corpus = Seq((1L, w("a", 40))).toDF("doc_id", "text")
     val dir = Files.createTempDirectory("graft-shidx3").toString
@@ -89,10 +89,50 @@ class ShingleIndexSpec extends AnyFunSuite {
     }
     val batch = Seq((300L, w("p1", 40)), (301L, w("q", 40))).toDF("doc_id", "text")
     val before = idx.judge(batch).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nBefore = idx.nDocs()
     idx.compact()
+    // every table folded to ONE batch directory (the file-count point
+    // of compaction), with counts and verdicts — exact AND banded —
+    // preserved through the fold
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("dfc", "fp", "sh", "sizes", "bands", "meta").foreach { t =>
+      val parts = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+      assert(parts.sameElements(Array("batch=compact0")),
+        s"$t/ must fold to a single compact0 partition, got ${parts.mkString(",")}")
+    }
+    assert(idx.nDocs() === nBefore, "meta fold must preserve the corpus count")
     val after = idx.judge(batch).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after === before)
     assert(after === Map(300L -> "exact", 301L -> "keep"))
+    val banded = idx.judge(batch, bandCandidates = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(banded === before, "the folded bands table must serve banded judging")
+  }
+
+  test("compact(keepLabel) keeps replay exclusion working for the in-flight batch") {
+    import spark.implicits._
+    val corpus = Seq((1L, w("a", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx8").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    val inflight = Seq((50L, w("z", 40))).toDF("doc_id", "text")
+    val preAppend = idx.judge(inflight).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    idx.append(inflight, "b9")
+    // the latest batch may still be retried: fold everything EXCEPT it
+    idx.compact(keepLabel = Some("b9"))
+    // a replay that excludes its own label must reproduce the
+    // pre-append verdicts — the exclusion b9's partitions survive for
+    val replay = idx.judge(inflight, excludeLabel = Some("b9"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay === preAppend)
+    assert(replay === Map(50L -> "keep"))
+    // and the replayed append still rewrites consistent state
+    idx.append(inflight, "b9")
+    assert(idx.nDocs() === 2L)
+    assert(idx.judge(inflight).collect().head.getString(1) === "exact")
   }
 
   test("corpus-size arithmetic reads the meta table, not fp row data") {

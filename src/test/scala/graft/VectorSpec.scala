@@ -653,6 +653,36 @@ class VectorSpec extends AnyFunSuite {
       s"requested recall 0.95 -> measured ${hit.toDouble / tot} at nprobe=$p")
   }
 
+  test("evalRecall merges modes: a raw re-measurement keeps the compressed curve") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 64).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-recall-merge").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16, pqCodes = 16)
+    vs.evalRecall(nQueries = 16, topK = 5, compressed = true, shortlist = 16)
+    val before = spark.read.parquet(s"$dir/recall_eval")
+      .filter(col("compressed")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.nonEmpty)
+    // a later raw-only re-measurement must MERGE, not clobber: the
+    // compressed rows carry over untouched and stay consultable
+    vs.evalRecall(nQueries = 16, topK = 5)
+    val after = spark.read.parquet(s"$dir/recall_eval")
+    assert(after.filter(col("compressed")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === before,
+      "raw re-measurement must not erase or alter the compressed curve")
+    assert(after.filter(!col("compressed")).count() > 0)
+    val p = vs.nprobeFor(0.5, compressed = true, shortlist = 16)
+    assert(p >= 1 && p <= 4)
+    // re-measuring the SAME mode replaces its own rows (no duplicates)
+    vs.evalRecall(nQueries = 16, topK = 5, compressed = true, shortlist = 16)
+    val counts = spark.read.parquet(s"$dir/recall_eval")
+      .groupBy("compressed", "shortlist", "nprobe").count()
+      .filter(col("count") > 1).count()
+    assert(counts === 0L, "per-(mode, depth) rows must stay unique across re-runs")
+  }
+
   test("compressed recall curve measures ADC truncation the raw curve cannot see") {
     // 250 subclusters of 8 near-identical members: a query's top-7
     // true neighbors are its own group (one quantizable pattern), and
