@@ -250,8 +250,15 @@ object Analytics extends QueryModule {
     * the 100 TB regime this query's Scaladoc targets. Hours with
     * fewer than 6 trailing observations are never flagged.
     */
-  private def qHourlyAnomaly(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
+  private def qHourlyAnomaly(s: SparkSession, d: String): DataFrame =
+    hourlyAnomalyFrame(Tables.events(s, d))
+
+  /** The frame-level core of q_hourly_anomaly, shared with the
+    * streaming twin's spec (`EventStream.anomalyFlags` must reproduce
+    * these exact rows for in-watermark data).
+    */
+  private[graft] def hourlyAnomalyFrame(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))

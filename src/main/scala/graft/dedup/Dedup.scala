@@ -135,14 +135,19 @@ object Dedup extends QueryModule {
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // both sides are distinct sets: equal counts + an empty one-sided
-      // anti-join ⇔ identical edge sets (the fixed point of both stars)
-      converged = next.count() == edges.count() &&
+      // anti-join ⇔ identical edge sets (the fixed point of both stars).
+      // The previous round's count is carried, so a non-converged round
+      // costs one count job; the anti-join runs only on count equality.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgeCount = nextCount
       // `next` is eagerly materialized, so the previous round's
       // checkpoint blocks are superseded — release them, or executor
       // storage grows by one edges-frame per round for the session

@@ -81,6 +81,93 @@ object EventStream {
         col("view_id"), unix_micros(col("view_ts")).as("view_us"))
   }
 
+  case class HourCount(hour: Long, n: Long)
+  case class AnomalyState(open: List[HourCount], trail: List[HourCount])
+  case class HourlyAnomaly(hour_epoch: Long, event_type: String, n_events: Long,
+                           w_n: Long, mean_x1e4: Option[Long], is_anomaly: Long)
+
+  /** Streaming twin of q_hourly_anomaly: per (closed hour, event
+    * type), flag event-volume anomalies against the TRAILING 24
+    * observed hours' mean — the alert the batch query produces after
+    * the fact, emitted live as each hour's books close.
+    *
+    * Why custom state: the trailing comparison is a window ACROSS
+    * completed hourly aggregates, and streaming can't chain a window
+    * (or a second stateful agg) behind a windowed aggregation in
+    * append mode — so one `flatMapGroupsWithState` keyed by event_type
+    * holds both halves: the open hours' partial counts, and the last
+    * 24 CLOSED hour counts (the trailing stats window). An hour closes
+    * when the event-time watermark passes its end; closing emits its
+    * flag row computed against the trail (exact same statistic as the
+    * batch query: HALF_UP x1e4 mean, sample-variance 3σ test squared
+    * and division-cleared) and pushes it onto the trail. State per
+    * type is ≤ open hours + 24 longs — bounded by the watermark, and
+    * event-type cardinality is small by schema.
+    *
+    * Parity contract (spec-checked against
+    * `Analytics.hourlyAnomalyFrame` row-for-row): identical for
+    * in-watermark data. Events later than the watermark for an
+    * already-closed hour are DROPPED (standard streaming-aggregation
+    * late-data semantics) — a batch re-run over the full log would
+    * count them; that is the inherent batch/stream boundary, not a
+    * bug (same posture as hourlyCounts).
+    */
+  def anomalyFlags(events: Dataset[Event],
+                   watermark: String = "10 minutes"): Dataset[HourlyAnomaly] = {
+    import events.sparkSession.implicits._
+    def micros(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def emitFor(tpe: String, hc: HourCount, trail: List[HourCount]): HourlyAnomaly = {
+      val wn = trail.length.toLong
+      val wsum = trail.map(_.n).sum
+      val wsumsq = trail.map(h => h.n.toDouble * h.n).sum
+      // HALF_UP like Spark's round(double, 0) in the batch twin
+      val mean = if (wn > 0)
+        Some(java.math.BigDecimal.valueOf(wsum * 10000.0 / wn)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue) else None
+      val anom = if (wn >= 6 &&
+          math.pow(hc.n - wsum.toDouble / wn, 2) * (wn - 1) >
+            9.0 * (wsumsq - wsum.toDouble * wsum / wn)) 1L else 0L
+      HourlyAnomaly(hc.hour * 3600L, tpe, hc.n, wn, mean, anom)
+    }
+    def fn(tpe: String, it: Iterator[Event],
+           state: GroupState[AnomalyState]): Iterator[HourlyAnomaly] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(AnomalyState(Nil, Nil))
+      if (!state.hasTimedOut) {
+        val byHour = it.map(e => micros(e.ts) / 3600000000L).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val open = scala.collection.mutable.Map(st.open.map(h => h.hour -> h.n): _*)
+        byHour.foreach { case (h, c) =>
+          // an hour at-or-below the watermark that is not currently
+          // open has already closed (or arrived too late to ever
+          // open): drop, or emission order vs the trail would break
+          if (!((h + 1) * 3600000L <= wmMs && !open.contains(h)))
+            open(h) = open.getOrElse(h, 0L) + c
+        }
+        st = st.copy(open = open.toList.sortBy(_._1).map { case (h, c) => HourCount(h, c) })
+      }
+      // close every open hour the watermark has passed, ascending, so
+      // each flag sees exactly the trail the batch window would
+      val (done, still) = st.open.partition(h => (h.hour + 1) * 3600000L <= wmMs)
+      var trail = st.trail
+      val out = done.sortBy(_.hour).map { hc =>
+        val row = emitFor(tpe, hc, trail)
+        trail = (trail :+ hc).takeRight(24)
+        row
+      }
+      state.update(AnomalyState(still, trail))
+      // re-arm on the earliest still-open hour; a type with no open
+      // hours keeps only its 24-long trail (small, low-cardinality key)
+      still.sortBy(_.hour).headOption.foreach { h =>
+        state.setTimeoutTimestamp(math.max((h.hour + 1) * 3600000L, wmMs + 1))
+      }
+      out.iterator
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Custom-state sessionization with flatMapGroupsWithState: emits a
     * session when a gap larger than `gapUs` arrives or the state times
     * out. Demonstrates arbitrary keyed state for semantics

@@ -67,6 +67,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("streaming hourly anomaly flags match the batch twin row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val base = 1700000000000L // top of an hour? not necessarily — hours derive from epoch/3600 either way
+    // per hour h, a deterministic "normal" count plus one planted spike
+    // hour per type; a second type exercises the state keying
+    def hourEvents(tpe: String, h: Long, n: Long): Seq[Event] =
+      (0L until n).map(i => Event(h * 1000 + i,
+        new java.sql.Timestamp((base / 3600000L + h) * 3600000L + i * 1000L),
+        user_id = i % 7, tpe, 0.0))
+    def countFor(tpe: String, h: Long): Long =
+      if (tpe == "view" && h == 20) 80L else 8L + (h + tpe.length) % 3
+    val all = (0L until 28L).flatMap(h =>
+      Seq("view", "click").flatMap(t => hourEvents(t, h, countFor(t, h))))
+
+    val q = EventStream.anomalyFlags(input.toDS())
+      .writeStream.format("memory").queryName("anomflags")
+      .outputMode("append").start()
+    try {
+      // two deliveries so state carries across micro-batches, then a
+      // far-future flush event pushes the watermark past every real
+      // hour — all 28 close
+      val (first, second) = all.partition(_.ts.getTime < base + 14L * 3600000L)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      input.addData(Event(999999L,
+        new java.sql.Timestamp(base + 1000L * 3600000L), 0L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("anomflags")
+      .filter(col("event_type") =!= "flush")
+      .select("hour_epoch", "event_type", "n_events", "w_n", "mean_x1e4", "is_anomaly")
+    // batch twin over the SAME events (flush excluded: its hour never
+    // closed in the stream) — rows must match exactly
+    val batchEvents = all.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+    val want = graft.analytics.Analytics.hourlyAnomalyFrame(batchEvents)
+    assert(got.count() === 56L, "all 28 hours x 2 types must close")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "streamed flags must equal the batch twin row-for-row")
+    // and the planted spike is the only flagged cell
+    val flagged = got.filter(col("is_anomaly") === 1)
+      .select("event_type", "hour_epoch").collect()
+    assert(flagged.length === 1 && flagged.head.getString(0) === "view")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
