@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The per-batch parquet table discipline shared by the maintained
+  * indexes ([[graft.dedup.ShingleIndex]], [[graft.text.TermIndex]]):
+  * one `batch=<label>` partition directory per ingested batch, so
+  *  - writes are IDEMPOTENT per label (a replayed batch overwrites its
+  *    own directory instead of appending duplicate rows),
+  *  - a replay can EXCLUDE its own label from reads (partition-pruned
+  *    before any IO) to reproduce first-run results, and
+  *  - periodic [[foldDir]] compaction bounds the file/footer count.
+  *
+  * Fold crash safety (the [[Compact]] tmp-swap protocol): the folded
+  * copy is durable in a sibling `_<name>__compact_tmp` BEFORE the
+  * live directory is touched; the one crash window (between delete
+  * and rename) fails loudly — reads find no directory — and
+  * [[recoverFold]] finishes the swap with one rename.
+  */
+private[graft] object BatchedTable {
+
+  def writeBatch(df: DataFrame, dir: String, label: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$label")
+
+  /** Read a batched table, optionally excluding one label (the `batch`
+    * column comes from partition discovery, so the exclusion prunes
+    * that directory before any IO).
+    */
+  def readIdx(spark: SparkSession, dir: String,
+              excludeLabel: Option[String]): DataFrame = {
+    val df = spark.read.parquet(dir)
+    excludeLabel.fold(df)(l => df.filter(col("batch") =!= l))
+  }
+
+  def tmpFor(dir: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, s"_${p.getName}__compact_tmp")
+  }
+
+  /** Finish a fold that crashed between delete and rename: a directory
+    * whose live copy is missing but whose tmp exists recovers with one
+    * rename; anything else is a no-op.
+    */
+  def recoverFold(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(dir)
+    val tmp = tmpFor(dir)
+    if (!fs.exists(p) && fs.exists(tmp) && !fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"compact recovery: rename $tmp -> $dir failed; all data is in $tmp")
+  }
+
+  /** One directory's fold: write `folded` as `batch=compact0` (and the
+    * kept label's rows, verbatim) durably into the tmp sibling, then
+    * swap. `folded` must read from the LIVE directory — it is
+    * materialized (checkpoint) before the live copy is touched.
+    */
+  def foldDir(spark: SparkSession, fs: FileSystem, dir: String,
+              folded: DataFrame, keepLabel: Option[String]): Unit = {
+    val p = new Path(dir)
+    val tmp = tmpFor(dir)
+    // debris from a crash DURING a previous tmp write (live copy still
+    // intact in that window) — clear it before rebuilding
+    fs.delete(tmp, true)
+    val f = folded.localCheckpoint(true)
+    try f.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
+    finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(f)
+    // the kept label rides into the new directory as its own
+    // partition, byte-equivalent to its pre-compact state — both
+    // writes are durable in tmp before the live directory is touched
+    keepLabel.foreach { l =>
+      spark.read.parquet(dir).filter(col("batch") === l).drop("batch")
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=$l")
+    }
+    if (!fs.delete(p, true)) throw new IllegalStateException(
+      s"compact: delete of $dir failed; originals intact, folded copy at $tmp")
+    if (!fs.rename(tmp, p)) throw new IllegalStateException(
+      s"compact: rename $tmp -> $dir failed; all data is in $tmp, " +
+        "re-running compact() recovers")
+  }
+}

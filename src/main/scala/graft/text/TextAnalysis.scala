@@ -693,6 +693,23 @@ object TextAnalysis extends QueryModule {
        |ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** The SERVED text-search path: the same BM25 top-10 as `text_bm25`
+    * probed from a maintained [[TermIndex]] instead of re-deriving
+    * tf/dl/df/N in-plan. Registered with #29g's OWN oracle SQL — a
+    * green row proves index-served scoring reproduces the one-shot
+    * expression hash-exactly (same tokenization, same float
+    * association; see TermIndex's Scaladoc for the parity argument).
+    * The timed cost here includes the build; a serving deployment
+    * builds once and pays only the probe (TermIndexSpec measures the
+    * probe plan's pushdown).
+    */
+  private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-termidx").toString
+    val idx = new TermIndex(s, dir)
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.search(bm25Terms, k = 10)
+  }
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -709,6 +726,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket"  -> (pplBucket _),
     "text_ppl_bucket_approx" -> (pplBucketApprox _),
     "text_bm25"        -> (bm25 _),
+    "text_bm25_indexed" -> (bm25Indexed _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -728,6 +746,7 @@ object TextAnalysis extends QueryModule {
     "text_lm_score"    -> lmScoreSql,
     "text_ppl_bucket"  -> pplBucketSql,
     "text_bm25"        -> bm25Sql,
+    "text_bm25_indexed" -> bm25Sql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,
