@@ -121,7 +121,9 @@ class ShingleIndex(spark: SparkSession, path: String,
     * Rebuilding clears all previously appended batches.
     */
   def build(corpus: DataFrame): Unit = {
-    dirs.foreach(d => fs.delete(new Path(d), true))
+    // clear tmps too: a crashed fold's tmp would otherwise be
+    // "recovered" into the fresh index by the first write
+    dirs.foreach(d => graft.sources.BatchedTable.clearTable(fs, d))
     val sh = Dedup.shinglesOf(corpus).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, "base")
     val n = corpus.select("doc_id").distinct().count()

@@ -21,8 +21,26 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object BatchedTable {
 
-  def writeBatch(df: DataFrame, dir: String, label: String): Unit =
+  def writeBatch(df: DataFrame, dir: String, label: String): Unit = {
+    // a crashed fold's delete-rename window leaves the live directory
+    // missing and ALL its data in the tmp sibling. Writing first would
+    // recreate a live dir holding only this batch — reads would score
+    // a one-batch corpus instead of failing loudly, and the NEXT fold
+    // (which clears stale tmps while the live dir exists) would then
+    // delete the tmp holding everything. Finish the swap first.
+    val fs = new Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverFold(fs, dir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$label")
+  }
+
+  /** Remove a table AND its fold tmp — for build()-style resets, where
+    * resurrecting a crashed fold's data would defeat the reset.
+    */
+  def clearTable(fs: FileSystem, dir: String): Unit = {
+    fs.delete(new Path(dir), true)
+    fs.delete(tmpFor(dir), true)
+  }
 
   /** Read a batched table, optionally excluding one label (the `batch`
     * column comes from partition discovery, so the exclusion prunes

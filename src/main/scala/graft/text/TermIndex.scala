@@ -50,7 +50,10 @@ class TermIndex(spark: SparkSession, path: String) {
   private val postDir = s"$path/post"
   private val metaDir = s"$path/meta"
   private val dirs = Seq(postDir, metaDir)
-  private val (k1, b) = (1.2, 0.75)
+  // the SAME constants the one-shot query scores with — the hash-exact
+  // parity contract depends on them (and on the shared space-split
+  // tokenization) staying identical, so there is exactly one definition
+  private val (k1, b) = (TextAnalysis.bmK1, TextAnalysis.bmB)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -79,7 +82,9 @@ class TermIndex(spark: SparkSession, path: String) {
 
   /** Build from the initial corpus (label `base`); clears prior state. */
   def build(corpus: DataFrame): Unit = {
-    dirs.foreach(d => fs.delete(new Path(d), true))
+    // clear tmps too: a crashed fold's tmp would otherwise be
+    // "recovered" into the fresh index by the first write
+    dirs.foreach(d => BatchedTable.clearTable(fs, d))
     writeBatchOf(corpus, "base")
   }
 

@@ -643,7 +643,10 @@ object TextAnalysis extends QueryModule {
     * corpus size.
     */
   private val bm25Terms = Seq("table", "hash", "merge")
-  private val (bmK1, bmB) = (1.2, 0.75)
+  // private[graft]: TermIndex scores with THESE constants — one
+  // definition, or the index's hash-exact parity contract silently
+  // drifts on a retune
+  private[graft] val (bmK1, bmB) = (1.2, 0.75)
 
   private def bm25(s: SparkSession, d: String): DataFrame = {
     def tf(t: String): Column = size(filter(wsAll, w => w === t)).cast(LongType)
@@ -704,7 +707,15 @@ object TextAnalysis extends QueryModule {
     * probe plan's pushdown).
     */
   private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-termidx").toString
+    // one DETERMINISTIC directory per source dataset, rebuilt
+    // (overwritten) each call: repeated bench/verify invocations reuse
+    // the same path instead of accumulating corpus-sized temp copies
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
+      java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          d.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          d.getBytes("UTF-8").length, 42) & 0xffffffffL)
     val idx = new TermIndex(s, dir)
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
     idx.search(bm25Terms, k = 10)

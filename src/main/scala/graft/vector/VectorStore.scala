@@ -702,10 +702,18 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         (false, 0L) +: (if (compressed) Seq((true, shortlist.toLong)) else Nil)
       val all =
         if (!rfs.exists(rp)) fresh.localCheckpoint(true)
-        else fresh.unionByName(
-          spark.read.parquet(recallDir).filter(!newKeys.map(k =>
+        else {
+          val existing = spark.read.parquet(recallDir)
+          // a table persisted before the compressed extension has no
+          // mode columns (nprobeFor reads it as raw-only): it holds
+          // only the raw curve this measurement reproduces — supersede
+          // it rather than crash on the missing column
+          if (!existing.columns.contains("compressed"))
+            fresh.localCheckpoint(true)
+          else fresh.unionByName(existing.filter(!newKeys.map(k =>
             col("compressed") === k._1 && col("shortlist") === k._2)
             .reduce(_ || _))).localCheckpoint(true)
+        }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hits)
