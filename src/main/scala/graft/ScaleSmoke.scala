@@ -501,6 +501,45 @@ object ScaleSmoke {
     }
     println(s"[scale] lm-scored $lmN docs")
 
+    // maintained inverted index: the corpus tokenizes ONCE (build),
+    // then a keyword query reads only its own terms' postings — the
+    // one-shot BM25 re-derives tf/dl/df/N from a full text scan per
+    // query. The gap between the two query timings is what every
+    // SUBSEQUENT query saves; it widens with corpus size (probe cost
+    // tracks query-term df, one-shot cost tracks the corpus).
+    val tiDir = Files.createTempDirectory("graft-scale-tidx").toString
+    val tIdx = new graft.text.TermIndex(spark, tiDir)
+    timed(s"term-index build (${nDoc + nDoc / 100} docs, one-time)") {
+      tIdx.build(corpus)
+    }
+    val served = timed("term-index BM25 probe (3 vocabulary terms, top-10)") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+    }
+    val oneShotBm = timed("one-shot BM25 (full corpus scan + agg, top-10)") {
+      val ws = split(col("text"), " ")
+      def tf(t: String) = size(filter(ws, w => w === t)).cast("long")
+      val terms = Seq("w7", "w42", "w100")
+      val perDoc = corpus.select(col("doc_id") +: size(ws).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
+      val aggCols = Seq(count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).cast("double").as("sdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+      val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        idf * (col(s"tf$i") * 2.2) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n"))))
+      }.reduce(_ + _)
+      perDoc.crossJoin(broadcast(stats)).withColumn("s0", score)
+        .orderBy(desc("s0"), col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("s0"), 4).as("bm25")).collect()
+    }
+    require(served.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        oneShotBm.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "index-served BM25 must equal the one-shot at volume")
+    println("[scale] term-index top-10 identical to one-shot: true (asserted)")
+
     // the full decision pipeline: pairs -> components -> survivor per
     // cluster. Costs one jaccard pass + diameter rounds of edge-sized
     // joins + a dup-volume quality join — the same class as the pair
