@@ -18,8 +18,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (compute_server.py:32-37: cosine of a zero vector is 0.0).
   */
 object VectorKernels {
+  /** Mismatched dimensions fail LOUDLY: the loops index both arrays by
+    * the shared length, and without this check a shorter right side
+    * reads past its element region (unsafe memory — garbage values),
+    * while a shorter left side silently truncates the comparison. The
+    * DuckDB oracle's list functions reject ragged pairs too, so a
+    * silent answer here could never match it. One branch per ROW —
+    * noise next to the O(dim) loop.
+    */
+  private def checkDims(na: Int, nb: Int): Unit =
+    if (na != nb) throw new IllegalArgumentException(
+      s"vector kernel on mismatched dimensions: $na vs $nb (ragged embedding row?)")
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    checkDims(n, b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -33,6 +46,7 @@ object VectorKernels {
 
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    checkDims(n, b.numElements())
     var s = 0.0; var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
@@ -40,17 +54,12 @@ object VectorKernels {
 
   def l2(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    checkDims(n, b.numElements())
     var s = 0.0; var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
 
-  def norm(a: ArrayData): Double = {
-    val n = a.numElements()
-    var s = 0.0; var i = 0
-    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
-    math.sqrt(s)
-  }
 }
 
 /** Base for the binary vector kernels: requires two ARRAY<DOUBLE>

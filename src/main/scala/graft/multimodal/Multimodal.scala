@@ -31,7 +31,9 @@ object Decode {
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val n = payload.length
-    (64 + n % 576, 64 + (n * 7) % 416)
+    // 7L: Int arithmetic wraps negative past ~306 MB payloads (the
+    // BIGINT oracle doesn't) — a plausible video object size
+    (64 + n % 576, (64L + (n * 7L) % 416L).toInt)
   }
 
   /** Partition-wise feature extraction — the Scala analogue of a
@@ -166,6 +168,11 @@ object Multimodal extends QueryModule {
     * the scan.
     */
   def frameNearDupPairs(docs: DataFrame, minShared: Long = 3L): DataFrame = {
+    // cached: the payload explode + md5 is the dominant cost and feeds
+    // THREE consumers (the df-cap count and both self-join sides;
+    // Spark does not dedupe common subplans) — same discipline as
+    // Dedup.minhashPairs' shingle cache, released by the session's
+    // clearCache like every pair helper
     val frames = docs
       .withColumn("n_bytes", length(col("text").cast("binary")))
       .select(col("doc_id"),
@@ -175,6 +182,7 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"),
         md5(expr("substring(text, frame_no * 64 + 1, 64)")).as("fd"))
       .distinct()
+      .cache()
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val keep = frames.groupBy("fd").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))

@@ -39,7 +39,13 @@ object AsOfJoin {
     val merged = l.select(Seq(col(by), col("__ts"), col("__tag")) ++
       lCols.filterNot(_ == by).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(by).orderBy(col("__ts").asc, col("__tag").asc)
+    // deterministic tie-break among right rows sharing (key, ts): the
+    // payload hash orders them stably, so reruns/repartitions pick the
+    // same asof_value (byte-identical payloads tie harmlessly — either
+    // pick IS the same value). Without it, last() over an unordered
+    // tie depends on the shuffle's intra-partition order.
+    val w = Window.partitionBy(by)
+      .orderBy(col("__ts").asc, col("__tag").asc, xxhash64(col("__rv")).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     merged
       .withColumn("asof_value", last(col("__rv"), ignoreNulls = true).over(w))

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
   def join(big: DataFrame, small: DataFrame, key: String, salts: Int = 16,
-           joinType: String = "inner"): DataFrame = {
+           joinType: String = "inner", saltOn: Option[Column] = None): DataFrame = {
     require(salts > 0)
     // right/full outer would emit every unmatched small-side row once
     // PER SALT REPLICA — only big-side-preserving join types are sound
@@ -23,9 +23,12 @@ object SaltedJoin {
       "leftsemi", "left_semi", "leftanti", "left_anti")
     require(allowed.contains(joinType.toLowerCase),
       s"salted join supports big-side-preserving join types only, got $joinType")
-    // deterministic salt (hash of the whole row's key + a row hash) so
-    // retried tasks salt identically
-    val salted = big.withColumn("__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+    // deterministic salt so retried tasks salt identically; saltOn (a
+    // cheap id column) spares hashing wide rows — and rows carrying a
+    // MapType, which xxhash64 rejects outright — same escape hatch as
+    // joinByPopulation
+    val basis = saltOn.getOrElse(struct(big.columns.map(col): _*))
+    val salted = big.withColumn("__salt", pmod(xxhash64(basis), lit(salts)))
     val replicated = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }

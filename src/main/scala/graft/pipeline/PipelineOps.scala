@@ -134,13 +134,38 @@ object PipelineOps extends QueryModule {
     * one. Result is bit-identical to the naive per-stratum window
     * (PipelineSpec cross-checks). Token count = whitespace words (the
     * cheap proxy; swap in text_tokens' BPE-ish regex for real runs).
+    *
+    * Blocks span the OBSERVED id range, not a fixed divisor: with
+    * sparse 64-bit hashed doc_ids (TextDocs ingestion) `doc_id div
+    * blockSize` would put nearly every doc in its own block — the
+    * "tiny" offsets table becomes corpus-sized and its broadcast
+    * explodes. Sizing the span as range/targetBlocks keeps ~n/blockSize
+    * blocks for ANY id distribution (uniform hashed ids land balanced;
+    * dense sequential ids reproduce the old blocks). The range probe is
+    * one 1-row aggregate action at plan-construction time — this
+    * operator is NOT fully lazy. Arithmetic rides DECIMAL(38,0): a
+    * hashed id range (±2^63) overflows Long subtraction, and a wrapped
+    * block id would break the monotone id→block mapping the packing
+    * order depends on.
     */
   def packSequences(docs: DataFrame, capacity: Long = 512,
                     stratumCol: String = "source", blockSize: Long = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val probe = docs.agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    val blkCol =
+      if (probe.isNullAt(0)) lit(0L)   // empty corpus: any constant block
+      else {
+        val lo = BigInt(probe.getLong(0))
+        val hi = BigInt(probe.getLong(1))
+        val targetBlocks = math.max(1L, probe.getLong(2) / blockSize)
+        val span = (hi - lo) / targetBlocks + 1
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        floor((col("doc_id").cast(dec) - lit(lo.toString).cast(dec))
+          / lit(span.toString).cast(dec)).cast(LongType)
+      }
     val withTok = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
-      .withColumn("__blk", floor(col("doc_id") / blockSize))
+      .withColumn("__blk", blkCol)
     // in-block exclusive running sum: partitions bounded by blockSize rows
     val wInBlock = Window.partitionBy(col(stratumCol), col("__blk")).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -79,8 +79,12 @@ private[graft] object BatchedTable {
     val p = new Path(dir)
     val tmp = tmpFor(dir)
     // debris from a crash DURING a previous tmp write (live copy still
-    // intact in that window) — clear it before rebuilding
-    fs.delete(tmp, true)
+    // intact in that window) — clear it before rebuilding. The return
+    // value matters: a failed delete would let a stale batch partition
+    // (e.g. a previous fold's keepLabel) ride through the swap and
+    // resurrect rows the fold's output already contains.
+    if (fs.exists(tmp) && !fs.delete(tmp, true)) throw new IllegalStateException(
+      s"compact: could not clear stale tmp $tmp; live directory untouched")
     val f = folded.localCheckpoint(true)
     try f.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=compact0")
     finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(f)

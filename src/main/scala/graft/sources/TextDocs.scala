@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.LongType
   * construction they are byte-identical duplicates, exactly what
   * downstream exact dedup collapses anyway; cross-file copies keep
   * distinct ids so provenance survives until dedup decides.
+  *
+  * RANDOM collisions: 64-bit ids birthday-collide at corpus scale —
+  * ~n²/2^65 expected pairs, ≈270 at 1e11 docs — silently conflating
+  * two unrelated documents everywhere doc_id is the key (dedup
+  * survivor joins, split assignment). Run [[idCollisions]] after a
+  * large ingest; a nonzero count at unacceptable odds means moving to
+  * a 128-bit id (md5 prefix pair) for that corpus.
   */
 object TextDocs {
 
@@ -42,4 +49,14 @@ object TextDocs {
   def readFiles(spark: SparkSession, path: String): DataFrame =
     shape(spark.read.option("wholetext", "true").text(path)
       .select(col("value").as("text"), input_file_name().as("__file")))
+
+  /** Post-ingest id-collision audit: rows sharing a doc_id with a
+    * DIFFERENT text (same-text same-file duplicates are by-design).
+    * One aggregation pass; run it after any ingest big enough for
+    * birthday odds to matter (see class doc).
+    */
+  def idCollisions(docs: DataFrame): Long =
+    docs.groupBy("doc_id")
+      .agg(countDistinct(col("text")).as("__nt"))
+      .filter(col("__nt") > 1).count()
 }

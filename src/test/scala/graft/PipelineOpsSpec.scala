@@ -94,6 +94,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("blocked packing handles sparse 64-bit hashed doc_ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // TextDocs-style ids: xxhash64 output spread over the full signed
+    // 64-bit range. A fixed id-divisor blocking puts each doc in its
+    // own block (corpus-sized "tiny" offsets table, broadcast bomb);
+    // range-spanned blocks must keep block count ~n/blockSize AND
+    // reproduce the naive result bit-for-bit
+    val docs = (0 until 3000).map { i =>
+      val id = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(i.toLong, 42).toLong << 32 | (i.toLong & 0xffffffffL)
+      (id, s"s${i % 3}", Seq.fill(1 + i % 20)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val blocked = PipelineOps.packSequences(docs, capacity = 256, blockSize = 128)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("window_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 256))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+    val a = blocked.orderBy("source", "window_id").collect().map(_.toSeq)
+    val b = naive.orderBy("source", "window_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("blocked packing matches the naive per-stratum window on a mega-stratum") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
