@@ -1099,18 +1099,21 @@ object Dedup extends QueryModule {
     *
     * Scale shape: the window explode is corpus x ~tokens volume (the
     * same class as the shingle-dedup passes); windows group internally
-    * by xxhash64 (a compact 8-byte shuffle key — the oracle joins raw
-    * window STRINGS for the same counts, a 64-bit-collision-free
-    * equivalence at any realistic corpus), the df count table partial-
-    * aggregates to distinct-window volume, and the per-doc rollup is
-    * one more hash aggregate. No sorts, no windows over the corpus.
+    * by [[spanKey]] — a 16-byte two-seed xxhash64 pair, so a spurious
+    * merge needs a simultaneous collision in two independent 64-bit
+    * hashes (~2^-128 per pair: negligible even at ~1e12 distinct
+    * spans, where a single 64-bit key's birthday bound would already
+    * merge a handful of counts — the oracle joins raw window STRINGS
+    * for the same totals). The df count table partial-aggregates to
+    * distinct-window volume, and the per-doc rollup is one more hash
+    * aggregate. No sorts, no windows over the corpus.
     */
   def spanDupStats(docs: DataFrame, spanWords: Int = 8): DataFrame = {
     val words = split(col("text"), " ")
     val win = when(size(words) >= spanWords,
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
-        i => xxhash64(array_join(slice(words, i, lit(spanWords)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+        i => spanKey(array_join(slice(words, i, lit(spanWords)), " "))))
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
     // cached: referenced by the df-count aggregate AND the join side —
     // without it the explode + per-window xxhash64 subtree executes
     // twice (same convention as the shingle cache in sizedCandidates)
@@ -1124,6 +1127,16 @@ object Dedup extends QueryModule {
         expr("n_dup * 10000 div n_windows").as("dup_frac_x1e4"))
   }
 
+  /** 128-bit span equivalence key: two xxhash64 passes under distinct
+    * seeds (the second mixes a constant into the stream). Used instead
+    * of raw span strings so the span-dedup shuffles move 16-byte keys;
+    * the two-hash pair keeps the spurious-merge probability ~2^-128
+    * per span pair — safe at web-corpus span cardinalities (~1e12+),
+    * where a single 64-bit key's birthday bound is already visible.
+    */
+  private def spanKey(span: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(xxhash64(span).as("h1"), xxhash64(span, lit(1L)).as("h2"))
+
   private def spanDup(s: SparkSession, d: String): DataFrame =
     spanDupStats(Tables.documents(s, d))
 
@@ -1134,10 +1147,10 @@ object Dedup extends QueryModule {
     * (site chrome, license headers, navigation text all surface
     * here).
     *
-    * Scale shape — [[spanDupStats]]'s xxhash64-key discipline applied
-    * to its sibling: the corpus×tokens explode shuffles (hash, doc_id)
-    * — 8-byte keys, never the raw token stream as strings (the same
-    * 64-bit-collision-free equivalence spanDupStats documents) — and
+    * Scale shape — [[spanDupStats]]'s [[spanKey]] discipline applied
+    * to its sibling: the corpus×tokens explode shuffles (key, doc_id)
+    * — 16-byte two-seed hash pairs, never the raw token stream as
+    * strings (~2^-128 spurious-merge odds per pair; see spanKey) — and
     * span TEXT is recovered for the top-N candidates only, by a
     * second map-only derive pass filtered against the broadcast
     * winner-hash set. The winner set includes every row TIED with the
@@ -1155,7 +1168,7 @@ object Dedup extends QueryModule {
       .otherwise(array().cast("array<string>"))
     val spans = docs.select(col("doc_id"), explode(win).as("span"))
     val counts = spans
-      .select(xxhash64(col("span")).as("wh"), col("doc_id"))
+      .select(spanKey(col("span")).as("wh"), col("doc_id"))
       .groupBy("wh")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
@@ -1177,7 +1190,7 @@ object Dedup extends QueryModule {
     // planner, the tiny case still broadcasts (AQE sees the real
     // size) and the pathological case degrades to a shuffled join of
     // tie-class rows — bounded by the dup structure, never corpus².
-    val texts = spans.select(col("span")).withColumn("wh", xxhash64(col("span")))
+    val texts = spans.select(col("span")).withColumn("wh", spanKey(col("span")))
       .join(winners.select("wh"), "wh")
       .distinct()
     winners.join(texts, "wh")

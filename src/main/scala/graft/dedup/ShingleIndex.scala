@@ -21,8 +21,20 @@ import org.apache.spark.sql.types.DoubleType
   *  - `sizes/`  (doc_id, n)   capped-set sizes (Jaccard denominators)
   *  - `dfc/`    (s, df)       RAW document-frequency deltas, one delta
   *                            row-set per batch; the current df of a
-  *                            shingle is the SUM over batch dirs
-  *                            ([[compact]] folds them)
+  *                            shingle is the SUM over batch dirs.
+  *                            [[delete]] writes NEGATIVE deltas here
+  *  - `meta/`   (n_docs, n_shingles)  one row per batch; corpus counts
+  *                            fold from these (negative [[delete]]
+  *                            deltas net out in the same sum)
+  *  - `bands/`  (doc_id, band, bv)  16 MinHash band keys per doc — the
+  *                            candidate-generation table
+  *                            `judge(bandCandidates = true)` probes
+  *  - `del/`    (doc_id)      tombstones: docs [[delete]]d but not yet
+  *                            physically reclaimed; row-set reads
+  *                            anti-join them, [[compact]] applies and
+  *                            clears them
+  * [[compact]] folds EVERY per-batch table (delta tables by summing,
+  * row-set tables by rewrite — minus tombstones — and del/ to empty).
   *
   * Per-batch cost model (the point of the index): [[judge]] explodes
   * ONLY the incoming batch's text; every corpus-side input is a scan
@@ -75,9 +87,27 @@ class ShingleIndex(spark: SparkSession, path: String,
   private val dfDir = s"$path/dfc"
   private val metaDir = s"$path/meta"
   private val bandDir = s"$path/bands"
-  private val dirs = Seq(fpDir, shDir, szDir, dfDir, metaDir, bandDir)
+  private val delDir = s"$path/del"
+  private val dirs = Seq(fpDir, shDir, szDir, dfDir, metaDir, bandDir, delDir)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Tombstoned doc_ids, or None when nothing was ever deleted (a
+    * legacy index has no del/ — treated as empty, the delete layout is
+    * additive).
+    */
+  private def tombstones(excludeLabel: Option[String]): Option[DataFrame] =
+    if (!fs.exists(new Path(delDir))) None
+    else Some(graft.sources.BatchedTable.readIdx(spark, delDir, excludeLabel)
+      .select("doc_id"))
+
+  /** Anti-join a (doc_id, ...) row-set read against the tombstones.
+    * Broadcast by contract: tombstone sets are takedown-request-sized
+    * (a corpus-scale purge is a rebuild, not a delete).
+    */
+  private def minusDeleted(df: DataFrame, excludeLabel: Option[String]): DataFrame =
+    tombstones(excludeLabel).fold(df)(t =>
+      df.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
   private def fpOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
@@ -154,6 +184,14 @@ class ShingleIndex(spark: SparkSession, path: String,
     // either label would silently overwrite aggregated state
     require(label != "base" && label != "compact0" && label.nonEmpty,
       s"reserved/empty batch label '$label'")
+    // a tombstoned id's new copy would be silently hidden by its own
+    // tombstone — refuse until a compact() reclaims the delete
+    tombstones(None).foreach { t =>
+      val clash = batch.select("doc_id").join(broadcast(t), "doc_id").limit(1).count()
+      require(clash == 0,
+        "append: batch contains tombstoned doc_ids — run compact() to reclaim " +
+          "deletes before re-ingesting a deleted id")
+    }
     val sh = Dedup.shinglesOf(batch).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
     // corpus size EXCLUDES this label's own meta row (present on a
@@ -173,6 +211,51 @@ class ShingleIndex(spark: SparkSession, path: String,
     writeMeta(label, nBatch, capped.count())
     sh.unpersist()
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(capped)
+  }
+
+  /** Takedown: remove `ids` from the judged corpus without a rebuild.
+    * Logical delete — O(takedown's own postings), not O(corpus):
+    * writes the live deleted ids as tombstones under `del/batch=label`
+    * (every row-set read anti-joins them from this call on), a
+    * compensating NEGATIVE df delta to dfc/ (the deleted docs' own
+    * sh/ rows, re-counted — so a shared shingle's df immediately drops
+    * and the insert-time/judge-time caps see the post-delete corpus),
+    * and a negative meta delta — [[judge]]'s verdicts immediately
+    * equal an index built without those docs. [[compact]] later
+    * reclaims the bytes (rewrites the row-set tables minus tombstones,
+    * clears del/).
+    *
+    * Idempotent per label (the mutate-in-place semantics the reference
+    * keeps per key via REPLACE INTO, storage_server.py:30-40, applied
+    * to the index lifecycle): the deltas derive from ids LIVE at call
+    * time — present in fp/, not tombstoned under OTHER labels — and
+    * physical rows persist until compact, so a replayed delete
+    * recomputes byte-identical state. Tombstones write first: a crash
+    * mid-delete leaves the docs already unjudgeable (the takedown
+    * property) with df/meta briefly overstated until the retry heals
+    * them. Returns the number of docs actually removed.
+    */
+  def delete(ids: Seq[Long], label: String): Long = {
+    require(label != "base" && label != "compact0" && label.nonEmpty,
+      s"reserved/empty batch label '$label'")
+    require(ids.nonEmpty, "empty id list")
+    requireDir(fpDir, "fp/ table")
+    val live = minusDeleted(
+        readIdx(fpDir, None).filter(col("doc_id").isin(ids: _*)).select("doc_id"),
+        excludeLabel = Some(label))
+      .localCheckpoint(true)
+    try {
+      writeBatch(live, delDir, label)
+      val liveSh = readIdx(shDir, None)
+        .join(broadcast(live), "doc_id")
+        .localCheckpoint(true)
+      try {
+        writeBatch(liveSh.groupBy("s").agg((-count(lit(1))).as("df")), dfDir, label)
+        val nDel = live.count()
+        writeMeta(label, -nDel, -liveSh.count())
+        nDel
+      } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(liveSh)
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(live)
   }
 
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),
@@ -209,7 +292,8 @@ class ShingleIndex(spark: SparkSession, path: String,
     val bsh = Dedup.shinglesOf(batch).cache()
     val bIds = batch.select("doc_id")
     val exactDup = fpOf(batch)
-      .join(readIdx(fpDir, excludeLabel).select("fp").distinct(), Seq("fp"), "left_semi")
+      .join(minusDeleted(readIdx(fpDir, excludeLabel), excludeLabel)
+        .select("fp").distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("__exact", lit(1L))
     // judge-time cap over the union: index df (compact probe) + this
     // batch's own df — a shingle that went hot since its insert stops
@@ -246,11 +330,11 @@ class ShingleIndex(spark: SparkSession, path: String,
     // back. A batch whose candidate set outgrows the broadcast budget
     // is a batch that near-dups a huge corpus slice — split it.
     val oldSh =
-      if (!bandCandidates) readIdx(shDir, excludeLabel)
+      if (!bandCandidates) minusDeleted(readIdx(shDir, excludeLabel), excludeLabel)
       else {
         requireDir(bandDir, "bands/ table")
         val batchBands = Dedup.bandKeys(bCapped).select(col("band"), col("bv"))
-        val candOld = readIdx(bandDir, excludeLabel)
+        val candOld = minusDeleted(readIdx(bandDir, excludeLabel), excludeLabel)
           .join(broadcast(batchBands), Seq("band", "bv"), "left_semi")
           .select(col("doc_id")).distinct()
         readIdx(shDir, excludeLabel)
@@ -284,8 +368,10 @@ class ShingleIndex(spark: SparkSession, path: String,
     * fixed cost is FILE COUNT: every read lists and opens one parquet
     * footer per batch per table; folding restores O(1) files per
     * table. dfc/ folds by SUMMING deltas and meta/ by summing counts
-    * (both reads are sums, so arithmetic is preserved); the row-set
-    * tables (fp/, sh/, sizes/, bands/) fold by plain rewrite.
+    * (both reads are sums, so arithmetic is preserved — [[delete]]'s
+    * negative deltas net out here); the row-set tables (fp/, sh/,
+    * sizes/, bands/) fold by rewrite MINUS the tombstones (the
+    * physical reclaim of [[delete]]), and del/ folds to empty last.
     *
     * Crash safety, per directory (the [[graft.sources.Compact]]
     * tmp-swap protocol): the folded copy is durable in a sibling
@@ -313,17 +399,34 @@ class ShingleIndex(spark: SparkSession, path: String,
     dirs.foreach(d => graft.sources.BatchedTable.recoverFold(fs, d))
     require(fs.exists(new Path(dfDir)),
       s"compact: $dfDir does not exist — index not built?")
+    val emptyDel = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
     val folds: Seq[(String, () => DataFrame)] = Seq(
-      dfDir   -> (() => dfNow(keepLabel)),
-      fpDir   -> (() => readIdx(fpDir, keepLabel).select("doc_id", "fp")),
-      shDir   -> (() => readIdx(shDir, keepLabel).select("s", "doc_id")),
-      szDir   -> (() => readIdx(szDir, keepLabel).select("doc_id", "n")),
-      bandDir -> (() => readIdx(bandDir, keepLabel).select("doc_id", "band", "bv")),
+      // df=0 rows (a shingle whose every holder was deleted) are dead
+      // weight in every later sum — drop them at the fold
+      dfDir   -> (() => dfNow(keepLabel).filter(col("df") =!= 0L)),
+      // row-set folds apply the tombstones physically (the reclaim
+      // half of [[delete]]); the tombstone table itself folds to
+      // empty LAST, so a crash at any directory boundary leaves
+      // tombstones that at worst anti-join already-absent rows
+      fpDir   -> (() => minusDeleted(readIdx(fpDir, keepLabel), keepLabel)
+        .select("doc_id", "fp")),
+      shDir   -> (() => minusDeleted(readIdx(shDir, keepLabel), keepLabel)
+        .select("s", "doc_id")),
+      szDir   -> (() => minusDeleted(readIdx(szDir, keepLabel), keepLabel)
+        .select("doc_id", "n")),
+      bandDir -> (() => minusDeleted(readIdx(bandDir, keepLabel), keepLabel)
+        .select("doc_id", "band", "bv")),
       metaDir -> (() => readIdx(metaDir, keepLabel)
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(sum("n_shingles"), lit(0L)).as("n_shingles"))))
-    // a legacy index may lack the newer tables (meta/, bands/) — skip,
-    // don't invent them (the guards in nDocs/judge prescribe a rebuild)
+          coalesce(sum("n_shingles"), lit(0L)).as("n_shingles"))),
+      delDir  -> (() => emptyDel))
+    // a legacy index may lack the newer tables (meta/, bands/, del/) —
+    // skip, don't invent them (the guards in nDocs/judge prescribe a
+    // rebuild; del/ appears on first delete)
     folds.foreach { case (d, mk) =>
       if (fs.exists(new Path(d)))
         graft.sources.BatchedTable.foldDir(spark, fs, d, mk(), keepLabel)

@@ -22,9 +22,25 @@ import org.apache.spark.sql.functions._
   * matches.
   */
 object AsOfJoin {
+  /** xxhash64 rejects MapType (analysis error) — a hash tie-break over
+    * such a payload would fail the WHOLE join at analysis time. Walk
+    * the type; unhashable payloads skip the tie-break instead.
+    */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
   /** @param payload right-side column to carry, in its NATIVE type
     *                 (aliased "asof_value"); last(ignoreNulls) works on
-    *                 any type, so nothing is coerced
+    *                 any type, so nothing is coerced. Hashable payload
+    *                 types additionally get a deterministic tie-break
+    *                 among right rows sharing (key, ts); a payload
+    *                 containing a MapType (which xxhash64 rejects)
+    *                 still joins, but same-(key, ts) ties among
+    *                 DISTINCT map payloads resolve by shuffle order
     * @return left rows (all columns) + asof_value, unmatched rows dropped
     */
   def join(left: DataFrame, right: DataFrame, by: String, leftTs: String,
@@ -43,9 +59,13 @@ object AsOfJoin {
     // payload hash orders them stably, so reruns/repartitions pick the
     // same asof_value (byte-identical payloads tie harmlessly — either
     // pick IS the same value). Without it, last() over an unordered
-    // tie depends on the shuffle's intra-partition order.
+    // tie depends on the shuffle's intra-partition order. Unhashable
+    // payload types (MapType anywhere in the tree) skip it — the join
+    // must not fail at analysis over a determinism nicety.
+    val tieBreak: Seq[Column] =
+      if (hashable(r.schema("__rv").dataType)) Seq(xxhash64(col("__rv")).asc) else Nil
     val w = Window.partitionBy(by)
-      .orderBy(col("__ts").asc, col("__tag").asc, xxhash64(col("__rv")).asc)
+      .orderBy(col("__ts").asc +: col("__tag").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     merged
       .withColumn("asof_value", last(col("__rv"), ignoreNulls = true).over(w))

@@ -80,13 +80,24 @@ object SaltedJoin {
     require(allowed.contains(joinType.toLowerCase),
       s"salted join supports big-side-preserving join types only, got $joinType")
     val salts = big.groupBy(key).agg(count(lit(1)).as("__n"))
-      .select(col(key), greatest(lit(1L),
+      .select(col(key).as("__jk"), greatest(lit(1L),
         ceil(col("__n") / maxRowsPerTask.toDouble).cast("long")).as("__saltc"))
     val basis = saltOn.getOrElse(struct(big.columns.map(col): _*))
-    val salted = big.join(broadcast(salts), key)
-      .withColumn("__salt", pmod(xxhash64(basis), col("__saltc")))
+    // NULL-SAFE lookup of the salt count: null keys form their own
+    // group in `salts` (groupBy keeps a null group), but a plain
+    // equi-join would drop them from the big side — silently violating
+    // the big-side-preserving contract for left/leftouter/leftanti
+    // (rows a plain join keeps would vanish). `<=>` matches the null
+    // group; the coalesce covers only the unreachable no-match case
+    // (the salt table is derived from `big` itself). Null-key rows
+    // still match nothing in the final equi-join — exactly a plain
+    // join's semantics.
+    val salted = big.join(broadcast(salts), col(key) <=> col("__jk"), "left")
+      .drop("__jk")
+      .withColumn("__salt", pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L))))
       .drop("__saltc")
-    val replicated = other.join(broadcast(salts), key)
+    val replicated = other.join(broadcast(salts), col(key) <=> col("__jk"))
+      .drop("__jk")
       .withColumn("__salt", explode(sequence(lit(0L), col("__saltc") - 1)))
       .drop("__saltc")
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

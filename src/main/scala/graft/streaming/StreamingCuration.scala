@@ -65,13 +65,24 @@ object StreamingCuration {
     * bands table instead of the full postings join — the cheaper gate
     * at high corpus/batch ratios, at banding-s-curve candidate recall
     * (threshold ≥ 0.7 enforced by judge; verification stays exact).
+    *
+    * With `termIndex = Some(idx)` (a built [[graft.text.TermIndex]])
+    * every accepted batch's survivors are ALSO appended to the served
+    * text-search index under the same `b<batchId>` label — the ingest
+    * half that keeps BM25 serving as fresh as the curated corpus.
+    * Same idempotent-replay contract as the shingle-index gate: a
+    * retried micro-batch overwrites its own batch directories, so
+    * index state converges to exactly-once. Deleted (taken-down) ids
+    * must not re-enter the stream before a `compact()` (the index
+    * refuses them loudly — see `TermIndex.append`).
     */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
             minWords: Int = 10, jaccardThreshold: Double = 0.8,
             tsCol: String = "ts", watermark: String = "10 minutes",
             corpus: Option[DataFrame] = None,
             corpusIndex: Option[graft.dedup.ShingleIndex] = None,
-            indexBandCandidates: Boolean = false): StreamingQuery = {
+            indexBandCandidates: Boolean = false,
+            termIndex: Option[graft.text.TermIndex] = None): StreamingQuery = {
     require(corpus.isEmpty || corpusIndex.isEmpty,
       "pass corpus OR corpusIndex, not both: the index gate would silently " +
         "ignore the static corpus (build the index FROM that corpus instead)")
@@ -139,6 +150,7 @@ object StreamingCuration {
               // index write OVERWRITES its own batch=b<id> directory,
               // so index state converges to exactly-once
               corpusIndex.foreach(_.append(r.kept.select("doc_id", "text"), s"b$batchId"))
+              termIndex.foreach(_.append(r.kept.select("doc_id", "text"), s"b$batchId"))
             } finally r.release()
           } finally {
             gateCaches.foreach(_.unpersist())

@@ -1,7 +1,8 @@
 package graft.text
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -27,7 +28,13 @@ import graft.sources.BatchedTable
   *            corpus-sized join per query); written term-sorted so
   *            parquet row-group stats prune non-query terms
   *  - `meta/` (n_docs, sum_dl)        one row per batch; N and avgdl
-  *            fold from these at query time
+  *            fold from these at query time. [[delete]] writes
+  *            NEGATIVE delta rows here — the sum nets them out with
+  *            zero read-path changes
+  *  - `del/`  (doc_id)                tombstones: docs [[delete]]d but
+  *            not yet physically reclaimed; reads anti-join them
+  *            (takedown-sized — broadcast), [[compact]] applies them
+  *            to post/ and clears them
   *
   * Scoring parity: [[search]] reproduces the one-shot query's BM25
   * expression EXACTLY — same tokenization (space split), same
@@ -36,26 +43,36 @@ import graft.sources.BatchedTable
   * forms — so for any query where ≥ k docs match at least one term,
   * the index's top-k equals the one-shot top-k hash-exactly (the
   * registered `text_bm25_indexed` proves it against `text_bm25`'s own
-  * oracle SQL). Docs matching NO query term never score here (they
-  * score 0.0 in the one-shot and can pad its top-k only when fewer
-  * than k docs match anything — standard IR semantics).
+  * oracle SQL). Docs matching NO query term score 0.0 in the one-shot
+  * and can pad its top-k when fewer than k docs match anything; pass
+  * `padFrom` (the doc_id universe) to reproduce that padding — the
+  * default skips it, the right call when a probe is known to match
+  * ≥ k docs (it spares a per-query doc-table scan).
   *
   * Contracts shared with ShingleIndex: single writer; batch doc_ids
-  * disjoint from indexed doc_ids; at-least-once retry of the LATEST
-  * batch only (append is idempotent per label; pass the in-flight
-  * label as `compact(keepLabel)` so a replay's `excludeLabel` reads
-  * keep working).
+  * disjoint from indexed doc_ids — INCLUDING tombstoned ids until a
+  * [[compact]] reclaims them ([[append]] enforces this: an append of
+  * a tombstoned id would be silently hidden by its tombstone); one
+  * mutation (append or delete) in flight at a time, at-least-once
+  * retry of the LATEST label only (every write is idempotent per
+  * label; pass the in-flight label as `compact(keepLabel)` so a
+  * replay's `excludeLabel` reads keep working).
   */
 class TermIndex(spark: SparkSession, path: String) {
   private val postDir = s"$path/post"
   private val metaDir = s"$path/meta"
-  private val dirs = Seq(postDir, metaDir)
+  private val delDir = s"$path/del"
+  private val dirs = Seq(postDir, metaDir, delDir)
   // the SAME constants the one-shot query scores with — the hash-exact
   // parity contract depends on them (and on the shared space-split
   // tokenization) staying identical, so there is exactly one definition
   private val (k1, b) = (TextAnalysis.bmK1, TextAnalysis.bmB)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def requireLabel(label: String): Unit =
+    require(label != "base" && label != "compact0" && label.nonEmpty,
+      s"reserved/empty batch label '$label'")
 
   /** (term, doc_id, tf, dl) postings for a (doc_id, text) frame —
     * exactly `text_bm25`'s tokenization: split on single spaces, every
@@ -80,6 +97,22 @@ class TermIndex(spark: SparkSession, path: String) {
     BatchedTable.writeBatch(m, metaDir, label)
   }
 
+  /** Tombstoned doc_ids, or None when nothing was ever deleted (a
+    * legacy index has no del/ — treated as empty, not an error: the
+    * delete layout is additive).
+    */
+  private def tombstones(excludeLabel: Option[String]): Option[DataFrame] =
+    if (!fs.exists(new Path(delDir))) None
+    else Some(BatchedTable.readIdx(spark, delDir, excludeLabel).select("doc_id"))
+
+  /** Anti-join `df` against the tombstone set. Broadcast by contract:
+    * tombstones are takedown-request-sized, never corpus-sized (a
+    * corpus-scale purge is a rebuild, not a delete).
+    */
+  private def minusDeleted(df: DataFrame, excludeLabel: Option[String]): DataFrame =
+    tombstones(excludeLabel).fold(df)(t =>
+      df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
   /** Build from the initial corpus (label `base`); clears prior state. */
   def build(corpus: DataFrame): Unit = {
     // clear tmps too: a crashed fold's tmp would otherwise be
@@ -89,12 +122,93 @@ class TermIndex(spark: SparkSession, path: String) {
   }
 
   /** Ingest an accepted batch of NEW docs under `label` — idempotent
-    * per label (overwrites its own partition directories).
+    * per label (overwrites its own partition directories). Refuses
+    * doc_ids that are currently tombstoned: their tombstone would
+    * silently hide the new copy (compact() first, then re-ingest).
     */
   def append(batch: DataFrame, label: String): Unit = {
-    require(label != "base" && label != "compact0" && label.nonEmpty,
-      s"reserved/empty batch label '$label'")
+    requireLabel(label)
+    tombstones(None).foreach { t =>
+      val clash = batch.select("doc_id").join(broadcast(t), "doc_id").limit(1).count()
+      require(clash == 0,
+        "append: batch contains tombstoned doc_ids — run compact() to reclaim " +
+          "deletes before re-ingesting a deleted id")
+    }
     writeBatchOf(batch, label)
+  }
+
+  /** Takedown: remove `ids` from serving without a rebuild. Logical
+    * delete — O(takedown), not O(corpus): writes the ids as tombstones
+    * under `del/batch=<label>` (reads anti-join them from this call
+    * on) plus a compensating NEGATIVE meta delta (computed from the
+    * deleted docs' own postings rows), so N and avgdl — and therefore
+    * every surviving doc's BM25 — immediately equal an index built
+    * without those docs. [[compact]] later applies the tombstones
+    * physically (rewrites post/ minus the deleted rows, clears del/).
+    *
+    * Idempotent per label: the delta is derived from ids LIVE at call
+    * time (postings ∩ ids, minus ids already tombstoned under OTHER
+    * labels), and physical rows persist until compact — so a replayed
+    * delete recomputes byte-identical state. Mirrors
+    * [[graft.vector.VectorStore.delete]]'s partition-rewrite
+    * discipline, deferred to compact() because postings partition by
+    * TERM-batch, not by doc: the rewrite is a fold, not a lookup.
+    *
+    * Returns the number of docs actually removed (ids never indexed,
+    * or already deleted, count 0).
+    */
+  def delete(ids: Seq[Long], label: String): Long = {
+    requireLabel(label)
+    require(ids.nonEmpty, "empty id list")
+    require(fs.exists(new Path(postDir)), s"delete: index at $path not built")
+    // one distinct (doc_id, dl) row per live deleted doc: dl rides
+    // every posting, so no doc-table access is needed for the delta
+    val live = minusDeleted(
+        BatchedTable.readIdx(spark, postDir, None)
+          .filter(col("doc_id").isin(ids: _*))
+          .select("doc_id", "dl").distinct(),
+        excludeLabel = Some(label))
+      .localCheckpoint(true)
+    try {
+      // tombstones first, delta second: a crash between leaves the
+      // docs unsearchable (the takedown property) with stats briefly
+      // overstated; the retry recomputes both from the still-present
+      // postings rows and heals
+      BatchedTable.writeBatch(live.select("doc_id"), delDir, label)
+      val delta = live.agg(
+        (-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("sum_dl"))
+      BatchedTable.writeBatch(delta, metaDir, label)
+      live.count()
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(live)
+  }
+
+  /** The BM25 contribution of one postings row, given broadcast df and
+    * corpus (n, sdl) columns — the shared scoring kernel of [[search]]
+    * and [[searchBatch]].
+    */
+  private def contribCol: Column = {
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n"))))
+  }
+
+  /** Postings filtered to `terms` + the corpus meta fold + per-term df
+    * — the three probe-side frames every search shape starts from.
+    */
+  private def probe(terms: Seq[String], excludeLabel: Option[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val post = minusDeleted(
+      BatchedTable.readIdx(spark, postDir, excludeLabel)
+        .filter(col("term").isin(terms: _*)), excludeLabel)
+    val meta = BatchedTable.readIdx(spark, metaDir, excludeLabel)
+      .agg(sum("n_docs").cast(DoubleType).as("n"),
+        sum("sum_dl").cast(DoubleType).as("sdl"))
+    // df per term: postings rows are unique per (term, doc) across
+    // batches (disjoint doc_ids), so df = filtered row count per term
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+    (post, meta, dfs)
   }
 
   /** BM25 top-k (doc_id, bm25) for a keyword query over everything
@@ -102,27 +216,25 @@ class TermIndex(spark: SparkSession, path: String) {
     * terms (pushdown + row-group pruning), df per term from that same
     * filtered frame, N/avgdl from the meta fold (both broadcast-tiny),
     * per-doc fixed-term-order score assembly, TakeOrdered(k).
-    * `excludeLabel` replays a batch against the pre-append index.
+    * `excludeLabel` replays a batch against the pre-mutation index.
+    * `padFrom` (a doc_id frame — the corpus universe) pads the top-k
+    * with 0.0-score unmatched docs exactly as the one-shot query
+    * would, at the cost of one doc_id-column scan of that frame.
+    * Terms must be distinct: a duplicated term would double-count its
+    * contribution (as would naively duplicating it in the one-shot
+    * query) — refuse rather than silently score a different query.
     */
   def search(terms: Seq[String], k: Int = 10,
-             excludeLabel: Option[String] = None): DataFrame = {
+             excludeLabel: Option[String] = None,
+             padFrom: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "empty term list")
-    val post = BatchedTable.readIdx(spark, postDir, excludeLabel)
-      .filter(col("term").isin(terms: _*))
-    val meta = BatchedTable.readIdx(spark, metaDir, excludeLabel)
-      .agg(sum("n_docs").cast(DoubleType).as("n"),
-        sum("sum_dl").cast(DoubleType).as("sdl"))
-    // df per term: postings rows are unique per (term, doc) across
-    // batches (disjoint doc_ids), so df = filtered row count per term
-    val dfs = post.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val contrib = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n"))))
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms would double-count: ${terms.mkString(", ")}")
+    val (post, meta, dfs) = probe(terms, excludeLabel)
     val scoredRows = post
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
-      .withColumn("__c", contrib)
+      .withColumn("__c", contribCol)
     // fixed-term-order sum: each term's contribution comes back as ONE
     // conditional-sum column (a single double per doc — no accumulation
     // order inside), then adds left-to-right in the caller's term
@@ -133,31 +245,110 @@ class TermIndex(spark: SparkSession, path: String) {
     val score = terms.indices
       .map(i => coalesce(col(s"__s$i"), lit(0.0)))
       .reduce(_ + _)
-    scoredRows.groupBy("doc_id")
+    val matched = scoredRows.groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score0", score)
-      .orderBy(desc("score0"), asc("doc_id")).limit(k)
+      .select("doc_id", "score0")
+    // zero-score padding: every contribution of a matched doc is
+    // strictly positive (idf's log argument is > 1), so unmatched
+    // docs — exactly 0.0 in the one-shot's sum — can only fill ranks
+    // the matched set leaves open, in the same doc_id-asc tie order
+    val ranked = padFrom.fold(matched) { universe =>
+      matched.unionByName(
+        minusDeleted(universe.select("doc_id"), excludeLabel)
+          .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("score0", lit(0.0)))
+    }
+    ranked.orderBy(desc("score0"), asc("doc_id")).limit(k)
       .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
+  }
+
+  /** Batched probe — the text twin of `vdb_knn_batch_ivf`: a serving
+    * tier issues query FRAMES, not single calls. `queries` is
+    * (query_id, terms array<string>, each query's terms distinct);
+    * returns (query_id, doc_id, bm25) — each query's top-k, row-for-row
+    * what a [[search]] loop over the frame would produce (no padding:
+    * batch probes are for live serving corpora where ≥ k docs match).
+    *
+    * Plan: ONE postings scan filtered to the union of all queries'
+    * terms (the term list is collected driver-side — query frames are
+    * serving-request-sized by contract, and the literal isin() is what
+    * keeps parquet row-group pruning; a corpus-sized "query table"
+    * is a join workload — use `text_tfidf_sim`'s shape instead). Each
+    * postings row replicates per referencing query via a broadcast
+    * join against the exploded (query_id, pos, term) frame, and
+    * per-(query, doc) scores assemble by sorting the (pos, contrib)
+    * pairs and summing left-to-right — bit-identical to [[search]]'s
+    * fixed-term-order association, because adding the absent terms'
+    * 0.0 placeholders cannot change an IEEE sum. Top-k per query is
+    * one window over (query_id), deterministic (score desc, doc_id
+    * asc).
+    */
+  def searchBatch(queries: DataFrame, k: Int = 10,
+                  excludeLabel: Option[String] = None): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "terms"),
+      s"queries must be (query_id, terms), got ${queries.columns.mkString(", ")}")
+    val dup = queries
+      .filter(size(col("terms")) =!= size(array_distinct(col("terms"))))
+      .limit(1).count()
+    require(dup == 0, "duplicate terms within a query would double-count")
+    val allTerms = queries.select(explode(col("terms")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "no terms in any query")
+    val (post, meta, dfs) = probe(allTerms, excludeLabel)
+    val qt = queries.select(col("query_id"),
+      posexplode(col("terms")).as(Seq("pos", "term")))
+    post
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(meta))
+      .withColumn("__c", contribCol)
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("__c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__c")).as("score0"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score0"), asc("doc_id"))))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
   /** Fold all per-batch directories into `batch=compact0` (+ the
     * optional in-flight `keepLabel`, carried verbatim) — the same
     * file-count maintenance and crash protocol as
-    * `ShingleIndex.compact` ([[BatchedTable.foldDir]]).
+    * `ShingleIndex.compact` ([[BatchedTable.foldDir]]). Additionally
+    * RECLAIMS deletes: the postings fold drops tombstoned rows (meta's
+    * negative deltas net out in its sum fold) and del/ folds to empty
+    * — ordered so a crash at any boundary stays correct (tombstones
+    * outliving their physical application anti-join already-absent
+    * rows, a no-op; they are only cleared AFTER the postings fold that
+    * applied them is durable). A keepLabel names the one in-flight
+    * mutation (append OR delete): its partitions ride every table
+    * unfolded, so replay exclusion keeps working.
     */
   def compact(keepLabel: Option[String] = None): Unit = {
     dirs.foreach(d => BatchedTable.recoverFold(fs, d))
     require(fs.exists(new Path(postDir)),
       s"compact: $postDir does not exist — index not built?")
+    val emptyDel = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType))))
     val folds: Seq[(String, () => DataFrame)] = Seq(
-      postDir -> (() => BatchedTable.readIdx(spark, postDir, keepLabel)
+      postDir -> (() => minusDeleted(
+        BatchedTable.readIdx(spark, postDir, keepLabel), keepLabel)
         .select("term", "doc_id", "tf", "dl")
         .repartition(col("term")).sortWithinPartitions("term")),
       metaDir -> (() => BatchedTable.readIdx(spark, metaDir, keepLabel)
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))))
+          coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))),
+      // LAST: only clear tombstones once the folds that applied them
+      // physically are durable (a legacy index without del/ skips it)
+      delDir -> (() => emptyDel))
     folds.foreach { case (d, mk) =>
-      BatchedTable.foldDir(spark, fs, d, mk(), keepLabel)
+      if (d != delDir || fs.exists(new Path(d)))
+        BatchedTable.foldDir(spark, fs, d, mk(), keepLabel)
     }
   }
 }

@@ -672,29 +672,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
-  private val bm25Sql = {
-    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
-    }.mkString(",\n")
-    val dfs = bm25Terms.indices.map(i =>
-      s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n")
-    val score = bm25Terms.indices.map(i =>
-      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${bmK1 + 1.0}) / " +
-        s"(tf$i + $bmK1 * ((1.0 - $bmB) + $bmB * dl / (sdl / n)))").mkString("\n      + ")
-    s"""WITH d AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-       |$tfs
-       |  FROM documents),
-       |c AS (
-       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl,
-       |$dfs
-       |  FROM d)
-       |SELECT doc_id, ROUND(score0, 4) AS bm25
-       |FROM (SELECT d.doc_id,
-       |      $score AS score0
-       |      FROM d CROSS JOIN c) q
-       |ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
-  }
+  private val bm25Sql = bm25SqlFor(bm25Terms, "WITH")
 
   /** The SERVED text-search path: the same BM25 top-10 as `text_bm25`
     * probed from a maintained [[TermIndex]] instead of re-deriving
@@ -718,8 +696,72 @@ object TextAnalysis extends QueryModule {
           d.getBytes("UTF-8").length, 42) & 0xffffffffL)
     val idx = new TermIndex(s, dir)
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
-    idx.search(bm25Terms, k = 10)
+    // padFrom guards the fewer-than-k-matches case: the one-shot oracle
+    // pads its top-k with 0.0-score unmatched docs when the corpus is
+    // small/filtered enough that < 10 docs match any term — without
+    // the pad the served result would diverge exactly there
+    idx.search(bm25Terms, k = 10,
+      padFrom = Some(Tables.documents(s, d).select("doc_id")))
   }
+
+  /** Batched served search — `TermIndex.searchBatch` over a frame of
+    * keyword queries (the text twin of `vdb_knn_batch_ivf`): one
+    * term-pruned postings scan serves every query's top-10 at once.
+    * Oracle: the one-shot BM25 SQL instantiated per query and
+    * UNION ALLed — a green row proves batch assembly (sort-by-position
+    * contribution sums) reproduces the per-query float association
+    * hash-exactly.
+    */
+  private val bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> bm25Terms,
+    1L -> Seq("scan", "filter", "join"),
+    2L -> Seq("vector", "stream"))
+
+  private def bm25Batch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
+      java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          d.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          d.getBytes("UTF-8").length, 42) & 0xffffffffL) + "-batch"
+    val idx = new TermIndex(s, dir)
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.searchBatch(bm25BatchQueries.toDF("query_id", "terms"), k = 10)
+  }
+
+  /** [[bm25Sql]]'s derivation parameterized by the term list — the
+    * per-query building block of the batched oracle.
+    */
+  private def bm25SqlFor(terms: Seq[String], prefix: String): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n")
+    val dfs = terms.indices.map(i =>
+      s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n")
+    val score = terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${bmK1 + 1.0}) / " +
+        s"(tf$i + $bmK1 * ((1.0 - $bmB) + $bmB * dl / (sdl / n)))").mkString("\n      + ")
+    s"""$prefix d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |$tfs
+       |  FROM documents),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl,
+       |$dfs
+       |  FROM d)
+       |SELECT doc_id, ROUND(score0, 4) AS bm25
+       |FROM (SELECT d.doc_id,
+       |      $score AS score0
+       |      FROM d CROSS JOIN c) q
+       |ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  private val bm25BatchSql =
+    bm25BatchQueries.map { case (qid, terms) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, bm25 FROM (\n" +
+        bm25SqlFor(terms, "WITH") + "\n)"
+    }.mkString("\nUNION ALL\n")
 
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
@@ -738,6 +780,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket_approx" -> (pplBucketApprox _),
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
+    "text_bm25_batch"  -> (bm25Batch _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -758,6 +801,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket"  -> pplBucketSql,
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
+    "text_bm25_batch"  -> bm25BatchSql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,

@@ -691,11 +691,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // compressed curve (and vice versa), and searchAtRecall for the
       // erased mode would silently fall back to full probing. Rows for
       // the (compressed, shortlist) keys THIS run reproduces are
-      // replaced; other keys carry over — note carried curves are as
-      // stale as their own last run, so re-measure every mode you
-      // serve after drift. The table is K-rows-per-mode; the carried
-      // rows ride a localCheckpoint because lazily reading and
-      // overwriting the same path would race the write with its input.
+      // replaced; other keys carry over ONLY if they were measured at
+      // this run's (top_k, n_queries) — recall@k is a different metric
+      // per k, and nprobeFor reads the table mode-keyed without a k
+      // filter, so a stale-k carried row would silently mix curves.
+      // Carried curves are as stale as their own last run: re-measure
+      // every mode you serve after drift or a parameter change. The
+      // table is K-rows-per-mode; the carried rows ride a
+      // localCheckpoint because lazily reading and overwriting the
+      // same path would race the write with its input.
       val rp = new org.apache.hadoop.fs.Path(recallDir)
       val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val newKeys: Seq[(Boolean, Long)] =
@@ -710,9 +714,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           // it rather than crash on the missing column
           if (!existing.columns.contains("compressed"))
             fresh.localCheckpoint(true)
-          else fresh.unionByName(existing.filter(!newKeys.map(k =>
-            col("compressed") === k._1 && col("shortlist") === k._2)
-            .reduce(_ || _))).localCheckpoint(true)
+          else fresh.unionByName(existing.filter(
+            !newKeys.map(k =>
+              col("compressed") === k._1 && col("shortlist") === k._2)
+              .reduce(_ || _) &&
+            col("top_k") === topK.toLong && col("n_queries") === nq))
+            .localCheckpoint(true)
         }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)

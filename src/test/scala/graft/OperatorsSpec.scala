@@ -41,6 +41,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saltedL.exceptAll(plainL).count() === 0 && plainL.exceptAll(saltedL).count() === 0)
   }
 
+  test("population-adaptive salted join preserves null-key big-side rows") {
+    import spark.implicits._
+    // null keys must ride the big-side-preserving join types exactly
+    // as a plain join would carry them: kept with null payload on
+    // left, emitted on leftanti, dropped on inner
+    val big = Seq((Option(1L), 1), (Option(1L), 2), (None, 3), (None, 4),
+      (Option(2L), 5)).toDF("k", "v")
+    val other = Seq((Option(1L), "a"), (Option(2L), "b")).toDF("k", "name")
+    Seq("inner", "left", "leftanti").foreach { jt =>
+      val plain = big.join(other, Seq("k"), jt)
+      val salted = SaltedJoin.joinByPopulation(big, other, "k", maxRowsPerTask = 1,
+        joinType = jt).select(plain.columns.map(col): _*)
+      assert(salted.exceptAll(plain).count() === 0 &&
+        plain.exceptAll(salted).count() === 0,
+        s"$jt join must treat null keys exactly as a plain join")
+    }
+  }
+
+  test("as-of join carries a map payload (unhashable type skips the tie-break)") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, "t1")).toDF("k", "ts", "name")
+    val quotes = Seq((1L, 90L, 10.0), (1L, 95L, 11.0)).toDF("k", "qts", "price")
+    // xxhash64 rejects MapType: the join must still analyze and pick
+    // the latest prior row (tie-break only matters for EQUAL ts)
+    val got = graft.operators.AsOfJoin
+      .join(trades, quotes, "k", "ts", "qts",
+        map(lit("px"), col("price")))
+      .select("name", "asof_value").collect()
+    assert(got.length === 1)
+    assert(got.head.getMap[String, Double](1).toMap === Map("px" -> 11.0))
+  }
+
   test("streaming scoreIvf with maxRowsPerTask matches the unsalted scores") {
     import spark.implicits._
     import graft.vector.VectorStore

@@ -214,6 +214,67 @@ class ShingleIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("delete judges exactly as an index built without those docs, before and after compact") {
+    import spark.implicits._
+    val keep = Seq((1L, w("a", 40)), (2L, w("b", 40))).toDF("doc_id", "text")
+    val doomed = Seq((8L, w("x", 40)), (9L, w("y", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shdel").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(keep.unionByName(doomed))
+    val ref = new ShingleIndex(spark,
+      Files.createTempDirectory("graft-shdel-ref").toString)
+    ref.build(keep)
+    // the probe: exact copy of a DELETED doc, near-dup of a deleted
+    // doc, exact copy of a kept doc, fresh — a taken-down doc must
+    // stop producing dup verdicts entirely
+    val batch = Seq(
+      (100L, w("x", 40)),
+      (101L, w("y", 40) + " delta"),
+      (102L, w("a", 40)),
+      (103L, w("f", 40))).toDF("doc_id", "text")
+    def verdicts(i: ShingleIndex, excl: Option[String] = None,
+                 banded: Boolean = false): Map[Long, String] = {
+      val v = i.judge(batch, excludeLabel = excl, bandCandidates = banded)
+      val m = v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(v)
+      m
+    }
+    val preDelete = verdicts(idx)
+    assert(preDelete === Map(100L -> "exact", 101L -> "near",
+      102L -> "exact", 103L -> "keep"))
+
+    assert(idx.delete(Seq(8L, 9L), "d1") === 2L)
+    val want = verdicts(ref)
+    assert(want === Map(100L -> "keep", 101L -> "keep",
+      102L -> "exact", 103L -> "keep"))
+    assert(verdicts(idx) === want,
+      "post-delete judging must equal a never-indexed reference")
+    assert(verdicts(idx, banded = true) === want,
+      "the banded candidate path must honor tombstones too")
+    assert(idx.nDocs() === 2L, "meta delta must rewind the corpus count")
+    // idempotent replay + exclusion rewind
+    assert(idx.delete(Seq(8L, 9L), "d1") === 2L)
+    assert(verdicts(idx) === want)
+    assert(verdicts(idx, excl = Some("d1")) === preDelete,
+      "excluding the delete label must rewind the takedown")
+    // a tombstoned id cannot be re-ingested until compact reclaims it
+    intercept[IllegalArgumentException](
+      idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b1"))
+
+    idx.compact()
+    assert(verdicts(idx) === want, "physical reclaim must not change verdicts")
+    assert(idx.nDocs() === 2L)
+    assert(spark.read.parquet(s"$dir/del").count() === 0L)
+    assert(spark.read.parquet(s"$dir/sh")
+      .filter(col("doc_id").isin(8L, 9L)).count() === 0L,
+      "compact must physically drop the deleted docs' postings")
+    assert(spark.read.parquet(s"$dir/dfc").filter(col("df") <= 0L).count() === 0L,
+      "fully-deleted shingles must not survive the fold as df=0 rows")
+    // the id is free again after reclaim
+    idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b1")
+    assert(idx.nDocs() === 3L)
+  }
+
   test("streaming gate over the maintained index blocks dups of earlier batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -97,4 +97,143 @@ class TermIndexSpec extends AnyFunSuite {
       === preB9,
       "replay exclusion must keep working after a keepLabel fold")
   }
+
+  test("delete serves exactly an index built without those docs, before and after compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx5").toString
+    val keep = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta beta epsilon")).toDF("doc_id", "text")
+    val doomed = Seq(
+      (8L, "alpha beta beta"),
+      (9L, "alpha gamma gamma gamma")).toDF("doc_id", "text")
+    val idx = new TermIndex(spark, dir)
+    idx.build(keep.unionByName(doomed))
+    val ref = new TermIndex(spark,
+      Files.createTempDirectory("graft-tidx5ref").toString)
+    ref.build(keep)
+    val terms = Seq("alpha", "beta")
+    val preDelete = topMap(idx.search(terms, k = 10))
+
+    assert(idx.delete(Seq(8L, 9L), "d1") === 2L)
+    // EXACT parity with the never-indexed reference: not just the
+    // deleted docs gone, but N/avgdl/df — every survivor's score —
+    // rewound too (the compensating deltas, not a hit-list filter)
+    assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)))
+    // the batched probe sees the same post-delete corpus
+    val q = Seq((0L, terms)).toDF("query_id", "terms")
+    assert(idx.searchBatch(q, k = 10).select("doc_id", "bm25").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      === topMap(ref.search(terms, k = 10)).sortBy(_._1))
+    // idempotent replay: same ids, same label — state unchanged
+    assert(idx.delete(Seq(8L, 9L), "d1") === 2L)
+    assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)))
+    // replay exclusion rewinds the whole delete
+    assert(topMap(idx.search(terms, k = 10, excludeLabel = Some("d1"))) === preDelete)
+    // deleting never-indexed or already-deleted ids is a no-op
+    assert(idx.delete(Seq(8L, 777L), "d2") === 0L)
+    // a tombstoned id cannot be re-ingested until compact reclaims it
+    intercept[IllegalArgumentException](
+      idx.append(Seq((8L, "alpha reborn")).toDF("doc_id", "text"), "b1"))
+
+    idx.compact()
+    assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)),
+      "physical reclaim must not change served results")
+    // tombstones cleared: the postings fold applied them, and the id
+    // is free for re-ingest again
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(s"$dir/del").count() === 0L)
+    assert(spark.read.parquet(s"$dir/post")
+      .filter(col("doc_id").isin(8L, 9L)).count() === 0L,
+      "compact must physically drop the deleted docs' postings")
+    idx.append(Seq((8L, "alpha reborn")).toDF("doc_id", "text"), "b1")
+    assert(topMap(idx.search(Seq("reborn"), k = 1)).map(_._1) === Seq(8L))
+  }
+
+  test("padFrom pads the top-k with zero-score docs exactly as the one-shot would") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx6").toString
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "epsilon zeta"),
+      (4L, "alpha alpha")).toDF("doc_id", "text")
+    val idx = new TermIndex(spark, dir)
+    idx.build(docs)
+    // only docs 1 and 4 match: unpadded search returns 2 rows, padded
+    // fills ranks 3..4 with 0.0-score docs in doc_id order — the
+    // one-shot query's exact semantics for the fewer-than-k case
+    assert(topMap(idx.search(Seq("alpha"), k = 4)).map(_._1) === Seq(4L, 1L))
+    val padded = topMap(idx.search(Seq("alpha"), k = 4,
+      padFrom = Some(docs.select("doc_id"))))
+    assert(padded.map(_._1) === Seq(4L, 1L, 2L, 3L))
+    assert(padded.drop(2).forall(_._2 === 0.0))
+  }
+
+  test("duplicate query terms are refused (they would double-count)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx7").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException](idx.search(Seq("alpha", "alpha")))
+    intercept[IllegalArgumentException](
+      idx.searchBatch(Seq((0L, Seq("alpha", "alpha"))).toDF("query_id", "terms")))
+  }
+
+  test("searchBatch is row-identical to a per-query search loop") {
+    val dir = Files.createTempDirectory("graft-tidx8").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("table", "hash", "merge"),
+      1L -> Seq("scan", "filter", "join"),
+      2L -> Seq("vector", "stream"))
+    import spark.implicits._
+    val batched = idx.searchBatch(qs.toDF("query_id", "terms"), k = 10)
+      .orderBy("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val looped = qs.flatMap { case (qid, terms) =>
+      idx.search(terms, k = 10).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy(t => (t._1, t._2))
+    assert(batched === looped,
+      "batch score assembly must reproduce the per-query float association exactly")
+  }
+
+  test("streaming curation keeps the served text index fresh per accepted batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-tidx9").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq((1L, "alpha " + words("k", 15))).toDF("doc_id", "text"))
+    val outDir = Files.createTempDirectory("graft-tidx9-out").toString + "/docs"
+    val ckpt = Files.createTempDirectory("graft-tidx9-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      input.toDF().toDF("doc_id", "ts", "text"), outDir, ckpt,
+      termIndex = Some(idx))
+    try {
+      input.addData(
+        doc(100, 0, "alpha beta " + words("m", 15)),
+        doc(101, 1, "gamma " + words("n", 15)))
+      q.processAllAvailable()
+      input.addData(doc(200, 2, "alpha alpha alpha " + words("p", 15)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the index must serve build corpus + every accepted batch: same
+    // ranking a one-shot scan of (base + accepted) would produce
+    // tf=3 doc first; the tf=1 pair orders by BM25 length
+    // normalization (dl 16 beats dl 17)
+    val served = topMap(idx.search(Seq("alpha"), k = 10)).map(_._1)
+    assert(served === Seq(200L, 1L, 100L),
+      s"index must rank the streamed tf=3 doc first, got $served")
+    assert(topMap(idx.search(Seq("gamma"), k = 1)).map(_._1) === Seq(101L))
+  }
 }

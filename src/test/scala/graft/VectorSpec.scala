@@ -681,6 +681,16 @@ class VectorSpec extends AnyFunSuite {
       .groupBy("compressed", "shortlist", "nprobe").count()
       .filter(col("count") > 1).count()
     assert(counts === 0L, "per-(mode, depth) rows must stay unique across re-runs")
+    // a re-measurement at a DIFFERENT top_k supersedes carried rows:
+    // recall@k is a different metric per k, and nprobeFor reads the
+    // table mode-keyed without a k filter — mixed-k curves would let
+    // it pick a depth from the wrong metric
+    vs.evalRecall(nQueries = 16, topK = 3)
+    val t = spark.read.parquet(s"$dir/recall_eval")
+    assert(t.filter(col("top_k") =!= 3L).count() === 0L,
+      "rows measured at a different top_k must not survive the merge")
+    assert(t.filter(col("compressed")).count() === 0L,
+      "the stale-k compressed curve is superseded, not carried")
   }
 
   test("compressed recall curve measures ADC truncation the raw curve cannot see") {
