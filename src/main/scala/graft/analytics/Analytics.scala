@@ -828,9 +828,12 @@ object Analytics extends QueryModule {
     // three uses then share one identical aggregation Exchange, which
     // physical planning dedupes (ReusedExchange) — events is scanned
     // once, not three times
+    // the type universe is dimension-sized by definition — declare it
+    // (the hint is also what the plan audit keys on: a loop join is
+    // only legal against a provably-bounded or declared-bounded side)
     val spine = counts.agg(min("h").as("lo"), max("h").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("h"))
-      .crossJoin(counts.select("event_type").distinct())
+      .crossJoin(broadcast(counts.select("event_type").distinct()))
     spine.join(counts, Seq("h", "event_type"), "left")
       .select((col("h") * 3600).as("hour_epoch"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n_events"))
