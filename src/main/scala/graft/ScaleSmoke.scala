@@ -540,6 +540,44 @@ object ScaleSmoke {
       "index-served BM25 must equal the one-shot at volume")
     println("[scale] term-index top-10 identical to one-shot: true (asserted)")
 
+    // served-index fixed cost vs batch count: at thousands of ingested
+    // micro-batches a probe's constant term is file LISTING/FOOTER
+    // work — one directory per batch per table regardless of row
+    // volume — and compact() folds it back to O(1) files. The 2000
+    // batch directories are laid down with one partitionBy("batch")
+    // write per table (the same on-disk layout 2000 append() calls
+    // produce, without paying 4000 tiny Spark write jobs to create it;
+    // append()'s own semantics are spec-covered, this measures READ
+    // cost vs directory count).
+    val nB = 2000
+    val bDocs = spark.range(0, nB * 2L, 1, 32).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit("w7 filler"), (col("id") % 97).cast("string")).as("text"),
+        concat(lit("sb"), (col("id") / 2).cast("string")).as("batch"))
+      .cache()
+    val ws2 = split(col("text"), " ")
+    bDocs.select(col("batch"), col("doc_id"),
+        size(ws2).cast("long").as("dl"), explode(ws2).as("term"))
+      .groupBy("batch", "term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("batch", "term", "doc_id", "tf", "dl")
+      .write.mode("append").partitionBy("batch").parquet(s"$tiDir/post")
+    bDocs.groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(ws2).cast("long")).as("sum_dl"))
+      .write.mode("append").partitionBy("batch").parquet(s"$tiDir/meta")
+    bDocs.unpersist()
+    val probeMany = timed(s"term-index probe at ${nB + 1} batch dirs") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+    }
+    timed(s"term-index compact (${nB + 1} dirs -> 1 per table)") { tIdx.compact() }
+    val probeOne = timed("term-index probe after compact") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+    }
+    require(probeMany.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        probeOne.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "compact must not change served results")
+    println("[scale] post-compact probe identical: true (asserted)")
+
     // the full decision pipeline: pairs -> components -> survivor per
     // cluster. Costs one jaccard pass + diameter rounds of edge-sized
     // joins + a dup-volume quality join — the same class as the pair

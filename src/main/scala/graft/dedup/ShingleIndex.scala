@@ -184,6 +184,11 @@ class ShingleIndex(spark: SparkSession, path: String,
     // either label would silently overwrite aggregated state
     require(label != "base" && label != "compact0" && label.nonEmpty,
       s"reserved/empty batch label '$label'")
+    // a label previously used by delete(): this append would overwrite
+    // the delete's df/meta deltas while its tombstones stand — refuse
+    // (an append REPLAY can never trip this: appends never write del/)
+    require(!fs.exists(new Path(s"$delDir/batch=$label")),
+      s"label '$label' was used by a delete — labels are unique across mutations")
     // a tombstoned id's new copy would be silently hidden by its own
     // tombstone — refuse until a compact() reclaims the delete
     tombstones(None).foreach { t =>
@@ -240,6 +245,13 @@ class ShingleIndex(spark: SparkSession, path: String,
       s"reserved/empty batch label '$label'")
     require(ids.nonEmpty, "empty id list")
     requireDir(fpDir, "fp/ table")
+    // a label previously used by append(): this delete's deltas would
+    // overwrite that batch's df/meta rows. A REPLAY of this delete is
+    // fine — its first attempt wrote del/batch=<label> as its very
+    // first step, so its presence distinguishes the two cases.
+    require(!fs.exists(new Path(s"$metaDir/batch=$label")) ||
+        fs.exists(new Path(s"$delDir/batch=$label")),
+      s"label '$label' was used by an append — labels are unique across mutations")
     val live = minusDeleted(
         readIdx(fpDir, None).filter(col("doc_id").isin(ids: _*)).select("doc_id"),
         excludeLabel = Some(label))

@@ -128,6 +128,11 @@ class TermIndex(spark: SparkSession, path: String) {
     */
   def append(batch: DataFrame, label: String): Unit = {
     requireLabel(label)
+    // a label previously used by delete(): this append would overwrite
+    // the delete's meta delta while its tombstones stand — refuse (a
+    // REPLAY of an append can never trip this: appends never write del/)
+    require(!fs.exists(new Path(s"$delDir/batch=$label")),
+      s"label '$label' was used by a delete — labels are unique across mutations")
     tombstones(None).foreach { t =>
       val clash = batch.select("doc_id").join(broadcast(t), "doc_id").limit(1).count()
       require(clash == 0,
@@ -161,6 +166,13 @@ class TermIndex(spark: SparkSession, path: String) {
     requireLabel(label)
     require(ids.nonEmpty, "empty id list")
     require(fs.exists(new Path(postDir)), s"delete: index at $path not built")
+    // a label previously used by append(): this delete's meta delta
+    // would overwrite that batch's counts. A REPLAY of this delete is
+    // fine — it wrote del/batch=<label> on the first attempt's very
+    // first step, so its presence distinguishes the two cases.
+    require(!fs.exists(new Path(s"$metaDir/batch=$label")) ||
+        fs.exists(new Path(s"$delDir/batch=$label")),
+      s"label '$label' was used by an append — labels are unique across mutations")
     // one distinct (doc_id, dl) row per live deleted doc: dl rides
     // every posting, so no doc-table access is needed for the delta
     val live = minusDeleted(

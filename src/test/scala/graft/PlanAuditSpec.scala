@@ -54,8 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // shrinking / row-preserving unaries: the child's bound holds
       case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
            _: Window | _: Repartition | _: RepartitionByExpression |
-           _: Deduplicate | _: Aggregate | _: LocalLimit | _: Sample |
-           _: WithCTE =>
+           _: Deduplicate | _: Aggregate | _: LocalLimit | _: Sample =>
         bounded(p.asInstanceOf[UnaryNode].child)
       case _ => None
     })

@@ -260,6 +260,10 @@ class ShingleIndexSpec extends AnyFunSuite {
     // a tombstoned id cannot be re-ingested until compact reclaims it
     intercept[IllegalArgumentException](
       idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b1"))
+    // label uniqueness across mutation kinds: an append under a
+    // delete's label would clobber the delete's df/meta deltas
+    intercept[IllegalArgumentException](
+      idx.append(Seq((60L, w("v", 40))).toDF("doc_id", "text"), "d1"))
 
     idx.compact()
     assert(verdicts(idx) === want, "physical reclaim must not change verdicts")
@@ -273,6 +277,9 @@ class ShingleIndexSpec extends AnyFunSuite {
     // the id is free again after reclaim
     idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b1")
     assert(idx.nDocs() === 3L)
+    // ...and a delete under an append's label would clobber that
+    // batch's meta counts
+    intercept[IllegalArgumentException](idx.delete(Seq(8L), "b1"))
   }
 
   test("streaming gate over the maintained index blocks dups of earlier batches") {

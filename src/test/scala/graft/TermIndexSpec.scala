@@ -136,6 +136,10 @@ class TermIndexSpec extends AnyFunSuite {
     // a tombstoned id cannot be re-ingested until compact reclaims it
     intercept[IllegalArgumentException](
       idx.append(Seq((8L, "alpha reborn")).toDF("doc_id", "text"), "b1"))
+    // label uniqueness across mutation kinds: an append under a
+    // delete's label would clobber the delete's meta delta
+    intercept[IllegalArgumentException](
+      idx.append(Seq((50L, "fresh doc")).toDF("doc_id", "text"), "d1"))
 
     idx.compact()
     assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)),
@@ -150,6 +154,9 @@ class TermIndexSpec extends AnyFunSuite {
       "compact must physically drop the deleted docs' postings")
     idx.append(Seq((8L, "alpha reborn")).toDF("doc_id", "text"), "b1")
     assert(topMap(idx.search(Seq("reborn"), k = 1)).map(_._1) === Seq(8L))
+    // ...and a delete under an append's label would clobber that
+    // batch's meta counts
+    intercept[IllegalArgumentException](idx.delete(Seq(8L), "b1"))
   }
 
   test("padFrom pads the top-k with zero-score docs exactly as the one-shot would") {
