@@ -1112,14 +1112,20 @@ object Dedup extends QueryModule {
     val words = split(col("text"), " ")
     val win = when(size(words) >= spanWords,
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
-        i => spanKey(array_join(slice(words, i, lit(spanWords)), " "))))
-      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+        i => array_join(slice(words, i, lit(spanWords)), " ")))
+      .otherwise(array().cast("array<string>"))
     // cached: referenced by the df-count aggregate AND the join side —
-    // without it the explode + per-window xxhash64 subtree executes
-    // twice (same convention as the shingle cache in sizedCandidates)
-    val exploded = docs.select(col("doc_id"), explode(win).as("wh")).cache()
-    val dfCounts = exploded.groupBy("wh").agg(countDistinct("doc_id").as("ndocs"))
-    exploded.join(dfCounts, "wh")
+    // without it the explode + per-window hashing subtree executes
+    // twice (same convention as the shingle cache in sizedCandidates).
+    // Hashing AFTER the explode lets codegen's common-subexpression
+    // elimination share the span string across the two seed hashes;
+    // the cache holds (doc_id, h1, h2) — 24 bytes/window, never the
+    // strings
+    val exploded = docs.select(col("doc_id"), explode(win).as("sp"))
+      .select(col("doc_id"), xxhash64(col("sp")).as("h1"),
+        xxhash64(col("sp"), lit(1L)).as("h2")).cache()
+    val dfCounts = exploded.groupBy("h1", "h2").agg(countDistinct("doc_id").as("ndocs"))
+    exploded.join(dfCounts, Seq("h1", "h2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))

@@ -684,17 +684,21 @@ object TextAnalysis extends QueryModule {
     * builds once and pays only the probe (TermIndexSpec measures the
     * probe plan's pushdown).
     */
-  private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    // one DETERMINISTIC directory per source dataset, rebuilt
-    // (overwritten) each call: repeated bench/verify invocations reuse
-    // the same path instead of accumulating corpus-sized temp copies
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
+  /** One DETERMINISTIC index directory per (source dataset, variant),
+    * rebuilt (overwritten) each call: repeated bench/verify
+    * invocations reuse the same path instead of accumulating
+    * corpus-sized temp copies.
+    */
+  private def termIdxDir(d: String, suffix: String = ""): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
       java.lang.Long.toHexString(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
           d.getBytes("UTF-8"),
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          d.getBytes("UTF-8").length, 42) & 0xffffffffL)
-    val idx = new TermIndex(s, dir)
+          d.getBytes("UTF-8").length, 42) & 0xffffffffL) + suffix
+
+  private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val idx = new TermIndex(s, termIdxDir(d))
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
     // padFrom guards the fewer-than-k-matches case: the one-shot oracle
     // pads its top-k with 0.0-score unmatched docs when the corpus is
@@ -719,13 +723,9 @@ object TextAnalysis extends QueryModule {
 
   private def bm25Batch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
-      java.lang.Long.toHexString(
-        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-          d.getBytes("UTF-8"),
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          d.getBytes("UTF-8").length, 42) & 0xffffffffL) + "-batch"
-    val idx = new TermIndex(s, dir)
+    // own directory: each driver query is self-contained (build +
+    // probe), never order-dependent on a sibling query's build
+    val idx = new TermIndex(s, termIdxDir(d, "-batch"))
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
     idx.searchBatch(bm25BatchQueries.toDF("query_id", "terms"), k = 10)
   }
