@@ -512,14 +512,11 @@ object ScaleSmoke {
     timed(s"term-index build (${nDoc + nDoc / 100} docs, one-time)") {
       tIdx.build(corpus)
     }
-    val served = timed("term-index BM25 probe (3 vocabulary terms, top-10)") {
-      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
-    }
-    val oneShotBm = timed("one-shot BM25 (full corpus scan + agg, top-10)") {
+    def oneShotBm25(c: org.apache.spark.sql.DataFrame): Array[(Long, Double)] = {
       val ws = split(col("text"), " ")
       def tf(t: String) = size(filter(ws, w => w === t)).cast("long")
       val terms = Seq("w7", "w42", "w100")
-      val perDoc = corpus.select(col("doc_id") +: size(ws).cast("long").as("dl") +:
+      val perDoc = c.select(col("doc_id") +: size(ws).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
       val aggCols = Seq(count(lit(1)).cast("double").as("n"),
         sum(col("dl")).cast("double").as("sdl")) ++
@@ -533,12 +530,37 @@ object ScaleSmoke {
       }.reduce(_ + _)
       perDoc.crossJoin(broadcast(stats)).withColumn("s0", score)
         .orderBy(desc("s0"), col("doc_id").asc).limit(10)
-        .select(col("doc_id"), round(col("s0"), 4).as("bm25")).collect()
+        .select(col("doc_id"), round(col("s0"), 4).as("bm25"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
-    require(served.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
-        oneShotBm.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+    val served = timed("term-index BM25 probe (3 vocabulary terms, top-10)") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    val oneShotBm = timed("one-shot BM25 (full corpus scan + agg, top-10)") {
+      oneShotBm25(corpus)
+    }
+    require(served.toSeq == oneShotBm.toSeq,
       "index-served BM25 must equal the one-shot at volume")
     println("[scale] term-index top-10 identical to one-shot: true (asserted)")
+
+    // takedown at volume: deleting 500 docs costs the deleted docs'
+    // OWN postings lookup + two tiny delta writes — O(takedown), not
+    // O(corpus) — and the next probe scores exactly as if the docs
+    // were never indexed (the one-shot over the surviving corpus is
+    // the ground truth)
+    val tdIds = (0L until 500L)
+    timed("term-index delete of 500 docs (tombstones + compensating deltas)") {
+      require(tIdx.delete(tdIds, "takedown1") == 500L, "500 live docs expected")
+    }
+    val servedDel = timed("term-index probe after delete") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    require(servedDel.toSeq ==
+        oneShotBm25(corpus.filter(!col("doc_id").isin(tdIds: _*))).toSeq,
+      "post-delete serving must equal the one-shot over the surviving corpus")
+    println("[scale] post-delete top-10 equals never-indexed ground truth: true (asserted)")
 
     // served-index fixed cost vs batch count: at thousands of ingested
     // micro-batches a probe's constant term is file LISTING/FOOTER
