@@ -128,6 +128,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("id-only queries prune the text/value columns at the scan") {
+    // a scan that reads all columns for an id-only projection is the
+    // quiet 100 TB killer: `text` is ~95% of the documents table's
+    // bytes. These queries derive everything from ids — their scans
+    // must never list a payload column in ReadSchema.
+    val expect = Seq(
+      "corpus_shuffle" -> "text:",
+      "split_assign" -> "text:",
+      "q_distinct_users" -> "value:")
+    val failures = expect.flatMap { case (name, payloadCol) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val schemas = "ReadSchema: \\S+".r.findAllIn(plan).toSeq
+      if (schemas.nonEmpty && !schemas.exists(_.contains(payloadCol))) Nil
+      else Seq(s"$name: payload column must be pruned from every scan, " +
+        s"got ${schemas.mkString("; ")}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("the knn join keeps its population-adaptive salted shape") {
     val plan = SparkEntry.queries("vdb_knn_join_ivf")(spark, sf)
       .queryExecution.optimizedPlan.toString
