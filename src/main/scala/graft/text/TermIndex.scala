@@ -326,6 +326,32 @@ class TermIndex(spark: SparkSession, path: String) {
       .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
+  /** Continuous text-query serving — the text twin of
+    * [[graft.streaming.StreamingSearch]]: each micro-batch of keyword
+    * queries (query_id, terms array) probes the index via
+    * [[searchBatch]] (ONE term-pruned postings scan per batch) and
+    * appends (query_id, doc_id, bm25) to `outDir`. Results reflect
+    * the index AS OF each batch — a concurrently-appending ingest
+    * tier's batches become visible to queries that arrive after them
+    * (reads are plain parquet scans; the single-WRITER contract is
+    * the mutator's, probes don't participate). foreachBatch + append
+    * is at-least-once: a retried query batch appends its results
+    * twice — dedup downstream on (query_id, doc_id) if the sink must
+    * be exactly-once. Caller stops the returned handle.
+    */
+  def serveStream(queries: DataFrame, k: Int = 10, outDir: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // watermark ticks deliver empty batches; probing them would
+        // run the meta fold + postings plan to append nothing
+        if (!batch.isEmpty)
+          searchBatch(batch, k)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
+
   /** Fold all per-batch directories into `batch=compact0` (+ the
     * optional in-flight `keepLabel`, carried verbatim) — the same
     * file-count maintenance and crash protocol as

@@ -209,6 +209,34 @@ class TermIndexSpec extends AnyFunSuite {
       "batch score assembly must reproduce the per-query float association exactly")
   }
 
+  test("serveStream probes a query stream batch-for-batch like searchBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-tidx10").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    val outDir = Files.createTempDirectory("graft-tidx10-out").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-tidx10-ck").toString
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("table", "hash"), 1L -> Seq("scan", "filter"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = idx.serveStream(input.toDF().toDF("query_id", "terms"),
+      k = 5, outDir, ckpt)
+    try {
+      input.addData(qs.head)
+      q.processAllAvailable()
+      input.addData(qs(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = idx.searchBatch(qs.toDF("query_id", "terms"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === direct,
+      "streamed serving must equal the one-shot batched probe")
+  }
+
   test("streaming curation keeps the served text index fresh per accepted batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
