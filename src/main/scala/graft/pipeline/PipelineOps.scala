@@ -450,6 +450,60 @@ object PipelineOps extends QueryModule {
       |SELECT doc_id, lang, n_tokens, quality_bp, cum_tokens
       |FROM t WHERE cum_tokens <= 2000""".stripMargin
 
+  /** [[tokenBudgetSelect]]'s scale path: the exact cut pays a
+    * per-language GLOBAL order (a window sort over every doc). Here
+    * the cut is decided on a quality-bucket ROLLUP instead — token
+    * mass aggregates into `quality_bp div bucketWidth` buckets
+    * (≤ 10000/width + 1 rows per language, dimension-sized at any
+    * corpus volume), the running sum + threshold pick runs over that
+    * tiny frame, and docs then select by a broadcast threshold join +
+    * pure filter. Greedy whole-bucket semantics: keep each language's
+    * best buckets while their cumulative mass fits the budget — the
+    * selection NEVER overshoots, is always a subset of the exact
+    * cut's (every kept doc outranks every dropped one by ≥ a bucket
+    * boundary), and undershoots it by less than the first dropped
+    * bucket's mass — with width 100 on a 0..10000 score, a ≤1%-of-
+    * quality-range granularity. Unlike most approx paths this one is
+    * DETERMINISTIC and SQL-expressible (integer arithmetic
+    * throughout), so the driver row is fully hash-checked.
+    */
+  def tokenBudgetSelectApprox(docs: DataFrame, budgetTokens: Long,
+                              bucketWidth: Int = 100): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val scored = graft.text.TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("lang"), col("quality_bp"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("qb", expr(s"quality_bp div $bucketWidth"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cut = scored.groupBy("lang", "qb").agg(sum("n_tokens").as("bt"))
+      .withColumn("cum", sum("bt").over(w))
+      .filter(col("cum") <= budgetTokens)
+      .groupBy("lang").agg(min("qb").as("__min_qb"))
+    scored.join(broadcast(cut), "lang")
+      .filter(col("qb") >= col("__min_qb"))
+      .select("doc_id", "lang", "n_tokens", "quality_bp")
+  }
+
+  private def tokenBudgetApproxQuery(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelectApprox(Tables.documents(s, d), budgetTokens = 2000L)
+
+  private val tokenBudgetApproxSql =
+    s"""WITH q AS (${graft.text.TextAnalysis.qualitySql}),
+      |s AS (SELECT d.doc_id, d.lang, q.quality_bp,
+      |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |        q.quality_bp // 100 AS qb
+      |      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+      |h AS (SELECT lang, qb, SUM(n_tokens) AS bt FROM s GROUP BY 1, 2),
+      |c AS (SELECT lang, qb,
+      |        SUM(bt) OVER (PARTITION BY lang ORDER BY qb DESC
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM h),
+      |cut AS (SELECT lang, MIN(qb) AS min_qb FROM c WHERE cum <= 2000 GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.n_tokens, s.quality_bp
+      |FROM s JOIN cut ON s.lang = cut.lang AND s.qb >= cut.min_qb""".stripMargin
+
   // --- split-leakage audit -------------------------------------------
   /** Near-duplicate pairs annotated with their train/val/test
     * assignment — the contamination audit run after [[splitAssign]]:
@@ -645,6 +699,7 @@ object PipelineOps extends QueryModule {
     "corpus_dsir_sample" -> (dsirSampleQuery _),
     "corpus_shuffle"     -> (shuffleQuery _),
     "corpus_token_budget" -> (tokenBudgetQuery _),
+    "corpus_token_budget_approx" -> (tokenBudgetApproxQuery _),
     "split_leakage"      -> (leakageQuery _),
     "doc_chunk"          -> (chunkQuery _),
     "split_assign"       -> (splitQuery _),
@@ -659,6 +714,7 @@ object PipelineOps extends QueryModule {
     "corpus_dsir_sample" -> dsirSampleSql,
     "corpus_shuffle"     -> shuffleSql,
     "corpus_token_budget" -> tokenBudgetSql,
+    "corpus_token_budget_approx" -> tokenBudgetApproxSql,
     "split_leakage"      -> leakageSql,
     "doc_chunk"          -> chunkSql,
     "split_assign"       -> splitSql,

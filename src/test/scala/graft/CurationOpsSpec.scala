@@ -88,6 +88,42 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx token budget: subset of the exact cut, within budget, sort-free") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 2000L
+    val exact = PipelineOps.tokenBudgetSelect(docs, budget).collect()
+    val approx = PipelineOps.tokenBudgetSelectApprox(docs, budget).collect()
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val approxRows = approx.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // greedy whole-bucket keep can only UNDERSHOOT the exact prefix:
+    // every approx doc is in the exact selection, never past it
+    assert(approxRows.map(_._1).toSet.subsetOf(exactIds),
+      "approx must select a subset of the exact cut")
+    assert(approxRows.nonEmpty)
+    // per-lang budget respected, and the undershoot is bounded by the
+    // first DROPPED bucket's mass (the docs a finer cut would split)
+    val exactByLang = exact.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    approxRows.groupBy(_._2).foreach { case (lang, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(mass <= budget, s"lang $lang over budget: $mass")
+      assert(mass <= exactByLang.getOrElse(lang, 0L),
+        s"lang $lang approx mass must not exceed the exact cut's")
+    }
+    // scale shape: the cut never sorts the corpus — the one window
+    // runs over the (lang, bucket) rollup (an Aggregate feeds it),
+    // never over per-doc rows
+    val wins = PipelineOps.tokenBudgetSelectApprox(docs, budget)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.size === 1)
+    assert(wins.head.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the running sum must consume the bucket rollup, not docs")
+  }
+
   test("split leakage flags exactly the cross-split near-dup pairs") {
     val docs = Tables.documents(spark, sf)
     val out = PipelineOps.splitLeakage(docs).collect()
