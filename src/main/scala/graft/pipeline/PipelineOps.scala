@@ -489,6 +489,18 @@ object PipelineOps extends QueryModule {
   private def tokenBudgetApproxQuery(s: SparkSession, d: String): DataFrame =
     tokenBudgetSelectApprox(Tables.documents(s, d), budgetTokens = 2000L)
 
+  /** The composed [[MixingPipeline]] as a driver query: topic-route,
+    * quota, DSIR-select, shuffle, pack — the packed-window manifest is
+    * the output (deterministic end-to-end, but Lloyd iterations are
+    * not SQL-expressible: rows-only by design, composition
+    * spec-proven in MixingPipelineSpec). The Result's checkpoint
+    * blocks stay pinned for the frame's lifetime — selection-sized
+    * (≤ targetDocs rows), the self-contained-query trade.
+    */
+  private def mixQuery(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.MixingPipeline.mix(s, Tables.documents(s, d),
+      k = 4, targetDocs = 100, targetPred = col("doc_id") < 20).packed
+
   private val tokenBudgetApproxSql =
     s"""WITH q AS (${graft.text.TextAnalysis.qualitySql}),
       |s AS (SELECT d.doc_id, d.lang, q.quality_bp,
@@ -700,6 +712,7 @@ object PipelineOps extends QueryModule {
     "corpus_shuffle"     -> (shuffleQuery _),
     "corpus_token_budget" -> (tokenBudgetQuery _),
     "corpus_token_budget_approx" -> (tokenBudgetApproxQuery _),
+    "corpus_mix" -> (mixQuery _),
     "split_leakage"      -> (leakageQuery _),
     "doc_chunk"          -> (chunkQuery _),
     "split_assign"       -> (splitQuery _),
