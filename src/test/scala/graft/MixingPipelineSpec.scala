@@ -83,6 +83,26 @@ class MixingPipelineSpec extends AnyFunSuite {
     r.release(); r2.release()
   }
 
+  test("mix composes over the curation pipeline's survivors") {
+    val docs = Tables.documents(spark, sf)
+    val cur = graft.pipeline.CurationPipeline.curate(spark, docs)
+    try {
+      val kept = cur.kept.select("doc_id", "text").localCheckpoint(true)
+      try {
+        val r = MixingPipeline.mix(spark, kept, k = 4, targetDocs = 30,
+          targetPred = col("doc_id") < 20)
+        // the clean->select->shape handoff: the mix's input universe is
+        // exactly the curation survivors, and every selected doc is one
+        assert(r.ledger.nInput === kept.count())
+        assert(r.ledger.nSelected > 0 && r.ledger.nWindows > 0)
+        assert(r.selected.join(kept, Seq("doc_id"), "left_anti").count() === 0L,
+          "mix must only select curation survivors")
+        r.release()
+      } finally org.apache.spark.sql.graftshim.CheckpointInterop
+        .unpersistCheckpoint(kept)
+    } finally cur.release()
+  }
+
   test("token budget cuts each topic in selection-key order, within its share") {
     val docs = Tables.documents(spark, sf)
     val pred = col("doc_id") < 20
