@@ -373,6 +373,29 @@ class ShingleIndex(spark: SparkSession, path: String,
     (verdicts, Seq(bsh))
   }
 
+  /** Index health — the maintenance dashboard, metadata-cheap (same
+    * contract as `TermIndex.health`): a directory listing plus the
+    * meta/del folds; never a postings/fingerprint row scan. One row:
+    * (n_batches, n_docs, n_shingles, n_tombstones) — n_batches is the
+    * judge's fixed per-table listing/footer cost (compact restores
+    * O(1) files), n_tombstones the logical deletes awaiting reclaim.
+    */
+  def health(): DataFrame = {
+    requireDir(dfDir, "dfc/ table")
+    val batches = fs.listStatus(new Path(dfDir))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    requireDir(metaDir, "meta/ table")
+    val m = readIdx(metaDir, None)
+      .agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("n_shingles"), lit(0L))).head()
+    val tomb = tombstones(None).map(_.count()).getOrElse(0L)
+    spark.range(1).select(
+      lit(batches.toLong).as("n_batches"),
+      lit(m.getLong(0)).as("n_docs"),
+      lit(m.getLong(1)).as("n_shingles"),
+      lit(tomb).as("n_tombstones"))
+  }
+
   /** Fold EVERY per-batch directory into one `batch=compact0`
     * partition (plus the optional in-flight `keepLabel`, carried
     * verbatim) — run periodically, like any LSM-ish compaction. At

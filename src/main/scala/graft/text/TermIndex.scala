@@ -326,6 +326,36 @@ class TermIndex(spark: SparkSession, path: String) {
       .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
+  /** Index health — the maintenance dashboard, metadata-cheap:
+    * directory listings plus the meta/del folds (one tiny row per
+    * batch), never a postings-row scan. The operational signals:
+    * `n_batches` is the probe's FIXED listing/footer cost (ScaleSmoke:
+    * 16.7 s at 2001 dirs vs 0.5 s folded — compact every few hundred
+    * batches) and `n_tombstones` counts logical deletes awaiting
+    * physical reclaim (also folded by compact). One row:
+    * (n_batches, n_post_files, n_docs, sum_dl, n_tombstones).
+    */
+  def health(): DataFrame = {
+    require(fs.exists(new Path(postDir)), s"health: index at $path not built")
+    // meta/ is the WIDEST table — every mutation (append AND delete)
+    // writes one meta batch, while deletes add no post/ partition — so
+    // its directory count bounds every table's listing cost
+    val batches = fs.listStatus(new Path(metaDir))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    var files = 0L
+    val it = fs.listFiles(new Path(postDir), true)
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) files += 1 }
+    val m = BatchedTable.readIdx(spark, metaDir, None)
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("sum_dl"), lit(0L))).head()
+    val tomb = tombstones(None).map(_.count()).getOrElse(0L)
+    spark.range(1).select(
+      lit(batches.toLong).as("n_batches"),
+      lit(files).as("n_post_files"),
+      lit(m.getLong(0)).as("n_docs"),
+      lit(m.getLong(1)).as("sum_dl"),
+      lit(tomb).as("n_tombstones"))
+  }
+
   /** Continuous text-query serving — the text twin of
     * [[graft.streaming.StreamingSearch]]: each micro-batch of keyword
     * queries (query_id, terms array) probes the index via

@@ -265,7 +265,15 @@ class ShingleIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       idx.append(Seq((60L, w("v", 40))).toDF("doc_id", "text"), "d1"))
 
+    // health: base + d1 dirs, 2 net docs, 2 live tombstones
+    val h1 = idx.health().collect().head
+    assert(h1.getLong(0) === 2L && h1.getLong(1) === 2L && h1.getLong(3) === 2L,
+      s"pre-compact health mismatch: $h1")
+
     idx.compact()
+    val h2 = idx.health().collect().head
+    assert(h2.getLong(0) === 1L && h2.getLong(3) === 0L,
+      s"compact must fold dirs and clear tombstones, got $h2")
     assert(verdicts(idx) === want, "physical reclaim must not change verdicts")
     assert(idx.nDocs() === 2L)
     assert(spark.read.parquet(s"$dir/del").count() === 0L)

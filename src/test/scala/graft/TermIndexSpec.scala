@@ -141,7 +141,17 @@ class TermIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       idx.append(Seq((50L, "fresh doc")).toDF("doc_id", "text"), "d1"))
 
+    // health reads the mutation state without scanning postings:
+    // base + d1 + d2 dirs, 3 net docs (5 - 2 deleted), 2 tombstones
+    val h1 = idx.health().collect().head
+    assert(h1.getLong(0) === 3L, s"3 batch dirs expected, got $h1")
+    assert(h1.getLong(2) === 3L, s"meta must net the deletes, got $h1")
+    assert(h1.getLong(4) === 2L, s"2 live tombstones expected, got $h1")
+
     idx.compact()
+    val h2 = idx.health().collect().head
+    assert(h2.getLong(0) === 1L && h2.getLong(4) === 0L,
+      s"compact must fold dirs and clear tombstones, got $h2")
     assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)),
       "physical reclaim must not change served results")
     // tombstones cleared: the postings fold applied them, and the id
