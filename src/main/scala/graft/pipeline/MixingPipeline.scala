@@ -93,12 +93,17 @@ object MixingPipeline {
           capacity: Long = 512, seed: String = "ep0",
           lloydIters: Int = 5): Result = {
     // 1. topic routing + per-doc token counts, one slim frame the
-    // whole selection works over (text stays behind until packing)
+    // whole selection works over (text stays behind until packing).
+    // CACHED: quotas, the selection join, and the ledger all act on
+    // it — uncached, every action would re-split the corpus text and
+    // re-run the assignment projection. Three longs per doc; released
+    // before returning (the checkpointed selection carries on alone).
     val clustered = TopicCluster.clusterDocs(docs, k, lloydIters)
       .select("doc_id", "cluster")
     val slim = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       .join(clustered, "doc_id")
+      .cache()
 
     // 2. temperature quotas over per-topic token mass (the
     // sampleTemperature rule, stratum = topic): quota_c =
@@ -154,32 +159,48 @@ object MixingPipeline {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster").orderBy(desc("sel_key_x1e6"), asc("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // checkpointed (selection-sized): severs the plan's reference
+        // back through the quota table to the slim corpus frame, so
+        // slim's cache can release before returning
         selectedAll
           .withColumn("__cum", sum("n_tokens").over(w))
           .join(broadcast(shares), "cluster")
           .filter(col("__cum") <= col("__budget_c"))
           .select("cluster", "rank", "doc_id", "sel_key_x1e6", "n_tokens")
+          .localCheckpoint(true)
     }
 
-    // 5-6. epoch order + packing over the selected docs only
+    // 5-6. epoch order + packing over the selected docs only. The
+    // packed manifest is checkpointed (windows-count rows): the
+    // ledger's count and the caller's materialization would otherwise
+    // each run the docs-join + packing windows
     val selDocs = docs.join(afterBudget.select("doc_id", "cluster"), "doc_id")
     val order = PipelineOps.shuffleOrder(afterBudget.select("doc_id"), seed = seed)
     val packed = PipelineOps.packSequences(selDocs, capacity, stratumCol = "cluster")
+      .localCheckpoint(true)
 
-    // ledger: exact counts — the corpus pays one count, everything
-    // else aggregates bounded frames (selection / quota tables)
+    // ledger: exact counts — the corpus pays the one cached slim
+    // pass (nInput reads it, not the raw docs), everything else
+    // aggregates bounded frames (selection / quota tables)
     val selAgg = selectedAll.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
     val budAgg = afterBudget.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
     val ledger = Ledger(
-      nInput = docs.count(),
+      nInput = slim.count(),
       nTopics = per.count(),
       quotaTotal = quotas.agg(coalesce(sum("__quota"), lit(0L))).head().getLong(0),
       nSelected = selAgg.getLong(0), tokensSelected = selAgg.getLong(1),
       nAfterBudget = budAgg.getLong(0), tokensAfterBudget = budAgg.getLong(1),
       nWindows = packed.count())
+    // the selection is checkpointed and the outputs join raw `docs` —
+    // nothing returned still reads slim, release it here
+    slim.unpersist()
     val r = Result(afterBudget, order, packed, ledger)
-    r.onRelease = () =>
+    r.onRelease = () => {
       org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(selectedAll)
+      if (!(afterBudget eq selectedAll))
+        org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(afterBudget)
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(packed)
+    }
     r
   }
 }

@@ -211,6 +211,10 @@ class TermIndex(spark: SparkSession, path: String) {
     */
   private def probe(terms: Seq[String], excludeLabel: Option[String])
       : (DataFrame, DataFrame, DataFrame) = {
+    // loud, actionable failure instead of a bare path-not-found
+    // AnalysisException deep inside the probe plan
+    require(fs.exists(new Path(postDir)),
+      s"search: index at $path not built — call build() first")
     val post = minusDeleted(
       BatchedTable.readIdx(spark, postDir, excludeLabel)
         .filter(col("term").isin(terms: _*)), excludeLabel)
