@@ -600,6 +600,20 @@ object ScaleSmoke {
       "compact must not change served results")
     println("[scale] post-compact probe identical: true (asserted)")
 
+    // the composed training-mix assembly at 10x bench scale: topic
+    // clustering + temperature quotas + in-topic DSIR selection +
+    // token budget + shuffle + packing, one ledgered call — the
+    // selection stages ride bounded heaps, so cost is dominated by
+    // the two corpus passes (Lloyd assignment, DSIR token explode)
+    val mixR = timed(s"mixing pipeline (cluster+DSIR-select+budget+pack, ${nDoc + nDoc / 100} docs)") {
+      graft.pipeline.MixingPipeline.mix(spark, corpus, k = 8,
+        targetDocs = 2000, targetPred = col("doc_id") < 1000,
+        budgetTokens = Some(60000L))
+    }
+    println(s"[scale] mix ledger: ${mixR.ledger}")
+    require(mixR.ledger.tokensAfterBudget <= 60000L && mixR.ledger.nWindows > 0)
+    mixR.release()
+
     // the full decision pipeline: pairs -> components -> survivor per
     // cluster. Costs one jaccard pass + diameter rounds of edge-sized
     // joins + a dup-volume quality join — the same class as the pair

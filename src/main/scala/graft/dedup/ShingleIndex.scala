@@ -239,8 +239,24 @@ class ShingleIndex(spark: SparkSession, path: String,
     * mid-delete leaves the docs already unjudgeable (the takedown
     * property) with df/meta briefly overstated until the retry heals
     * them. Returns the number of docs actually removed.
+    *
+    * df-reversal bound: without `texts`, the negative delta covers
+    * the doc's CAPPED-IN postings (sh/ rows) — the index stores no
+    * text, so shingles that were capped OUT of the doc's postings at
+    * insert time cannot be re-derived, and their df contribution
+    * stands until a rebuild. The error is one-sided (df never
+    * under-counts, never goes negative) and only touches already-hot
+    * shingles, where it makes the cap CONSERVATIVE — the same
+    * non-retroactivity the class doc declares for insert-time cap
+    * decisions; judge-time candidate generation is unaffected (its
+    * union cap re-applies dynamically). A takedown request usually
+    * CARRIES the documents: pass them as `texts` (doc_id, text) and
+    * the delta derives from the full re-shingled text instead —
+    * EXACT df reversal. Supplied texts are fingerprint-verified
+    * against fp/ (a stale or edited copy would silently corrupt df).
     */
-  def delete(ids: Seq[Long], label: String): Long = {
+  def delete(ids: Seq[Long], label: String,
+             texts: Option[DataFrame] = None): Long = {
     require(label != "base" && label != "compact0" && label.nonEmpty,
       s"reserved/empty batch label '$label'")
     require(ids.nonEmpty, "empty id list")
@@ -262,7 +278,21 @@ class ShingleIndex(spark: SparkSession, path: String,
         .join(broadcast(live), "doc_id")
         .localCheckpoint(true)
       try {
-        writeBatch(liveSh.groupBy("s").agg((-count(lit(1))).as("df")), dfDir, label)
+        // df delta source: full re-shingled text when supplied (exact
+        // reversal), else the capped-in postings (see Scaladoc bound)
+        val negSrc = texts match {
+          case None => liveSh
+          case Some(t) =>
+            val liveTexts = t.join(broadcast(live), "doc_id")
+            val mismatched = fpOf(liveTexts).withColumnRenamed("fp", "__fp_now")
+              .join(readIdx(fpDir, None), "doc_id")
+              .filter(col("__fp_now") =!= col("fp")).limit(1).count()
+            require(mismatched == 0,
+              "delete: supplied texts do not fingerprint-match the indexed copies " +
+                "— a stale/edited text would corrupt the df reversal")
+            Dedup.shinglesOf(liveTexts)
+        }
+        writeBatch(negSrc.groupBy("s").agg((-count(lit(1))).as("df")), dfDir, label)
         val nDel = live.count()
         writeMeta(label, -nDel, -liveSh.count())
         nDel

@@ -290,6 +290,42 @@ class ShingleIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.delete(Seq(8L), "b1"))
   }
 
+  test("delete with texts reverses df exactly even for capped-out shingles") {
+    import spark.implicits._
+    def dfNet(dir: String): Map[String, Long] =
+      spark.read.parquet(s"$dir/dfc").groupBy("s").agg(sum("df").as("df"))
+        .filter(col("df") =!= 0L).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a phrase shared by 10 docs: with cap = max(2, ceil(0.1·n)) = 3
+    // its shingles are capped OUT of those docs' postings at insert —
+    // the regime where a postings-derived reversal must under-reverse
+    val hot = (1 to 10).map(i => (i.toLong, "common shared phrase here " + w(s"u$i", 30)))
+    val cold = (11 to 30).map(i => (i.toLong, w(s"v$i", 30)))
+    def freshIdx(docs: Seq[(Long, String)], tag: String): (ShingleIndex, String) = {
+      val d = Files.createTempDirectory(s"graft-shdel-$tag").toString
+      val i = new ShingleIndex(spark, d, maxDfFraction = 0.1, dfCapFloor = 2)
+      i.build(docs.toDF("doc_id", "text")); (i, d)
+    }
+    val (ref, refDir) = freshIdx(cold, "ref")
+    // WITHOUT texts: the hot shingles' df contribution survives the
+    // delete (documented one-sided bound) — prove the bound is real
+    val (blind, blindDir) = freshIdx(hot ++ cold, "blind")
+    blind.delete(hot.map(_._1), "d1")
+    assert(dfNet(blindDir) !== dfNet(refDir),
+      "postings-derived reversal cannot reverse capped-out shingles")
+    // WITH texts: full re-shingle reversal — df table net-identical
+    // to an index that never saw the docs
+    val (exact, exactDir) = freshIdx(hot ++ cold, "exact")
+    exact.delete(hot.map(_._1), "d1", texts = Some(hot.toDF("doc_id", "text")))
+    assert(dfNet(exactDir) === dfNet(refDir),
+      "text-supplied delete must reverse df exactly")
+    // tampered text refused (fingerprint mismatch)
+    val (tam, _) = freshIdx(hot ++ cold, "tam")
+    intercept[IllegalArgumentException](
+      tam.delete(Seq(1L), "d1",
+        texts = Some(Seq((1L, "edited text entirely")).toDF("doc_id", "text"))))
+  }
+
   test("streaming gate over the maintained index blocks dups of earlier batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
