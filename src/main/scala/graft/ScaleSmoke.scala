@@ -579,9 +579,10 @@ object ScaleSmoke {
       .cache()
     val ws2 = split(col("text"), " ")
     bDocs.select(col("batch"), col("doc_id"),
-        size(ws2).cast("long").as("dl"), explode(ws2).as("term"))
-      .groupBy("batch", "term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .select("batch", "term", "doc_id", "tf", "dl")
+        size(ws2).cast("long").as("dl"), posexplode(ws2).as(Seq("p", "term")))
+      .groupBy("batch", "term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("pos"))
+      .select("batch", "term", "doc_id", "tf", "dl", "pos")
       .write.mode("append").partitionBy("batch").parquet(s"$tiDir/post")
     bDocs.groupBy("batch")
       .agg(count(lit(1)).as("n_docs"),

@@ -22,11 +22,14 @@ import graft.sources.BatchedTable
   *
   * Layout under `path` ([[BatchedTable]] discipline — idempotent
   * per-label writes, replay exclusion, crash-safe folds):
-  *  - `post/` (term, doc_id, tf, dl)  postings, denormalized with the
-  *            doc length so scoring needs NO doc-table join (the
-  *            classic IR index trade: a long per posting buys a
-  *            corpus-sized join per query); written term-sorted so
-  *            parquet row-group stats prune non-query terms
+  *  - `post/` (term, doc_id, tf, dl, pos)  postings, denormalized
+  *            with the doc length so scoring needs NO doc-table join
+  *            (the classic IR index trade: a long per posting buys a
+  *            corpus-sized join per query) and carrying the term's
+  *            token positions (the positional half [[searchPhrase]]
+  *            consumes; BM25 probes never read the column — parquet
+  *            column pruning leaves it on disk); written term-sorted
+  *            so parquet row-group stats prune non-query terms
   *  - `meta/` (n_docs, sum_dl)        one row per batch; N and avgdl
   *            fold from these at query time. [[delete]] writes
   *            NEGATIVE delta rows here — the sum nets them out with
@@ -74,19 +77,24 @@ class TermIndex(spark: SparkSession, path: String) {
     require(label != "base" && label != "compact0" && label.nonEmpty,
       s"reserved/empty batch label '$label'")
 
-  /** (term, doc_id, tf, dl) postings for a (doc_id, text) frame —
+  /** (term, doc_id, tf, dl, pos) postings for a (doc_id, text) frame —
     * exactly `text_bm25`'s tokenization: split on single spaces, every
-    * token a term, dl = token count.
+    * token a term, dl = token count. `pos` holds the term's 0-based
+    * token positions (sorted — the POSITIONAL index half that phrase
+    * queries consume; the classic ~2-3x postings-bytes trade, which
+    * BM25 probes never pay: they don't reference the column, so
+    * parquet column pruning leaves it on disk).
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     docs.select(col("doc_id"), size(ws).cast(LongType).as("dl"),
-        explode(ws).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        posexplode(ws).as(Seq("p", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("pos"))
       // term-sorted files: parquet row-group min/max on `term` lets a
       // query's isin() filter skip non-matching groups at scan time
       .repartition(col("term")).sortWithinPartitions("term")
-      .select("term", "doc_id", "tf", "dl")
+      .select("term", "doc_id", "tf", "dl", "pos")
   }
 
   private def writeBatchOf(docs: DataFrame, label: String): Unit = {
@@ -279,6 +287,44 @@ class TermIndex(spark: SparkSession, path: String) {
       .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
+  /** Exact-phrase probe over the positional postings: docs containing
+    * the consecutive token sequence `phrase`, ranked by occurrence
+    * count (desc, doc_id asc). The plan: one postings scan filtered
+    * to the phrase's terms (pushdown + row-group pruning, same as
+    * [[search]]), one doc_id equi-join per phrase term — each side
+    * that term's df rows — and the occurrence count as a pure
+    * projection over the joined position arrays (a position p of the
+    * first term counts iff term j sits at p + j for every j):
+    * OVERLAPPING occurrences, the standard positional-index
+    * semantics. No document text is touched; scan volume tracks the
+    * phrase terms' df, corpus-size-independent for selective phrases.
+    * Repeated terms in the phrase are fine (each position slot joins
+    * its own copy of the postings). Requires a positionally-built
+    * index (any build/append from this layout version on).
+    */
+  def searchPhrase(phrase: Seq[String], k: Int = 10,
+                   excludeLabel: Option[String] = None): DataFrame = {
+    require(phrase.size >= 2,
+      "a phrase needs >= 2 terms — rank single terms with search()")
+    val post = minusDeleted(
+      BatchedTable.readIdx(spark, postDir, excludeLabel)
+        .filter(col("term").isin(phrase.distinct: _*)), excludeLabel)
+    require(post.columns.contains("pos"),
+      s"index at $path predates the positional layout — rebuild() to serve phrases")
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t).select(col("doc_id"), col("pos").as(s"__pos$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    val cnt = size(filter(col("__pos0"), p =>
+      (1 until phrase.size)
+        .map(j => array_contains(col(s"__pos$j"), p + j))
+        .reduce(_ && _)))
+    joined.withColumn("n_occurrences", cnt.cast(LongType))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(desc("n_occurrences"), asc("doc_id")).limit(k)
+      .select("doc_id", "n_occurrences")
+  }
+
   /** Batched probe — the text twin of `vdb_knn_batch_ivf`: a serving
     * tier issues query FRAMES, not single calls. `queries` is
     * (query_id, terms array<string>, each query's terms distinct);
@@ -312,8 +358,10 @@ class TermIndex(spark: SparkSession, path: String) {
       .distinct().collect().map(_.getString(0)).toSeq
     require(allTerms.nonEmpty, "no terms in any query")
     val (post, meta, dfs) = probe(allTerms, excludeLabel)
+    // __qpos, not pos: the postings frame carries its own positional
+    // `pos` column, and the join would make the bare name ambiguous
     val qt = queries.select(col("query_id"),
-      posexplode(col("terms")).as(Seq("pos", "term")))
+      posexplode(col("terms")).as(Seq("__qpos", "term")))
     post
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
@@ -321,7 +369,7 @@ class TermIndex(spark: SparkSession, path: String) {
       .join(broadcast(qt), "term")
       .groupBy("query_id", "doc_id")
       .agg(aggregate(
-        array_sort(collect_list(struct(col("pos"), col("__c")))),
+        array_sort(collect_list(struct(col("__qpos"), col("__c")))),
         lit(0.0),
         (acc, x) => acc + x.getField("__c")).as("score0"))
       .withColumn("__rk", row_number().over(
@@ -408,10 +456,16 @@ class TermIndex(spark: SparkSession, path: String) {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", LongType))))
     val folds: Seq[(String, () => DataFrame)] = Seq(
-      postDir -> (() => minusDeleted(
-        BatchedTable.readIdx(spark, postDir, keepLabel), keepLabel)
-        .select("term", "doc_id", "tf", "dl")
-        .repartition(col("term")).sortWithinPartitions("term")),
+      postDir -> (() => {
+        val live = minusDeleted(
+          BatchedTable.readIdx(spark, postDir, keepLabel), keepLabel)
+        // a pre-positional index folds without the pos column —
+        // phrase probes keep prescribing a rebuild, BM25 keeps working
+        val cols = Seq("term", "doc_id", "tf", "dl") ++
+          (if (live.columns.contains("pos")) Seq("pos") else Nil)
+        live.select(cols.map(col): _*)
+          .repartition(col("term")).sortWithinPartitions("term")
+      }),
       metaDir -> (() => BatchedTable.readIdx(spark, metaDir, keepLabel)
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
           coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))),

@@ -763,6 +763,34 @@ object TextAnalysis extends QueryModule {
         bm25SqlFor(terms, "WITH") + "\n)"
     }.mkString("\nUNION ALL\n")
 
+  /** Exact-phrase search served from the positional postings —
+    * `TermIndex.searchPhrase`: docs containing the consecutive token
+    * sequence, ranked by OVERLAPPING occurrence count (the standard
+    * positional-index semantics). The oracle enumerates window starts
+    * over the split token list and compares slices — same counting,
+    * from the raw text.
+    */
+  private val phraseTerms = Seq("merge", "join")
+
+  private def phraseIndexed(s: SparkSession, d: String): DataFrame = {
+    val idx = new TermIndex(s, termIdxDir(d, "-phrase"))
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.searchPhrase(phraseTerms, k = 10)
+  }
+
+  private val phraseIndexedSql = {
+    val n = phraseTerms.size
+    val cond = phraseTerms.zipWithIndex
+      .map { case (t, j) => s"ws[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST(len(list_filter(range(1, len(ws) - ${n - 2}), i -> $cond)) AS BIGINT)
+       |          AS n_occurrences
+       |      FROM w)
+       |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+       |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -781,6 +809,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
     "text_bm25_batch"  -> (bm25Batch _),
+    "text_phrase_indexed" -> (phraseIndexed _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -802,6 +831,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
     "text_bm25_batch"  -> bm25BatchSql,
+    "text_phrase_indexed" -> phraseIndexedSql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,

@@ -219,6 +219,33 @@ class TermIndexSpec extends AnyFunSuite {
       "batch score assembly must reproduce the per-query float association exactly")
   }
 
+  test("phrase search: positional overlap counting, tombstones honored") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx11").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq(
+      (1L, "a a a b"),
+      (2L, "x a a y"),
+      (3L, "b c d a")).toDF("doc_id", "text"))
+    def phrase(p: String*): Seq[(Long, Long)] =
+      idx.searchPhrase(p, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // overlapping occurrences: "a a a" holds TWO "a a" windows
+    assert(phrase("a", "a") === Seq((1L, 2L), (2L, 1L)))
+    assert(phrase("a", "a", "a") === Seq((1L, 1L)))
+    assert(phrase("b", "c") === Seq((3L, 1L)))
+    assert(phrase("c", "b") === Seq.empty, "order matters")
+    intercept[IllegalArgumentException](idx.searchPhrase(Seq("a")))
+    // appended docs serve phrases; deleted docs stop serving them
+    idx.append(Seq((9L, "a a z")).toDF("doc_id", "text"), "b1")
+    assert(phrase("a", "a") === Seq((1L, 2L), (2L, 1L), (9L, 1L)))
+    idx.delete(Seq(1L), "d1")
+    assert(phrase("a", "a") === Seq((2L, 1L), (9L, 1L)))
+    idx.compact()
+    assert(phrase("a", "a") === Seq((2L, 1L), (9L, 1L)),
+      "the positional column must survive the fold")
+  }
+
   test("serveStream probes a query stream batch-for-batch like searchBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
