@@ -61,7 +61,16 @@ import graft.sources.BatchedTable
   * label; pass the in-flight label as `compact(keepLabel)` so a
   * replay's `excludeLabel` reads keep working).
   */
-class TermIndex(spark: SparkSession, path: String) {
+/** @param positional write token positions into the postings
+  *                   (required by [[TermIndex.searchPhrase]]; BM25
+  *                   probes never read them). The ~2-3x postings-byte
+  *                   knob — pass false for a pure-BM25 index. Must be
+  *                   CONSTANT across every instance writing one path:
+  *                   mixed batches would leave null positions that
+  *                   silently undercount phrases.
+  */
+class TermIndex(spark: SparkSession, path: String,
+                positional: Boolean = true) {
   private val postDir = s"$path/post"
   private val metaDir = s"$path/meta"
   private val delDir = s"$path/del"
@@ -87,14 +96,21 @@ class TermIndex(spark: SparkSession, path: String) {
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    docs.select(col("doc_id"), size(ws).cast(LongType).as("dl"),
-        posexplode(ws).as(Seq("p", "term")))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("pos"))
-      // term-sorted files: parquet row-group min/max on `term` lets a
-      // query's isin() filter skip non-matching groups at scan time
-      .repartition(col("term")).sortWithinPartitions("term")
-      .select("term", "doc_id", "tf", "dl", "pos")
+    val base =
+      if (positional)
+        docs.select(col("doc_id"), size(ws).cast(LongType).as("dl"),
+            posexplode(ws).as(Seq("p", "term")))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("pos"))
+      else
+        docs.select(col("doc_id"), size(ws).cast(LongType).as("dl"),
+            explode(ws).as("term"))
+          .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    // term-sorted files: parquet row-group min/max on `term` lets a
+    // query's isin() filter skip non-matching groups at scan time
+    base.repartition(col("term")).sortWithinPartitions("term")
+      .select(("term" +: "doc_id" +: "tf" +: "dl" +:
+        (if (positional) Seq("pos") else Nil)).map(col): _*)
   }
 
   private def writeBatchOf(docs: DataFrame, label: String): Unit = {

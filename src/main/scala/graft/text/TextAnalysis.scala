@@ -698,7 +698,9 @@ object TextAnalysis extends QueryModule {
           d.getBytes("UTF-8").length, 42) & 0xffffffffL) + suffix
 
   private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    val idx = new TermIndex(s, termIdxDir(d))
+    // pure-BM25 probes: build without positions (each registered
+    // query builds exactly what it serves)
+    val idx = new TermIndex(s, termIdxDir(d), positional = false)
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
     // padFrom guards the fewer-than-k-matches case: the one-shot oracle
     // pads its top-k with 0.0-score unmatched docs when the corpus is
@@ -725,7 +727,7 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     // own directory: each driver query is self-contained (build +
     // probe), never order-dependent on a sibling query's build
-    val idx = new TermIndex(s, termIdxDir(d, "-batch"))
+    val idx = new TermIndex(s, termIdxDir(d, "-batch"), positional = false)
     idx.build(Tables.documents(s, d).select("doc_id", "text"))
     idx.searchBatch(bm25BatchQueries.toDF("query_id", "terms"), k = 10)
   }
