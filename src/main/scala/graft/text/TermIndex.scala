@@ -60,8 +60,8 @@ import graft.sources.BatchedTable
   * retry of the LATEST label only (every write is idempotent per
   * label; pass the in-flight label as `compact(keepLabel)` so a
   * replay's `excludeLabel` reads keep working).
-  */
-/** @param positional write token positions into the postings
+  *
+  * @param positional write token positions into the postings
   *                   (required by [[TermIndex.searchPhrase]]; BM25
   *                   probes never read them). The ~2-3x postings-byte
   *                   knob — pass false for a pure-BM25 index. Must be
