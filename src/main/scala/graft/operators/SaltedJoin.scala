@@ -96,7 +96,14 @@ object SaltedJoin {
       .drop("__jk")
       .withColumn("__salt", pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L))))
       .drop("__saltc")
-    val replicated = other.join(broadcast(salts), col(key) <=> col("__jk"))
+    // PLAIN equi-join here, not <=>: null-safety is only needed on the
+    // big side (to preserve its rows for left/leftanti). Matching the
+    // salt table's null group on THIS side would explode other-side
+    // null-key rows __saltc times — the group most likely to be the
+    // hot one — only for the final null-unsafe equi-join to drop every
+    // replica. Dropping them up front is exactly a plain join's
+    // semantics at none of the replication cost.
+    val replicated = other.join(broadcast(salts), col(key) === col("__jk"))
       .drop("__jk")
       .withColumn("__salt", explode(sequence(lit(0L), col("__saltc") - 1)))
       .drop("__saltc")

@@ -123,9 +123,15 @@ object MixingPipeline {
     // quota filter. ≤ targetDocs rows per (topic, map partition) on
     // the shuffle — the corpus is never sorted.
     // dsirWeights emits its own n_tokens (DSIR-bucket mass) — slim's
-    // whitespace count is the packing/budget currency, keep that one
-    val weights = PipelineOps.dsirWeights(docs, targetPred)
-      .select("doc_id", "dsir_x1e6")
+    // whitespace count is the packing/budget currency, keep that one.
+    // The releasable form: dsir pins a per-(doc, bucket) cache the
+    // weights plan re-reads; once the selection below is eagerly
+    // checkpointed nothing references it, so repeated mixes in one
+    // session must free it here (Result.release can't — the cache
+    // isn't reachable from the returned frames).
+    val (weightsAll, releaseWeights) =
+      PipelineOps.dsirWeightsReleasable(docs, targetPred)
+    val weights = weightsAll.select("doc_id", "dsir_x1e6")
     val keyed = weights
       .withColumn("__sel", col("dsir_x1e6") + gumbelX1e6(col("doc_id")))
       .join(slim.select("doc_id", "cluster", "n_tokens"), "doc_id")
@@ -145,6 +151,8 @@ object MixingPipeline {
         col("n_tokens")), "doc_id")
       .select("cluster", "rank", "doc_id", "sel_key_x1e6", "n_tokens")
       .localCheckpoint(true) // quota-bounded: ≤ targetDocs rows/topic
+    // the eager checkpoint above was the weights plan's last action
+    releaseWeights()
 
     // 4. token budget, per topic ∝ quota share (windows run over the
     // bounded selection, partitioned per topic — never one global

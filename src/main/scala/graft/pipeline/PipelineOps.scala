@@ -614,7 +614,19 @@ object PipelineOps extends QueryModule {
     * is evaluated on doc ids, never re-scanning text.
     */
   def dsirWeights(docs: DataFrame, targetPred: Column,
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024): DataFrame =
+    dsirWeightsReleasable(docs, targetPred, buckets)._1
+
+  /** [[dsirWeights]] plus a release hook for the per-(doc, bucket)
+    * cache the returned plan pins (see the NOTE below): a caller that
+    * fully materializes the weights — e.g. [[MixingPipeline.mix]]'s
+    * checkpointed selection — calls the hook to free the cached
+    * blocks instead of leaving them to session teardown. Idempotent;
+    * calling it before the plan's last action re-runs the token
+    * explode per remaining action (correct, just slower).
+    */
+  private[graft] def dsirWeightsReleasable(docs: DataFrame, targetPred: Column,
+                                           buckets: Int = 1024): (DataFrame, () => Unit) = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
         (conv(substring(md5(col("w")), 1, 13), 16, 10).cast(LongType)
@@ -634,12 +646,14 @@ object PipelineOps extends QueryModule {
     // (raw/tgt aggregate it AND the final join re-reads it), and an
     // unpersist here would run at plan-construction time, before any
     // action materializes the cache, silently tripling the token
-    // explode. The cache is released by the caller's catalog-wide
-    // clearCache (Bench) or session teardown (specs).
-    db.join(broadcast(scored), "b")
+    // explode. Released via the returned hook once the caller has
+    // materialized the weights, or by catalog-wide clearCache (Bench)
+    // / session teardown (specs) for dsirWeights callers.
+    val out = db.join(broadcast(scored), "b")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("lr")).as("dsir_x1e6"))
+    (out, () => { db.unpersist(); () })
   }
 
   private def dsirQuery(s: SparkSession, d: String): DataFrame =

@@ -733,9 +733,17 @@ object TextAnalysis extends QueryModule {
   }
 
   /** [[bm25Sql]]'s derivation parameterized by the term list — the
-    * per-query building block of the batched oracle.
+    * per-query building block of the batched oracle. `matchedOnly`
+    * drops 0.0-score docs BEFORE the top-k cut: `searchBatch` never
+    * pads with unmatched docs (batch probes are no-padding by
+    * contract), so its oracle must not either — without the filter,
+    * parity would hold only while every query matches ≥ 10 docs at
+    * the tested SF, and a term-list tweak could silently flip the
+    * row. A matched doc's score is strictly positive (idf's log
+    * argument > 1), so `score0 > 0` separates the two sets exactly.
     */
-  private def bm25SqlFor(terms: Seq[String], prefix: String): String = {
+  private def bm25SqlFor(terms: Seq[String], prefix: String,
+                         matchedOnly: Boolean = false): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
@@ -756,13 +764,13 @@ object TextAnalysis extends QueryModule {
        |FROM (SELECT d.doc_id,
        |      $score AS score0
        |      FROM d CROSS JOIN c) q
-       |ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
+       |${if (matchedOnly) "WHERE score0 > 0\n" else ""}ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
   private val bm25BatchSql =
     bm25BatchQueries.map { case (qid, terms) =>
       s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, bm25 FROM (\n" +
-        bm25SqlFor(terms, "WITH") + "\n)"
+        bm25SqlFor(terms, "WITH", matchedOnly = true) + "\n)"
     }.mkString("\nUNION ALL\n")
 
   /** Exact-phrase search served from the positional postings —

@@ -146,9 +146,24 @@ object Serving extends QueryModule {
     * `maxRowsPerTask` is the direct task-size knob AQE's byte
     * threshold only approximates.
     */
-  private[graft] def knnJoinFrame(e: DataFrame, maxRowsPerTask: Long = 0L): DataFrame = {
+  private[graft] def knnJoinFrame(e: DataFrame, maxRowsPerTask: Long = 0L,
+                                  corpusPred: Option[Column] = None): DataFrame = {
     val cents = Centroids.deterministicInit(e, k = K)
-    val corpus = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    // FILTER-then-search at join scale (`corpusPred`): the metadata
+    // predicate restricts the CORPUS side before any scoring, after
+    // shard assignment against the full-corpus routing centroids (the
+    // store's routing is a property of the index, not of one query's
+    // allowed set). Every query still probes its own nprobe nearest
+    // shards and ranks top-k among the ALLOWED docs there — a
+    // selective predicate costs no recall, unlike post-filtering a
+    // top-k (which returns < k or misses allowed neighbors ranked
+    // below disallowed ones). The predicate is a plain filter over
+    // scan columns, so Catalyst pushes it below the shard projection
+    // into the parquet scan; with the predicate as a partition-style
+    // column the pruning is free. Queries remain ALL vectors —
+    // restricting who asks is the caller's slice, orthogonal to this.
+    val corpus0 = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    val corpus = corpusPred.fold(corpus0)(corpus0.filter)
     val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
     val joined =
@@ -199,6 +214,53 @@ object Serving extends QueryModule {
        |  JOIN assign a ON a.shard = qsh.shard
        |  JOIN embeddings b ON b.vec_id = a.vec_id
        |  WHERE b.vec_id <> q.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score
+       |FROM scored WHERE rank <= 3""".stripMargin
+
+  // --- FILTERED knn join: metadata predicate before scoring ----------
+  /** The metadata-predicated knn JOIN — the most common real retrieval
+    * shape after plain top-k: EVERY query vector's top-3 among the
+    * docs an access/metadata predicate allows (here `label = 3` —
+    * tenant, license, language, freshness in production). This is
+    * `VectorStore.searchWhere`'s filter-THEN-search semantics at join
+    * scale: [[knnJoinFrame]]'s salted shard-equi-join plan with the
+    * predicate applied to the corpus side BEFORE any scoring, so a
+    * selective predicate costs no recall (a post-filtered top-k — the
+    * reference clients' only option around their per-vector /search
+    * loop, compute_server.py:106-138 — drops allowed neighbors ranked
+    * below disallowed ones). Routing stays the full-corpus centroids:
+    * the allowed set changes per call, the index's routing does not.
+    * The salt bound scales with the FILTERED population (the join's
+    * actual big side); queries whose probed shards hold no allowed
+    * doc emit nothing, exactly as the oracle's replayed pruning does.
+    */
+  private def knnJoinFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"), col("label"))
+    val n = e.filter(col("label") === 3).count()
+    knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / (8L * K)),
+      corpusPred = Some(col("label") === 3))
+  }
+
+  private val knnJoinFilteredSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], q.qv) AS s,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id AND b.label = 3)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score
        |FROM scored WHERE rank <= 3""".stripMargin
 
@@ -431,6 +493,7 @@ object Serving extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
+    "vdb_knn_join_filtered" -> (knnJoinFiltered _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _))
@@ -438,6 +501,7 @@ object Serving extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
+    "vdb_knn_join_filtered" -> knnJoinFilteredSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)
 }

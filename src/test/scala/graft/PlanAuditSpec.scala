@@ -157,6 +157,18 @@ class PlanAuditSpec extends AnyFunSuite {
         "(SaltedJoin.joinByPopulation) — the streaming/pinned-partitioning skew defense")
   }
 
+  test("the filtered knn join is salted AND filters the corpus before scoring") {
+    val qe = SparkEntry.queries("vdb_knn_join_filtered")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.toString.contains("__salt"),
+      "vdb_knn_join_filtered must keep the population-adaptive salted shape")
+    // filter-THEN-search: the label predicate must reach the parquet
+    // scan (below the shard projection and the join), not post-filter
+    // a scored top-k
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("EqualTo(label,"),
+      "the metadata predicate must be pushed to the corpus scan")
+  }
+
   // --- meta-test: the audit actually catches the bad shapes ----------
 
   test("meta: a corpus-by-corpus loop join is caught") {
