@@ -303,25 +303,43 @@ class TermIndex(spark: SparkSession, path: String,
       .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
-  /** Exact-phrase probe over the positional postings: docs containing
-    * the consecutive token sequence `phrase`, ranked by occurrence
+  /** Exact-phrase / proximity probe over the positional postings:
+    * docs containing the token sequence `phrase`, ranked by occurrence
     * count (desc, doc_id asc). The plan: one postings scan filtered
     * to the phrase's terms (pushdown + row-group pruning, same as
     * [[search]]), one doc_id equi-join per phrase term — each side
     * that term's df rows — and the occurrence count as a pure
-    * projection over the joined position arrays (a position p of the
-    * first term counts iff term j sits at p + j for every j):
-    * OVERLAPPING occurrences, the standard positional-index
-    * semantics. No document text is touched; scan volume tracks the
-    * phrase terms' df, corpus-size-independent for selective phrases.
-    * Repeated terms in the phrase are fine (each position slot joins
-    * its own copy of the postings). Requires a positionally-built
-    * index (any build/append from this layout version on).
+    * projection over the joined position arrays. No document text is
+    * touched; scan volume tracks the phrase terms' df,
+    * corpus-size-independent for selective phrases. Repeated terms in
+    * the phrase are fine (each position slot joins its own copy of
+    * the postings). Requires a positionally-built index (any
+    * build/append from this layout version on).
+    *
+    * `slop = 0` (exact): a position p of the first term counts iff
+    * term j sits at exactly p + j for every j — OVERLAPPING
+    * occurrences, the standard positional-index semantics. Counted as
+    * ONE n-way intersection of the position arrays with term j's
+    * shifted by −j (each array is distinct-element by construction,
+    * so |∩| is exactly the aligned-start count): hash-set based, O(Σ
+    * df-row array lengths) — not the per-position containment scan
+    * whose O(occ·len) degenerated on phrases of very common terms.
+    *
+    * `slop = w > 0` (proximity): term j may sit ANYWHERE within
+    * p + j ± w — each slot matches independently (no injectivity
+    * across slots; "database …≤w… systems" style queries).
+    * n_occurrences counts the ANCHOR positions p of the FIRST term
+    * whose every slot finds a within-window match. The window check
+    * is an exists() over term j's positions per anchor — O(occ·len),
+    * acceptable because slop probes are interactive-query-shaped; an
+    * exact probe never pays it.
     */
   def searchPhrase(phrase: Seq[String], k: Int = 10,
-                   excludeLabel: Option[String] = None): DataFrame = {
+                   excludeLabel: Option[String] = None,
+                   slop: Int = 0): DataFrame = {
     require(phrase.size >= 2,
       "a phrase needs >= 2 terms — rank single terms with search()")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val post = minusDeleted(
       BatchedTable.readIdx(spark, postDir, excludeLabel)
         .filter(col("term").isin(phrase.distinct: _*)), excludeLabel)
@@ -331,14 +349,97 @@ class TermIndex(spark: SparkSession, path: String,
       post.filter(col("term") === t).select(col("doc_id"), col("pos").as(s"__pos$i"))
     }
     val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
-    val cnt = size(filter(col("__pos0"), p =>
-      (1 until phrase.size)
-        .map(j => array_contains(col(s"__pos$j"), p + j))
-        .reduce(_ && _)))
+    val cnt = phraseCountCol(phrase.size, slop, j => col(s"__pos$j"))
     joined.withColumn("n_occurrences", cnt.cast(LongType))
       .filter(col("n_occurrences") > 0)
       .orderBy(desc("n_occurrences"), asc("doc_id")).limit(k)
       .select("doc_id", "n_occurrences")
+  }
+
+  /** The occurrence-count expression shared by [[searchPhrase]] and
+    * [[searchPhraseBatch]], given each slot's position array (see
+    * searchPhrase's Scaladoc for the two regimes' semantics/cost).
+    */
+  private def phraseCountCol(n: Int, slop: Int, pos: Int => Column): Column =
+    if (slop == 0)
+      size((0 until n).map(j =>
+          if (j == 0) pos(0) else transform(pos(j), q => q - j))
+        .reduce(array_intersect(_, _)))
+    else
+      size(filter(pos(0), p =>
+        (1 until n)
+          .map(j => exists(pos(j), q => abs(q - (p + j)) <= slop))
+          .reduce(_ && _)))
+
+  /** Batched phrase serving — [[searchBatch]]'s discipline applied to
+    * [[searchPhrase]]: `queries` is (query_id, phrase array<string>,
+    * each ≥ 2 terms), returns (query_id, doc_id, n_occurrences) —
+    * each query's top-k, row-for-row what a searchPhrase loop would
+    * produce. ONE postings scan filtered to the union of all phrases'
+    * terms (driver-collected literal isin — query frames are
+    * serving-request-sized by contract — keeping row-group pruning);
+    * each phrase SLOT replicates its term's postings rows via a
+    * broadcast join against the exploded (query_id, slot, term)
+    * frame, per-(query, doc) slot arrays reassemble into a
+    * slot-keyed map (postings are unique per (term, doc), so map
+    * keys are unique even with repeated phrase terms — each slot is
+    * its own entry), and the occurrence count is [[searchPhrase]]'s
+    * exact projection over `element_at(map, slot)`. Docs missing ANY
+    * slot drop on `size(map) = phrase length` before counting. Same
+    * `slop` semantics as the single-phrase probe, uniform across the
+    * batch.
+    */
+  def searchPhraseBatch(queries: DataFrame, k: Int = 10,
+                        excludeLabel: Option[String] = None,
+                        slop: Int = 0): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "phrase"),
+      s"queries must be (query_id, phrase), got ${queries.columns.mkString(", ")}")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    // one job collects the term universe AND validates phrase lengths
+    // (the serveStream probe-hygiene contract: a micro-batch costs one
+    // driver action before the probe itself)
+    val terms = queries.select(explode(array_distinct(col("phrase"))).as("t"),
+        (size(col("phrase")) < 2).as("__short"))
+      .groupBy("t").agg(max(col("__short")).as("s")).collect()
+    require(terms.nonEmpty, "no phrases in the batch")
+    require(!terms.exists(_.getBoolean(1)),
+      "every phrase needs >= 2 terms — rank single terms with searchBatch()")
+    val allTerms = terms.map(_.getString(0)).toSeq
+    val post = minusDeleted(
+      BatchedTable.readIdx(spark, postDir, excludeLabel)
+        .filter(col("term").isin(allTerms: _*)), excludeLabel)
+    require(post.columns.contains("pos"),
+      s"index at $path predates the positional layout — rebuild() to serve phrases")
+    val slots = queries.select(col("query_id"), size(col("phrase")).as("__plen"),
+      posexplode(col("phrase")).as(Seq("__slot", "term")))
+    val m = col("__m")
+    val cnt = phraseCountCol0(slop, j => element_at(m, j), size(m))
+    post.select(col("term"), col("doc_id"), col("pos"))
+      .join(broadcast(slots), "term")
+      .groupBy("query_id", "doc_id", "__plen")
+      .agg(map_from_entries(collect_list(struct(col("__slot"), col("pos")))).as("__m"))
+      .filter(size(m) === col("__plen"))
+      .withColumn("n_occurrences", cnt.cast(LongType))
+      .filter(col("n_occurrences") > 0)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("n_occurrences"), asc("doc_id"))))
+      .filter(col("__rk") <= k)
+      .select("query_id", "doc_id", "n_occurrences")
+  }
+
+  /** [[phraseCountCol]] with a RUNTIME slot count (the batch path:
+    * phrase length varies per query, so slots index a map and the
+    * fold runs over `sequence(1, n-1)` instead of a compile-time
+    * range). Map keys are the 0-based slots from posexplode.
+    */
+  private def phraseCountCol0(slop: Int, pos: Column => Column, n: Column): Column = {
+    val slotIdx = sequence(lit(1), (n - 1).cast("int"))
+    if (slop == 0)
+      size(aggregate(slotIdx, pos(lit(0)),
+        (acc, j) => array_intersect(acc, transform(pos(j), q => q - j))))
+    else
+      size(filter(pos(lit(0)), p =>
+        forall(slotIdx, j => exists(pos(j), q => abs(q - (p + j)) <= slop))))
   }
 
   /** Batched probe — the text twin of `vdb_knn_batch_ivf`: a serving

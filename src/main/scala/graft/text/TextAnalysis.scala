@@ -801,6 +801,70 @@ object TextAnalysis extends QueryModule {
        |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Window-enumeration phrase oracle generalized to proximity: an
+    * anchor position i (of the first term) counts iff every term j
+    * appears within i + j ± slop (slop 0 = the exact-phrase
+    * condition). Same anchor-count semantics as
+    * `TermIndex.searchPhrase(slop = …)`, derived from the raw text.
+    */
+  private def phraseSqlFor(terms: Seq[String], slop: Int): String = {
+    val conds = terms.zipWithIndex.map { case (t, j) =>
+      if (j == 0) s"ws[i] = '$t'"
+      else if (slop == 0) s"i + $j <= len(ws) AND ws[i + $j] = '$t'"
+      else s"len(list_filter(range(greatest(1, i + $j - $slop), " +
+        s"least(len(ws), i + $j + $slop) + 1), q -> ws[q] = '$t')) > 0"
+    }.mkString("\n          AND ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST(len(list_filter(range(1, len(ws) + 1), i -> $conds)) AS BIGINT)
+       |          AS n_occurrences
+       |      FROM w)
+       |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+       |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Proximity (slop) phrase search — `searchPhrase(slop = 2)`: term j
+    * may sit anywhere within anchor + j ± 2, the "merge …near… join"
+    * query exact phrasing misses (at sf0.01 slop 2 matches ~3.5x the
+    * docs the exact phrase does). Served from the SAME positional
+    * postings as the exact probe; the oracle enumerates anchors over
+    * the raw token list with the identical window condition.
+    */
+  private val slopTerms = Seq("merge", "join")
+
+  private def phraseSlop(s: SparkSession, d: String): DataFrame = {
+    val idx = new TermIndex(s, termIdxDir(d, "-slop"))
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.searchPhrase(slopTerms, k = 10, slop = 2)
+  }
+
+  private val phraseSlopSql = phraseSqlFor(slopTerms, slop = 2)
+
+  /** Batched phrase serving — `TermIndex.searchPhraseBatch` over a
+    * 3-phrase (query_id, phrase) frame: one term-pruned postings scan
+    * serves every phrase's top-10 (slot-keyed map reassembly). Oracle
+    * = the window-enumeration SQL instantiated per phrase and
+    * UNION ALLed — a green row proves the batch plan's map-indexed
+    * counting equals the per-phrase joined-frames projection.
+    */
+  private val phraseBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("merge", "join"),
+    1L -> Seq("table", "hash"),
+    2L -> Seq("part", "filter"))
+
+  private def phraseBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = new TermIndex(s, termIdxDir(d, "-pbatch"))
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.searchPhraseBatch(phraseBatchQueries.toDF("query_id", "phrase"), k = 10)
+  }
+
+  private val phraseBatchSql =
+    phraseBatchQueries.map { case (qid, terms) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, n_occurrences FROM (\n" +
+        phraseSqlFor(terms, slop = 0) + "\n)"
+    }.mkString("\nUNION ALL\n")
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -820,6 +884,8 @@ object TextAnalysis extends QueryModule {
     "text_bm25_indexed" -> (bm25Indexed _),
     "text_bm25_batch"  -> (bm25Batch _),
     "text_phrase_indexed" -> (phraseIndexed _),
+    "text_phrase_slop" -> (phraseSlop _),
+    "text_phrase_batch" -> (phraseBatch _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -842,6 +908,8 @@ object TextAnalysis extends QueryModule {
     "text_bm25_indexed" -> bm25Sql,
     "text_bm25_batch"  -> bm25BatchSql,
     "text_phrase_indexed" -> phraseIndexedSql,
+    "text_phrase_slop" -> phraseSlopSql,
+    "text_phrase_batch" -> phraseBatchSql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,

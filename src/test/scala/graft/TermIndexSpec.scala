@@ -246,6 +246,56 @@ class TermIndexSpec extends AnyFunSuite {
       "the positional column must survive the fold")
   }
 
+  test("slop phrase search: anchor-count proximity semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx12").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq(
+      (1L, "merge join x"),        // exact
+      (2L, "merge x join"),        // gap 1 -> slop >= 1
+      (3L, "merge x y z join"),    // gap 3 -> slop >= 3
+      (4L, "join merge"),          // reversed: slop 2 window reaches back
+      (5L, "merge x merge join")).toDF("doc_id", "text")) // two anchors, one hits at slop 0, both at slop >= 2
+    def phrase(slop: Int): Map[Long, Long] =
+      idx.searchPhrase(Seq("merge", "join"), k = 10, slop = slop).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(phrase(0) === Map(1L -> 1L, 5L -> 1L))
+    assert(phrase(1) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    // slop 2: doc 4's anchor p has "join" at p-1, |p-1-(p+1)| = 2 — the
+    // standard sloppy-phrase reach-back (reordering within the window);
+    // doc 5's first anchor finds "join" at p+3 within +-2 of p+1
+    assert(phrase(2) === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 2L))
+    assert(phrase(3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    intercept[IllegalArgumentException](
+      idx.searchPhrase(Seq("merge", "join"), slop = -1))
+  }
+
+  test("searchPhraseBatch is row-identical to a per-phrase searchPhrase loop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx13").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    // mixed lengths and a repeated-term phrase — the map-keyed slots
+    // must keep each slot its own entry
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("merge", "join"),
+      1L -> Seq("table", "hash", "merge"),
+      2L -> Seq("a", "a"))
+    for (slop <- Seq(0, 1)) {
+      val batched = idx.searchPhraseBatch(qs.toDF("query_id", "phrase"),
+          k = 5, slop = slop)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val looped = qs.flatMap { case (qid, p) =>
+        idx.searchPhrase(p, k = 5, slop = slop).collect()
+          .map(r => (qid, r.getLong(0), r.getLong(1)))
+      }.toSet
+      assert(batched === looped, s"slop=$slop batch must equal the loop")
+      assert(batched.nonEmpty)
+    }
+    intercept[IllegalArgumentException](
+      idx.searchPhraseBatch(Seq((0L, Seq("solo"))).toDF("query_id", "phrase")))
+  }
+
   test("serveStream probes a query stream batch-for-batch like searchBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
