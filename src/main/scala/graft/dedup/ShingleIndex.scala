@@ -194,8 +194,8 @@ class ShingleIndex(spark: SparkSession, path: String,
     tombstones(None).foreach { t =>
       val clash = batch.select("doc_id").join(broadcast(t), "doc_id").limit(1).count()
       require(clash == 0,
-        "append: batch contains tombstoned doc_ids — run compact() to reclaim " +
-          "deletes before re-ingesting a deleted id")
+        "append: batch contains tombstoned doc_ids — run reclaim(<delete label>) " +
+          "(or a full compact()) before re-ingesting a deleted id")
     }
     val sh = Dedup.shinglesOf(batch).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, label)
@@ -298,6 +298,52 @@ class ShingleIndex(spark: SparkSession, path: String,
         nDel
       } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(liveSh)
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(live)
+  }
+
+  /** Apply ONE delete's tombstones physically — [[graft.text.TermIndex
+    * .reclaim]]'s contract on the shingle side: rewrites only the
+    * row-set batch partitions (fp/, sh/, sizes/, bands/) that hold the
+    * label's deleted docs, then empties the label's tombstone
+    * partition, unblocking [[append]] of a corrected copy without a
+    * whole-index [[compact]]. The df and meta DELTAS stand untouched:
+    * the delete already wrote the compensating negatives, so after
+    * physical removal they describe exactly the surviving corpus —
+    * judge verdicts are invariant across reclaim. The emptied
+    * `del/batch=<label>` stays as a marker (the label stays burned —
+    * append's uniqueness guard keys on it); reclaim FINALIZES the
+    * delete, so replaying it afterwards violates the latest-mutation-
+    * only replay contract (it would zero the standing deltas).
+    * Idempotent; crash-safe per partition
+    * ([[graft.sources.BatchedTable.rewriteBatch]]), tombstones
+    * emptied LAST. Returns the number of tombstones reclaimed.
+    */
+  def reclaim(label: String): Long = {
+    require(label != "base" && label != "compact0" && label.nonEmpty,
+      s"reserved/empty batch label '$label'")
+    val rowSet = Seq(fpDir, shDir, szDir, bandDir)
+    dirs.foreach(d => graft.sources.BatchedTable.recoverFold(fs, d))
+    rowSet.foreach(d => graft.sources.BatchedTable.recoverRewrites(fs, d))
+    val delPart = new Path(s"$delDir/batch=$label")
+    require(fs.exists(delPart),
+      s"reclaim: no delete recorded under label '$label'")
+    val ids = spark.read.parquet(delPart.toString).select("doc_id")
+      .localCheckpoint(true)
+    try {
+      val n = ids.count()
+      if (n > 0) rowSet.foreach { dir =>
+        val affected = readIdx(dir, None)
+          .join(broadcast(ids), "doc_id")
+          .select(col("batch").cast("string")).distinct()
+          .collect().map(_.getString(0))
+        affected.foreach { b =>
+          graft.sources.BatchedTable.rewriteBatch(fs, dir, b,
+            spark.read.parquet(s"$dir/batch=$b")
+              .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+        }
+      }
+      writeBatch(ids.limit(0), delDir, label)
+      n
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(ids)
   }
 
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),

@@ -69,6 +69,57 @@ private[graft] object BatchedTable {
         s"compact recovery: rename $tmp -> $dir failed; all data is in $tmp")
   }
 
+  private def rwTmpFor(dir: String, label: String): Path =
+    new Path(new Path(dir), s"_batch=${label}__rw_tmp")
+
+  /** Finish (or discard) crashed [[rewriteBatch]] swaps: an orphan
+    * `_batch=<label>__rw_tmp` whose live partition is missing holds
+    * the rewrite's full output — one rename completes it; a tmp
+    * sibling of an intact live partition is pre-swap debris (the live
+    * originals stand) — delete it. Leading `_` keeps the tmp invisible
+    * to partition discovery, so reads never see a half state.
+    */
+  def recoverRewrites(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_batch=") && name.endsWith("__rw_tmp")) {
+        val live = new Path(p,
+          s"batch=${name.stripPrefix("_batch=").stripSuffix("__rw_tmp")}")
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new IllegalStateException(
+            s"rewrite recovery: rename ${st.getPath} -> $live failed")
+        } else if (!fs.delete(st.getPath, true)) throw new IllegalStateException(
+          s"rewrite recovery: could not clear stale tmp ${st.getPath}")
+      }
+    }
+  }
+
+  /** Rewrite ONE batch partition in place — the per-partition sibling
+    * of [[foldDir]]'s whole-table swap (reclaim-style maintenance that
+    * touches only the partitions holding affected rows). `kept` may
+    * read the partition being replaced: it is written DURABLY to the
+    * tmp sibling while the live originals still stand, then the live
+    * directory swaps out. Crash windows mirror foldDir's: before the
+    * live delete, the tmp is debris ([[recoverRewrites]] clears it);
+    * between delete and rename, re-running the mutation (which calls
+    * recoverRewrites first) completes the swap — single-writer,
+    * at-least-once, same as every mutation on a batched table.
+    */
+  def rewriteBatch(fs: FileSystem, dir: String, label: String,
+                   kept: DataFrame): Unit = {
+    val tmp = rwTmpFor(dir, label)
+    if (fs.exists(tmp) && !fs.delete(tmp, true)) throw new IllegalStateException(
+      s"rewrite: could not clear stale tmp $tmp; live partition untouched")
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val live = new Path(new Path(dir), s"batch=$label")
+    if (fs.exists(live) && !fs.delete(live, true)) throw new IllegalStateException(
+      s"rewrite: delete of $live failed; originals intact, rewrite at $tmp")
+    if (!fs.rename(tmp, live)) throw new IllegalStateException(
+      s"rewrite: rename $tmp -> $live failed; re-running the mutation recovers")
+  }
+
   /** One directory's fold: write `folded` as `batch=compact0` (and the
     * kept label's rows, verbatim) durably into the tmp sibling, then
     * swap. `folded` must read from the LIVE directory — it is

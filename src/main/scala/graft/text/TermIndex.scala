@@ -54,7 +54,8 @@ import graft.sources.BatchedTable
   *
   * Contracts shared with ShingleIndex: single writer; batch doc_ids
   * disjoint from indexed doc_ids — INCLUDING tombstoned ids until a
-  * [[compact]] reclaims them ([[append]] enforces this: an append of
+  * [[reclaim]] (one delete label, takedown-cost) or [[compact]]
+  * reclaims them ([[append]] enforces this: an append of
   * a tombstoned id would be silently hidden by its tombstone); one
   * mutation (append or delete) in flight at a time, at-least-once
   * retry of the LATEST label only (every write is idempotent per
@@ -160,8 +161,8 @@ class TermIndex(spark: SparkSession, path: String,
     tombstones(None).foreach { t =>
       val clash = batch.select("doc_id").join(broadcast(t), "doc_id").limit(1).count()
       require(clash == 0,
-        "append: batch contains tombstoned doc_ids — run compact() to reclaim " +
-          "deletes before re-ingesting a deleted id")
+        "append: batch contains tombstoned doc_ids — run reclaim(<delete label>) " +
+          "(or a full compact()) before re-ingesting a deleted id")
     }
     writeBatchOf(batch, label)
   }
@@ -217,6 +218,62 @@ class TermIndex(spark: SparkSession, path: String,
       BatchedTable.writeBatch(delta, metaDir, label)
       live.count()
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(live)
+  }
+
+  /** Apply ONE delete's tombstones physically — the takedown-cost
+    * reclaim that unblocks re-ingesting a corrected copy of a deleted
+    * doc without folding the whole index. [[append]] refuses
+    * tombstoned doc_ids (their tombstone would hide the new copy), so
+    * the takedown-then-reissue workflow was gated on a full
+    * [[compact]]; this rewrites ONLY the postings batch partitions
+    * that hold the label's deleted docs (minus those rows, term order
+    * preserved) and then empties the label's tombstone partition —
+    * probe results are invariant (df counts live postings rows, which
+    * the tombstones already excluded; the delete's negative meta
+    * delta stands and now describes physically-absent rows). Cost
+    * tracks where the deleted docs LIVE: a micro-batch-ingested doc
+    * costs its micro-batch's rewrite, a base-resident doc costs the
+    * base partition — still never the whole index.
+    *
+    * The emptied `del/batch=<label>` partition is kept as a marker:
+    * the label stays burned (append's label-uniqueness guard keys on
+    * the directory's existence — reusing it would overwrite the
+    * delete's meta delta). Reclaim FINALIZES the delete: replaying
+    * `delete(ids, label)` afterwards is a contract violation (only
+    * the LATEST in-flight mutation may replay — the class contract),
+    * and would zero out the standing meta delta. Idempotent itself:
+    * re-running finds no postings rows and an already-empty tombstone
+    * set. Crash-safe per partition ([[BatchedTable.rewriteBatch]]);
+    * tombstones empty LAST, so any crash leaves them standing over
+    * at-worst-already-rewritten partitions (anti-joining absent rows,
+    * a no-op). Returns the number of tombstones reclaimed.
+    */
+  def reclaim(label: String): Long = {
+    requireLabel(label)
+    dirs.foreach(d => BatchedTable.recoverFold(fs, d))
+    BatchedTable.recoverRewrites(fs, postDir)
+    val delPart = new Path(s"$delDir/batch=$label")
+    require(fs.exists(delPart),
+      s"reclaim: no delete recorded under label '$label'")
+    val ids = spark.read.parquet(delPart.toString).select("doc_id")
+      .localCheckpoint(true)
+    try {
+      val n = ids.count()
+      if (n > 0) {
+        val affected = BatchedTable.readIdx(spark, postDir, None)
+          .join(broadcast(ids), "doc_id")
+          .select(col("batch").cast("string")).distinct()
+          .collect().map(_.getString(0))
+        affected.foreach { b =>
+          BatchedTable.rewriteBatch(fs, postDir, b,
+            spark.read.parquet(s"$postDir/batch=$b")
+              .join(broadcast(ids), Seq("doc_id"), "left_anti")
+              .repartition(col("term")).sortWithinPartitions("term", "doc_id"))
+        }
+      }
+      BatchedTable.writeBatch(ids.limit(0), delDir, label)
+      n
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(ids)
   }
 
   /** The BM25 contribution of one postings row, given broadcast df and

@@ -290,6 +290,52 @@ class ShingleIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.delete(Seq(8L), "b1"))
   }
 
+  test("reclaim applies one delete physically and unblocks re-ingest of the corrected doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shrecl").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(Seq((1L, w("a", 40)), (2L, w("b", 40))).toDF("doc_id", "text"))
+    idx.append(Seq((8L, w("x", 40))).toDF("doc_id", "text"), "b1")
+    idx.delete(Seq(8L), "d1")
+    intercept[IllegalArgumentException](
+      idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b2"))
+
+    assert(idx.reclaim("d1") === 1L)
+    // physical: doc 8's rows gone from every row-set table
+    for (t <- Seq("fp", "sh", "sizes", "bands")) {
+      val ids = spark.read.parquet(s"$dir/$t")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L), s"$t still holds reclaimed rows: $ids")
+    }
+    assert(idx.health().collect().head.getLong(3) === 0L, "no live tombstones")
+    assert(idx.reclaim("d1") === 0L, "reclaim is idempotent")
+    intercept[IllegalArgumentException](
+      idx.append(Seq((60L, w("v", 40))).toDF("doc_id", "text"), "d1")) // label burned
+
+    // takedown-then-reissue: the corrected doc ingests and judging
+    // equals an index built from scratch over the surviving corpus
+    idx.append(Seq((8L, w("z", 40))).toDF("doc_id", "text"), "b2")
+    val ref = new ShingleIndex(spark,
+      Files.createTempDirectory("graft-shrecl-ref").toString)
+    ref.build(Seq((1L, w("a", 40)), (2L, w("b", 40)), (8L, w("z", 40)))
+      .toDF("doc_id", "text"))
+    val probe = Seq(
+      (100L, w("z", 40)),          // exact copy of the CORRECTED doc
+      (101L, w("x", 40)),          // copy of the taken-down ORIGINAL
+      (102L, w("b", 40) + " q")).toDF("doc_id", "text")
+    def verdicts(i: ShingleIndex): Map[Long, String] = {
+      val v = i.judge(probe)
+      val m = v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(v)
+      m
+    }
+    val want = verdicts(ref)
+    assert(want === Map(100L -> "exact", 101L -> "keep", 102L -> "near"))
+    assert(verdicts(idx) === want,
+      "post-reissue judging must equal the from-scratch reference")
+    assert(idx.nDocs() === 3L)
+  }
+
   test("delete with texts reverses df exactly even for capped-out shingles") {
     import spark.implicits._
     def dfNet(dir: String): Map[String, Long] =

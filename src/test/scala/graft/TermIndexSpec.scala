@@ -169,6 +169,57 @@ class TermIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.delete(Seq(8L), "b1"))
   }
 
+  test("reclaim applies one delete's tombstones and unblocks re-ingest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx14").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta beta delta")).toDF("doc_id", "text"))
+    idx.append(Seq((10L, "alpha beta beta")).toDF("doc_id", "text"), "b1")
+    idx.delete(Seq(2L, 10L), "d1")
+    // a SECOND delete under another label must survive d1's reclaim
+    idx.delete(Seq(3L), "d2")
+    val before = topMap(idx.search(Seq("alpha", "beta"), k = 10))
+    intercept[IllegalArgumentException](
+      idx.append(Seq((2L, "corrected")).toDF("doc_id", "text"), "b2"))
+
+    assert(idx.reclaim("d1") === 2L)
+    assert(topMap(idx.search(Seq("alpha", "beta"), k = 10)) === before,
+      "probe results must be invariant under reclaim")
+    // physical: the reclaimed docs' postings rows are gone (raw read,
+    // no tombstone anti-join), d2's doc 3 rows still present
+    val rawIds = spark.read.parquet(s"$dir/post")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rawIds === Set(1L, 3L), s"raw postings ids: $rawIds")
+    // d2's tombstone still live; d1's reclaimed
+    val h = idx.health().collect().head
+    assert(h.getLong(4) === 1L, s"only d2's tombstone should remain: $h")
+    // idempotent: nothing left to reclaim under d1
+    assert(idx.reclaim("d1") === 0L)
+    // the label stays burned for appends (its meta delta stands)
+    intercept[IllegalArgumentException](
+      idx.append(Seq((50L, "zeta")).toDF("doc_id", "text"), "d1"))
+
+    // takedown-then-reissue: corrected copies ingest now, and serving
+    // equals an index built from scratch over the surviving corpus
+    idx.append(Seq((2L, "alpha alpha corrected"),
+      (10L, "beta epsilon")).toDF("doc_id", "text"), "b2")
+    val ref = new TermIndex(spark,
+      Files.createTempDirectory("graft-tidx14-ref").toString)
+    ref.build(Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha corrected"),
+      (10L, "beta epsilon")).toDF("doc_id", "text"))
+    for (terms <- Seq(Seq("alpha", "beta"), Seq("corrected", "epsilon"))) {
+      assert(topMap(idx.search(terms, k = 10)) === topMap(ref.search(terms, k = 10)),
+        s"post-reissue serving must equal the from-scratch reference for $terms")
+    }
+    // reclaim of a label that never deleted: loud
+    intercept[IllegalArgumentException](idx.reclaim("nope"))
+  }
+
   test("padFrom pads the top-k with zero-score docs exactly as the one-shot would") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tidx6").toString
