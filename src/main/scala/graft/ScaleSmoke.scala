@@ -562,6 +562,28 @@ object ScaleSmoke {
       "post-delete serving must equal the one-shot over the surviving corpus")
     println("[scale] post-delete top-10 equals never-indexed ground truth: true (asserted)")
 
+    // single-label reclaim: the takedown applied PHYSICALLY by
+    // rewriting only the partitions that hold the deleted docs — here
+    // the base partition, the worst case (micro-batch-resident docs
+    // cost only their own micro-batch) — vs compact()'s whole-index
+    // fold. Results invariant; re-ingesting corrected copies of the
+    // taken-down ids unblocks (append refuses them while tombstoned).
+    timed("term-index reclaim of the takedown label (base-partition rewrite)") {
+      require(tIdx.reclaim("takedown1") == 500L, "500 tombstones expected")
+    }
+    val servedRecl = timed("term-index probe after reclaim") {
+      tIdx.search(Seq("w7", "w42", "w100"), k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    require(servedRecl.toSeq == servedDel.toSeq,
+      "reclaim must not change served results")
+    timed("re-ingest of 500 corrected docs (blocked before the reclaim)") {
+      tIdx.append(corpus.filter(col("doc_id").isin(tdIds: _*))
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+        "takedown1-fix")
+    }
+    println("[scale] reclaim applied the takedown physically; corrected docs re-ingested")
+
     // served-index fixed cost vs batch count: at thousands of ingested
     // micro-batches a probe's constant term is file LISTING/FOOTER
     // work — one directory per batch per table regardless of row

@@ -108,8 +108,11 @@ class TermIndex(spark: SparkSession, path: String,
             explode(ws).as("term"))
           .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
     // term-sorted files: parquet row-group min/max on `term` lets a
-    // query's isin() filter skip non-matching groups at scan time
-    base.repartition(col("term")).sortWithinPartitions("term")
+    // query's isin() filter skip non-matching groups at scan time;
+    // the doc_id minor order gives monotone id runs within a term —
+    // delta/dictionary-friendly pages and tighter doc_id row-group
+    // stats for the id-probe paths (delete's isin, reclaim discovery)
+    base.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .select(("term" +: "doc_id" +: "tf" +: "dl" +:
         (if (positional) Seq("pos") else Nil)).map(col): _*)
   }
@@ -521,22 +524,38 @@ class TermIndex(spark: SparkSession, path: String,
     * asc).
     */
   def searchBatch(queries: DataFrame, k: Int = 10,
-                  excludeLabel: Option[String] = None): DataFrame = {
+                  excludeLabel: Option[String] = None): DataFrame =
+    searchBatchOpt(queries, k, excludeLabel).getOrElse(
+      throw new IllegalArgumentException("no terms in any query"))
+
+  /** [[searchBatch]] tolerating an EMPTY query frame (None) — the
+    * [[serveStream]] fast path: streaming watermark ticks deliver
+    * empty micro-batches, and distinguishing them must not cost its
+    * own isEmpty job on top of the probe's term collect.
+    */
+  private def searchBatchOpt(queries: DataFrame, k: Int,
+                             excludeLabel: Option[String]): Option[DataFrame] = {
     require(queries.columns.toSeq == Seq("query_id", "terms"),
       s"queries must be (query_id, terms), got ${queries.columns.mkString(", ")}")
-    val dup = queries
-      .filter(size(col("terms")) =!= size(array_distinct(col("terms"))))
-      .limit(1).count()
-    require(dup == 0, "duplicate terms within a query would double-count")
-    val allTerms = queries.select(explode(col("terms")).as("t"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    require(allTerms.nonEmpty, "no terms in any query")
+    // ONE driver job validates AND collects the term universe: each
+    // exploded term rides its query's duplicate flag, folded per term
+    // — under serveStream this is the only scheduled job before the
+    // probe plan itself (was: a duplicate-check count + a distinct
+    // collect + the caller's isEmpty, three jobs per micro-batch)
+    val terms = queries
+      .select(explode(col("terms")).as("t"),
+        (size(col("terms")) =!= size(array_distinct(col("terms")))).as("__dup"))
+      .groupBy("t").agg(max(col("__dup")).as("d")).collect()
+    require(!terms.exists(_.getBoolean(1)),
+      "duplicate terms within a query would double-count")
+    if (terms.isEmpty) return None
+    val allTerms = terms.map(_.getString(0)).toSeq
     val (post, meta, dfs) = probe(allTerms, excludeLabel)
     // __qpos, not pos: the postings frame carries its own positional
     // `pos` column, and the join would make the bare name ambiguous
     val qt = queries.select(col("query_id"),
       posexplode(col("terms")).as(Seq("__qpos", "term")))
-    post
+    Some(post
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
       .withColumn("__c", contribCol)
@@ -549,7 +568,7 @@ class TermIndex(spark: SparkSession, path: String,
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("score0"), asc("doc_id"))))
       .filter(col("__rk") <= k)
-      .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25"))
+      .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25")))
   }
 
   /** Index health — the maintenance dashboard, metadata-cheap:
@@ -600,11 +619,12 @@ class TermIndex(spark: SparkSession, path: String,
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // watermark ticks deliver empty batches; probing them would
-        // run the meta fold + postings plan to append nothing
-        if (!batch.isEmpty)
-          searchBatch(batch, k)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        // one pre-probe job per micro-batch: the Opt variant's merged
+        // validate-and-collect doubles as the empty-batch check
+        // (watermark ticks deliver empty batches — None skips the
+        // probe and the append entirely)
+        searchBatchOpt(batch, k, None).foreach(
+          _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir))
       }
       .start()
 
@@ -638,7 +658,7 @@ class TermIndex(spark: SparkSession, path: String,
         val cols = Seq("term", "doc_id", "tf", "dl") ++
           (if (live.columns.contains("pos")) Seq("pos") else Nil)
         live.select(cols.map(col): _*)
-          .repartition(col("term")).sortWithinPartitions("term")
+          .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       }),
       metaDir -> (() => BatchedTable.readIdx(spark, metaDir, keepLabel)
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),

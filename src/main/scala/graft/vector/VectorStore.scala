@@ -342,6 +342,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     spark.read.parquet(centDir).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 
+  /** Deterministic stamp of the ROUTING state — the persisted recall
+    * curve's provenance mark. Any mutation that changes where queries
+    * probe (build, refreshCentroids, setCentroids) changes the
+    * centroids and therefore the stamp, which is exactly when a
+    * measured recall curve stops describing this store.
+    */
+  private def centStamp(cents: Array[(Int, Array[Double])]): Long =
+    scala.util.hashing.MurmurHash3.orderedHash(
+      cents.map { case (s, c) => (s, c.toSeq) }.toSeq).toLong
+
   /** Route new vectors to their nearest shard and append (reference
     * /store, one HTTP call per vector there — one distributed append
     * here).
@@ -682,10 +692,19 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
               .withColumn("compressed", lit(true))
               .withColumn("shortlist", lit(shortlist.toLong)))
         }
+      // provenance stamps: the routing state and corpus size this
+      // curve was measured against. nprobeFor refuses a curve whose
+      // stamp no longer matches the store (rebuild/refresh changed
+      // routing, or mass upserts shifted the distribution) — a stale
+      // curve would silently mis-tune nprobe. One extra count job in
+      // an offline maintenance pass.
       val fresh = curve
         .withColumn("n_queries", lit(nq))
         .withColumn("top_k", lit(topK.toLong))
-        .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed", "shortlist")
+        .withColumn("cent_stamp", lit(centStamp(cents)))
+        .withColumn("n_rows", lit(store.count()))
+        .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed",
+          "shortlist", "cent_stamp", "n_rows")
       // MERGE with the persisted table, don't clobber it: a raw-only
       // re-measurement would otherwise erase a previously measured
       // compressed curve (and vice versa), and searchAtRecall for the
@@ -711,8 +730,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           // a table persisted before the compressed extension has no
           // mode columns (nprobeFor reads it as raw-only): it holds
           // only the raw curve this measurement reproduces — supersede
-          // it rather than crash on the missing column
-          if (!existing.columns.contains("compressed"))
+          // it rather than crash on the missing column. Same for a
+          // pre-stamp table: its rows' provenance is unknowable, so
+          // carrying them would defeat the staleness contract.
+          if (!existing.columns.contains("compressed") ||
+              !existing.columns.contains("cent_stamp"))
             fresh.localCheckpoint(true)
           else fresh.unionByName(existing.filter(
             !newKeys.map(k =>
@@ -840,9 +862,22 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * read, driver-side pick: the same decision the reference caller
     * makes by hand via /search's shards_to_search knob, made
     * self-tuning from measured data.
+    *
+    * STALENESS: a curve row carries the routing stamp and row count of
+    * the store it was measured against ([[evalRecall]]); with
+    * `checkFresh` (the default) a mismatched stamp — the centroids
+    * changed under build/refreshCentroids/setCentroids — or a > 20%
+    * row-count drift (mass upserts/deletes shifting the distribution)
+    * REFUSES loudly instead of silently tuning nprobe from measurements
+    * of a store that no longer exists; re-run evalRecall to heal. The
+    * check costs a k-row centroid read plus one store count job — fine
+    * for the resolve-once-and-reuse serving pattern; a per-query hot
+    * path passes `checkFresh = false` against a curve it refreshes on
+    * its own maintenance schedule. Pre-stamp tables (legacy) skip the
+    * check — their provenance is unknowable; re-measure.
     */
   def nprobeFor(target: Double, compressed: Boolean = false,
-                shortlist: Int = 0): Int = {
+                shortlist: Int = 0, checkFresh: Boolean = true): Int = {
     val p = new org.apache.hadoop.fs.Path(recallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) numShards
     else {
@@ -854,6 +889,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         else if (compressed)
           t.filter(col("compressed") && col("shortlist") === shortlist.toLong)
         else t.filter(!col("compressed"))
+      if (checkFresh && t.columns.contains("cent_stamp")) {
+        // one measurement run per mode key (replaced wholesale by
+        // evalRecall), so any row carries the mode's provenance
+        val head = mode.select("cent_stamp", "n_rows").limit(1).collect()
+        if (head.nonEmpty) {
+          val (mStamp, mRows) = (head(0).getLong(0), head(0).getLong(1))
+          if (mStamp != centStamp(centroids()))
+            throw new IllegalStateException(
+              "recall curve is STALE: the store's routing centroids changed " +
+                "since it was measured (build/refreshCentroids/setCentroids) — " +
+                "re-run evalRecall, or pass checkFresh = false to knowingly " +
+                "serve on the stale curve")
+          val nowRows = spark.read.parquet(vecDir).count()
+          if (math.abs(nowRows - mRows) * 5L > math.max(nowRows, mRows))
+            throw new IllegalStateException(
+              s"recall curve is STALE: store row count drifted > 20% since " +
+                s"measurement ($mRows -> $nowRows) — re-run evalRecall, or " +
+                "pass checkFresh = false")
+        }
+      }
       val rows = mode
         .filter(col("recall_x1e4") >= math.ceil(target * 10000).toLong)
         .agg(min("nprobe")).head()
@@ -869,9 +924,10 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * loss, the regime compression exists for (see [[nprobeFor]]).
     */
   def searchAtRecall(q: Array[Double], topK: Int = 5, targetRecall: Double = 0.95,
-                     compressed: Boolean = false, shortlist: Int = 100): DataFrame =
-    search(q, topK, nprobeFor(targetRecall, compressed, shortlist), compressed,
-      shortlist)
+                     compressed: Boolean = false, shortlist: Int = 100,
+                     checkFresh: Boolean = true): DataFrame =
+    search(q, topK, nprobeFor(targetRecall, compressed, shortlist, checkFresh),
+      compressed, shortlist)
 
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,

@@ -347,6 +347,68 @@ class TermIndexSpec extends AnyFunSuite {
       idx.searchPhraseBatch(Seq((0L, Seq("solo"))).toDF("query_id", "phrase")))
   }
 
+  test("searchBatch runs exactly ONE driver action before the probe plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx15").toString
+    val idx = new TermIndex(spark, dir, positional = false)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("table", "hash"), 1L -> Seq("scan", "filter"))
+    // warm the plan paths once
+    idx.searchBatch(qs.toDF("query_id", "terms"), k = 5)
+    // count query ACTIONS, not raw jobs: AQE legitimately splits one
+    // collect into stage jobs and parquet reads fire footer jobs —
+    // the serveStream contract is about scheduled ACTIONS per
+    // micro-batch (was three: dup-check count + term collect +
+    // caller isEmpty; now the one merged validate+collect)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      idx.searchBatch(qs.toDF("query_id", "terms"), k = 5)
+      // the listener bus is async; give queued events a beat, then a
+      // grace poll so a straggling SECOND action cannot hide
+      val deadline = System.nanoTime() + 5000000000L
+      while (actions.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(actions.get() === 1,
+        s"searchBatch must cost one merged validate+collect action pre-probe, " +
+          s"ran ${actions.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("compact writes postings in (term, doc_id) order within each file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx16").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    idx.append(Seq((90001L, "table hash table"), (90002L, "hash merge"))
+      .toDF("doc_id", "text"), "b1")
+    val before = topMap(idx.search(Seq("table", "hash"), k = 10))
+    idx.compact()
+    assert(topMap(idx.search(Seq("table", "hash"), k = 10)) === before)
+    // delta-friendly runs: every folded file is sorted by (term,
+    // doc_id), so parquet pages see monotone id runs per term and
+    // row-group stats stay tight on both probe columns
+    val files = new java.io.File(s"$dir/post/batch=compact0")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("term", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${f.getName}: rows must be (term, doc_id)-sorted")
+    }
+  }
+
   test("serveStream probes a query stream batch-for-batch like searchBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

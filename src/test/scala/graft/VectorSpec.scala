@@ -693,6 +693,46 @@ class VectorSpec extends AnyFunSuite {
       "the stale-k compressed curve is superseded, not carried")
   }
 
+  test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 64).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-stale-recall").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    vs.evalRecall(nQueries = 16, topK = 5)
+    assert(vs.nprobeFor(0.5) >= 1, "fresh curve serves")
+    val qv = corpus.select(col("vector").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+
+    // rebuild over a shifted corpus: the routing centroids change, so
+    // the persisted curve describes a store that no longer exists
+    vs.build(corpus.withColumn("vector",
+      transform(col("vector"), x => x + 3.0)), iters = 2)
+    val e = intercept[IllegalStateException](
+      vs.searchAtRecall(qv, topK = 3, targetRecall = 0.5))
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // the knowing bypass still serves (caller owns the staleness risk)
+    assert(vs.searchAtRecall(qv, topK = 3, targetRecall = 0.5,
+      checkFresh = false).collect().nonEmpty)
+    // re-measuring heals
+    vs.evalRecall(nQueries = 16, topK = 5)
+    assert(vs.searchAtRecall(qv, topK = 3, targetRecall = 0.5)
+      .collect().nonEmpty)
+
+    // mass ingest WITHOUT a centroid change: > 20% row-count drift —
+    // the distribution the curve measured has shifted under it
+    vs.store(spark.range(1000, 1200, 1, 4).select(col("id"),
+      array((0 until 64).map(d =>
+        (pmod(hash(col("id"), lit(d + 7)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector")))
+    val e2 = intercept[IllegalStateException](vs.nprobeFor(0.5))
+    assert(e2.getMessage.contains("drifted"), e2.getMessage)
+    vs.evalRecall(nQueries = 16, topK = 5)
+    assert(vs.nprobeFor(0.5) >= 1, "re-measurement heals the drift refusal")
+  }
+
   test("compressed recall curve measures ADC truncation the raw curve cannot see") {
     // 250 subclusters of 8 near-identical members: a query's top-7
     // true neighbors are its own group (one quantizable pattern), and
