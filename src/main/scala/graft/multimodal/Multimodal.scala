@@ -15,25 +15,107 @@ case class MediaRef(doc_id: Long, media_type: String, payload: Array[Byte])
 case class MediaFeatures(doc_id: Long, n_bytes: Long, digest: String,
                          width: Int, height: Int, n_frames: Int)
 
+/** [[MediaFeatures]] with real-decode provenance: `modality` is the
+  * codec family that accepted the payload ("image" / "audio", or
+  * "opaque" when no built-in codec did and the stub geometry stands),
+  * `decoded` distinguishes measured dimensions from fallback ones —
+  * the column a curation filter keys on ("drop undecodable media").
+  * For audio, (width, height) carry (channels, sample bits) and
+  * n_frames the PCM frame count — the resampling-cost inputs.
+  */
+case class MediaFeaturesDetected(doc_id: Long, n_bytes: Long, digest: String,
+                                 modality: String, width: Int, height: Int,
+                                 n_frames: Long, decoded: Boolean)
+
 /** Multimodal column plumbing (SURVEY §2 block F).
   *
-  * The real decode step (image/audio codecs) is STUBBED — those libs
-  * are not in this environment. [[Decode.decodeStub]] is a clearly
-  * marked deterministic fake; everything around it (binary column
-  * handling, schema, partition-wise batch decode via mapPartitions,
-  * frame sampling) is the real Spark plumbing a production decode
-  * would drop into.
+  * Decode comes in two tiers. [[Decode.decodeMeta]] is a REAL
+  * header-level decoder built on the JDK's OWN codecs — zero external
+  * dependencies: `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF readers ship
+  * with the JRE) reads image dimensions from the header without
+  * materializing pixels, and `javax.sound.sampled` parses WAV/AU/AIFF
+  * frame geometry. Payload families the JDK has no container parser
+  * for (MP4/MKV/WebM/Opus…) fall back to [[Decode.decodeStub]], the
+  * clearly-marked deterministic fake — swap a javacv/ffmpeg binding
+  * into `decodeMeta`'s None branch in production; schema and call
+  * sites stay unchanged. Everything around them (binary column
+  * handling, partition-wise batch decode via mapPartitions, frame
+  * sampling) is the real Spark plumbing either tier drops into.
   */
 object Decode {
   /** STUB decode: deterministic fake dimensions derived from the
-    * payload. Replace the body with a real codec call (e.g. javacv)
-    * in production; signature and call sites stay unchanged.
+    * payload. The fallback for payloads [[decodeMeta]]'s built-in
+    * codecs reject; replace that None branch with a real
+    * javacv/ffmpeg call in production — signature and call sites
+    * stay unchanged.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val n = payload.length
     // 7L: Int arithmetic wraps negative past ~306 MB payloads (the
     // BIGINT oracle doesn't) — a plausible video object size
     (64 + n % 576, (64L + (n * 7L) % 416L).toInt)
+  }
+
+  /** REAL header-level decode via JDK-built-in codecs: (modality,
+    * width, height, n_frames), or None when no built-in codec accepts
+    * the payload. Images read dimensions from the header only
+    * (`ImageReader.getWidth/getHeight` never decode pixel data — the
+    * right cost model for a metadata pass over 100 TB of media);
+    * audio reports (channels, sample bits, PCM frame count). Corrupt
+    * or truncated payloads that a codec initially claims and then
+    * chokes on fall through to None rather than failing the task —
+    * at corpus scale SOME objects are always damaged, and the
+    * `decoded = false` row is the signal curation acts on.
+    */
+  def decodeMeta(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          return Some(("image", r.getWidth(0), r.getHeight(0), 1L))
+        } catch { case _: java.io.IOException => // damaged: fall through
+        } finally r.dispose()
+      }
+    } finally iis.close()
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      Some(("audio", fmt.getChannels, fmt.getSampleSizeInBits,
+        aff.getFrameLength.toLong))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Partition-wise REAL feature extraction — [[features]]' plumbing
+    * with [[decodeMeta]] first and the stub as the per-payload
+    * fallback (`decoded` records which path ran). One JVM-side pass
+    * per partition; payloads never leave the executor.
+    */
+  def featuresDetected(ds: Dataset[MediaRef]): Dataset[MediaFeaturesDetected] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+        md.reset()
+        decodeMeta(m.payload) match {
+          case Some((mod, w, h, f)) =>
+            MediaFeaturesDetected(m.doc_id, m.payload.length.toLong, digest,
+              mod, w, h, f, decoded = true)
+          case None =>
+            val (w, h) = decodeStub(m.payload)
+            MediaFeaturesDetected(m.doc_id, m.payload.length.toLong, digest,
+              "opaque", w, h, m.payload.length / 64 + 1, decoded = false)
+        }
+      }
+    }
   }
 
   /** Partition-wise feature extraction — the Scala analogue of a

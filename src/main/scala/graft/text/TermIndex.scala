@@ -451,7 +451,16 @@ class TermIndex(spark: SparkSession, path: String,
     */
   def searchPhraseBatch(queries: DataFrame, k: Int = 10,
                         excludeLabel: Option[String] = None,
-                        slop: Int = 0): DataFrame = {
+                        slop: Int = 0): DataFrame =
+    searchPhraseBatchOpt(queries, k, excludeLabel, slop).getOrElse(
+      throw new IllegalArgumentException("no phrases in the batch"))
+
+  /** [[searchPhraseBatch]] tolerating an EMPTY query frame (None) —
+    * [[servePhraseStream]]'s fast path, mirroring `searchBatchOpt`.
+    */
+  private def searchPhraseBatchOpt(queries: DataFrame, k: Int,
+                                   excludeLabel: Option[String],
+                                   slop: Int): Option[DataFrame] = {
     require(queries.columns.toSeq == Seq("query_id", "phrase"),
       s"queries must be (query_id, phrase), got ${queries.columns.mkString(", ")}")
     require(slop >= 0, s"slop must be >= 0, got $slop")
@@ -461,9 +470,9 @@ class TermIndex(spark: SparkSession, path: String,
     val terms = queries.select(explode(array_distinct(col("phrase"))).as("t"),
         (size(col("phrase")) < 2).as("__short"))
       .groupBy("t").agg(max(col("__short")).as("s")).collect()
-    require(terms.nonEmpty, "no phrases in the batch")
     require(!terms.exists(_.getBoolean(1)),
       "every phrase needs >= 2 terms — rank single terms with searchBatch()")
+    if (terms.isEmpty) return None
     val allTerms = terms.map(_.getString(0)).toSeq
     val post = minusDeleted(
       BatchedTable.readIdx(spark, postDir, excludeLabel)
@@ -474,7 +483,7 @@ class TermIndex(spark: SparkSession, path: String,
       posexplode(col("phrase")).as(Seq("__slot", "term")))
     val m = col("__m")
     val cnt = phraseCountCol0(slop, j => element_at(m, j), size(m))
-    post.select(col("term"), col("doc_id"), col("pos"))
+    Some(post.select(col("term"), col("doc_id"), col("pos"))
       .join(broadcast(slots), "term")
       .groupBy("query_id", "doc_id", "__plen")
       .agg(map_from_entries(collect_list(struct(col("__slot"), col("pos")))).as("__m"))
@@ -484,8 +493,28 @@ class TermIndex(spark: SparkSession, path: String,
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("n_occurrences"), asc("doc_id"))))
       .filter(col("__rk") <= k)
-      .select("query_id", "doc_id", "n_occurrences")
+      .select("query_id", "doc_id", "n_occurrences"))
   }
+
+  /** Continuous PHRASE serving — [[serveStream]]'s contract for the
+    * phrase query shape: each micro-batch of (query_id, phrase
+    * array<string>) rows probes via [[searchPhraseBatch]] (one
+    * term-pruned postings scan, one pre-probe driver action) and
+    * appends (query_id, doc_id, n_occurrences) to `outDir`. A
+    * separate handle/sink from the keyword stream because the result
+    * schemas differ (bm25 vs occurrence counts); same at-least-once
+    * append posture. `slop` applies batch-wide.
+    */
+  def servePhraseStream(queries: DataFrame, k: Int = 10, outDir: String,
+                        checkpoint: String, slop: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        searchPhraseBatchOpt(batch, k, None, slop).foreach(
+          _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir))
+      }
+      .start()
 
   /** [[phraseCountCol]] with a RUNTIME slot count (the batch path:
     * phrase length varies per query, so slots index a map and the

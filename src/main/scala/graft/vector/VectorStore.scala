@@ -1032,4 +1032,70 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .limit(topK)
       .select(col(idCol), col("shard").cast(LongType).as("shard"), col("score"))
   }
+
+  /** knn JOIN against the store — top-k neighbors for EVERY row of a
+    * (query_id, qv ARRAY<DOUBLE>) frame in one plan, the serving form
+    * of the registered `vdb_knn_join_filtered`/`vdb_knn_join_ivf`
+    * queries (the reference's clients loop /search per vector,
+    * test.py:117-127). Each query probes its `nprobe` nearest shards
+    * as a PROJECTION against the store's persisted routing centroids;
+    * scoring is an equi-join on the shard key (neither side broadcast
+    * — both may be corpus-sized); per-query top-k rides the
+    * bounded-heap aggregate (≤ topK rows per (query, map partition)
+    * on the shuffle, never a global score sort).
+    *
+    * `allowed` is filter-THEN-search at join scale ([[searchWhere]]'s
+    * semantics): the id set semi-joins the corpus side BEFORE any
+    * scoring, so a selective predicate costs no recall. `excludeSelf`
+    * drops corpus rows whose id equals the row's query_id before
+    * ranking (the corpus-queries-itself shape — dedup, related-items).
+    * `maxRowsPerTask > 0` bounds hot-shard stragglers via
+    * [[graft.operators.SaltedJoin.joinByPopulation]] (the defense for
+    * regimes AQE's skew-split can't reach — stream-static scoring,
+    * pinned partitionings); sized from the FILTERED corpus, result-
+    * invariant. Returns (query_id, rank, <idCol>, score). Requires an
+    * integral id column (the heap carries Long ids — same contract as
+    * [[evalRecall]]).
+    */
+  def searchJoin(queries: DataFrame, topK: Int = 5, nprobe: Int = 2,
+                 allowed: Option[DataFrame] = None,
+                 excludeSelf: Boolean = false,
+                 maxRowsPerTask: Long = 0L): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "qv"),
+      s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
+    require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
+    val raw = spark.read.parquet(vecDir)
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(raw.schema(idCol).dataType),
+      s"searchJoin requires an integral id column; store '$idCol' is " +
+        raw.schema(idCol).dataType.simpleString)
+    val cents = centroids()
+    val corpusAll = raw.select(col(idCol).cast(LongType).as(idCol),
+      col("shard").cast(LongType).as("shard"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val corpus = allowed match {
+      case Some(ids) => corpusAll.join(
+        ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi")
+      case None => corpusAll
+    }
+    val probes = queries.select(col("query_id"),
+      col("qv").cast("array<double>").as("qv"),
+      explode(Centroids.nearestShards(col("qv"), cents, nprobe)).as("shard"))
+    val joined =
+      if (maxRowsPerTask > 0L)
+        graft.operators.SaltedJoin.joinByPopulation(corpus, probes, "shard",
+          maxRowsPerTask, saltOn = Some(col(idCol)))
+      else corpus.join(probes, Seq("shard"))
+    val candidates =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
+    candidates
+      .withColumn("__score", cosineSim(col("__v"), col("qv")))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("__score"), col(idCol), topK).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
+        col("__e.id").as(idCol), col("__e.score").as("score"))
+  }
 }

@@ -437,6 +437,35 @@ class TermIndexSpec extends AnyFunSuite {
       "streamed serving must equal the one-shot batched probe")
   }
 
+  test("servePhraseStream probes a phrase stream batch-for-batch like searchPhraseBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-tidx17").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Tables.documents(spark, sf).select("doc_id", "text"))
+    val outDir = Files.createTempDirectory("graft-tidx17-out").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-tidx17-ck").toString
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("merge", "join"), 1L -> Seq("table", "hash"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = idx.servePhraseStream(input.toDF().toDF("query_id", "phrase"),
+      k = 5, outDir, ckpt)
+    try {
+      input.addData(qs.head)
+      q.processAllAvailable()
+      input.addData(qs(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = idx.searchPhraseBatch(qs.toDF("query_id", "phrase"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === direct,
+      "streamed phrase serving must equal the one-shot batched probe")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming curation keeps the served text index fresh per accepted batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

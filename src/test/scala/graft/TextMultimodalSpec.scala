@@ -140,6 +140,60 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("quality_bp") < 0 || col("quality_bp") > 10000).count() === 0)
   }
 
+  test("real decode reads genuine PNG/GIF/BMP/WAV headers, stub-falls-back on opaque bytes") {
+    import spark.implicits._
+    def png(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def wav(channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) % 251 - 125).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val pngBytes = png(37, 11, "png")
+    val media = Seq(
+      MediaRef(1L, "image/png", pngBytes),
+      MediaRef(2L, "image/gif", png(5, 9, "gif")),
+      MediaRef(3L, "image/bmp", png(16, 4, "bmp")),
+      MediaRef(4L, "audio/wav", wav(channels = 2, frames = 480)),
+      MediaRef(5L, "application/octet-stream",
+        "just some opaque text bytes".getBytes("UTF-8")),
+      // a payload that CLAIMS to be PNG (magic intact) but is cut off
+      // before the header chunk — the damaged-object path must fall
+      // back, not fail the task
+      MediaRef(6L, "image/png", pngBytes.take(12)))
+    val got = Decode.featuresDetected(media.toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).modality === "image" && got(1L).decoded)
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((37, 11, 1L)))
+    assert((got(2L).width, got(2L).height) === ((5, 9)) && got(2L).decoded)
+    assert((got(3L).width, got(3L).height) === ((16, 4)) && got(3L).decoded)
+    assert(got(4L).modality === "audio" && got(4L).decoded)
+    assert((got(4L).width, got(4L).height, got(4L).n_frames) === ((2, 16, 480L)))
+    for (id <- Seq(5L, 6L)) {
+      val f = got(id)
+      assert(f.modality === "opaque" && !f.decoded, s"doc $id must fall back")
+      val (sw, sh) = Decode.decodeStub(media.find(_.doc_id == id).get.payload)
+      assert((f.width, f.height) === ((sw, sh)),
+        s"doc $id fallback must carry the stub geometry")
+    }
+    // digests are payload MD5s regardless of path
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(got(1L).digest ===
+      md.digest(pngBytes).map("%02x".format(_)).mkString)
+  }
+
   test("decode stub plumbing: mapPartitions features match column math") {
     import spark.implicits._
     val ds = Seq(

@@ -693,6 +693,51 @@ class VectorSpec extends AnyFunSuite {
       "the stale-k compressed curve is superseded, not carried")
   }
 
+  test("searchJoin equals the per-query search loop, filtered and salted included") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 32).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-searchjoin").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val queries = corpus.filter(col("id") < 12)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong)).toSet
+    val got = canon(vs.searchJoin(queries, topK = 5, nprobe = 2).collect())
+    val qrows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val want = qrows.flatMap { case (qid, qv) =>
+      vs.search(qv, topK = 5, nprobe = 2).collect().zipWithIndex.map {
+        case (x, i) => org.apache.spark.sql.Row(qid, i + 1L, x.getLong(0), x.getDouble(2)) }
+    }
+    assert(got === canon(want), "join-scale results must equal the search loop")
+
+    // filter-then-search at join scale: allowed ids semi-join before
+    // scoring — equals a searchWhere loop over the same allowed set
+    val allowed = corpus.filter(col("id") % 3 === 0).select("id")
+    val gotF = canon(vs.searchJoin(queries, topK = 5, nprobe = 2,
+      allowed = Some(allowed)).collect())
+    val wantF = qrows.flatMap { case (qid, qv) =>
+      vs.searchWhere(qv, Some(allowed), topK = 5, nprobe = 2).collect()
+        .zipWithIndex.map {
+          case (x, i) => org.apache.spark.sql.Row(qid, i + 1L, x.getLong(0), x.getDouble(2)) }
+    }
+    assert(gotF === canon(wantF),
+      "filtered join-scale results must equal the searchWhere loop")
+    assert(gotF.forall(_._3 % 3 == 0), "only allowed ids may appear")
+
+    // the salt is semantically invisible; excludeSelf drops the
+    // rank-1 self match corpus-queries-itself shapes would carry
+    assert(canon(vs.searchJoin(queries, topK = 5, nprobe = 2,
+      maxRowsPerTask = 40L).collect()) === got)
+    val noSelf = vs.searchJoin(queries, topK = 5, nprobe = 2, excludeSelf = true)
+      .collect()
+    assert(noSelf.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
