@@ -1060,7 +1060,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   def searchJoin(queries: DataFrame, topK: Int = 5, nprobe: Int = 2,
                  allowed: Option[DataFrame] = None,
                  excludeSelf: Boolean = false,
-                 maxRowsPerTask: Long = 0L): DataFrame = {
+                 maxRowsPerTask: Long = 0L,
+                 compressed: Boolean = false,
+                 shortlist: Int = 100): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "qv"),
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
@@ -1072,30 +1074,68 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       s"searchJoin requires an integral id column; store '$idCol' is " +
         raw.schema(idCol).dataType.simpleString)
     val cents = centroids()
-    val corpusAll = raw.select(col(idCol).cast(LongType).as(idCol),
-      col("shard").cast(LongType).as("shard"),
-      col(vecCol).cast("array<double>").as("__v"))
-    val corpus = allowed match {
-      case Some(ids) => corpusAll.join(
+    def restrict(df: DataFrame): DataFrame = allowed match {
+      case Some(ids) => df.join(
         ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi")
-      case None => corpusAll
+      case None => df
     }
     val probes = queries.select(col("query_id"),
       col("qv").cast("array<double>").as("qv"),
       explode(Centroids.nearestShards(col("qv"), cents, nprobe)).as("shard"))
-    val joined =
+    def shardJoin(corpus: DataFrame): DataFrame =
       if (maxRowsPerTask > 0L)
         graft.operators.SaltedJoin.joinByPopulation(corpus, probes, "shard",
           maxRowsPerTask, saltOn = Some(col(idCol)))
       else corpus.join(probes, Seq("shard"))
-    val candidates =
-      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
-    candidates
-      .withColumn("__score", cosineSim(col("__v"), col("qv")))
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(col("__score"), col(idCol), topK).as("t"))
-      .select(col("query_id"), posexplode(col("t")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
-        col("__e.id").as(idCol), col("__e.score").as("score"))
+    def dropSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col("query_id")) else df
+    def heapTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+      scored.groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK(col(scoreCol), col(idCol), k).as("t"))
+        .select(col("query_id"), posexplode(col("t")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
+          col("__e.id").as(idCol), col("__e.score").as("score"))
+
+    if (!compressed) {
+      val corpus = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
+        col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("__v")))
+      heapTopK(dropSelf(shardJoin(corpus))
+        .withColumn("__score", cosineSim(col("__v"), col("qv"))),
+        "__score", topK)
+    } else {
+      // join-scale COMPRESSED serving: the candidate scan reads codes
+      // + norm (~M bytes/row), never raw vectors — the IO regime
+      // compression exists for. Per-query ADC LOOKUP tables don't
+      // exist here (the query is a column, not a driver literal), so
+      // the approx score is <qv, reconstruct(codes)> — same
+      // multiply-add count as a raw dot at local scale, but the scan
+      // byte cut stands, exactly [[graft.streaming.StreamingSearch
+      // .scoreIvfCompressed]]'s trade. The per-query shortlist rides
+      // the bounded heap (≤ shortlist rows per (query, partition) on
+      // the shuffle — never collected to the driver, unlike the
+      // single-query path's id-pushdown), and only shortlisted
+      // (query, id) pairs join back to raw vectors for the exact
+      // cosine re-rank: two shuffles bounded by nQueries x shortlist.
+      val meta = pqMeta().getOrElse(throw new IllegalStateException(
+        "searchJoin(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
+      val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
+        col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))
+      val (frame, recon) = withRecon(codes, meta, cents)
+      val approx = dropSelf(shardJoin(frame))
+        .withColumn("__qn", vecNorm(col("qv")))
+        .withColumn("__approx",
+          when(col("vnorm") === 0.0 || col("__qn") === 0.0, 0.0)
+            .otherwise(dotProduct(col("qv"), recon) / (col("vnorm") * col("__qn"))))
+      val short = heapTopK(approx, "__approx", shortlist)
+        .select("query_id", idCol)
+      val rer = short
+        .join(raw.select(col(idCol).cast(LongType).as(idCol),
+          col(vecCol).cast("array<double>").as("__v")), idCol)
+        .join(queries.select(col("query_id"),
+          col("qv").cast("array<double>").as("qv")), "query_id")
+        .withColumn("__score", cosineSim(col("__v"), col("qv")))
+      heapTopK(rer, "__score", topK)
+    }
   }
 }

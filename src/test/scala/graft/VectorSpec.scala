@@ -738,6 +738,41 @@ class VectorSpec extends AnyFunSuite {
     assert(noSelf.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("compressed searchJoin: code-scan shortlist + exact re-rank equals the raw join") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 32).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-searchjoin-pq").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16, pqCodes = 16)
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong)).toSet
+    // a generous shortlist must contain every true top-5 member, so
+    // the exact re-rank reproduces the raw join bit-for-bit
+    val comp = vs.searchJoin(queries, topK = 5, nprobe = 2,
+      compressed = true, shortlist = 200)
+    assert(canon(comp.collect()) ===
+      canon(vs.searchJoin(queries, topK = 5, nprobe = 2).collect()),
+      "compressed join with a covering shortlist must equal the raw join")
+    // the candidate scan reads codes, not raw vectors: some scan in
+    // the plan must list pq_codes WITHOUT the vector column (the
+    // re-rank join legitimately reads vectors in its own scan)
+    val schemas = "ReadSchema: \\S+".r
+      .findAllIn(comp.queryExecution.executedPlan.toString).toSeq
+    assert(schemas.exists(s => s.contains("pq_codes") && !s.contains("vector:")),
+      s"expected a codes-only candidate scan, got:\n${schemas.mkString("\n")}")
+    // a PQ-less store refuses loudly
+    val rawDir = Files.createTempDirectory("graft-searchjoin-raw").toString
+    val vsRaw = new VectorStore(spark, rawDir, numShards = 4)
+    vsRaw.build(corpus, iters = 1)
+    intercept[IllegalStateException](
+      vsRaw.searchJoin(queries, compressed = true))
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
