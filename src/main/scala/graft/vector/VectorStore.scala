@@ -848,6 +848,62 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     (frame, recon)
   }
 
+  /** Re-measure every persisted recall-curve mode whose provenance
+    * stamp no longer matches the store — the maintenance verb that
+    * pairs with [[nprobeFor]]'s staleness refusal: a scheduler calls
+    * this after [[maintain]]/[[build]]/mass ingest and serving never
+    * sees the refusal. Reads the K-row curve table, compares each
+    * mode's (cent_stamp, n_rows) against the live store, and re-runs
+    * [[evalRecall]] ONLY for stale modes, at the parameters they were
+    * originally measured with (the raw curve rides along with any
+    * compressed re-measurement — evalRecall always refreshes it). A
+    * legacy stampless table re-measures wholesale (its provenance is
+    * unknowable). Returns true when anything was re-measured, false
+    * when every mode was already fresh (no store scan beyond the
+    * row-count probe).
+    */
+  def refreshRecall(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(recallDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return false
+    val t = spark.read.parquet(recallDir)
+    val legacy = !t.columns.contains("cent_stamp")
+    val modes =
+      if (legacy)
+        // provenance unknowable: one wholesale raw re-measurement at
+        // the table's own parameters (or defaults for pre-parameter
+        // layouts)
+        Seq((if (t.columns.contains("n_queries"))
+            t.select("n_queries").head().getLong(0).toInt else 64,
+          if (t.columns.contains("top_k"))
+            t.select("top_k").head().getLong(0).toInt else 10,
+          false, 0))
+      else {
+        val nowStamp = centStamp(centroids())
+        lazy val nowRows = spark.read.parquet(vecDir).count()
+        t.select("n_queries", "top_k", "compressed", "shortlist",
+            "cent_stamp", "n_rows").distinct().collect()
+          .filter { r =>
+            r.getLong(4) != nowStamp ||
+              math.abs(nowRows - r.getLong(5)) * 5L > math.max(nowRows, r.getLong(5))
+          }
+          .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+            r.getBoolean(2), r.getLong(3).toInt)).toSeq
+      }
+    if (modes.isEmpty) return false
+    // the raw mode refreshes as a side effect of every compressed
+    // re-measurement — run it alone only when no compressed mode needs
+    // re-measuring
+    val comp = modes.filter(_._3)
+    if (comp.isEmpty) {
+      val (nq, k, _, _) = modes.head
+      evalRecall(nq, k)
+    } else comp.foreach { case (nq, k, _, sl) =>
+      evalRecall(nq, k, compressed = true, shortlist = sl)
+    }
+    true
+  }
+
   /** Smallest nprobe whose persisted measured recall meets `target`
     * (numShards when nothing does, or when [[evalRecall]] has not run
     * — full probe is always recall 1.0 by construction ON THE RAW

@@ -809,8 +809,39 @@ class VectorSpec extends AnyFunSuite {
         .as("vector")))
     val e2 = intercept[IllegalStateException](vs.nprobeFor(0.5))
     assert(e2.getMessage.contains("drifted"), e2.getMessage)
-    vs.evalRecall(nQueries = 16, topK = 5)
-    assert(vs.nprobeFor(0.5) >= 1, "re-measurement heals the drift refusal")
+    // the maintenance verb: refreshRecall re-measures ONLY stale modes
+    // (here the one raw mode) and the refusal clears; a second call is
+    // a fresh-curve no-op
+    assert(vs.refreshRecall(), "a stale mode must trigger a re-measurement")
+    assert(vs.nprobeFor(0.5) >= 1, "refresh heals the drift refusal")
+    assert(!vs.refreshRecall(), "an all-fresh curve must refresh nothing")
+  }
+
+  test("refreshRecall re-measures compressed modes at their own parameters") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 32).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-refresh-recall").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16, pqCodes = 16)
+    vs.evalRecall(nQueries = 16, topK = 5, compressed = true, shortlist = 24)
+    assert(!vs.refreshRecall(), "freshly measured modes must not re-run")
+    // rebuild: routing changes, BOTH persisted modes go stale
+    vs.build(corpus.withColumn("vector",
+      transform(col("vector"), x => x * 2.0 + 1.0)), iters = 2,
+      pqSubspaces = 16, pqCodes = 16)
+    intercept[IllegalStateException](vs.nprobeFor(0.5, compressed = true,
+      shortlist = 24))
+    assert(vs.refreshRecall())
+    // both modes serve again, and the compressed mode kept ITS
+    // shortlist parameter through the refresh
+    assert(vs.nprobeFor(0.5) >= 1)
+    assert(vs.nprobeFor(0.5, compressed = true, shortlist = 24) >= 1)
+    val kept = spark.read.parquet(s"$dir/recall_eval")
+      .filter(col("compressed")).select("shortlist").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept === Seq(24L), s"compressed mode must keep shortlist=24: $kept")
   }
 
   test("compressed recall curve measures ADC truncation the raw curve cannot see") {
