@@ -27,6 +27,13 @@ case class MediaFeaturesDetected(doc_id: Long, n_bytes: Long, digest: String,
                                  modality: String, width: Int, height: Int,
                                  n_frames: Long, decoded: Boolean)
 
+/** [[Decode.resizeImages]] output: the (re-encoded PNG) payload with
+  * its post-resize geometry; undecodable inputs pass through verbatim
+  * with `decoded = false` and −1 dimensions.
+  */
+case class MediaResized(doc_id: Long, width: Int, height: Int,
+                        payload: Array[Byte], decoded: Boolean)
+
 /** Multimodal column plumbing (SURVEY §2 block F).
   *
   * Decode comes in two tiers. [[Decode.decodeMeta]] is a REAL
@@ -92,6 +99,88 @@ object Decode {
       case _: java.io.IOException => None
     }
   }
+
+  /** Pixel-tier image transform — the vision-model preprocessing
+    * shape: decode, aspect-preserving downscale to fit `maxDim`,
+    * re-encode as PNG, all with JDK codecs (headless-safe AWT raster
+    * ops; no external libs). Payloads no image codec accepts pass
+    * through UNCHANGED with `decoded = false` (width/height −1) — a
+    * mixed-modality corpus maps through in one pass and the flag
+    * routes. Images already within `maxDim` re-encode without
+    * scaling (normalizing the container to PNG — the usual training
+    * prep contract). Partition-wise; pixels live only inside the
+    * task.
+    */
+  def resizeImages(ds: Dataset[MediaRef], maxDim: Int): Dataset[MediaResized] = {
+    import ds.sparkSession.implicits._
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) MediaResized(m.doc_id, -1, -1, m.payload, decoded = false)
+        else {
+          val scale = math.min(1.0,
+            maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+          val w = math.max(1, math.rint(img.getWidth * scale).toInt)
+          val h = math.max(1, math.rint(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaResized(m.doc_id, w, h, bos.toByteArray, decoded = true)
+        }
+      }
+    }
+  }
+
+  /** Pixel-tier audio features: decode the PCM stream (JDK
+    * `javax.sound.sampled`) and fold sample statistics — RMS and peak
+    * amplitude in 1e6-scaled units of full scale, plus the decoded
+    * geometry. The silence/clipping screen an audio-curation pass
+    * keys on. Returns None for payloads no audio codec accepts or
+    * non-16-bit encodings (the stub routes those rows; production
+    * swaps a resampler in here). Streams the payload — no
+    * whole-buffer sample array.
+    */
+  def audioStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val le = !fmt.isBigEndian
+        val buf = new Array[Byte](8192)
+        var sumSq = 0.0; var peak = 0L; var n = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s = (if (le) ((buf(i + 1).toInt << 8) | (buf(i) & 0xff))
+              else ((buf(i).toInt << 8) | (buf(i + 1) & 0xff))).toShort.toLong
+            sumSq += (s * s).toDouble
+            if (math.abs(s) > peak) peak = math.abs(s)
+            n += 1
+            i += 2
+          }
+          read = ais.read(buf)
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+        Some((fmt.getChannels, fmt.getSampleRate.toInt, ais.getFrameLength,
+          math.rint(rms * 1e6).toLong, math.rint(peak * 1e6 / 32768.0).toLong))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** Partition-wise REAL feature extraction — [[features]]' plumbing
     * with [[decodeMeta]] first and the stub as the per-payload

@@ -194,6 +194,61 @@ class TextMultimodalSpec extends AnyFunSuite {
       md.digest(pngBytes).map("%02x".format(_)).mkString)
   }
 
+  test("pixel tier: resize downscales aspect-preserving, audio stats read real PCM") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRef(1L, "image/png", png(120, 48)),  // downscale: max dim 120 -> 32
+      MediaRef(2L, "image/png", png(10, 7)),    // within bound: re-encode only
+      MediaRef(3L, "application/octet-stream", "not an image".getBytes("UTF-8")))
+    val got = graft.multimodal.Decode.resizeImages(media.toDS(), maxDim = 32)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert((got(1L).width, got(1L).height, got(1L).decoded) === ((32, 13, true)),
+      "120x48 must fit 32 aspect-preserving (32, round(48*32/120)=13)")
+    // the emitted payload is a real PNG of exactly those dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).payload))
+    assert((back.getWidth, back.getHeight) === ((32, 13)))
+    assert((got(2L).width, got(2L).height) === ((10, 7)), "no upscale")
+    assert(!got(3L).decoded && got(3L).payload.sameElements(media(2).payload),
+      "undecodable payloads pass through verbatim")
+
+    // audio: a full-scale square wave has RMS = peak = full scale;
+    // silence has both 0 — the geometry comes from the real header
+    def wav(samples: Array[Short], channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val square = wav(Array.fill(400)(0x7fff.toShort), channels = 1)
+    val Some((ch, rate, frames, rms, peak)) =
+      graft.multimodal.Decode.audioStats(square)
+    assert((ch, rate, frames) === ((1, 8000, 400L)))
+    assert(math.abs(rms - 1000000L) <= 35 && math.abs(peak - 1000000L) <= 35,
+      s"full-scale square wave: rms=$rms peak=$peak (x1e6)")
+    val Some((_, _, _, rms0, peak0)) =
+      graft.multimodal.Decode.audioStats(wav(Array.fill(100)(0.toShort), 2))
+    assert(rms0 === 0L && peak0 === 0L, "silence is 0/0")
+    assert(graft.multimodal.Decode.audioStats("nope".getBytes).isEmpty)
+  }
+
   test("decode stub plumbing: mapPartitions features match column math") {
     import spark.implicits._
     val ds = Seq(
