@@ -139,6 +139,13 @@ class ShingleIndex(spark: SparkSession, path: String,
     require(fs.exists(new Path(dir)),
       s"index at $path has no $what — it predates this layout; rebuild() the index")
 
+  // 'base' is build()'s directory; 'compact0' is the directory
+  // compact() folds the ENTIRE history into — a caller writing either
+  // label would silently overwrite aggregated state
+  private def requireLabel(label: String): Unit =
+    require(label != "base" && label != "compact0" && label.nonEmpty,
+      s"reserved/empty batch label '$label'")
+
   private def writeMeta(label: String, nDocs: Long, nShingles: Long): Unit =
     writeBatch(spark.range(1).select(lit(nDocs).as("n_docs"),
       lit(nShingles).as("n_shingles")), metaDir, label)
@@ -179,11 +186,7 @@ class ShingleIndex(spark: SparkSession, path: String,
     * batch (streaming callers pass the micro-batch id).
     */
   def append(batch: DataFrame, label: String): Unit = {
-    // 'base' is build()'s directory; 'compact0' is the directory
-    // compact() folds the ENTIRE df history into — a caller writing
-    // either label would silently overwrite aggregated state
-    require(label != "base" && label != "compact0" && label.nonEmpty,
-      s"reserved/empty batch label '$label'")
+    requireLabel(label)
     // a label previously used by delete(): this append would overwrite
     // the delete's df/meta deltas while its tombstones stand — refuse
     // (an append REPLAY can never trip this: appends never write del/)
@@ -257,8 +260,7 @@ class ShingleIndex(spark: SparkSession, path: String,
     */
   def delete(ids: Seq[Long], label: String,
              texts: Option[DataFrame] = None): Long = {
-    require(label != "base" && label != "compact0" && label.nonEmpty,
-      s"reserved/empty batch label '$label'")
+    requireLabel(label)
     require(ids.nonEmpty, "empty id list")
     requireDir(fpDir, "fp/ table")
     // a label previously used by append(): this delete's deltas would
@@ -318,32 +320,33 @@ class ShingleIndex(spark: SparkSession, path: String,
     * emptied LAST. Returns the number of tombstones reclaimed.
     */
   def reclaim(label: String): Long = {
-    require(label != "base" && label != "compact0" && label.nonEmpty,
-      s"reserved/empty batch label '$label'")
+    requireLabel(label)
     val rowSet = Seq(fpDir, shDir, szDir, bandDir)
     dirs.foreach(d => graft.sources.BatchedTable.recoverFold(fs, d))
     rowSet.foreach(d => graft.sources.BatchedTable.recoverRewrites(fs, d))
     val delPart = new Path(s"$delDir/batch=$label")
     require(fs.exists(delPart),
       s"reclaim: no delete recorded under label '$label'")
+    // driver-collected ids (takedown-sized by contract — delete() took
+    // them as a Seq): the literal isin() pushes into each row-set scan
+    // for the affected-batch discovery, where a broadcast join would
+    // read every row with no pushdown
     val ids = spark.read.parquet(delPart.toString).select("doc_id")
-      .localCheckpoint(true)
-    try {
-      val n = ids.count()
-      if (n > 0) rowSet.foreach { dir =>
-        val affected = readIdx(dir, None)
-          .join(broadcast(ids), "doc_id")
-          .select(col("batch").cast("string")).distinct()
-          .collect().map(_.getString(0))
-        affected.foreach { b =>
-          graft.sources.BatchedTable.rewriteBatch(fs, dir, b,
-            spark.read.parquet(s"$dir/batch=$b")
-              .join(broadcast(ids), Seq("doc_id"), "left_anti"))
-        }
+      .collect().map(_.getLong(0)).toSeq
+    val n = ids.size.toLong
+    if (n > 0) rowSet.foreach { dir =>
+      val affected = readIdx(dir, None)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("batch").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      affected.foreach { b =>
+        graft.sources.BatchedTable.rewriteBatch(fs, dir, b,
+          spark.read.parquet(s"$dir/batch=$b")
+            .filter(!col("doc_id").isin(ids: _*)))
       }
-      writeBatch(ids.limit(0), delDir, label)
-      n
-    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(ids)
+    }
+    writeBatch(spark.range(0).select(col("id").as("doc_id")), delDir, label)
+    n
   }
 
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),

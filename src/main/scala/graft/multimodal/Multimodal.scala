@@ -84,7 +84,10 @@ object Decode {
         try {
           r.setInput(iis)
           return Some(("image", r.getWidth(0), r.getHeight(0), 1L))
-        } catch { case _: java.io.IOException => // damaged: fall through
+          // NonFatal, not just IOException: JDK readers throw runtime
+          // exceptions (AIOOBE, IllegalArgument) on truncated huffman/
+          // LZW tables — damaged objects must route, not fail the task
+        } catch { case scala.util.control.NonFatal(_) => // damaged: fall through
         } finally r.dispose()
       }
     } finally iis.close()
@@ -94,10 +97,7 @@ object Decode {
       val fmt = aff.getFormat
       Some(("audio", fmt.getChannels, fmt.getSampleSizeInBits,
         aff.getFrameLength.toLong))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Pixel-tier image transform — the vision-model preprocessing
@@ -118,7 +118,7 @@ object Decode {
       it.map { m =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) MediaResized(m.doc_id, -1, -1, m.payload, decoded = false)
         else {
           val scale = math.min(1.0,
@@ -177,10 +177,7 @@ object Decode {
         Some((fmt.getChannels, fmt.getSampleRate.toInt, ais.getFrameLength,
           math.rint(rms * 1e6).toLong, math.rint(peak * 1e6 / 32768.0).toLong))
       } finally ais.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-wise REAL feature extraction — [[features]]' plumbing
     * with [[decodeMeta]] first and the stub as the per-payload

@@ -72,26 +72,42 @@ private[graft] object BatchedTable {
   private def rwTmpFor(dir: String, label: String): Path =
     new Path(new Path(dir), s"_batch=${label}__rw_tmp")
 
-  /** Finish (or discard) crashed [[rewriteBatch]] swaps: an orphan
-    * `_batch=<label>__rw_tmp` whose live partition is missing holds
-    * the rewrite's full output — one rename completes it; a tmp
-    * sibling of an intact live partition is pre-swap debris (the live
-    * originals stand) — delete it. Leading `_` keeps the tmp invisible
-    * to partition discovery, so reads never see a half state.
+  private def rwOldFor(dir: String, label: String): Path =
+    new Path(new Path(dir), s"_batch=${label}__rw_old")
+
+  /** Finish (or discard) crashed [[rewriteBatch]] swaps. Per label,
+    * with T = `_batch=<l>__rw_tmp`, O = `_batch=<l>__rw_old`,
+    * L = `batch=<l>` (leading `_` keeps T and O invisible to
+    * partition discovery):
+    *  - L intact: T is pre-swap debris and O is post-swap debris —
+    *    delete both (the live rows stand).
+    *  - L missing, T present: the crash hit between the two swap
+    *    renames — T holds the rewrite's full output; rename it in,
+    *    then drop O.
+    *  - L missing, only O present (no crash produces this; defensive):
+    *    restore O — the pre-rewrite originals — rather than lose the
+    *    partition.
     */
   def recoverRewrites(fs: FileSystem, dir: String): Unit = {
     val p = new Path(dir)
     if (!fs.exists(p)) return
-    fs.listStatus(p).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("_batch=") && name.endsWith("__rw_tmp")) {
-        val live = new Path(p,
-          s"batch=${name.stripPrefix("_batch=").stripSuffix("__rw_tmp")}")
-        if (!fs.exists(live)) {
-          if (!fs.rename(st.getPath, live)) throw new IllegalStateException(
-            s"rewrite recovery: rename ${st.getPath} -> $live failed")
-        } else if (!fs.delete(st.getPath, true)) throw new IllegalStateException(
-          s"rewrite recovery: could not clear stale tmp ${st.getPath}")
+    val labels = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("_batch=") &&
+        (n.endsWith("__rw_tmp") || n.endsWith("__rw_old")))
+      .map(_.stripPrefix("_batch=").stripSuffix("__rw_tmp")
+        .stripSuffix("__rw_old")).distinct
+    labels.foreach { l =>
+      val (tmp, old, live) =
+        (rwTmpFor(dir, l), rwOldFor(dir, l), new Path(p, s"batch=$l"))
+      def drop(d: Path): Unit =
+        if (fs.exists(d) && !fs.delete(d, true)) throw new IllegalStateException(
+          s"rewrite recovery: could not clear $d")
+      if (fs.exists(live)) { drop(tmp); drop(old) }
+      else {
+        val src = if (fs.exists(tmp)) tmp else old
+        if (!fs.rename(src, live)) throw new IllegalStateException(
+          s"rewrite recovery: rename $src -> $live failed")
+        if (src eq tmp) drop(old)
       }
     }
   }
@@ -100,24 +116,33 @@ private[graft] object BatchedTable {
     * of [[foldDir]]'s whole-table swap (reclaim-style maintenance that
     * touches only the partitions holding affected rows). `kept` may
     * read the partition being replaced: it is written DURABLY to the
-    * tmp sibling while the live originals still stand, then the live
-    * directory swaps out. Crash windows mirror foldDir's: before the
-    * live delete, the tmp is debris ([[recoverRewrites]] clears it);
-    * between delete and rename, re-running the mutation (which calls
-    * recoverRewrites first) completes the swap — single-writer,
-    * at-least-once, same as every mutation on a batched table.
+    * hidden tmp sibling while the live originals still stand, then the
+    * swap is two renames — live slides OUT to the hidden old sibling,
+    * tmp slides IN. A concurrent reader CAN catch the partition absent
+    * between the renames (two O(1) metadata ops — unlike a
+    * delete-then-rename, whose missing window lasts an O(files)
+    * recursive delete), so schedule reclaim-style maintenance off the
+    * serving path, same as [[foldDir]] (whose window fails loudly
+    * instead: the whole table directory is missing). Crash anywhere
+    * re-runs safely: the mutation calls [[recoverRewrites]] first —
+    * single-writer, at-least-once, same as every mutation on a
+    * batched table.
     */
   def rewriteBatch(fs: FileSystem, dir: String, label: String,
                    kept: DataFrame): Unit = {
     val tmp = rwTmpFor(dir, label)
-    if (fs.exists(tmp) && !fs.delete(tmp, true)) throw new IllegalStateException(
-      s"rewrite: could not clear stale tmp $tmp; live partition untouched")
+    val old = rwOldFor(dir, label)
+    Seq(tmp, old).foreach(d =>
+      if (fs.exists(d) && !fs.delete(d, true)) throw new IllegalStateException(
+        s"rewrite: could not clear stale $d; live partition untouched"))
     kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val live = new Path(new Path(dir), s"batch=$label")
-    if (fs.exists(live) && !fs.delete(live, true)) throw new IllegalStateException(
-      s"rewrite: delete of $live failed; originals intact, rewrite at $tmp")
+    if (fs.exists(live) && !fs.rename(live, old)) throw new IllegalStateException(
+      s"rewrite: rename $live -> $old failed; originals intact, rewrite at $tmp")
     if (!fs.rename(tmp, live)) throw new IllegalStateException(
       s"rewrite: rename $tmp -> $live failed; re-running the mutation recovers")
+    if (fs.exists(old) && !fs.delete(old, true)) throw new IllegalStateException(
+      s"rewrite: could not clear $old after swap; recoverRewrites clears it")
   }
 
   /** One directory's fold: write `folded` as `batch=compact0` (and the

@@ -258,25 +258,29 @@ class TermIndex(spark: SparkSession, path: String,
     val delPart = new Path(s"$delDir/batch=$label")
     require(fs.exists(delPart),
       s"reclaim: no delete recorded under label '$label'")
+    // driver-collected ids, takedown-sized by contract (delete() took
+    // them as a Seq): the literal isin() reaches the parquet scan as a
+    // pushed In filter, so the (term, doc_id) row-group stats prune the
+    // affected-batch discovery — a broadcast join here would scan every
+    // postings row with no pushdown
     val ids = spark.read.parquet(delPart.toString).select("doc_id")
-      .localCheckpoint(true)
-    try {
-      val n = ids.count()
-      if (n > 0) {
-        val affected = BatchedTable.readIdx(spark, postDir, None)
-          .join(broadcast(ids), "doc_id")
-          .select(col("batch").cast("string")).distinct()
-          .collect().map(_.getString(0))
-        affected.foreach { b =>
-          BatchedTable.rewriteBatch(fs, postDir, b,
-            spark.read.parquet(s"$postDir/batch=$b")
-              .join(broadcast(ids), Seq("doc_id"), "left_anti")
-              .repartition(col("term")).sortWithinPartitions("term", "doc_id"))
-        }
+      .collect().map(_.getLong(0)).toSeq
+    val n = ids.size.toLong
+    if (n > 0) {
+      val affected = BatchedTable.readIdx(spark, postDir, None)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("batch").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      affected.foreach { b =>
+        BatchedTable.rewriteBatch(fs, postDir, b,
+          spark.read.parquet(s"$postDir/batch=$b")
+            .filter(!col("doc_id").isin(ids: _*))
+            .repartition(col("term")).sortWithinPartitions("term", "doc_id"))
       }
-      BatchedTable.writeBatch(ids.limit(0), delDir, label)
-      n
-    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(ids)
+    }
+    BatchedTable.writeBatch(
+      spark.range(0).select(col("id").as("doc_id")), delDir, label)
+    n
   }
 
   /** The BM25 contribution of one postings row, given broadcast df and
@@ -466,9 +470,13 @@ class TermIndex(spark: SparkSession, path: String,
     require(slop >= 0, s"slop must be >= 0, got $slop")
     // one job collects the term universe AND validates phrase lengths
     // (the serveStream probe-hygiene contract: a micro-batch costs one
-    // driver action before the probe itself)
-    val terms = queries.select(explode(array_distinct(col("phrase"))).as("t"),
-        (size(col("phrase")) < 2).as("__short"))
+    // driver action before the probe itself). explode_OUTER: a plain
+    // explode emits no row for an empty/null phrase, so its __short
+    // flag would never reach the require and the caller bug would be
+    // masked as a silent zero-row query instead of failing loudly
+    // like the 1-term case.
+    val terms = queries.select(explode_outer(array_distinct(col("phrase"))).as("t"),
+        (coalesce(size(col("phrase")), lit(0)) < 2).as("__short"))
       .groupBy("t").agg(max(col("__short")).as("s")).collect()
     require(!terms.exists(_.getBoolean(1)),
       "every phrase needs >= 2 terms — rank single terms with searchBatch()")

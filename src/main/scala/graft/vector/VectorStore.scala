@@ -869,16 +869,25 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val t = spark.read.parquet(recallDir)
     val legacy = !t.columns.contains("cent_stamp")
     val modes =
-      if (legacy)
-        // provenance unknowable: one wholesale raw re-measurement at
-        // the table's own parameters (or defaults for pre-parameter
-        // layouts)
-        Seq((if (t.columns.contains("n_queries"))
-            t.select("n_queries").head().getLong(0).toInt else 64,
-          if (t.columns.contains("top_k"))
-            t.select("top_k").head().getLong(0).toInt else 10,
-          false, 0))
-      else {
+      if (legacy) {
+        // provenance unknowable: re-measure wholesale at the table's
+        // own parameters (or defaults for pre-parameter layouts).
+        // "Wholesale" must include any COMPRESSED modes a post-
+        // compressed pre-stamp table holds: the first evalRecall call
+        // supersedes a stampless table entirely, so a raw-only
+        // re-measurement would erase those curves un-re-measured and
+        // nprobeFor(compressed = true) would silently full-probe.
+        val nq = if (t.columns.contains("n_queries"))
+          t.select("n_queries").head().getLong(0).toInt else 64
+        val k = if (t.columns.contains("top_k"))
+          t.select("top_k").head().getLong(0).toInt else 10
+        val comps =
+          if (t.columns.contains("compressed"))
+            t.filter(col("compressed")).select("shortlist").distinct()
+              .collect().map(r => (nq, k, true, r.getLong(0).toInt)).toSeq
+          else Nil
+        if (comps.nonEmpty) comps else Seq((nq, k, false, 0))
+      } else {
         val nowStamp = centStamp(centroids())
         lazy val nowRows = spark.read.parquet(vecDir).count()
         t.select("n_queries", "top_k", "compressed", "shortlist",
@@ -893,7 +902,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     if (modes.isEmpty) return false
     // the raw mode refreshes as a side effect of every compressed
     // re-measurement — run it alone only when no compressed mode needs
-    // re-measuring
+    // re-measuring. All modes share one (n_queries, top_k):
+    // evalRecall's merge filters carried rows to the current run's
+    // parameters at EVERY write, so the persisted table is invariantly
+    // single-parameter and sequential per-mode calls here cannot
+    // clobber each other across parameter sets.
     val comp = modes.filter(_._3)
     if (comp.isEmpty) {
       val (nq, k, _, _) = modes.head
