@@ -73,15 +73,21 @@ object SaltedJoin {
     */
   def joinByPopulation(big: DataFrame, other: DataFrame, key: String,
                        maxRowsPerTask: Long, joinType: String = "inner",
-                       saltOn: Option[Column] = None): DataFrame = {
+                       saltOn: Option[Column] = None,
+                       precomputedSalts: Option[DataFrame] = None): DataFrame = {
     require(maxRowsPerTask > 0, s"maxRowsPerTask must be positive, got $maxRowsPerTask")
     val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
       "leftsemi", "left_semi", "leftanti", "left_anti")
     require(allowed.contains(joinType.toLowerCase),
       s"salted join supports big-side-preserving join types only, got $joinType")
-    val salts = big.groupBy(key).agg(count(lit(1)).as("__n"))
-      .select(col(key).as("__jk"), greatest(lit(1L),
-        ceil(col("__n") / maxRowsPerTask.toDouble).cast("long")).as("__saltc"))
+    // `precomputedSalts`: the salt table is a count-agg over the big
+    // side, re-derived on EVERY execution of the returned plan — fine
+    // for a one-shot batch join, a per-tick corpus-side job for a
+    // stream serving micro-batches. A long-lived caller materializes
+    // [[populationSalts]] once per stream and passes it here (the
+    // populations are a property of the static side; re-derive after
+    // mass ingest).
+    val salts = precomputedSalts.getOrElse(populationSalts(big, key, maxRowsPerTask))
     val basis = saltOn.getOrElse(struct(big.columns.map(col): _*))
     // NULL-SAFE lookup of the salt count: null keys form their own
     // group in `salts` (groupBy keeps a null group), but a plain
@@ -114,4 +120,17 @@ object SaltedJoin {
       .drop("__saltc")
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** The per-key salt-count table [[joinByPopulation]] derives from
+    * its big side — exposed so a caller serving MANY joins against the
+    * same static side (a query stream's micro-batches) can materialize
+    * it once (`.localCheckpoint(true)`) instead of re-aggregating the
+    * corpus per execution. Schema (__jk, __saltc), broadcast-small by
+    * the key-cardinality contract.
+    */
+  def populationSalts(big: DataFrame, key: String,
+                      maxRowsPerTask: Long): DataFrame =
+    big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .select(col(key).as("__jk"), greatest(lit(1L),
+        ceil(col("__n") / maxRowsPerTask.toDouble).cast("long")).as("__saltc"))
 }

@@ -1010,6 +1010,67 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .foreachBatch { (batch: DataFrame, _: Long) => store(batch) }
       .start()
 
+  /** Continuous knn-JOIN serving — [[graft.text.TermIndex.serveStream]]'s
+    * contract for the vector store: each micro-batch of (query_id, qv)
+    * rows probes via [[searchJoin]] (every mode included — filtered,
+    * salted, compressed-with-exact-re-rank) and appends (query_id,
+    * rank, <idCol>, score) to `outDir`, at-least-once. Completes the
+    * serving pair with [[graft.streaming.StreamingSearch]]: that
+    * object scores an in-memory corpus frame; this serves the
+    * PERSISTED store — shard partition layout, codebooks, and salt
+    * discipline included.
+    *
+    * Per-tick hygiene: the routing centroids, PQ meta, and (when
+    * `maxRowsPerTask > 0`) the population salt table resolve ONCE at
+    * stream start — a micro-batch schedules only the empty-check and
+    * its own probe, never store-metadata jobs. The salt table is
+    * sized from the `allowed`-restricted corpus (the join's actual
+    * big side) and rides a localCheckpoint for the stream's lifetime
+    * (≤ numShards rows); populations are a property of the static
+    * store — restart the stream after mass ingest, which also picks
+    * up new routing (same rule as the recall curve's staleness
+    * stamp).
+    */
+  def serveStream(queries: DataFrame, outDir: String, checkpoint: String,
+                  topK: Int = 5, nprobe: Int = 2,
+                  allowed: Option[DataFrame] = None,
+                  excludeSelf: Boolean = false,
+                  maxRowsPerTask: Long = 0L,
+                  compressed: Boolean = false,
+                  shortlist: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = centroids()
+    // resolve PQ meta NOW: a compressed stream over a non-PQ store
+    // must refuse at start(), not inside the first micro-batch
+    val meta = if (compressed) Some(pqMeta().getOrElse(
+      throw new IllegalStateException(
+        "serveStream(compressed = true) needs a PQ-built store: " +
+          "build(pqSubspaces > 0)"))) else None
+    val salts =
+      if (maxRowsPerTask <= 0L) None
+      else {
+        val base = spark.read.parquet(vecDir).select(
+          col(idCol).cast(LongType).as(idCol),
+          col("shard").cast(LongType).as("shard"))
+        val restricted = allowed.fold(base)(ids => base.join(
+          ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi"))
+        Some(graft.operators.SaltedJoin
+          .populationSalts(restricted, "shard", maxRowsPerTask)
+          .localCheckpoint(true))
+      }
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // watermark ticks deliver empty batches — skip the probe and
+        // the append entirely (isEmpty is a limit-1 driver check)
+        if (!batch.isEmpty)
+          searchJoinResolved(batch, topK, nprobe, allowed, excludeSelf,
+            maxRowsPerTask, compressed, shortlist, cents, meta, salts)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
+  }
+
   /** Cosine top-k over the `nprobe` nearest shards (reference /search).
     * Executes as: partition-prune to the probed shards -> map-only
     * scoring with the codegen'd CosineSim kernel -> TakeOrdered (local
@@ -1131,7 +1192,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                  excludeSelf: Boolean = false,
                  maxRowsPerTask: Long = 0L,
                  compressed: Boolean = false,
-                 shortlist: Int = 100): DataFrame = {
+                 shortlist: Int = 100): DataFrame =
+    searchJoinResolved(queries, topK, nprobe, allowed, excludeSelf,
+      maxRowsPerTask, compressed, shortlist, centroids(),
+      if (compressed) pqMeta() else None, None)
+
+  /** [[searchJoin]] against pre-resolved serving state — the
+    * per-stream fast path: [[serveStream]] resolves the routing
+    * centroids, PQ meta, and (when salting) the population salt table
+    * ONCE at stream start, so a micro-batch costs only its own probe
+    * instead of re-reading store metadata per tick.
+    */
+  private def searchJoinResolved(queries: DataFrame, topK: Int, nprobe: Int,
+                                 allowed: Option[DataFrame],
+                                 excludeSelf: Boolean,
+                                 maxRowsPerTask: Long,
+                                 compressed: Boolean,
+                                 shortlist: Int,
+                                 cents: Array[(Int, Array[Double])],
+                                 metaOpt: Option[PqMeta],
+                                 salts: Option[DataFrame]): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "qv"),
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
@@ -1142,7 +1222,6 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .contains(raw.schema(idCol).dataType),
       s"searchJoin requires an integral id column; store '$idCol' is " +
         raw.schema(idCol).dataType.simpleString)
-    val cents = centroids()
     def restrict(df: DataFrame): DataFrame = allowed match {
       case Some(ids) => df.join(
         ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi")
@@ -1154,7 +1233,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     def shardJoin(corpus: DataFrame): DataFrame =
       if (maxRowsPerTask > 0L)
         graft.operators.SaltedJoin.joinByPopulation(corpus, probes, "shard",
-          maxRowsPerTask, saltOn = Some(col(idCol)))
+          maxRowsPerTask, saltOn = Some(col(idCol)), precomputedSalts = salts)
       else corpus.join(probes, Seq("shard"))
     def dropSelf(df: DataFrame): DataFrame =
       if (excludeSelf) df.filter(col(idCol) =!= col("query_id")) else df
@@ -1186,7 +1265,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // single-query path's id-pushdown), and only shortlisted
       // (query, id) pairs join back to raw vectors for the exact
       // cosine re-rank: two shuffles bounded by nQueries x shortlist.
-      val meta = pqMeta().getOrElse(throw new IllegalStateException(
+      val meta = metaOpt.getOrElse(throw new IllegalStateException(
         "searchJoin(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
       val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
         col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))

@@ -773,6 +773,63 @@ class VectorSpec extends AnyFunSuite {
       vsRaw.searchJoin(queries, compressed = true))
   }
 
+  test("serveStream probes a query stream batch-for-batch like searchJoin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 32).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-vserve").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16, pqCodes = 16)
+    val qrows: Seq[Seq[(Long, Seq[Double])]] = Seq(Seq(0L, 3L), Seq(7L, 11L)).map(
+      ids => corpus.filter(col("id").isin(ids: _*))
+        .select(col("id"), col("vector").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong)).toSet
+    // per-batch results are independent per query, so the streamed
+    // union must equal one searchJoin over the combined query set —
+    // in BOTH modes, salt included
+    def runStream(compressed: Boolean): Set[(Long, Long, Long, Long)] = {
+      val tag = if (compressed) "c" else "r"
+      val outDir = Files.createTempDirectory(s"graft-vserve-out$tag").toString + "/res"
+      val ckpt = Files.createTempDirectory(s"graft-vserve-ck$tag").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = vs.serveStream(input.toDF().toDF("query_id", "qv"), outDir, ckpt,
+        topK = 5, nprobe = 2, maxRowsPerTask = 40L,
+        compressed = compressed, shortlist = 200)
+      try {
+        input.addData(qrows.head: _*)
+        q.processAllAvailable()
+        input.addData(qrows(1): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      canon(spark.read.parquet(outDir).collect())
+    }
+    val allQ = qrows.flatten.toDF("query_id", "qv")
+    assert(runStream(compressed = false) ===
+      canon(vs.searchJoin(allQ, topK = 5, nprobe = 2).collect()),
+      "raw streamed serving must equal the one-shot join")
+    assert(runStream(compressed = true) ===
+      canon(vs.searchJoin(allQ, topK = 5, nprobe = 2,
+        compressed = true, shortlist = 200).collect()),
+      "compressed streamed serving must equal the one-shot compressed join")
+    // a compressed stream over a PQ-less store refuses at start()
+    val rawDir2 = Files.createTempDirectory("graft-vserve-nopq").toString
+    val vsRaw2 = new VectorStore(spark, rawDir2, numShards = 4)
+    vsRaw2.build(corpus, iters = 1)
+    intercept[IllegalStateException](vsRaw2.serveStream(
+      spark.readStream.format("rate").load()
+        .select(col("value").as("query_id"), array(lit(0.0)).as("qv")),
+      Files.createTempDirectory("graft-vserve-x").toString + "/res",
+      Files.createTempDirectory("graft-vserve-xc").toString,
+      compressed = true))
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
