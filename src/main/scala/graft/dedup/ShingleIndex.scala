@@ -349,6 +349,70 @@ class ShingleIndex(spark: SparkSession, path: String,
     n
   }
 
+  /** Re-apply the CURRENT df cap to the persisted postings — the
+    * maintenance verb that bounds the class doc's insert-time
+    * non-retroactivity drift. A shingle that went hot AFTER some docs
+    * inserted it stays in their sh/ rows until now; those rows are
+    * pure drag on every [[judge]]: they can never match a candidate
+    * (the judge-time union cap excludes the shingle from the batch
+    * side) yet they are scanned per probe AND inflate their docs'
+    * sizes/ denominators — suppressing Jaccard below what a
+    * from-scratch build would compute, so borderline near-dups are
+    * silently MISSED. recap() rewrites only the batch partitions
+    * holding now-hot rows: sh/ minus those rows, sizes/ recounted,
+    * bands/ re-derived from the recapped sets, meta's n_shingles
+    * corrected — judge verdicts move to the fresh-build values.
+    *
+    * The remaining drift is the declared one-sided kind: a shingle
+    * capped OUT at insert whose df the corpus growth has since pulled
+    * back under the cap cannot be resurrected (the index stores no
+    * text) — recap only ever narrows sets, exactly like [[delete]]'s
+    * df reversal bound. Cost: one hot-shingle fold (df rows above the
+    * cap — rare by construction) + one postings-column discovery scan
+    * + rewrites of affected partitions only. Naturally idempotent (a
+    * second call finds no hot rows); crash-safe per partition
+    * ([[graft.sources.BatchedTable.rewriteBatch]] — the sh/sizes/
+    * bands rewrite order leaves any crash window conservative: a doc
+    * whose sizes/ row still counts a dropped posting just keeps its
+    * pre-recap verdict until the re-run). Returns the number of
+    * postings rows dropped.
+    */
+  def recap(): Long = {
+    requireDir(shDir, "sh/ table")
+    val rowSet = Seq(shDir, szDir, bandDir, metaDir)
+    dirs.foreach(d => graft.sources.BatchedTable.recoverFold(fs, d))
+    rowSet.foreach(d => graft.sources.BatchedTable.recoverRewrites(fs, d))
+    val cap = math.max(dfCapFloor, math.ceil(nDocs(None) * maxDfFraction).toLong)
+    // the now-hot set: tiny by construction (each member spans > cap
+    // docs), checkpointed so the per-partition rewrites don't re-run
+    // the df fold
+    val hot = dfNow().filter(col("df") > cap).select("s").localCheckpoint(true)
+    try {
+      // one postings scan finds the affected batches AND the per-batch
+      // drop counts
+      val perBatch = readIdx(shDir, None)
+        .join(broadcast(hot), Seq("s"), "left_semi")
+        .groupBy(col("batch").cast("string").as("b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      perBatch.foreach { case (b, droppedB) =>
+        val kept = spark.read.parquet(s"$shDir/batch=$b")
+          .join(broadcast(hot), Seq("s"), "left_anti")
+        graft.sources.BatchedTable.rewriteBatch(fs, shDir, b, kept)
+        // recount from the REWRITTEN partition (kept's plan read the
+        // pre-rewrite files, which the swap just replaced)
+        val recapped = spark.read.parquet(s"$shDir/batch=$b")
+        graft.sources.BatchedTable.rewriteBatch(fs, szDir, b,
+          recapped.groupBy("doc_id").agg(count(lit(1)).as("n")))
+        graft.sources.BatchedTable.rewriteBatch(fs, bandDir, b,
+          Dedup.bandKeys(recapped))
+        val m = spark.read.parquet(s"$metaDir/batch=$b")
+        graft.sources.BatchedTable.rewriteBatch(fs, metaDir, b,
+          m.select(col("n_docs"), (col("n_shingles") - droppedB).as("n_shingles")))
+      }
+      perBatch.map(_._2).sum
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hot)
+  }
+
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),
     * 'near' (capped-shingle Jaccard >= threshold against an indexed
     * doc), else 'keep' — [[Dedup.incrementalVerdicts]]'s contract with

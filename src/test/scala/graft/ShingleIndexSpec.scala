@@ -372,6 +372,58 @@ class ShingleIndexSpec extends AnyFunSuite {
         texts = Some(Seq((1L, "edited text entirely")).toDF("doc_id", "text"))))
   }
 
+  test("recap re-applies the current df cap; verdicts move to the fresh-build values") {
+    import spark.implicits._
+    // A carries a unique 40-word body plus a 12-word phrase that will
+    // go HOT later: its 10 inner trigrams end up in > capFloor docs.
+    val hotTail = (1 to 12).map(i => s"h$i").mkString(" ")
+    val corpus = Seq(
+      (1L, w("u", 40) + " " + hotTail),
+      (2L, w("b", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx-recap").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    // three 7-doc batches sharing the hot phrase: the first two insert
+    // its trigrams UNDER the cap (df 8, then 15); the third crosses it
+    // (df 22 > 20) and caps them out at insert — so the stale carriers
+    // span base, hb1, and hb2 but not hb3
+    def hotBatch(tag: Int): org.apache.spark.sql.DataFrame =
+      (1 to 7).map(i => (300L + tag * 10 + i,
+        (1 to 6).map(j => s"f$tag${i}x$j").mkString(" ") + " " + hotTail))
+        .toDF("doc_id", "text")
+    Seq(1, 2, 3).foreach(t => idx.append(hotBatch(t), s"hb$t"))
+    // probe: a near-dup of A's unique body WITHOUT the hot tail.
+    // Stale index: A's size row still counts the 10 hot trigrams, so
+    // J = 38/50 = 0.76 < 0.8 -> 'keep' (the silently-missed near-dup)
+    val probe = Seq((900L, w("u", 40))).toDF("doc_id", "text")
+    assert(idx.judge(probe).collect().head.getString(1) === "keep",
+      "pre-recap, the inflated denominator must suppress the match")
+    // 10 hot trigrams x (A + 14 early hot docs) = 150 stale rows
+    assert(idx.recap() === 150L)
+    assert(idx.judge(probe).collect().head.getString(1) === "near",
+      "post-recap J = 38/40 must clear the threshold")
+    assert(idx.recap() === 0L, "recap is naturally idempotent")
+    // fresh-build equivalence: an index built from scratch over the
+    // same total corpus judges identically, and the banded candidate
+    // path (bands/ re-derived from the recapped sets) agrees
+    val freshDir = Files.createTempDirectory("graft-shidx-recap-f").toString
+    val fresh = new ShingleIndex(spark, freshDir)
+    fresh.build(corpus.unionByName(hotBatch(1)).unionByName(hotBatch(2))
+      .unionByName(hotBatch(3)))
+    val probes = probe.unionByName(
+      Seq((901L, w("b", 40) + " tail"), (902L, w("z", 40))).toDF("doc_id", "text"))
+    def vmap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = vmap(idx.judge(probes))
+    assert(got === vmap(fresh.judge(probes)),
+      "recapped index must judge like a from-scratch build")
+    assert(got === vmap(idx.judge(probes, bandCandidates = true)),
+      "banded candidates over re-derived bands must agree")
+    // meta's n_shingles was corrected per batch: totals match fresh
+    val nSh = idx.health().select("n_shingles").head().getLong(0)
+    assert(nSh === fresh.health().select("n_shingles").head().getLong(0))
+  }
+
   test("streaming gate over the maintained index blocks dups of earlier batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
