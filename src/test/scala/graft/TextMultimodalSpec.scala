@@ -333,6 +333,52 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"expected only the planted 3-shared-block pair, got $pairs")
   }
 
+  test("end-to-end media curation: route -> resize -> digest near-dup over the resized corpus") {
+    import spark.implicits._
+    import graft.multimodal.{Decode, MediaRef, Multimodal}
+    // noisy deterministic pixels: re-encoded PNGs keep many distinct
+    // 64-byte blocks (a flat fill would compress below minShared)
+    def img(seed: Int, w: Int, h: Int, fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        im.setRGB(x, y, (x * 2654435761L.toInt + y * 40503 + seed) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    // the re-encoded-copy shape: SAME pixels shipped in two containers
+    // (png + bmp) — whole-file digests differ, pixel content does not
+    val media = Seq(
+      MediaRef(1L, "image", img(7, 120, 48, "png")),
+      MediaRef(2L, "image", img(7, 120, 48, "bmp")),
+      MediaRef(3L, "image", img(99, 120, 48, "png")),
+      MediaRef(4L, "opaque", "definitely not an image payload".getBytes("UTF-8")))
+    // stage 1: route on real decode — the curation filter's column
+    val routed = Decode.featuresDetected(media.toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(Seq(1L, 2L, 3L).forall(id =>
+      routed(id).modality == "image" && routed(id).decoded))
+    assert(routed(4L).modality === "opaque" && !routed(4L).decoded)
+    // stage 2: normalize the decodable images (downscale + PNG
+    // container); the opaque row is routed out by the decoded flag
+    val imgIds = routed.values.filter(_.modality == "image").map(_.doc_id).toSeq
+    val resized = Decode.resizeImages(
+      media.toDS().filter(col("doc_id").isin(imgIds: _*)), maxDim = 32)
+    val rz = resized.collect().map(r => r.doc_id -> r).toMap
+    assert(rz.values.forall(r => r.decoded && r.width == 32 && r.height == 13))
+    assert(rz(1L).payload.sameElements(rz(2L).payload),
+      "same pixels must normalize to byte-identical PNGs across containers")
+    // stage 3: block-digest near-dup over the NORMALIZED corpus — the
+    // container variance the raw payloads carried is gone, so the
+    // re-encoded copy surfaces as a shared-everything pair
+    val pairs = Multimodal.frameNearDupPairs(
+      resized.toDF().select(col("doc_id"), col("payload").as("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      "exactly the re-encoded copy pair; the distinct image stays out")
+  }
+
   test("event transitions: per-source probabilities normalize, counts conserve") {
     val tr = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
     val ev = Tables.events(spark, sf)
