@@ -610,4 +610,37 @@ class ShingleIndex(spark: SparkSession, path: String,
         graft.sources.BatchedTable.foldDir(spark, fs, d, mk(), keepLabel)
     }
   }
+
+  /** The scheduled maintenance verb — run on a timer, like
+    * [[graft.vector.VectorStore.maintain]]: [[recap]]s when more than
+    * `maxHotShingles` shingles have drifted past the current df cap
+    * (the default 0 recaps on ANY drift — each check is one dfc/ fold,
+    * shingle-cardinality, never a postings scan; a recap with no stale
+    * carriers costs only its one-column discovery scan), then
+    * [[compact]]s once the per-batch layout's fixed cost has
+    * accumulated past `maxBatches` directories. Recap runs FIRST so
+    * the fold rewrites the already-recapped rows once. `keepLabel`
+    * protects the in-flight batch, same contract as [[compact]].
+    */
+  def maintain(maxBatches: Int = 256, maxHotShingles: Long = 0L,
+               keepLabel: Option[String] = None): ShingleIndex.Maintenance = {
+    requireDir(dfDir, "dfc/ table")
+    val cap = math.max(dfCapFloor, math.ceil(nDocs(None) * maxDfFraction).toLong)
+    val hot = dfNow().filter(col("df") > cap).count()
+    val dropped = if (hot > maxHotShingles) recap() else 0L
+    val batches = fs.listStatus(new Path(metaDir))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    val fold = batches > maxBatches
+    if (fold) compact(keepLabel)
+    ShingleIndex.Maintenance(hot, dropped, fold)
+  }
+}
+
+object ShingleIndex {
+  /** [[ShingleIndex.maintain]]'s report: how many shingles sit above
+    * the current cap, how many stale postings rows the recap dropped,
+    * and whether the batch layout folded.
+    */
+  final case class Maintenance(hotShingles: Long, recappedRows: Long,
+                               compacted: Boolean)
 }

@@ -708,4 +708,28 @@ class TermIndex(spark: SparkSession, path: String,
         BatchedTable.foldDir(spark, fs, d, mk(), keepLabel)
     }
   }
+
+  /** The scheduled maintenance verb — run on a timer, like
+    * [[graft.vector.VectorStore.maintain]]: [[compact]]s once the
+    * per-batch layout's fixed cost has accumulated past `maxBatches`
+    * directories (the listing+footer overhead ScaleSmoke measures at
+    * ~30x a folded probe by 2000 batches) or the tombstone set has
+    * outgrown `maxTombstones` (anti-join weight every probe carries
+    * until a fold applies it physically). Decision cost: one metaDir
+    * listing + the tombstone count — no postings IO unless it folds.
+    * Returns true when it compacted; `keepLabel` protects the
+    * in-flight batch, same contract as [[compact]].
+    */
+  def maintain(maxBatches: Int = 256, maxTombstones: Long = Long.MaxValue,
+               keepLabel: Option[String] = None): Boolean = {
+    require(fs.exists(new Path(metaDir)), s"maintain: index at $path not built")
+    val batches = fs.listStatus(new Path(metaDir))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    val tombs =
+      if (maxTombstones == Long.MaxValue) 0L
+      else tombstones(None).map(_.count()).getOrElse(0L)
+    val fold = batches > maxBatches || tombs > maxTombstones
+    if (fold) compact(keepLabel)
+    fold
+  }
 }

@@ -422,6 +422,17 @@ class ShingleIndexSpec extends AnyFunSuite {
     // meta's n_shingles was corrected per batch: totals match fresh
     val nSh = idx.health().select("n_shingles").head().getLong(0)
     assert(nSh === fresh.health().select("n_shingles").head().getLong(0))
+    // maintain() composes the signals: the hot shingles still sit
+    // above the cap (recap can't lower raw df), but their postings are
+    // already gone — so it reports them, recaps nothing, and folds the
+    // 4-batch layout when asked
+    val m = idx.maintain(maxBatches = 2)
+    assert(m === graft.dedup.ShingleIndex.Maintenance(10L, 0L, compacted = true))
+    assert(idx.health().select("n_batches").head().getLong(0) === 1L)
+    assert(vmap(idx.judge(probes)) === got, "maintain must not change verdicts")
+    assert(idx.maintain(maxBatches = 2) ===
+      graft.dedup.ShingleIndex.Maintenance(10L, 0L, compacted = false),
+      "a folded index inside the batch budget does not re-fold")
   }
 
   test("streaming gate over the maintained index blocks dups of earlier batches") {

@@ -98,6 +98,29 @@ class TermIndexSpec extends AnyFunSuite {
       "replay exclusion must keep working after a keepLabel fold")
   }
 
+  test("maintain folds on the batch-count and tombstone signals only when crossed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx-maint").toString
+    val idx = new TermIndex(spark, dir)
+    idx.build(Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text"))
+    (0 until 3).foreach(i =>
+      idx.append(Seq((10L + i, s"alpha w$i")).toDF("doc_id", "text"), s"b$i"))
+    assert(!idx.maintain(maxBatches = 16), "4 batches under a 16 budget: no fold")
+    // a tombstone set past its budget folds (and applies) even when
+    // the batch count is fine; the logical delete already shaped the
+    // results, so the fold must not change them
+    idx.delete(Seq(10L), "takedown")
+    val afterDelete = topMap(idx.search(Seq("alpha"), k = 10))
+    assert(!afterDelete.exists(_._1 == 10L))
+    assert(idx.maintain(maxBatches = 16, maxTombstones = 0L))
+    val h = idx.health().collect().head
+    assert(h.getLong(0) === 1L && h.getLong(4) === 0L,
+      "fold must collapse the layout and apply the tombstones")
+    assert(topMap(idx.search(Seq("alpha"), k = 10)) === afterDelete,
+      "physical application of the tombstones is result-invariant")
+    assert(!idx.maintain(maxBatches = 16, maxTombstones = 0L))
+  }
+
   test("delete serves exactly an index built without those docs, before and after compact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tidx5").toString
