@@ -482,6 +482,29 @@ object ScaleSmoke {
     require(sameVerdicts, "banded judge must reproduce the exact judge's verdict counts")
     println(s"[scale] banded judge verdict counts identical: true (asserted)")
 
+    // recap at volume: a phrase spread over appended batches goes hot
+    // AFTER its first batch inserted it under the cap — that batch's
+    // docs carry stale postings (dead candidate weight + inflated
+    // Jaccard denominators) until recap() rewrites exactly the carrier
+    // partitions. Cost measured = the hot-detect dfc fold + one
+    // sh/-column discovery scan + the carrier batch's rewrite; the
+    // base partition (no hot rows) must NOT rewrite.
+    val hotPhrase = (1 to 12).map(i => s"hot$i").mkString(" ")
+    def recapBatch(tag: Int): org.apache.spark.sql.DataFrame =
+      spark.range(tag * 1000L, tag * 1000L + 200L)
+        .select((col("id") + 10L * nDoc).as("doc_id"),
+          concat(lit(hotPhrase + " "), concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("r"), (abs(xxhash64(col("id") * 20 + i, lit(11))) % 5000)
+              .cast("string"))): _*)).as("text"))
+    Seq(1, 2, 3).foreach(t => shIdx.append(recapBatch(t), s"rb$t"))
+    val recapped = timed(s"shingle-index recap ($nDoc-doc base + 3 appends, one stale carrier batch)") {
+      shIdx.recap()
+    }
+    // 10 inner hot trigrams x the 200 first-batch carriers (later
+    // batches crossed the cap at insert and never carried them)
+    require(recapped == 2000L, s"expected 2000 stale rows, got $recapped")
+    println(s"[scale] recap dropped $recapped stale postings rows (carrier batch only)")
+
     // chunking fan-out: a pure projection, so wall time tracks OUTPUT
     // row count, not any shuffle — the corpus chunks at scan speed
     val nChunks = timed(s"doc_chunk (${nDoc + nDoc / 100} docs, size 32 stride 24)") {

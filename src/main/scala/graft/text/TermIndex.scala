@@ -450,8 +450,11 @@ class TermIndex(spark: SparkSession, path: String,
     * its own entry), and the occurrence count is [[searchPhrase]]'s
     * exact projection over `element_at(map, slot)`. Docs missing ANY
     * slot drop on `size(map) = phrase length` before counting. Same
-    * `slop` semantics as the single-phrase probe, uniform across the
-    * batch.
+    * `slop` semantics as the single-phrase probe — uniform across the
+    * batch via the parameter, or PER QUERY via an optional third
+    * `slop` column (mixed exact/proximity micro-batches; mutually
+    * exclusive with a non-zero parameter). Slop-0 rows keep the
+    * intersect fast path either way.
     */
   def searchPhraseBatch(queries: DataFrame, k: Int = 10,
                         excludeLabel: Option[String] = None,
@@ -465,21 +468,33 @@ class TermIndex(spark: SparkSession, path: String,
   private def searchPhraseBatchOpt(queries: DataFrame, k: Int,
                                    excludeLabel: Option[String],
                                    slop: Int): Option[DataFrame] = {
-    require(queries.columns.toSeq == Seq("query_id", "phrase"),
-      s"queries must be (query_id, phrase), got ${queries.columns.mkString(", ")}")
+    // PER-QUERY slop: a third `slop` column overrides the batch-wide
+    // parameter row-by-row (a serving tier mixes exact and proximity
+    // queries in one micro-batch) — the two knobs are mutually
+    // exclusive to keep the semantics unambiguous
+    val hasSlopCol = queries.columns.toSeq == Seq("query_id", "phrase", "slop")
+    require(hasSlopCol || queries.columns.toSeq == Seq("query_id", "phrase"),
+      s"queries must be (query_id, phrase[, slop]), got ${queries.columns.mkString(", ")}")
     require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(!hasSlopCol || slop == 0,
+      "pass slop per query (column) OR batch-wide (parameter), not both")
     // one job collects the term universe AND validates phrase lengths
-    // (the serveStream probe-hygiene contract: a micro-batch costs one
-    // driver action before the probe itself). explode_OUTER: a plain
-    // explode emits no row for an empty/null phrase, so its __short
-    // flag would never reach the require and the caller bug would be
-    // masked as a silent zero-row query instead of failing loudly
-    // like the 1-term case.
+    // + per-query slops (the serveStream probe-hygiene contract: a
+    // micro-batch costs one driver action before the probe itself).
+    // explode_OUTER: a plain explode emits no row for an empty/null
+    // phrase, so its __short flag would never reach the require and
+    // the caller bug would be masked as a silent zero-row query
+    // instead of failing loudly like the 1-term case.
     val terms = queries.select(explode_outer(array_distinct(col("phrase"))).as("t"),
-        (coalesce(size(col("phrase")), lit(0)) < 2).as("__short"))
-      .groupBy("t").agg(max(col("__short")).as("s")).collect()
+        (coalesce(size(col("phrase")), lit(0)) < 2).as("__short"),
+        (if (hasSlopCol) coalesce(col("slop"), lit(-1)) < 0 else lit(false))
+          .as("__bad"))
+      .groupBy("t").agg(max(col("__short")).as("s"), max(col("__bad")).as("bd"))
+      .collect()
     require(!terms.exists(_.getBoolean(1)),
       "every phrase needs >= 2 terms — rank single terms with searchBatch()")
+    require(!terms.exists(_.getBoolean(2)),
+      "every per-query slop must be a non-negative, non-null integer")
     if (terms.isEmpty) return None
     val allTerms = terms.map(_.getString(0)).toSeq
     val post = minusDeleted(
@@ -487,13 +502,14 @@ class TermIndex(spark: SparkSession, path: String,
         .filter(col("term").isin(allTerms: _*)), excludeLabel)
     require(post.columns.contains("pos"),
       s"index at $path predates the positional layout — rebuild() to serve phrases")
+    val slopC = if (hasSlopCol) col("slop").cast("int") else lit(slop)
     val slots = queries.select(col("query_id"), size(col("phrase")).as("__plen"),
-      posexplode(col("phrase")).as(Seq("__slot", "term")))
+      slopC.as("__slop"), posexplode(col("phrase")).as(Seq("__slot", "term")))
     val m = col("__m")
-    val cnt = phraseCountCol0(slop, j => element_at(m, j), size(m))
+    val cnt = phraseCountCol0(col("__slop"), j => element_at(m, j), size(m))
     Some(post.select(col("term"), col("doc_id"), col("pos"))
       .join(broadcast(slots), "term")
-      .groupBy("query_id", "doc_id", "__plen")
+      .groupBy("query_id", "doc_id", "__plen", "__slop")
       .agg(map_from_entries(collect_list(struct(col("__slot"), col("pos")))).as("__m"))
       .filter(size(m) === col("__plen"))
       .withColumn("n_occurrences", cnt.cast(LongType))
@@ -511,7 +527,8 @@ class TermIndex(spark: SparkSession, path: String,
     * appends (query_id, doc_id, n_occurrences) to `outDir`. A
     * separate handle/sink from the keyword stream because the result
     * schemas differ (bm25 vs occurrence counts); same at-least-once
-    * append posture. `slop` applies batch-wide.
+    * append posture. `slop` applies batch-wide; a stream whose rows
+    * carry their own `slop` column gets per-query windows instead.
     */
   def servePhraseStream(queries: DataFrame, k: Int = 10, outDir: String,
                         checkpoint: String, slop: Int = 0)
@@ -524,19 +541,22 @@ class TermIndex(spark: SparkSession, path: String,
       }
       .start()
 
-  /** [[phraseCountCol]] with a RUNTIME slot count (the batch path:
-    * phrase length varies per query, so slots index a map and the
-    * fold runs over `sequence(1, n-1)` instead of a compile-time
-    * range). Map keys are the 0-based slots from posexplode.
+  /** [[phraseCountCol]] with a RUNTIME slot count and slop (the batch
+    * path: phrase length — and, with a slop column, the window width —
+    * varies per query, so slots index a map and the fold runs over
+    * `sequence(1, n-1)` instead of a compile-time range). The exact
+    * intersect fast path still serves every slop-0 row: the branch is
+    * a per-row `when`, constant-folded away for a literal batch-wide
+    * slop. Map keys are the 0-based slots from posexplode.
     */
-  private def phraseCountCol0(slop: Int, pos: Column => Column, n: Column): Column = {
+  private def phraseCountCol0(slop: Column, pos: Column => Column, n: Column): Column = {
     val slotIdx = sequence(lit(1), (n - 1).cast("int"))
-    if (slop == 0)
+    when(slop === 0,
       size(aggregate(slotIdx, pos(lit(0)),
-        (acc, j) => array_intersect(acc, transform(pos(j), q => q - j))))
-    else
-      size(filter(pos(lit(0)), p =>
-        forall(slotIdx, j => exists(pos(j), q => abs(q - (p + j)) <= slop))))
+        (acc, j) => array_intersect(acc, transform(pos(j), q => q - j)))))
+      .otherwise(
+        size(filter(pos(lit(0)), p =>
+          forall(slotIdx, j => exists(pos(j), q => abs(q - (p + j)) <= slop)))))
   }
 
   /** Batched probe — the text twin of `vdb_knn_batch_ivf`: a serving

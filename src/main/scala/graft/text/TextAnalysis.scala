@@ -865,6 +865,34 @@ object TextAnalysis extends QueryModule {
         phraseSqlFor(terms, slop = 0) + "\n)"
     }.mkString("\nUNION ALL\n")
 
+  /** Mixed exact/proximity batch — the per-query `slop` COLUMN
+    * (`TermIndex.searchPhraseBatch` with (query_id, phrase, slop)
+    * rows): one serving micro-batch carrying an exact phrase, a
+    * slop-2 proximity query, and a slop-1 one, all from ONE
+    * term-pruned postings scan; slop-0 rows keep the intersect fast
+    * path (the branch is a per-row `when`). Oracle = the
+    * window-enumeration SQL instantiated per (phrase, slop) and
+    * UNION ALLed — a green row proves the per-row windows match the
+    * per-phrase probes at each slop.
+    */
+  private val phraseMixedQueries: Seq[(Long, Seq[String], Int)] = Seq(
+    (0L, Seq("merge", "join"), 2),
+    (1L, Seq("table", "hash"), 0),
+    (2L, Seq("part", "filter"), 1))
+
+  private def phraseMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = new TermIndex(s, termIdxDir(d, "-pmixed"))
+    idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    idx.searchPhraseBatch(phraseMixedQueries.toDF("query_id", "phrase", "slop"), k = 10)
+  }
+
+  private val phraseMixedSql =
+    phraseMixedQueries.map { case (qid, terms, sl) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, n_occurrences FROM (\n" +
+        phraseSqlFor(terms, slop = sl) + "\n)"
+    }.mkString("\nUNION ALL\n")
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -886,6 +914,7 @@ object TextAnalysis extends QueryModule {
     "text_phrase_indexed" -> (phraseIndexed _),
     "text_phrase_slop" -> (phraseSlop _),
     "text_phrase_batch" -> (phraseBatch _),
+    "text_phrase_mixed" -> (phraseMixed _),
     "text_search"      -> (search _),
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
@@ -910,6 +939,7 @@ object TextAnalysis extends QueryModule {
     "text_phrase_indexed" -> phraseIndexedSql,
     "text_phrase_slop" -> phraseSlopSql,
     "text_phrase_batch" -> phraseBatchSql,
+    "text_phrase_mixed" -> phraseMixedSql,
     "text_search"      -> searchSql,
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,

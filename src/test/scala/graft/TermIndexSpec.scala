@@ -368,6 +368,28 @@ class TermIndexSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](
       idx.searchPhraseBatch(Seq((0L, Seq("solo"))).toDF("query_id", "phrase")))
+
+    // per-query slop: a slop COLUMN mixes exact and proximity rows in
+    // one batch, each row-identical to its own searchPhrase(slop)
+    val mixed: Seq[(Long, Seq[String], Int)] = Seq(
+      (0L, Seq("merge", "join"), 2),
+      (1L, Seq("table", "hash", "merge"), 0),
+      (2L, Seq("a", "a"), 1))
+    val gotMixed = idx.searchPhraseBatch(mixed.toDF("query_id", "phrase", "slop"),
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantMixed = mixed.flatMap { case (qid, p, sl) =>
+      idx.searchPhrase(p, k = 5, slop = sl).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(gotMixed === wantMixed, "per-query slop must equal per-phrase probes")
+    assert(gotMixed.nonEmpty)
+    // the two slop knobs are mutually exclusive; negative/null per-row
+    // slops refuse loudly
+    intercept[IllegalArgumentException](idx.searchPhraseBatch(
+      mixed.toDF("query_id", "phrase", "slop"), k = 5, slop = 1))
+    intercept[IllegalArgumentException](idx.searchPhraseBatch(
+      Seq((0L, Seq("merge", "join"), -1)).toDF("query_id", "phrase", "slop")))
   }
 
   test("searchBatch runs exactly ONE driver action before the probe plan") {
