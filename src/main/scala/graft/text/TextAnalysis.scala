@@ -709,8 +709,8 @@ object TextAnalysis extends QueryModule {
     * schema changes (bump it with any such change).
     */
   private val idxLayoutVersion = 1
-  private def servedIdx(s: SparkSession, d: String,
-                        positional: Boolean): TermIndex = {
+  private[graft] def servedIdx(s: SparkSession, d: String,
+                               positional: Boolean): TermIndex = {
     val dir = termIdxDir(d,
       (if (positional) "-pos-v" else "-flat-v") + idxLayoutVersion)
     val idx = new TermIndex(s, dir, positional = positional)
@@ -765,8 +765,12 @@ object TextAnalysis extends QueryModule {
     * row. A matched doc's score is strictly positive (idf's log
     * argument > 1), so `score0 > 0` separates the two sets exactly.
     */
-  private def bm25SqlFor(terms: Seq[String], prefix: String,
-                         matchedOnly: Boolean = false): String = {
+  /** The one-shot BM25 CTE pair — `d AS (...), c AS (...)` plus the
+    * score expression over them — shared by every oracle that replays
+    * served BM25 (the single definition keeping the SQL formula in
+    * lockstep with the index's `contribCol`).
+    */
+  private[graft] def bm25CtesFor(terms: Seq[String]): (String, String) = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
@@ -775,14 +779,22 @@ object TextAnalysis extends QueryModule {
     val score = terms.indices.map(i =>
       s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${bmK1 + 1.0}) / " +
         s"(tf$i + $bmK1 * ((1.0 - $bmB) + $bmB * dl / (sdl / n)))").mkString("\n      + ")
-    s"""$prefix d AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-       |$tfs
-       |  FROM documents),
-       |c AS (
-       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl,
-       |$dfs
-       |  FROM d)
+    val ctes =
+      s"""d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |$tfs
+         |  FROM documents),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl,
+         |$dfs
+         |  FROM d)""".stripMargin
+    (ctes, score)
+  }
+
+  private def bm25SqlFor(terms: Seq[String], prefix: String,
+                         matchedOnly: Boolean = false): String = {
+    val (ctes, score) = bm25CtesFor(terms)
+    s"""$prefix $ctes
        |SELECT doc_id, ROUND(score0, 4) AS bm25
        |FROM (SELECT d.doc_id,
        |      $score AS score0

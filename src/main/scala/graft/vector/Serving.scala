@@ -111,6 +111,160 @@ object Serving extends QueryModule {
       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // --- hybrid at JOIN scale: batched RRF over both maintained indexes -
+  /** Join-scale hybrid retrieval — [[hybridSearch]]'s RRF fusion for a
+    * FRAME of queries, served from BOTH maintained indexes: the
+    * keyword arm probes a [[graft.text.TermIndex]] via `searchBatch`
+    * (one term-pruned postings scan for the whole batch), the vector
+    * arm probes a [[VectorStore]] via `searchJoin` (one shard
+    * equi-join, bounded-heap per-query shortlist), and fusion is a
+    * full-outer join of two nQueries×shortlist frames — every stage
+    * bounded, nothing corpus-sized shuffles beyond the two probes
+    * themselves. `queries` is (query_id, terms array<string>, qv
+    * array<double>); returns each query's top-k
+    * (query_id, rank, doc_id, rank_kw, rank_vec, rrf_x1e6) with the
+    * single-query semantics: score = Σ 1/(rrfK + rank), absent
+    * modality contributes 0. Keyword ranks order by the served
+    * 4-dp bm25 (deterministic across replays); vector ranks are
+    * searchJoin's own. The store's ids must be the document ids.
+    */
+  def hybridJoin(idx: graft.text.TermIndex, store: VectorStore,
+                 queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
+                 nprobe: Int = 2, rrfK: Int = RRF_K): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "terms", "qv"),
+      s"queries must be (query_id, terms, qv), got ${queries.columns.mkString(", ")}")
+    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist)
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_kw")
+    val v = store.searchJoin(queries.select("query_id", "qv"),
+      topK = shortlist, nprobe = nprobe)
+    val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
+      col("rank").cast("int").as("rank_vec"))
+    fuseRrf(kw, vec, topK, rrfK)
+  }
+
+  /** RRF fusion of per-query (doc, rank) shortlists — shared by
+    * [[hybridJoin]] and the registered `vdb_hybrid_batch`.
+    */
+  private[vector] def fuseRrf(kw: DataFrame, vec: DataFrame,
+                              topK: Int, rrfK: Int): DataFrame = {
+    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
+    kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), rrf.as("rrf"),
+        coalesce(col("rank_kw"), lit(0)).cast(LongType).as("rank_kw"),
+        coalesce(col("rank_vec"), lit(0)).cast(LongType).as("rank_vec"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id")))
+        .cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_kw"), col("rank_vec"),
+        round(col("rrf") * 1e6, 0).cast(LongType).as("rrf_x1e6"))
+  }
+
+  /** The registered batched-hybrid query — `vdb_hybrid_search` at join
+    * scale: three (query_id, terms, qv) rows, keyword arm served from
+    * the SHARED flat TermIndex (`searchBatch`, BM25 — hash-proven
+    * equal to the one-shot expression, so the oracle replays the
+    * one-shot SQL), vector arm routed on the deterministic centroids
+    * with nprobe = 2 exactly like `vdb_knn_join_ivf` (per-query
+    * top-SHORTLIST through the rank window; self excluded BEFORE
+    * ranking — the self-match is always rank 1 and carries no
+    * information; the keyword arm ranks the full corpus, since query
+    * terms are not the query doc's own text). Shortlist selection
+    * orders by the unrounded scores both engines compute
+    * bit-identically; ranks order by the 4-dp values both emit.
+    */
+  private val hybridBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "merge", "scan"),
+    1L -> Seq("scan", "filter", "join"),
+    2L -> Seq("table", "stream"))
+
+  private def hybridBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val qIds = hybridBatchQueries.map(_._1)
+    val probes = e.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+          .as("shard"))
+    val corpus = e.withColumn("shard",
+      Centroids.nearestShard(col("embedding"), cents))
+    val vec = corpus.join(broadcast(probes), Seq("shard"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank_vec", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("vscore"), asc("vec_id"))))
+      .filter(col("rank_vec") <= SHORTLIST)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_vec"))
+    val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = false)
+    val kw = idx.searchBatch(hybridBatchQueries.toDF("query_id", "terms"),
+        k = SHORTLIST)
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_kw")
+    fuseRrf(kw, vec, topK = 10, rrfK = RRF_K)
+  }
+
+  /** Per-query oracle: the one-shot BM25 CTEs (the single shared
+    * definition — TextAnalysis.bm25CtesFor) give the keyword top-50;
+    * the deterministic-centroid IVF pruning gives the vector top-50;
+    * RRF fuses. Shortlists select on the unrounded scores (bit-
+    * identical across engines, like every green bm25/knn row); ranks
+    * order by the 4-dp values both engines emit.
+    */
+  private def hybridBatchSqlFor(qid: Long, terms: Seq[String]): String = {
+    val (bmCtes, bmScore) = graft.text.TextAnalysis.bm25CtesFor(terms)
+    s"""WITH $bmCtes,
+       |kwsel AS (
+       |  SELECT doc_id, score0 FROM (SELECT d.doc_id,
+       |      $bmScore AS score0
+       |      FROM d CROSS JOIN c) q
+       |  WHERE score0 > 0 ORDER BY score0 DESC, doc_id LIMIT $SHORTLIST),
+       |kwtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY ROUND(score0, 4) DESC, doc_id) AS rank_kw
+       |  FROM kwsel),
+       |${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = $qid),
+       |qsh AS (SELECT shard FROM (
+       |  SELECT c.shard, ROW_NUMBER() OVER (
+       |    ORDER BY list_distance(qv.v, c.c), c.shard) AS rn
+       |  FROM qv CROSS JOIN cent c) t WHERE rn <= 2),
+       |vsel AS (
+       |  SELECT b.vec_id AS doc_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], qv.v) AS vscore
+       |  FROM qv CROSS JOIN qsh
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> $qid
+       |  ORDER BY vscore DESC, doc_id LIMIT $SHORTLIST),
+       |vtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
+       |  FROM vsel),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + k.rank_kw), 0) +
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) AS rrf,
+       |         COALESCE(k.rank_kw, 0) AS rank_kw,
+       |         COALESCE(v.rank_vec, 0) AS rank_vec
+       |  FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)
+       |SELECT CAST($qid AS BIGINT) AS query_id,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, CAST(rank_kw AS BIGINT) AS rank_kw,
+       |       CAST(rank_vec AS BIGINT) AS rank_vec,
+       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  private val hybridBatchSql =
+    hybridBatchQueries.map { case (qid, terms) =>
+      s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms)}\n)"
+    }.mkString("\nUNION ALL\n")
+
   // --- knn join: top-3 neighbors for EVERY vector ---------------------
   /** The knn JOIN — every corpus vector is simultaneously a query. This
     * is the primitive behind semantic dedup, embedding-based related-
@@ -494,6 +648,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
     "vdb_knn_join_filtered" -> (knnJoinFiltered _),
+    "vdb_hybrid_batch"  -> (hybridBatch _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _))
@@ -502,6 +657,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
     "vdb_knn_join_filtered" -> knnJoinFilteredSql,
+    "vdb_hybrid_batch"  -> hybridBatchSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)
 }

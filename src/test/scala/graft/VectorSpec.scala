@@ -830,6 +830,60 @@ class VectorSpec extends AnyFunSuite {
       compressed = true))
   }
 
+  test("hybridJoin fuses both maintained indexes like a per-query RRF loop") {
+    import spark.implicits._
+    val n = 256
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    // text with term frequencies that vary by id, so BM25 ranks are
+    // nontrivial and partially disagree with the vector ranks
+    val docs = spark.range(0, n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-hyb-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tdir = Files.createTempDirectory("graft-hyb-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir, positional = false)
+    idx.build(docs)
+    val qRows: Seq[(Long, Seq[String])] = Seq(3L -> Seq("merge", "join"),
+      10L -> Seq("join", "w3"))
+    val qv = corpus.filter(col("id").isin(qRows.map(_._1): _*))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val queries = qRows.map { case (id, t) => (id, t, qv(id)) }
+      .toDF("query_id", "terms", "qv")
+    val got = graft.vector.Serving
+      .hybridJoin(idx, vs, queries, topK = 5, shortlist = 20, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // the loop mirror: per query, each arm's top-20 ranks, Scala-side
+    // RRF, top-5 by (rrf desc, doc_id)
+    val want = qRows.flatMap { case (id, terms) =>
+      val kw = idx.search(terms, k = 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (d, s) => (-s, d) }.zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val vec = vs.search(qv(id).toArray, topK = 20, nprobe = 2).collect()
+        .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+      (kw.keySet ++ vec.keySet).toSeq.map { d =>
+        val rrf = kw.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vec.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (d, rrf, kw.getOrElse(d, 0).toLong, vec.getOrElse(d, 0).toLong)
+      }.sortBy { case (d, rrf, _, _) => (-rrf, d) }.take(5).zipWithIndex.map {
+        case ((d, rrf, rk, rv), i) =>
+          (id, (i + 1).toLong, d, rk, rv, math.rint(rrf * 1e6).toLong)
+      }
+    }.toSet
+    assert(got === want, "join-scale hybrid must equal the per-query RRF loop")
+    assert(got.nonEmpty)
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
