@@ -193,13 +193,19 @@ object Serving extends QueryModule {
           .as("shard"))
     val corpus = e.withColumn("shard",
       Centroids.nearestShard(col("embedding"), cents))
+    // per-query shortlist through the bounded heap, like every join-
+    // scale rank here: the shuffle after scoring carries ≤ SHORTLIST
+    // rows per (query, map partition), never all scored candidates
+    // (a row_number window would shuffle the full probed population
+    // per query before truncating)
     val vec = corpus.join(broadcast(probes), Seq("shard"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
-      .withColumn("rank_vec", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("vscore"), asc("vec_id"))))
-      .filter(col("rank_vec") <= SHORTLIST)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_vec"))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("vscore"), col("vec_id"), SHORTLIST).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        (col("__pos") + 1).cast("int").as("rank_vec"))
     val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = false)
     val kw = idx.searchBatch(hybridBatchQueries.toDF("query_id", "terms"),
         k = SHORTLIST)
