@@ -130,18 +130,54 @@ object Serving extends QueryModule {
     */
   def hybridJoin(idx: graft.text.TermIndex, store: VectorStore,
                  queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
-                 nprobe: Int = 2, rrfK: Int = RRF_K): DataFrame = {
+                 nprobe: Int = 2, rrfK: Int = RRF_K): DataFrame =
+    hybridJoinResolved(idx, store, queries, topK, shortlist, nprobe, rrfK,
+      store.centroids())
+
+  private def hybridJoinResolved(idx: graft.text.TermIndex, store: VectorStore,
+                                 queries: DataFrame, topK: Int, shortlist: Int,
+                                 nprobe: Int, rrfK: Int,
+                                 cents: Array[(Int, Array[Double])]): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "qv"),
       s"queries must be (query_id, terms, qv), got ${queries.columns.mkString(", ")}")
     val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist)
       .withColumn("rank_kw", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_kw")
-    val v = store.searchJoin(queries.select("query_id", "qv"),
-      topK = shortlist, nprobe = nprobe)
+    val v = store.searchJoinResolved(queries.select("query_id", "qv"),
+      topK = shortlist, nprobe = nprobe, allowed = None, excludeSelf = false,
+      maxRowsPerTask = 0L, compressed = false, shortlist = 100,
+      cents = cents, metaOpt = None, salts = None)
     val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
     fuseRrf(kw, vec, topK, rrfK)
+  }
+
+  /** Continuous hybrid serving — the streamed twin completing the
+    * set (keyword [[graft.text.TermIndex.serveStream]], phrase
+    * `servePhraseStream`, knn [[VectorStore.serveStream]]): each
+    * micro-batch of (query_id, terms, qv) rows probes both maintained
+    * indexes via [[hybridJoin]] and appends the fused per-query top-k
+    * to `outDir`, at-least-once. The store's routing centroids
+    * resolve ONCE at stream start; the keyword arm's validate-and-
+    * collect stays the one pre-probe driver action searchBatch
+    * guarantees per tick.
+    */
+  def serveHybridStream(idx: graft.text.TermIndex, store: VectorStore,
+                        queries: DataFrame, outDir: String, checkpoint: String,
+                        topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
+                        rrfK: Int = RRF_K)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = store.centroids()
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          hybridJoinResolved(idx, store, batch, topK, shortlist, nprobe, rrfK,
+            cents)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
   }
 
   /** RRF fusion of per-query (doc, rank) shortlists — shared by

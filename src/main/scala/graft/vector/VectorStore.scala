@@ -1203,15 +1203,15 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * ONCE at stream start, so a micro-batch costs only its own probe
     * instead of re-reading store metadata per tick.
     */
-  private def searchJoinResolved(queries: DataFrame, topK: Int, nprobe: Int,
-                                 allowed: Option[DataFrame],
-                                 excludeSelf: Boolean,
-                                 maxRowsPerTask: Long,
-                                 compressed: Boolean,
-                                 shortlist: Int,
-                                 cents: Array[(Int, Array[Double])],
-                                 metaOpt: Option[PqMeta],
-                                 salts: Option[DataFrame]): DataFrame = {
+  private[vector] def searchJoinResolved(queries: DataFrame, topK: Int, nprobe: Int,
+                                         allowed: Option[DataFrame],
+                                         excludeSelf: Boolean,
+                                         maxRowsPerTask: Long,
+                                         compressed: Boolean,
+                                         shortlist: Int,
+                                         cents: Array[(Int, Array[Double])],
+                                         metaOpt: Option[PqMeta],
+                                         salts: Option[DataFrame]): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "qv"),
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
