@@ -369,7 +369,11 @@ class ShingleIndex(spark: SparkSession, path: String,
     * text) — recap only ever narrows sets, exactly like [[delete]]'s
     * df reversal bound. Cost: one hot-shingle fold (df rows above the
     * cap — rare by construction) + one postings-column discovery scan
-    * + rewrites of affected partitions only. Naturally idempotent (a
+    * + rewrites of affected partitions only. Tombstoned docs' hot rows
+    * drop physically but are EXCLUDED from the meta correction —
+    * [[delete]]'s negative delta already reversed their whole
+    * contribution, so counting them again would leave health()
+    * permanently undercounting. Naturally idempotent (a
     * second call finds no hot rows); crash-safe per partition
     * ([[graft.sources.BatchedTable.rewriteBatch]] — the sh/sizes/
     * bands rewrite order leaves any crash window conservative: a doc
@@ -388,13 +392,30 @@ class ShingleIndex(spark: SparkSession, path: String,
     // the df fold
     val hot = dfNow().filter(col("df") > cap).select("s").localCheckpoint(true)
     try {
-      // one postings scan finds the affected batches AND the per-batch
-      // drop counts
-      val perBatch = readIdx(shDir, None)
+      // nothing drifted: skip the postings discovery scan entirely
+      // (the common steady-state when maintain() probes on a schedule)
+      if (hot.isEmpty) return 0L
+      // one postings scan finds the affected batches, their PHYSICAL
+      // drop counts, and their LIVE drop counts. The distinction
+      // matters for the meta correction: a tombstoned doc's hot rows
+      // drop physically too (dead weight either way), but delete()
+      // already reversed that doc's entire n_shingles contribution —
+      // subtracting its hot rows again would double-count, leaving
+      // health() permanently undercounting after delete + recap.
+      val hotRows = readIdx(shDir, None)
         .join(broadcast(hot), Seq("s"), "left_semi")
-        .groupBy(col("batch").cast("string").as("b")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      perBatch.foreach { case (b, droppedB) =>
+      val marked = tombstones(None) match {
+        case Some(t) => hotRows.join(
+          broadcast(t.select("doc_id").distinct().withColumn("__t", lit(1))),
+          Seq("doc_id"), "left")
+        case None => hotRows.withColumn("__t", lit(null).cast("int"))
+      }
+      val perBatch = marked
+        .groupBy(col("batch").cast("string").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__t").isNull, 1L).otherwise(0L)).as("nLive"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      perBatch.foreach { case (b, _, liveB) =>
         val kept = spark.read.parquet(s"$shDir/batch=$b")
           .join(broadcast(hot), Seq("s"), "left_anti")
         graft.sources.BatchedTable.rewriteBatch(fs, shDir, b, kept)
@@ -407,7 +428,7 @@ class ShingleIndex(spark: SparkSession, path: String,
           Dedup.bandKeys(recapped))
         val m = spark.read.parquet(s"$metaDir/batch=$b")
         graft.sources.BatchedTable.rewriteBatch(fs, metaDir, b,
-          m.select(col("n_docs"), (col("n_shingles") - droppedB).as("n_shingles")))
+          m.select(col("n_docs"), (col("n_shingles") - liveB).as("n_shingles")))
       }
       perBatch.map(_._2).sum
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hot)
@@ -614,20 +635,37 @@ class ShingleIndex(spark: SparkSession, path: String,
   /** The scheduled maintenance verb — run on a timer, like
     * [[graft.vector.VectorStore.maintain]]: [[recap]]s when more than
     * `maxHotShingles` shingles have drifted past the current df cap
-    * (the default 0 recaps on ANY drift — each check is one dfc/ fold,
-    * shingle-cardinality, never a postings scan; a recap with no stale
-    * carriers costs only its one-column discovery scan), then
-    * [[compact]]s once the per-batch layout's fixed cost has
-    * accumulated past `maxBatches` directories. Recap runs FIRST so
-    * the fold rewrites the already-recapped rows once. `keepLabel`
-    * protects the in-flight batch, same contract as [[compact]].
+    * AND at least one still has live postings rows (raw df never
+    * falls back under the cap, so without the carrier probe every
+    * tick after any drift would re-run a full recap pass forever;
+    * the probe is a limit-1 semi-join that short-circuits on the
+    * first carrier), then [[compact]]s once the per-batch layout's
+    * fixed cost has accumulated past `maxBatches` directories. Recap
+    * runs FIRST so the fold rewrites the already-recapped rows once.
+    * `keepLabel` protects the in-flight batch, same contract as
+    * [[compact]]. The report's `hotShingles` counts drift (a
+    * dashboard signal), not carriers.
     */
   def maintain(maxBatches: Int = 256, maxHotShingles: Long = 0L,
                keepLabel: Option[String] = None): ShingleIndex.Maintenance = {
     requireDir(dfDir, "dfc/ table")
     val cap = math.max(dfCapFloor, math.ceil(nDocs(None) * maxDfFraction).toLong)
-    val hot = dfNow().filter(col("df") > cap).count()
-    val dropped = if (hot > maxHotShingles) recap() else 0L
+    val hotF = dfNow().filter(col("df") > cap).select("s").localCheckpoint(true)
+    val (hot, dropped) = try {
+      val n = hotF.count()
+      // raw df never falls back under the cap, so the hot count alone
+      // would re-trigger recap on EVERY tick after any shingle drifts;
+      // probe for an actual stale CARRIER first (limit-1 semi-join —
+      // short-circuits as soon as one postings row matches, one
+      // s-column scan at worst) so steady-state maintain() stays a
+      // probe, not a full recap pass
+      val d = if (n > maxHotShingles && n > 0 &&
+          readIdx(shDir, None).join(broadcast(hotF), Seq("s"), "left_semi")
+            .limit(1).count() > 0) recap()
+        else 0L
+      (n, d)
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop
+      .unpersistCheckpoint(hotF)
     val batches = fs.listStatus(new Path(metaDir))
       .map(_.getPath.getName).count(_.startsWith("batch="))
     val fold = batches > maxBatches

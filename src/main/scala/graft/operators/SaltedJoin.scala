@@ -102,21 +102,27 @@ object SaltedJoin {
       .drop("__jk")
       .withColumn("__salt", pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L))))
       .drop("__saltc")
-    // the SAME null-safe condition as the big side — deliberately:
+    // the SAME null-safe left join as the big side — deliberately:
     // both broadcasts of `salts` then carry an identical
     // HashedRelationBroadcastMode, so ReuseExchange serves the second
     // join from the first's broadcast instead of re-running the salts
     // aggregate (measured 2x on vdb_knn_join_ivf when this side used
-    // a plain === against the big side's <=>). Null-key other rows
-    // would match the salt table's null group and explode __saltc
-    // times — the group most likely to be hot — only for the final
-    // null-unsafe equi-join to drop every replica; the sequence bound
-    // caps them at ONE replica instead (same row count a plain join
-    // would carry to the join before dropping it).
-    val replicated = other.join(broadcast(salts), col(key) <=> col("__jk"))
+    // a plain === against the big side's <=>). LEFT + coalesce(1),
+    // not inner: with `precomputedSalts` a key can be absent from the
+    // salt table (a shard populated after the table was materialized)
+    // — an inner join would emit no replica and silently drop every
+    // pair for that key, where the big side's coalesce keeps its rows
+    // salted 0; one replica at salt 0 preserves them. Null-key other
+    // rows would match the salt table's null group and explode
+    // __saltc times — the group most likely to be hot — only for the
+    // final null-unsafe equi-join to drop every replica; the sequence
+    // bound caps them at ONE replica instead (same row count a plain
+    // join would carry to the join before dropping it).
+    val replicated = other.join(broadcast(salts), col(key) <=> col("__jk"), "left")
       .drop("__jk")
       .withColumn("__salt", explode(sequence(lit(0L),
-        when(col(key).isNull, lit(0L)).otherwise(col("__saltc") - 1))))
+        when(col(key).isNull, lit(0L))
+          .otherwise(coalesce(col("__saltc"), lit(1L)) - 1))))
       .drop("__saltc")
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }

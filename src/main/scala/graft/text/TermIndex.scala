@@ -478,6 +478,18 @@ class TermIndex(spark: SparkSession, path: String,
     require(slop >= 0, s"slop must be >= 0, got $slop")
     require(!hasSlopCol || slop == 0,
       "pass slop per query (column) OR batch-wide (parameter), not both")
+    // integral only: a double would silently truncate through the
+    // cast below (1.9 -> window 1), a string would cast to null and
+    // zero out every query — both the masked-caller-bug shapes this
+    // validation exists to refuse
+    if (hasSlopCol) {
+      val dt = queries.schema("slop").dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.IntegerType, LongType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+          .contains(dt),
+        s"slop column must be integral, got ${dt.simpleString}")
+    }
     // one job collects the term universe AND validates phrase lengths
     // + per-query slops (the serveStream probe-hygiene contract: a
     // micro-batch costs one driver action before the probe itself).

@@ -709,19 +709,38 @@ object TextAnalysis extends QueryModule {
     * schema changes (bump it with any such change).
     */
   private val idxLayoutVersion = 1
+  // dirs proven fresh THIS JVM: the content check (one token-count
+  // scan of documents) runs once per session per dir, not once per
+  // query call
+  private val servedIdxFresh =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def servedIdx(s: SparkSession, d: String,
                                positional: Boolean): TermIndex = {
     val dir = termIdxDir(d,
       (if (positional) "-pos-v" else "-flat-v") + idxLayoutVersion)
     val idx = new TermIndex(s, dir, positional = positional)
+    if (servedIdxFresh.contains(dir)) return idx
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fresh = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) && {
-      val n = s.read.parquet(s"$dir/meta")
-        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
-      n == Tables.documents(s, d).count()
-    }
+    // Try: a crashed build can leave a meta dir with no readable
+    // footers — treat any failure as not-fresh (build() clears and
+    // rewrites) instead of throwing on every later run. Content
+    // check: (n_docs, sum_dl) against the live table — doc count
+    // alone would miss regenerated same-count testdata, and the
+    // token-count sum moves with any text change.
+    val fresh = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      scala.util.Try {
+        val m = s.read.parquet(s"$dir/meta")
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("sum_dl"), lit(0L))).head()
+        val live = Tables.documents(s, d)
+          .agg(count(lit(1)),
+            coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L)))
+          .head()
+        m.getLong(0) == live.getLong(0) && m.getLong(1) == live.getLong(1)
+      }.getOrElse(false)
     if (!fresh) idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    servedIdxFresh.add(dir)
     idx
   }
 

@@ -1046,14 +1046,20 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       throw new IllegalStateException(
         "serveStream(compressed = true) needs a PQ-built store: " +
           "build(pqSubspaces > 0)"))) else None
+    // pin the allowed set at stream start too: its producing plan
+    // would otherwise re-execute inside EVERY micro-batch's semi-join
+    // (an expensive or non-deterministic lineage re-runs per tick,
+    // and could drift against the salt table frozen below)
+    val allowedPinned = allowed.map(ids =>
+      ids.select(col(idCol).cast(LongType).as(idCol)).localCheckpoint(true))
     val salts =
       if (maxRowsPerTask <= 0L) None
       else {
         val base = spark.read.parquet(vecDir).select(
           col(idCol).cast(LongType).as(idCol),
           col("shard").cast(LongType).as("shard"))
-        val restricted = allowed.fold(base)(ids => base.join(
-          ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi"))
+        val restricted = allowedPinned.fold(base)(ids =>
+          base.join(ids, Seq(idCol), "left_semi"))
         Some(graft.operators.SaltedJoin
           .populationSalts(restricted, "shard", maxRowsPerTask)
           .localCheckpoint(true))
@@ -1064,7 +1070,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         // watermark ticks deliver empty batches — skip the probe and
         // the append entirely (isEmpty is a limit-1 driver check)
         if (!batch.isEmpty)
-          searchJoinResolved(batch, topK, nprobe, allowed, excludeSelf,
+          searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
             maxRowsPerTask, compressed, shortlist, cents, meta, salts)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
       }

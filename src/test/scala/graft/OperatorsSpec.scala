@@ -59,6 +59,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stale precomputed salts keep pairs for keys absent from the table") {
+    import spark.implicits._
+    // the serveStream regime: the salt table is materialized at
+    // stream start, the static side later gains a new key — pairs on
+    // that key must survive at salt 0 (an inner replica join would
+    // silently drop them)
+    val atStart = (1 to 200).map(i => (1L, i)).toDF("k", "v")
+    val salts = SaltedJoin.populationSalts(atStart, "k", maxRowsPerTask = 50)
+      .localCheckpoint(true)
+    val bigNow = atStart.unionByName(Seq((2L, 1000), (2L, 1001)).toDF("k", "v"))
+    val other = Seq((1L, "hot"), (2L, "new")).toDF("k", "name")
+    val plain = bigNow.join(other, Seq("k")).select("k", "v", "name")
+    val salted = SaltedJoin.joinByPopulation(bigNow, other, "k", 50,
+        precomputedSalts = Some(salts)).select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() === 0 &&
+      plain.exceptAll(salted).count() === 0,
+      "a key missing from the stale salt table must still join (salt 0)")
+  }
+
   test("as-of join carries a map payload (unhashable type skips the tie-break)") {
     import spark.implicits._
     val trades = Seq((1L, 100L, "t1")).toDF("k", "ts", "name")

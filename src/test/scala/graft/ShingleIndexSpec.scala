@@ -435,6 +435,38 @@ class ShingleIndexSpec extends AnyFunSuite {
       "a folded index inside the batch budget does not re-fold")
   }
 
+  test("recap after a delete never double-counts the tombstoned doc's meta") {
+    import spark.implicits._
+    val hotTail = (1 to 12).map(i => s"h$i").mkString(" ")
+    val corpus = Seq(
+      (1L, w("u", 40) + " " + hotTail),
+      (2L, w("b", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx-recapdel").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    def hotBatch(tag: Int): org.apache.spark.sql.DataFrame =
+      (1 to 7).map(i => (300L + tag * 10 + i,
+        (1 to 6).map(j => s"g$tag${i}x$j").mkString(" ") + " " + hotTail))
+        .toDF("doc_id", "text")
+    Seq(1, 2, 3).foreach(t => idx.append(hotBatch(t), s"hb$t"))
+    // doc 1 carries 10 now-hot rows; tombstone it BEFORE the recap —
+    // its whole contribution is already reversed by the delete delta
+    assert(idx.delete(Seq(1L), "td") === 1L)
+    assert(idx.recap() === 150L,
+      "physical drop covers the tombstoned doc's hot rows too")
+    // the invariant the meta correction must keep: n_shingles ==
+    // live physical postings rows (tombstoned rows excluded from
+    // both sides; the buggy double-count would undershoot by 10)
+    val tomb = spark.read.parquet(s"$dir/del").select("doc_id")
+    val liveRows = spark.read.parquet(s"$dir/sh")
+      .join(tomb, Seq("doc_id"), "left_anti").count()
+    assert(idx.health().select("n_shingles").head().getLong(0) === liveRows)
+    // maintain()'s carrier probe: hot shingles remain (df never
+    // drops) but no carriers — recap must NOT re-run its full pass
+    val m = idx.maintain(maxBatches = 1000)
+    assert(m.hotShingles === 10L && m.recappedRows === 0L && !m.compacted)
+  }
+
   test("streaming gate over the maintained index blocks dups of earlier batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
