@@ -78,15 +78,15 @@ import org.apache.spark.sql.types.DoubleType
   *    find no dfc/ — and heals on the next compact() call, never
   *    silently double-counting.
   */
-class ShingleIndex(spark: SparkSession, path: String,
+class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
                    maxDfFraction: Double = Dedup.DefaultMaxDfFraction,
                    dfCapFloor: Long = Dedup.DefaultDfCapFloor) {
-  private val fpDir = s"$path/fp"
-  private val shDir = s"$path/sh"
-  private val szDir = s"$path/sizes"
-  private val dfDir = s"$path/dfc"
-  private val metaDir = s"$path/meta"
-  private val bandDir = s"$path/bands"
+  private[dedup] val fpDir = s"$path/fp"
+  private[dedup] val shDir = s"$path/sh"
+  private[dedup] val szDir = s"$path/sizes"
+  private[dedup] val dfDir = s"$path/dfc"
+  private[dedup] val metaDir = s"$path/meta"
+  private[dedup] val bandDir = s"$path/bands"
   private val delDir = s"$path/del"
   private val dirs = Seq(fpDir, shDir, szDir, dfDir, metaDir, bandDir, delDir)
 
@@ -105,14 +105,14 @@ class ShingleIndex(spark: SparkSession, path: String,
     * Broadcast by contract: tombstone sets are takedown-request-sized
     * (a corpus-scale purge is a rebuild, not a delete).
     */
-  private def minusDeleted(df: DataFrame, excludeLabel: Option[String]): DataFrame =
+  private[dedup] def minusDeleted(df: DataFrame, excludeLabel: Option[String]): DataFrame =
     tombstones(excludeLabel).fold(df)(t =>
       df.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
   private def fpOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
 
-  private def readIdx(dir: String, excludeLabel: Option[String]): DataFrame =
+  private[dedup] def readIdx(dir: String, excludeLabel: Option[String]): DataFrame =
     graft.sources.BatchedTable.readIdx(spark, dir, excludeLabel)
 
   /** Current df per shingle (per-batch delta rows summed). */
@@ -135,7 +135,7 @@ class ShingleIndex(spark: SparkSession, path: String,
     * path-does-not-exist AnalysisException deep inside a judge plan
     * (or, worse for meta/, a silent wrong cap).
     */
-  private def requireDir(dir: String, what: String): Unit =
+  private[dedup] def requireDir(dir: String, what: String): Unit =
     require(fs.exists(new Path(dir)),
       s"index at $path has no $what — it predates this layout; rebuild() the index")
 
@@ -462,23 +462,52 @@ class ShingleIndex(spark: SparkSession, path: String,
     */
   private[graft] def judgeFrame(batch: DataFrame, threshold: Double,
                                 excludeLabel: Option[String] = None,
-                                bandCandidates: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+                                bandCandidates: Boolean = false): (DataFrame, Seq[DataFrame]) =
+    judgeCore(liveView(excludeLabel), batch, threshold, bandCandidates)
+
+  /** The per-call corpus view: every table re-resolved from the index
+    * directories (listing + footers per batch dir, per table, per
+    * call). A [[ShingleProbe]] substitutes resolved-once frames here.
+    */
+  private def liveView(excludeLabel: Option[String]): ShingleIndex.CorpusView =
+    new ShingleIndex.CorpusView {
+      def nDocs: Long = ShingleIndex.this.nDocs(excludeLabel)
+      def fps: DataFrame =
+        minusDeleted(readIdx(fpDir, excludeLabel), excludeLabel).select("fp")
+      def sh: DataFrame = minusDeleted(readIdx(shDir, excludeLabel), excludeLabel)
+      def sizes: DataFrame = readIdx(szDir, excludeLabel)
+      def bands: DataFrame = {
+        requireDir(bandDir, "bands/ table")
+        minusDeleted(readIdx(bandDir, excludeLabel), excludeLabel)
+      }
+      def dfTotals(keys: DataFrame): DataFrame = dfNow(excludeLabel)
+    }
+
+  /** The one judging plan, over whichever [[ShingleIndex.CorpusView]]
+    * serves the corpus side (the live per-call reads, or a
+    * [[ShingleProbe]]'s resolved snapshot + deltas).
+    */
+  private[dedup] def judgeCore(view: ShingleIndex.CorpusView, batch: DataFrame,
+                               threshold: Double,
+                               bandCandidates: Boolean): (DataFrame, Seq[DataFrame]) = {
     if (bandCandidates) require(threshold >= 0.7,
       s"banded candidates (16 bands x 8 rows) lose recall below ~0.7; got $threshold")
     val bsh = Dedup.shinglesOf(batch).cache()
     val bIds = batch.select("doc_id")
     val exactDup = fpOf(batch)
-      .join(minusDeleted(readIdx(fpDir, excludeLabel), excludeLabel)
-        .select("fp").distinct(), Seq("fp"), "left_semi")
+      .join(view.fps.distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("__exact", lit(1L))
     // judge-time cap over the union: index df (compact probe) + this
     // batch's own df — a shingle that went hot since its insert stops
     // producing candidates NOW, even before any rebuild re-caps it
     val cap = math.max(dfCapFloor,
-      math.ceil((nDocs(excludeLabel) + batch.select("doc_id").distinct().count())
+      math.ceil((view.nDocs + batch.select("doc_id").distinct().count())
         * maxDfFraction).toLong)
     val bdf = bsh.groupBy("s").agg(count(lit(1)).as("df_b"))
-    val unionDf = dfNow(excludeLabel)
+    // dfTotals may return only the batch's own keys (a probe) or the
+    // whole df table (the live view): rows that never match bsh drop
+    // at the bCapped join either way, so both are the same filter
+    val unionDf = view.dfTotals(bdf.select("s"))
       .join(bdf, Seq("s"), "full")
       .filter(coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)) <= cap)
       .select("s")
@@ -506,15 +535,13 @@ class ShingleIndex(spark: SparkSession, path: String,
     // back. A batch whose candidate set outgrows the broadcast budget
     // is a batch that near-dups a huge corpus slice — split it.
     val oldSh =
-      if (!bandCandidates) minusDeleted(readIdx(shDir, excludeLabel), excludeLabel)
+      if (!bandCandidates) view.sh
       else {
-        requireDir(bandDir, "bands/ table")
         val batchBands = Dedup.bandKeys(bCapped).select(col("band"), col("bv"))
-        val candOld = minusDeleted(readIdx(bandDir, excludeLabel), excludeLabel)
+        val candOld = view.bands
           .join(broadcast(batchBands), Seq("band", "bv"), "left_semi")
           .select(col("doc_id")).distinct()
-        readIdx(shDir, excludeLabel)
-          .join(broadcast(candOld), Seq("doc_id"), "left_semi")
+        view.sh.join(broadcast(candOld), Seq("doc_id"), "left_semi")
       }
     val inter = bCapped.as("a")
       .join(oldSh.as("b"), col("a.s") === col("b.s"))
@@ -523,7 +550,7 @@ class ShingleIndex(spark: SparkSession, path: String,
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     val nearDup = inter
       .join(bSizes.withColumnRenamed("doc_id", "id_new"), "id_new")
-      .join(readIdx(szDir, excludeLabel)
+      .join(view.sizes
         .select(col("doc_id").as("id_old"), col("n").as("nb")), "id_old")
       .filter(jac >= threshold)
       .select(col("id_new").as("doc_id")).distinct().withColumn("__near", lit(1L))
@@ -535,6 +562,20 @@ class ShingleIndex(spark: SparkSession, path: String,
           .when(col("__near").isNotNull, "near")
           .otherwise("keep").as("verdict"))
     (verdicts, Seq(bsh))
+  }
+
+  /** A per-stream resolved gate over this index — see [[ShingleProbe]]
+    * for the cost model and the replay/maintenance contract. Fails at
+    * configuration time when the band regime is requested against a
+    * pre-bands layout (inside a stream the same failure would kill a
+    * RUNNING query at its first micro-batch).
+    */
+  def resolveProbe(bandCandidates: Boolean = false,
+                   foldEvery: Int = 64): ShingleProbe = {
+    require(foldEvery >= 1, s"foldEvery must be >= 1, got $foldEvery")
+    requireDir(metaDir, "meta/ table")
+    if (bandCandidates) requireDir(bandDir, "bands/ table")
+    new ShingleProbe(this, bandCandidates, foldEvery)
   }
 
   /** Index health — the maintenance dashboard, metadata-cheap (same
@@ -681,4 +722,23 @@ object ShingleIndex {
     */
   final case class Maintenance(hotShingles: Long, recappedRows: Long,
                                compacted: Boolean)
+
+  /** The corpus-side inputs [[ShingleIndex]]'s judging plan consumes —
+    * how they are resolved is the live-vs-probe split: the live view
+    * re-reads the index per call, a [[ShingleProbe]] serves frames
+    * resolved once per stream. `fps`/`sh`/`bands` are LIVE rows
+    * (tombstones excluded); `sizes` may carry deleted docs' rows —
+    * they are inert, reachable only through a live `sh` candidate.
+    * `dfTotals(keys)` returns (s, df) current-df rows and may restrict
+    * itself to `keys`' shingles (any superset is equivalent — the
+    * consumer joins them back against the batch's own shingles).
+    */
+  private[dedup] trait CorpusView {
+    def nDocs: Long
+    def fps: DataFrame                       // (fp)
+    def sh: DataFrame                        // (doc_id, s)
+    def sizes: DataFrame                     // (doc_id, n)
+    def bands: DataFrame                     // (doc_id, band, bv) — band regime only
+    def dfTotals(keys: DataFrame): DataFrame // (s, df)
+  }
 }

@@ -65,6 +65,16 @@ object StreamingCuration {
     * bands table instead of the full postings join — the cheaper gate
     * at high corpus/batch ratios, at banding-s-curve candidate recall
     * (threshold ≥ 0.7 enforced by judge; verification stays exact).
+    * `indexResolvedProbe` swaps the per-batch `judge` calls for a
+    * [[graft.dedup.ShingleProbe]] resolved once at start: identical
+    * verdicts, but the index's file listings resolve once per STREAM
+    * instead of once per micro-batch — the per-tick fixed cost stops
+    * growing with ingested-batch count. Its contract applies for the
+    * stream's lifetime: no compact/reclaim/recap/delete on the index
+    * while the stream runs (run maintenance between streams), and
+    * long streams should stop/release/restart if the index must be
+    * maintained. The probe's fold checkpoints die with the JVM;
+    * restarting the stream resolves a fresh probe.
     *
     * With `termIndex = Some(idx)` (a built [[graft.text.TermIndex]])
     * every accepted batch's survivors are ALSO appended to the served
@@ -82,6 +92,7 @@ object StreamingCuration {
             corpus: Option[DataFrame] = None,
             corpusIndex: Option[graft.dedup.ShingleIndex] = None,
             indexBandCandidates: Boolean = false,
+            indexResolvedProbe: Boolean = false,
             termIndex: Option[graft.text.TermIndex] = None): StreamingQuery = {
     require(corpus.isEmpty || corpusIndex.isEmpty,
       "pass corpus OR corpusIndex, not both: the index gate would silently " +
@@ -94,6 +105,13 @@ object StreamingCuration {
     require(!indexBandCandidates || jaccardThreshold >= 0.7,
       s"indexBandCandidates needs jaccardThreshold >= 0.7 (16x8 banding loses " +
         s"candidate recall below); got $jaccardThreshold")
+    require(!indexResolvedProbe || corpusIndex.nonEmpty,
+      "indexResolvedProbe is an index-gate mode: pass corpusIndex with it")
+    // resolved at start() so a pre-bands layout fails HERE, not inside
+    // the first micro-batch of a running stream
+    val probe =
+      if (indexResolvedProbe) corpusIndex.map(_.resolveProbe(indexBandCandidates))
+      else None
     StreamingDedup.dedup(docs, tsCol, "text", watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -127,9 +145,12 @@ object StreamingCuration {
                 // them all duplicates, and overwrite its batch dir with
                 // empty — erasing it. Excluding self reproduces the
                 // first run's verdicts exactly.
-                val v = idx.judge(b0, jaccardThreshold,
-                  excludeLabel = Some(s"b$batchId"),
-                  bandCandidates = indexBandCandidates)
+                val v = probe match {
+                  case Some(p) => p.judge(b0, s"b$batchId", jaccardThreshold)
+                  case None => idx.judge(b0, jaccardThreshold,
+                    excludeLabel = Some(s"b$batchId"),
+                    bandCandidates = indexBandCandidates)
+                }
                 gateCheckpoint = Some(v)
                 b0.join(v.filter(col("verdict") === "keep").select("doc_id"),
                   Seq("doc_id"), "left_semi")
@@ -150,6 +171,9 @@ object StreamingCuration {
               // index write OVERWRITES its own batch=b<id> directory,
               // so index state converges to exactly-once
               corpusIndex.foreach(_.append(r.kept.select("doc_id", "text"), s"b$batchId"))
+              // the probe must see the append (an unregistered batch
+              // stays invisible to it for the stream's lifetime)
+              probe.foreach(_.register(s"b$batchId"))
               termIndex.foreach(_.append(r.kept.select("doc_id", "text"), s"b$batchId"))
             } finally r.release()
           } finally {

@@ -522,4 +522,126 @@ class ShingleIndexSpec extends AnyFunSuite {
       === Array(101L, 201L),
       "the banded index gate must drop the corpus dup and the cross-batch near-dup")
   }
+
+  test("resolved probe reproduces live verdicts across appends, replay, and folds") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, w("a", 40)),
+      (2L, w("b", 40)),
+      (9L, w("z", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shprobe").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    // base must respect tombstones standing at resolve time
+    assert(idx.delete(Seq(9L), "td1") === 1L)
+    def vmapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def live(b: org.apache.spark.sql.DataFrame, l: String) =
+      vmapOf(idx.judge(b, excludeLabel = Some(l)))
+    val probe = idx.resolveProbe(foldEvery = 2)
+    // 100 exact of corpus 1, 101 near of 2, 102 copy of DELETED 9
+    // (must be keep), 103 fresh
+    val batch1 = Seq(
+      (100L, w("a", 40)),
+      (101L, w("b", 40) + " delta"),
+      (102L, w("z", 40)),
+      (103L, w("c", 40))).toDF("doc_id", "text")
+    val p1 = vmapOf(probe.judge(batch1, "b1"))
+    assert(p1 === live(batch1, "b1"))
+    assert(p1(102L) === "keep", "resolved base must honor the standing tombstone")
+    idx.append(batch1.filter(col("doc_id") >= 102L), "b1")
+    probe.register("b1")
+    // 200 exact of b1's accepted 103, 201 near of it, 202 fresh —
+    // proves the registered delta is visible
+    val batch2 = Seq(
+      (200L, w("c", 40)),
+      (201L, w("c", 40) + " delta"),
+      (202L, w("d", 40))).toDF("doc_id", "text")
+    val p2 = vmapOf(probe.judge(batch2, "b2"))
+    assert(p2 === live(batch2, "b2"))
+    assert(p2 === Map(200L -> "exact", 201L -> "near", 202L -> "keep"))
+    idx.append(Seq((202L, w("d", 40))).toDF("doc_id", "text"), "b2")
+    probe.register("b2")
+    // replay of the LATEST label after its own register: self-excluded
+    assert(vmapOf(probe.judge(batch2, "b2")) === live(batch2, "b2"))
+    val batch3 = Seq((300L, w("e", 40))).toDF("doc_id", "text")
+    assert(vmapOf(probe.judge(batch3, "b3")) === live(batch3, "b3"))
+    idx.append(batch3, "b3")
+    probe.register("b3") // 3 deltas > foldEvery=2: b1+b2 fold, b3 stays
+    // post-fold visibility: 400 exact of b2's 202, 401 near of b3's
+    // 300, 402 fresh
+    val batch4 = Seq(
+      (400L, w("d", 40)),
+      (401L, w("e", 40) + " delta"),
+      (402L, w("f", 40))).toDF("doc_id", "text")
+    val p4 = vmapOf(probe.judge(batch4, "b4"))
+    assert(p4 === live(batch4, "b4"))
+    assert(p4 === Map(400L -> "exact", 401L -> "near", 402L -> "keep"))
+    // the latest label stays replayable after the fold; older labels
+    // folded away refuse loudly instead of judging wrong
+    assert(vmapOf(probe.judge(batch3, "b3")) === live(batch3, "b3"))
+    intercept[IllegalArgumentException](probe.judge(batch1, "b1"))
+    probe.release()
+    // a FRESH probe resolves lazily at its first judge with that
+    // label excluded — the post-restart replay path
+    val probe2 = idx.resolveProbe()
+    assert(vmapOf(probe2.judge(batch3, "b3")) === live(batch3, "b3"),
+      "lazy base resolution must exclude the replayed first label")
+    probe2.release()
+  }
+
+  test("resolved probe parity in the banded regime") {
+    import spark.implicits._
+    val corpus = Seq((1L, w("a", 40)), (2L, w("b", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shprobe-band").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    def vmapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probe = idx.resolveProbe(bandCandidates = true)
+    val batch1 = Seq(
+      (100L, w("a", 40)),
+      (101L, w("b", 40) + " delta"),
+      (102L, w("c", 40))).toDF("doc_id", "text")
+    assert(vmapOf(probe.judge(batch1, "b1")) ===
+      vmapOf(idx.judge(batch1, excludeLabel = Some("b1"), bandCandidates = true)))
+    idx.append(Seq((102L, w("c", 40))).toDF("doc_id", "text"), "b1")
+    probe.register("b1")
+    val batch2 = Seq(
+      (200L, w("c", 40) + " delta"),
+      (201L, w("d", 40))).toDF("doc_id", "text")
+    val p2 = vmapOf(probe.judge(batch2, "b2"))
+    assert(p2 === vmapOf(
+      idx.judge(batch2, excludeLabel = Some("b2"), bandCandidates = true)))
+    assert(p2 === Map(200L -> "near", 201L -> "keep"),
+      "the banded probe must surface the cross-batch near-dup through the delta's bands")
+    probe.release()
+  }
+
+  test("streaming gate with a resolved probe blocks the same dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, off: Long, text: String) =
+      (id, new java.sql.Timestamp(base + off * 1000L), text)
+    val corpus = Seq((1L, w("k", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx8").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    val outDir = Files.createTempDirectory("graft-sig-out3").toString + "/docs"
+    val ckpt = Files.createTempDirectory("graft-sig-ck3").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      input.toDF().toDF("doc_id", "ts", "text"), outDir, ckpt,
+      corpusIndex = Some(idx), indexResolvedProbe = true)
+    try {
+      input.addData(doc(100, 0, w("k", 40)), doc(101, 1, w("m", 40)))
+      q.processAllAvailable()
+      input.addData(doc(200, 2, w("m", 40) + " delta"), doc(201, 3, w("n", 40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+      === Array(101L, 201L),
+      "the resolved-probe gate must drop the corpus dup and the cross-batch near-dup")
+  }
 }
