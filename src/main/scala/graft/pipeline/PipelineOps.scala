@@ -720,7 +720,45 @@ object PipelineOps extends QueryModule {
       |SELECT doc_id, sel_key_x1e6 FROM keyed
       |ORDER BY sel_key_x1e6 DESC, doc_id LIMIT 100""".stripMargin
 
+  // --- per-language quality gate --------------------------------------
+  /** The CCNet-style curation gate: keep each language's docs scoring
+    * at or above that LANGUAGE'S median quality — a per-group quantile
+    * threshold, not a global one, so a low-resource language is not
+    * wiped out by a high-resource language's score distribution (the
+    * classic failure of one global cutoff). Scores are
+    * [[graft.text.TextAnalysis.qualityScores]]' basis-point BIGINTs;
+    * the median interpolates two mid values at worst, so both engines
+    * compute the identical .0/.5 double and the >= cut is exact.
+    *
+    * Scale shape: one documents scan (the scoring projection), an
+    * exact per-lang percentile whose aggregation state is bounded by
+    * the score DOMAIN (≤ 10001 distinct bp values per language — an
+    * integer-quantized score makes exact quantiles cheap where raw
+    * doubles would buffer the corpus), a ≤|langs|-row broadcast back,
+    * and a map-side filter. Nothing corpus-sized shuffles.
+    */
+  private def qualityGateQuery(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.TextAnalysis.qualityScores(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("quality_bp"))
+    val thr = scored.groupBy("lang")
+      .agg(percentile(col("quality_bp"), lit(0.5)).as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality_bp") >= col("thr"))
+      .select("doc_id", "lang", "quality_bp")
+  }
+
+  private val qualityGateSql =
+    s"""WITH q AS (SELECT * FROM (${graft.text.TextAnalysis.qualitySql}) t),
+       |d AS (SELECT doc_id, lang FROM documents),
+       |thr AS (
+       |  SELECT d.lang, quantile_cont(q.quality_bp, 0.5) AS thr
+       |  FROM q JOIN d USING (doc_id) GROUP BY 1)
+       |SELECT d.doc_id, d.lang, q.quality_bp
+       |FROM q JOIN d USING (doc_id) JOIN thr ON thr.lang = d.lang
+       |WHERE q.quality_bp >= thr.thr""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_gate" -> (qualityGateQuery _),
     "corpus_dsir"        -> (dsirQuery _),
     "corpus_dsir_sample" -> (dsirSampleQuery _),
     "corpus_shuffle"     -> (shuffleQuery _),
@@ -737,6 +775,7 @@ object PipelineOps extends QueryModule {
     "pack_sequences"     -> (packQuery _))
 
   override val oracleSql: Map[String, String] = Map(
+    "corpus_quality_gate" -> qualityGateSql,
     "corpus_dsir"        -> dsirSql,
     "corpus_dsir_sample" -> dsirSampleSql,
     "corpus_shuffle"     -> shuffleSql,

@@ -343,7 +343,8 @@ object Serving extends QueryModule {
     * threshold only approximates.
     */
   private[graft] def knnJoinFrame(e: DataFrame, maxRowsPerTask: Long = 0L,
-                                  corpusPred: Option[Column] = None): DataFrame = {
+                                  corpusPred: Option[Column] = None,
+                                  k: Int = 3): DataFrame = {
     val cents = Centroids.deterministicInit(e, k = K)
     // FILTER-then-search at join scale (`corpusPred`): the metadata
     // predicate restricts the CORPUS side before any scoring, after
@@ -371,7 +372,7 @@ object Serving extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score0", cosineSim(col("embedding"), col("qv")))
       .groupBy("query_id")
-      .agg(TopKAgg.topK(col("score0"), col("vec_id"), 3).as("tops"))
+      .agg(TopKAgg.topK(col("score0"), col("vec_id"), k).as("tops"))
       .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
@@ -459,6 +460,75 @@ object Serving extends QueryModule {
        |  WHERE b.vec_id <> q.query_id AND b.label = 3)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS score
        |FROM scored WHERE rank <= 3""".stripMargin
+
+  // --- knn classification: majority label of the 10 nearest ----------
+  /** kNN classification at join scale — EVERY vector's predicted label
+    * = the majority label among its 10 nearest neighbors (self
+    * excluded), ties to the smaller label. The auto-labeling shape a
+    * curation pipeline runs to propagate a seed taxonomy (quality
+    * tier, domain, license class) from a labeled slice onto the whole
+    * corpus, and the leave-one-out consistency check that flags
+    * mislabeled seeds (predicted ≠ stored). The reference's clients
+    * could only loop /search per vector and tally client-side.
+    *
+    * Scale shape: [[knnJoinFrame]]'s salted shard-equi-join serves the
+    * neighbor lists (top-10 through the bounded heap — k rows per
+    * (query, map partition) cross the shuffle, never candidates); the
+    * label lookup is ONE equi-join of the (n·10)-row neighbor frame
+    * against the corpus's (vec_id, label) projection — co-partitionable
+    * on vec_id, no broadcast of anything corpus-sized; the vote is a
+    * two-level aggregate whose second level carries ≤ |labels| rows
+    * per query, folded to one row by a max(struct) — no window, no
+    * sort. Votes count UNWEIGHTED neighbors (rank-independent), so the
+    * result is insensitive to score rounding; both engines cut the
+    * same top-10 on unrounded scores (the `vdb_knn_join_ivf`
+    * contract).
+    */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val n = e.count()
+    val nn = knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / (8L * K)), k = 10)
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    nn.join(labels, "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("n_votes"), (-col("label")).as("nl"),
+        col("label"))).as("w"))
+      .select(col("query_id"), col("w.label").as("pred_label"),
+        col("w.n_votes").as("n_votes"))
+  }
+
+  private val knnClassifySql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id, b.label,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id),
+       |votes AS (
+       |  SELECT query_id, label, COUNT(*) AS n_votes
+       |  FROM scored WHERE rank <= 10 GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT query_id, label, n_votes,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY n_votes DESC, label ASC) AS rn
+       |  FROM votes)
+       |SELECT query_id, CAST(label AS BIGINT) AS pred_label, n_votes
+       |FROM pick WHERE rn = 1""".stripMargin
 
   // --- recall@10: IVF vs exact, per query ------------------------------
   /** The evaluation loop that tunes nprobe: per query, |IVF top-10 ∩
@@ -690,6 +760,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
     "vdb_knn_join_filtered" -> (knnJoinFiltered _),
+    "vdb_knn_classify"  -> (knnClassify _),
     "vdb_hybrid_batch"  -> (hybridBatch _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
@@ -699,6 +770,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
     "vdb_knn_join_filtered" -> knnJoinFilteredSql,
+    "vdb_knn_classify"  -> knnClassifySql,
     "vdb_hybrid_batch"  -> hybridBatchSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)

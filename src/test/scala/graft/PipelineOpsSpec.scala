@@ -293,4 +293,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(PipelineOps.dsirSample(weights, k = 10)
       .collect().map(_.getLong(0)).toSet === picked)
   }
+
+  test("quality gate keeps exactly the at-or-above-median docs per language") {
+    val kept = SparkEntry.queries("corpus_quality_gate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val all = graft.text.TextAnalysis.qualityScores(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), col("quality_bp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty && kept.length < all.length)
+    val keptIds = kept.map(_._1).toSet
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val (k, dropped) = docs.partition(d => keptIds.contains(d._1))
+      // the gate is a pure value threshold: every dropped doc scores
+      // strictly below every kept doc of its language
+      if (k.nonEmpty && dropped.nonEmpty)
+        assert(dropped.map(_._3).max < k.map(_._3).min,
+          s"lang $lang: a dropped doc scores >= a kept doc")
+      // at-or-above-median keeps at least half of the language
+      assert(k.length * 2 >= docs.length,
+        s"lang $lang kept ${k.length} of ${docs.length} — below the median floor")
+      // and the threshold is per-language: each language independently
+      // keeps, so no language is wiped out
+      assert(k.nonEmpty, s"lang $lang wiped out by the gate")
+    }
+  }
 }

@@ -94,4 +94,31 @@ class ServingSpec extends AnyFunSuite {
     // ranks strictly increase with position (the output IS the fused order)
     assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
   }
+
+  test("knn classify votes match an independent majority over the same neighbor lists") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val n = e.count()
+    // the registered query's own neighbor lists (same bound, same k)…
+    val nn = Serving.knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / 32L), k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // …tallied independently in Scala: majority, ties to the SMALLER label
+    val expect = nn.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.map(r => labels(r._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.length.toLong) }
+      val (lab, cnt) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+      q -> ((lab, cnt))
+    }
+    val got = SparkEntry.queries("vdb_knn_classify")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect, "max(struct) vote fold diverged from the Scala tally")
+    assert(got.nonEmpty && got.keySet.size === got.size)
+    // ties exist in this corpus or the tie-break arm would be untested;
+    // prove at least one query had a non-unanimous vote
+    assert(got.values.exists(_._2 < 10L), "every vote unanimous — widen the spec corpus")
+  }
 }
