@@ -943,6 +943,58 @@ object TextAnalysis extends QueryModule {
         phraseSqlFor(terms, slop = sl) + "\n)"
     }.mkString("\nUNION ALL\n")
 
+  // --- corpus trigram diversity: the boilerplate-source detector -----
+  /** Distinct-trigram ratio per (source, lang) — the corpus-level
+    * diversity diagnostic curation runs to catch templated or
+    * boilerplate-heavy sources BEFORE they flood a training mix (a
+    * source whose docs are stamped from one template shows a
+    * collapsed ratio even when every doc hashes unique, so exact
+    * dedup never sees it; the per-DOC twin is `text_repetition`).
+    * Trigram convention matches [[graft.dedup.Dedup]]'s shingles
+    * (consecutive space-split words). Scale shape: the total-count
+    * side never explodes (it is `greatest(n_words-2, 0)` summed per
+    * doc, a scan-bound projection); only the distinct side explodes,
+    * and it shuffles trigram strings once into a per-group
+    * count-distinct — the same cost class as `text_word_freq`.
+    * Ratio is floor(x10000) over exact BIGINTs, hash-stable.
+    */
+  private def corpusDiversity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = docs.select(col("source"), col("lang"),
+      explode(when(size(wsAll) >= 3,
+          transform(sequence(lit(1), size(wsAll) - 2),
+            i => concat_ws(" ", element_at(wsAll, i), element_at(wsAll, i + 1),
+              element_at(wsAll, i + 2))))
+        .otherwise(array())).as("s"))
+    val totals = docs
+      .select(col("source"), col("lang"),
+        greatest(size(wsAll) - 2, lit(0)).cast(LongType).as("nt"))
+      .groupBy("source", "lang").agg(sum("nt").as("n_trigrams"))
+    val distincts = tri.groupBy("source", "lang")
+      .agg(countDistinct(col("s")).as("nd"))
+    totals.join(distincts, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("n_trigrams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct"),
+        when(col("n_trigrams") > 0,
+            floor(coalesce(col("nd"), lit(0L)) * 10000.0 / col("n_trigrams")))
+          .otherwise(lit(0L)).cast(LongType).as("diversity_bp"))
+  }
+
+  private val corpusDiversitySql =
+    """WITH w AS (SELECT source, lang, string_split(text, ' ') AS ws FROM documents),
+      |tot AS (SELECT source, lang,
+      |          CAST(SUM(GREATEST(len(ws) - 2, 0)) AS BIGINT) AS n_trigrams
+      |        FROM w GROUP BY 1, 2),
+      |tri AS (SELECT source, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |dc AS (SELECT source, lang, COUNT(DISTINCT s) AS nd FROM tri GROUP BY 1, 2)
+      |SELECT t.source, t.lang, t.n_trigrams,
+      |       COALESCE(d.nd, 0) AS n_distinct,
+      |       CAST(CASE WHEN t.n_trigrams > 0
+      |            THEN FLOOR(COALESCE(d.nd, 0) * 10000.0 / t.n_trigrams)
+      |            ELSE 0 END AS BIGINT) AS diversity_bp
+      |FROM tot t LEFT JOIN dc d ON t.source = d.source AND t.lang = d.lang""".stripMargin
+
   // --- substring search (LIKE pushed to the scan) --------------------
   private def search(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -978,7 +1030,8 @@ object TextAnalysis extends QueryModule {
     "text_scrub"       -> (scrubQuery _),
     "text_entropy"     -> (entropy _),
     "text_fingerprint" -> (fingerprint _),
-    "corpus_quality_report" -> (qualityReportQ _))
+    "corpus_quality_report" -> (qualityReportQ _),
+    "corpus_diversity" -> (corpusDiversity _))
 
   override val oracleSql: Map[String, String] = Map(
     "text_lm_score"    -> lmScoreSql,
@@ -1002,5 +1055,6 @@ object TextAnalysis extends QueryModule {
     "text_scrub"       -> scrubSql,
     "text_entropy"     -> entropySql,
     "text_fingerprint" -> fingerprintSql,
-    "corpus_quality_report" -> qualityReportSql)
+    "corpus_quality_report" -> qualityReportSql,
+    "corpus_diversity" -> corpusDiversitySql)
 }

@@ -2,7 +2,7 @@ package graft.vector
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryModule, Tables}
 import graft.expressions.VectorExpressions._
@@ -116,6 +116,60 @@ object VectorQueries extends QueryModule {
        |SELECT shard, n_vectors,
        |       CAST(ROUND(n_vectors * 4 * 10000.0 / t) AS BIGINT) AS load_x1e4
        |FROM per, tot""".stripMargin
+
+  // --- embedding-space outliers: the noise-pruning curation gate -----
+  /** Vectors an abnormal distance from their assigned centroid
+    * (per-shard |z| > 2 on the route distance) — the embedding-space
+    * noise gate a curation pipeline runs before training. Both tails
+    * signal: the FAR tail is OOD junk / encoder failures / mislabeled
+    * scrapes that land far from every cluster; the NEAR tail (route
+    * distance ~0) is collapsed or duplicated embeddings — a broken
+    * encoder emitting one point. Route-time distance is already
+    * computed per store (reference computes it on every insert,
+    * compute_server.py:40-48 — the gate is the scale-side use of that
+    * number). Distances quantize to a BIGINT x1e6 domain first so the
+    * mean/sd derive from exact integer sums in both engines (the
+    * [[graft.analytics.Analytics]] q_outliers formulation); the shape
+    * is one map-only routing pass, a k-row stats aggregate broadcast
+    * back, then a map-side filter — nothing corpus-sized shuffles, so
+    * 100 TB cost is the scan.
+    */
+  private def vectorOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = Centroids.deterministicInit(emb(s, d), k = K)
+    val dx = emb(s, d).select(col("vec_id"),
+      Centroids.nearestShard(col("embedding"), cents).as("shard"),
+      round(Centroids.nearestDist(col("embedding"), cents) * 1000000.0, 0)
+        .cast(LongType).as("dist_x1e6"))
+    val stats = dx.groupBy(col("shard").as("sh")).agg(
+        sum(col("dist_x1e6")).cast(DoubleType).as("sv"),
+        // square in decimal so the sum stays exact past BIGINT range
+        sum(col("dist_x1e6").cast(DecimalType(38, 0)) * col("dist_x1e6"))
+          .cast(DoubleType).as("svv"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      .select(col("sh"), (col("sv") / col("n")).as("mean"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1.0)).as("sd"))
+    dx.join(broadcast(stats), col("shard") === col("sh"))
+      .filter(abs(col("dist_x1e6") - col("mean")) > col("sd") * 2.0)
+      .select(col("vec_id"), col("shard"), col("dist_x1e6"),
+        (round(col("mean") * 10000.0, 0) / 10000.0).as("shard_mean"))
+  }
+
+  private val vectorOutliersSql =
+    s"""WITH $centSql, $assignSql,
+       |dx AS (SELECT vec_id, shard,
+       |         CAST(ROUND(dist * 1000000.0) AS BIGINT) AS dist_x1e6 FROM assign),
+       |stats AS (
+       |  SELECT shard AS sh,
+       |    CAST(SUM(dist_x1e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+       |    sqrt((CAST(SUM(CAST(dist_x1e6 AS HUGEINT) * dist_x1e6) AS DOUBLE)
+       |          - CAST(SUM(dist_x1e6) AS DOUBLE) * CAST(SUM(dist_x1e6) AS DOUBLE)
+       |            / CAST(COUNT(*) AS DOUBLE))
+       |         / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd
+       |  FROM dx GROUP BY shard)
+       |SELECT d.vec_id, d.shard, d.dist_x1e6,
+       |       ROUND(s.mean * 10000.0) / 10000.0 AS shard_mean
+       |FROM dx d JOIN stats s ON d.shard = s.sh
+       |WHERE abs(d.dist_x1e6 - s.mean) > s.sd * 2.0""".stripMargin
 
   // --- exact knn (compute_server.py:106-138, all shards) -------------
   private def knnExact(s: SparkSession, d: String): DataFrame = {
@@ -332,6 +386,7 @@ object VectorQueries extends QueryModule {
     "vdb_knn_batch"      -> (knnBatch _),
     "vdb_knn_batch_ivf"  -> (knnBatchIvf _),
     "vdb_shard_balance"  -> (shardBalance _),
+    "vdb_vector_outliers" -> (vectorOutliers _),
     "vdb_range_search"   -> (rangeSearch _),
     "vdb_kmeans"         -> (kmeans _),
     "vdb_centroid_stats" -> (centroidStats _))
@@ -347,5 +402,6 @@ object VectorQueries extends QueryModule {
     "vdb_knn_batch"    -> knnBatchSql,
     "vdb_knn_batch_ivf" -> knnBatchIvfSql,
     "vdb_shard_balance" -> shardBalanceSql,
+    "vdb_vector_outliers" -> vectorOutliersSql,
     "vdb_range_search" -> rangeSearchSql)
 }

@@ -392,4 +392,37 @@ class TextMultimodalSpec extends AnyFunSuite {
         s"from=$from p_sum=$p")
     }
   }
+
+  test("corpus diversity: distinct-trigram ratio per group, template collapse visible") {
+    // independent tally over the collected docs
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(d => (d._1, d._2)).map { case (k, rows) =>
+      val tris = rows.flatMap(_._3.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")))
+      val total = rows.map(r => math.max(r._3.split(" ", -1).length - 2, 0).toLong).sum
+      val nd = tris.distinct.length.toLong
+      k -> ((total, nd, if (total > 0) math.floor(nd * 10000.0 / total).toLong else 0L))
+    }
+    val got = SparkEntry.queries("corpus_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+
+    // a templated source collapses the ratio even though every doc is
+    // hash-unique — the signal exact dedup cannot see
+    import spark.implicits._
+    val templated = (0 until 50).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i", "en", "tpl"))
+    val varied = (0 until 50).map(i =>
+      (100L + i, s"doc$i word${i}a word${i}b word${i}c word${i}d word${i}e", "en", "var"))
+    val df = (templated ++ varied).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-div").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("corpus_diversity")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("tpl") < 2000L, s"templated source must collapse: ${out("tpl")}")
+    assert(out("var") > 8000L, s"varied source must stay diverse: ${out("var")}")
+  }
 }

@@ -1090,4 +1090,38 @@ class VectorSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     assert(cents(0)._2.toSeq === v0)
   }
+
+  test("vector outliers = per-shard |z|>2 set, recomputed independently") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Centroids.deterministicInit(emb, k = 4)
+    // independent tally: route every vector in Scala over the collected
+    // embeddings, quantize the distance like the query does, then apply
+    // the same one-sided z>2 cut per shard
+    val routed = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val byShard = cents.map { case (sid, c) =>
+          val d = math.sqrt(v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (sid, d)
+        }
+        val (sid, d) = byShard.minBy { case (s2, d2) => (d2, s2) }
+        (r.getLong(0), sid, math.round(d * 1000000.0))
+      }
+    val want = routed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ds = rows.map(_._3.toDouble)
+      val n = ds.length.toDouble
+      val mean = ds.sum / n
+      val sd = math.sqrt((ds.map(x => x * x).sum - ds.sum * ds.sum / n) / (n - 1.0))
+      rows.filter(r => math.abs(r._3 - mean) > sd * 2.0).map(_._1).toSeq
+    }.toSet
+    val got = SparkEntry.queries("vdb_vector_outliers")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want, s"flagged set mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty && got.size < routed.length / 4,
+      s"a 2-sigma gate should flag a small minority: ${got.size} of ${routed.length}")
+    // the near tail catches the degenerate vectors: each shard's seed
+    // centroid routes to itself at distance 0, |z| >> 2
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(got),
+      s"collapsed (distance-0) vectors must be flagged: $got")
+  }
 }
