@@ -294,6 +294,33 @@ class TermIndex(spark: SparkSession, path: String,
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n"))))
   }
 
+  /** Filter-THEN-rank for the keyword arm: restrict a postings frame to
+    * the `allowed` doc_ids BEFORE any scoring — the predicated-
+    * retrieval shape [[graft.vector.VectorStore.searchWhere]] serves on
+    * the vector side ("BM25 over my tenant's / this license-class's
+    * docs"). A post-filtered top-k — the reference clients' only
+    * option around /search (compute_server.py:106-138) — returns < k
+    * rows or misses allowed docs ranked below disallowed ones whenever
+    * the predicate is selective; here the top-k ranks ONLY eligible
+    * docs, so recall against the filtered ground truth is unchanged.
+    *
+    * SEMANTICS (pinned by the registered `text_bm25_filtered` oracle):
+    * collection statistics stay INDEX-GLOBAL — df, N, and avgdl count
+    * every live doc, not just allowed ones, exactly Lucene's filter
+    * contract (a filter restricts candidates, never the statistics).
+    * The alternative — scores equal to an index built on the allowed
+    * slice — needs per-doc dl for EVERY allowed doc, i.e. a postings
+    * scan with no term pruning (rebuild-shaped cost, per query); a
+    * tenant wanting slice-local idf builds a slice index. The semi-join
+    * touches only the query terms' df rows, so the predicate's cost
+    * rides the probe, not the corpus (Catalyst broadcasts a small
+    * allowed set; a corpus-sized one shuffles both sides — either way
+    * scoring sees eligible rows only).
+    */
+  private def restrictTo(post: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(post)(ids => post.join(
+      ids.select(col("doc_id").cast(LongType).as("doc_id")), Seq("doc_id"), "left_semi"))
+
   /** Postings filtered to `terms` + the corpus meta fold + per-term df
     * — the three probe-side frames every search shape starts from.
     */
@@ -327,15 +354,19 @@ class TermIndex(spark: SparkSession, path: String,
     * Terms must be distinct: a duplicated term would double-count its
     * contribution (as would naively duplicating it in the one-shot
     * query) — refuse rather than silently score a different query.
+    * `allowed` (a doc_id frame) is filter-then-rank with index-global
+    * statistics — see [[restrictTo]]; the pad universe (when both are
+    * passed) intersects it, so 0.0-padding never leaks disallowed ids.
     */
   def search(terms: Seq[String], k: Int = 10,
              excludeLabel: Option[String] = None,
-             padFrom: Option[DataFrame] = None): DataFrame = {
+             padFrom: Option[DataFrame] = None,
+             allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms would double-count: ${terms.mkString(", ")}")
     val (post, meta, dfs) = probe(terms, excludeLabel)
-    val scoredRows = post
+    val scoredRows = restrictTo(post, allowed)
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
       .withColumn("__c", contribCol)
@@ -359,7 +390,7 @@ class TermIndex(spark: SparkSession, path: String,
     // the matched set leaves open, in the same doc_id-asc tie order
     val ranked = padFrom.fold(matched) { universe =>
       matched.unionByName(
-        minusDeleted(universe.select("doc_id"), excludeLabel)
+        restrictTo(minusDeleted(universe.select("doc_id"), excludeLabel), allowed)
           .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("score0", lit(0.0)))
     }
@@ -590,11 +621,14 @@ class TermIndex(spark: SparkSession, path: String,
     * fixed-term-order association, because adding the absent terms'
     * 0.0 placeholders cannot change an IEEE sum. Top-k per query is
     * one window over (query_id), deterministic (score desc, doc_id
-    * asc).
+    * asc). `allowed` applies [[restrictTo]]'s filter-then-rank to the
+    * whole batch (one semi-join on the shared scan, index-global
+    * statistics) — the batched form of the predicated keyword probe.
     */
   def searchBatch(queries: DataFrame, k: Int = 10,
-                  excludeLabel: Option[String] = None): DataFrame =
-    searchBatchOpt(queries, k, excludeLabel).getOrElse(
+                  excludeLabel: Option[String] = None,
+                  allowed: Option[DataFrame] = None): DataFrame =
+    searchBatchOpt(queries, k, excludeLabel, allowed).getOrElse(
       throw new IllegalArgumentException("no terms in any query"))
 
   /** [[searchBatch]] tolerating an EMPTY query frame (None) — the
@@ -603,7 +637,8 @@ class TermIndex(spark: SparkSession, path: String,
     * own isEmpty job on top of the probe's term collect.
     */
   private def searchBatchOpt(queries: DataFrame, k: Int,
-                             excludeLabel: Option[String]): Option[DataFrame] = {
+                             excludeLabel: Option[String],
+                             allowed: Option[DataFrame] = None): Option[DataFrame] = {
     require(queries.columns.toSeq == Seq("query_id", "terms"),
       s"queries must be (query_id, terms), got ${queries.columns.mkString(", ")}")
     // ONE driver job validates AND collects the term universe: each
@@ -624,7 +659,7 @@ class TermIndex(spark: SparkSession, path: String,
     // `pos` column, and the join would make the bare name ambiguous
     val qt = queries.select(col("query_id"),
       posexplode(col("terms")).as(Seq("__qpos", "term")))
-    Some(post
+    Some(restrictTo(post, allowed)
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
       .withColumn("__c", contribCol)
@@ -681,10 +716,18 @@ class TermIndex(spark: SparkSession, path: String,
     * the mutator's, probes don't participate). foreachBatch + append
     * is at-least-once: a retried query batch appends its results
     * twice — dedup downstream on (query_id, doc_id) if the sink must
-    * be exactly-once. Caller stops the returned handle.
+    * be exactly-once. Caller stops the returned handle. `allowed`
+    * restricts every tick's candidates ([[restrictTo]]); it is PINNED
+    * at stream start (localCheckpoint) so an expensive or non-
+    * deterministic producing plan doesn't re-execute inside every
+    * micro-batch's semi-join — same rule as
+    * [[graft.vector.VectorStore.serveStream]].
     */
   def serveStream(queries: DataFrame, k: Int = 10, outDir: String,
-                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                  checkpoint: String, allowed: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val allowedPinned = allowed.map(ids =>
+      ids.select(col("doc_id").cast(LongType).as("doc_id")).localCheckpoint(true))
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -692,10 +735,11 @@ class TermIndex(spark: SparkSession, path: String,
         // validate-and-collect doubles as the empty-batch check
         // (watermark ticks deliver empty batches — None skips the
         // probe and the append entirely)
-        searchBatchOpt(batch, k, None).foreach(
+        searchBatchOpt(batch, k, None, allowedPinned).foreach(
           _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir))
       }
       .start()
+  }
 
   /** Fold all per-batch directories into `batch=compact0` (+ the
     * optional in-flight `keepLabel`, carried verbatim) — the same

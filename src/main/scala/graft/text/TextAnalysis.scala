@@ -755,6 +755,28 @@ object TextAnalysis extends QueryModule {
       padFrom = Some(Tables.documents(s, d).select("doc_id")))
   }
 
+  /** Filtered served search — `TermIndex.search(allowed)`: the same
+    * BM25 probe restricted to an allowed doc_id set (here the English
+    * slice — tenant/license/language in production), filter-THEN-rank
+    * so the top-10 ranks only eligible docs. Collection statistics
+    * stay index-global (the Lucene filter contract — see
+    * `TermIndex.restrictTo`), which is exactly what the oracle pins:
+    * its df/N/avgdl CTEs aggregate the FULL documents table while the
+    * final cut keeps allowed matches only. Completes the predicated-
+    * retrieval story on the keyword arm (`searchWhere` is the vector
+    * twin). Matched-only (no 0.0 padding), like every batch probe.
+    */
+  private def bm25Filtered(s: SparkSession, d: String): DataFrame = {
+    val idx = servedIdx(s, d, positional = false)
+    idx.search(bm25Terms, k = 10,
+      allowed = Some(Tables.documents(s, d)
+        .filter(col("lang") === "en").select("doc_id")))
+  }
+
+  private val bm25FilteredSql =
+    bm25SqlFor(bm25Terms, "WITH", matchedOnly = true,
+      allowedSql = Some("lang = 'en'"))
+
   /** Batched served search — `TermIndex.searchBatch` over a frame of
     * keyword queries (the text twin of `vdb_knn_batch_ivf`): one
     * term-pruned postings scan serves every query's top-10 at once.
@@ -811,14 +833,18 @@ object TextAnalysis extends QueryModule {
   }
 
   private def bm25SqlFor(terms: Seq[String], prefix: String,
-                         matchedOnly: Boolean = false): String = {
+                         matchedOnly: Boolean = false,
+                         allowedSql: Option[String] = None): String = {
     val (ctes, score) = bm25CtesFor(terms)
+    val conds = (if (matchedOnly) Seq("score0 > 0") else Nil) ++
+      allowedSql.map(p => s"doc_id IN (SELECT doc_id FROM documents WHERE $p)")
+    val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "\n")
     s"""$prefix $ctes
        |SELECT doc_id, ROUND(score0, 4) AS bm25
        |FROM (SELECT d.doc_id,
        |      $score AS score0
        |      FROM d CROSS JOIN c) q
-       |${if (matchedOnly) "WHERE score0 > 0\n" else ""}ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
+       |${where}ORDER BY score0 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
   private val bm25BatchSql =
@@ -1012,6 +1038,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket_approx" -> (pplBucketApprox _),
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
+    "text_bm25_filtered" -> (bm25Filtered _),
     "text_bm25_batch"  -> (bm25Batch _),
     "text_phrase_indexed" -> (phraseIndexed _),
     "text_phrase_slop" -> (phraseSlop _),
@@ -1038,6 +1065,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket"  -> pplBucketSql,
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
+    "text_bm25_filtered" -> bm25FilteredSql,
     "text_bm25_batch"  -> bm25BatchSql,
     "text_phrase_indexed" -> phraseIndexedSql,
     "text_phrase_slop" -> phraseSlopSql,

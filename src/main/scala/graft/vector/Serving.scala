@@ -130,24 +130,49 @@ object Serving extends QueryModule {
     */
   def hybridJoin(idx: graft.text.TermIndex, store: VectorStore,
                  queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
-                 nprobe: Int = 2, rrfK: Int = RRF_K): DataFrame =
-    hybridJoinResolved(idx, store, queries, topK, shortlist, nprobe, rrfK,
-      store.centroids())
+                 nprobe: Int = 2, rrfK: Int = RRF_K,
+                 allowed: Option[DataFrame] = None,
+                 excludeSelf: Boolean = false,
+                 maxRowsPerTask: Long = 0L,
+                 compressed: Boolean = false,
+                 vecShortlist: Int = 100): DataFrame =
+    hybridJoinWith(idx, queries, topK, shortlist, rrfK, allowed,
+      q => store.searchJoin(q, topK = shortlist, nprobe = nprobe,
+        allowed = vecAllowed(store, allowed), excludeSelf = excludeSelf,
+        maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+        shortlist = vecShortlist))
 
-  private def hybridJoinResolved(idx: graft.text.TermIndex, store: VectorStore,
-                                 queries: DataFrame, topK: Int, shortlist: Int,
-                                 nprobe: Int, rrfK: Int,
-                                 cents: Array[(Int, Array[Double])]): DataFrame = {
+  /** The hybrid `allowed` set renamed to the store's id column — one
+    * doc_id frame restricts BOTH arms (the store's ids are the
+    * document ids by [[hybridJoin]]'s contract).
+    */
+  private def vecAllowed(store: VectorStore,
+                         allowed: Option[DataFrame]): Option[DataFrame] =
+    allowed.map(_.select(col("doc_id").cast(LongType).as(store.idCol)))
+
+  /** The shared hybrid kernel: keyword arm from the maintained
+    * [[graft.text.TermIndex]] (`searchBatch(allowed)` — filter-then-
+    * rank with index-global statistics), vector arm supplied by the
+    * caller (one-shot [[VectorStore.searchJoin]] with every mode
+    * passthrough, or the stream-resolved closure), RRF-fused. At
+    * 100 TB a hybrid batch wants the salted + compressed arm the
+    * store already serves — `maxRowsPerTask`/`compressed` reach
+    * searchJoin unchanged, and `excludeSelf` drops the vector arm's
+    * self-match (the keyword arm ranks the full corpus: query terms
+    * are not the query doc's own text).
+    */
+  private def hybridJoinWith(idx: graft.text.TermIndex, queries: DataFrame,
+                             topK: Int, shortlist: Int, rrfK: Int,
+                             allowed: Option[DataFrame],
+                             vecArm: DataFrame => DataFrame): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "qv"),
       s"queries must be (query_id, terms, qv), got ${queries.columns.mkString(", ")}")
-    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist)
+    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
+        allowed = allowed)
       .withColumn("rank_kw", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_kw")
-    val v = store.searchJoinResolved(queries.select("query_id", "qv"),
-      topK = shortlist, nprobe = nprobe, allowed = None, excludeSelf = false,
-      maxRowsPerTask = 0L, compressed = false, shortlist = 100,
-      cents = cents, metaOpt = None, salts = None)
+    val v = vecArm(queries.select("query_id", "qv"))
     val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
     fuseRrf(kw, vec, topK, rrfK)
@@ -157,24 +182,37 @@ object Serving extends QueryModule {
     * set (keyword [[graft.text.TermIndex.serveStream]], phrase
     * `servePhraseStream`, knn [[VectorStore.serveStream]]): each
     * micro-batch of (query_id, terms, qv) rows probes both maintained
-    * indexes via [[hybridJoin]] and appends the fused per-query top-k
-    * to `outDir`, at-least-once. The store's routing centroids
-    * resolve ONCE at stream start; the keyword arm's validate-and-
-    * collect stays the one pre-probe driver action searchBatch
-    * guarantees per tick.
+    * indexes and appends the fused per-query top-k to `outDir`,
+    * at-least-once. Full mode passthrough like [[hybridJoin]]; the
+    * vector arm's serving state (centroids, PQ meta, salt table)
+    * resolves ONCE at stream start via
+    * `VectorStore.searchJoinServing`, the keyword arm's allowed set
+    * is pinned once, and searchBatch's validate-and-collect stays the
+    * one pre-probe driver action per tick.
     */
   def serveHybridStream(idx: graft.text.TermIndex, store: VectorStore,
                         queries: DataFrame, outDir: String, checkpoint: String,
                         topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
-                        rrfK: Int = RRF_K)
+                        rrfK: Int = RRF_K,
+                        allowed: Option[DataFrame] = None,
+                        excludeSelf: Boolean = false,
+                        maxRowsPerTask: Long = 0L,
+                        compressed: Boolean = false,
+                        vecShortlist: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val cents = store.centroids()
+    // pin the allowed set ONCE (both arms read the same checkpoint —
+    // the vector arm's serving pin re-reads it, never the lineage)
+    val kwAllowed = allowed.map(ids =>
+      ids.select(col("doc_id").cast(LongType).as("doc_id")).localCheckpoint(true))
+    val vecArm = store.searchJoinServing(topK = shortlist, nprobe = nprobe,
+      allowed = vecAllowed(store, kwAllowed), excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      shortlist = vecShortlist)
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          hybridJoinResolved(idx, store, batch, topK, shortlist, nprobe, rrfK,
-            cents)
+          hybridJoinWith(idx, batch, topK, shortlist, rrfK, kwAllowed, vecArm)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
       }
       .start()
@@ -218,7 +256,18 @@ object Serving extends QueryModule {
     1L -> Seq("scan", "filter", "join"),
     2L -> Seq("table", "stream"))
 
-  private def hybridBatch(s: SparkSession, d: String): DataFrame = {
+  private def hybridBatch(s: SparkSession, d: String): DataFrame =
+    hybridBatchFrame(s, d, allowed = None)
+
+  /** The batched-hybrid plan, optionally restricted to an allowed
+    * doc_id frame on BOTH arms (filter-then-search each side: the
+    * vector arm semi-joins the corpus AFTER shard assignment against
+    * the full-corpus routing centroids — routing is a property of the
+    * index, not of one query's allowed set — and the keyword arm is
+    * `searchBatch(allowed)`'s filter-then-rank with index-global df).
+    */
+  private def hybridBatchFrame(s: SparkSession, d: String,
+                               allowed: Option[DataFrame]): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
     val cents = Centroids.deterministicInit(e, k = K)
@@ -227,8 +276,10 @@ object Serving extends QueryModule {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
           .as("shard"))
-    val corpus = e.withColumn("shard",
+    val corpus0 = e.withColumn("shard",
       Centroids.nearestShard(col("embedding"), cents))
+    val corpus = allowed.fold(corpus0)(ids => corpus0.join(
+      ids.select(col("doc_id").cast(LongType).as("vec_id")), Seq("vec_id"), "left_semi"))
     // per-query shortlist through the bounded heap, like every join-
     // scale rank here: the shuffle after scoring carries ≤ SHORTLIST
     // rows per (query, map partition), never all scored candidates
@@ -244,12 +295,28 @@ object Serving extends QueryModule {
         (col("__pos") + 1).cast("int").as("rank_vec"))
     val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = false)
     val kw = idx.searchBatch(hybridBatchQueries.toDF("query_id", "terms"),
-        k = SHORTLIST)
+        k = SHORTLIST, allowed = allowed)
       .withColumn("rank_kw", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_kw")
     fuseRrf(kw, vec, topK = 10, rrfK = RRF_K)
   }
+
+  /** The registered FILTERED hybrid — `vdb_hybrid_batch` restricted to
+    * the English slice on both arms (the tenant/license/language
+    * predicated-retrieval shape, completing on the HYBRID path what
+    * `vdb_knn_join_filtered` proved on the vector arm and
+    * `text_bm25_filtered` on the keyword arm): candidates filter
+    * BEFORE any scoring, so a selective predicate costs no recall
+    * and < k-row shortlists only happen when fewer than k allowed
+    * docs exist in the probed shards. The oracle replays the same
+    * slice inside each arm's selection while keeping df/N/avgdl and
+    * the routing centroids corpus-global — a green row pins both
+    * filter-then-search semantics at once.
+    */
+  private def hybridFiltered(s: SparkSession, d: String): DataFrame =
+    hybridBatchFrame(s, d, allowed = Some(
+      graft.Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")))
 
   /** Per-query oracle: the one-shot BM25 CTEs (the single shared
     * definition — TextAnalysis.bm25CtesFor) give the keyword top-50;
@@ -258,14 +325,22 @@ object Serving extends QueryModule {
     * identical across engines, like every green bm25/knn row); ranks
     * order by the 4-dp values both engines emit.
     */
-  private def hybridBatchSqlFor(qid: Long, terms: Seq[String]): String = {
+  private def hybridBatchSqlFor(qid: Long, terms: Seq[String],
+                                allowedSql: Option[String] = None): String = {
     val (bmCtes, bmScore) = graft.text.TextAnalysis.bm25CtesFor(terms)
+    // the allowed slice restricts each arm's SELECTION while df/N/avgdl
+    // and the routing centroids stay corpus-global — the filter-then-
+    // search semantics the Spark side implements
+    val kwAllow = allowedSql.fold("")(p =>
+      s" AND doc_id IN (SELECT doc_id FROM documents WHERE $p)")
+    val vAllow = allowedSql.fold("")(p =>
+      s" AND b.vec_id IN (SELECT doc_id FROM documents WHERE $p)")
     s"""WITH $bmCtes,
        |kwsel AS (
        |  SELECT doc_id, score0 FROM (SELECT d.doc_id,
        |      $bmScore AS score0
        |      FROM d CROSS JOIN c) q
-       |  WHERE score0 > 0 ORDER BY score0 DESC, doc_id LIMIT $SHORTLIST),
+       |  WHERE score0 > 0$kwAllow ORDER BY score0 DESC, doc_id LIMIT $SHORTLIST),
        |kwtop AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (
        |    ORDER BY ROUND(score0, 4) DESC, doc_id) AS rank_kw
@@ -282,7 +357,7 @@ object Serving extends QueryModule {
        |  FROM qv CROSS JOIN qsh
        |  JOIN assign a ON a.shard = qsh.shard
        |  JOIN embeddings b ON b.vec_id = a.vec_id
-       |  WHERE b.vec_id <> $qid
+       |  WHERE b.vec_id <> $qid$vAllow
        |  ORDER BY vscore DESC, doc_id LIMIT $SHORTLIST),
        |vtop AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
@@ -305,6 +380,11 @@ object Serving extends QueryModule {
   private val hybridBatchSql =
     hybridBatchQueries.map { case (qid, terms) =>
       s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms)}\n)"
+    }.mkString("\nUNION ALL\n")
+
+  private val hybridFilteredSql =
+    hybridBatchQueries.map { case (qid, terms) =>
+      s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms, Some("lang = 'en'"))}\n)"
     }.mkString("\nUNION ALL\n")
 
   // --- knn join: top-3 neighbors for EVERY vector ---------------------
@@ -762,6 +842,7 @@ object Serving extends QueryModule {
     "vdb_knn_join_filtered" -> (knnJoinFiltered _),
     "vdb_knn_classify"  -> (knnClassify _),
     "vdb_hybrid_batch"  -> (hybridBatch _),
+    "vdb_hybrid_filtered" -> (hybridFiltered _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _))
@@ -772,6 +853,7 @@ object Serving extends QueryModule {
     "vdb_knn_join_filtered" -> knnJoinFilteredSql,
     "vdb_knn_classify"  -> knnClassifySql,
     "vdb_hybrid_batch"  -> hybridBatchSql,
+    "vdb_hybrid_filtered" -> hybridFilteredSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)
 }

@@ -19,7 +19,8 @@ import graft.expressions.VectorExpressions._
   * many splits, so parallelism within a probed shard is preserved.
   */
 final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
-                        idCol: String = "id", vecCol: String = "vector") {
+                        private[vector] val idCol: String = "id",
+                        vecCol: String = "vector") {
   private val vecDir = s"$path/vectors"
   private val centDir = s"$path/centroids"
   private val pqDir = s"$path/pq"
@@ -268,10 +269,10 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   @volatile private var pqMetaCache: Option[Option[PqMeta]] = None
 
-  private final case class PqMeta(books: ProductQuantizer.Books, residual: Boolean,
-                                  rotation: Option[Array[Array[Double]]])
+  private[vector] final case class PqMeta(books: ProductQuantizer.Books, residual: Boolean,
+                                          rotation: Option[Array[Array[Double]]])
 
-  private def pqMeta(): Option[PqMeta] =
+  private[vector] def pqMeta(): Option[PqMeta] =
     pqMetaCache match {
       case Some(m) => m
       case None =>
@@ -1039,17 +1040,45 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                   compressed: Boolean = false,
                   shortlist: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val probe = searchJoinServing(topK, nprobe, allowed, excludeSelf,
+      maxRowsPerTask, compressed, shortlist)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // watermark ticks deliver empty batches — skip the probe and
+        // the append entirely (isEmpty is a limit-1 driver check)
+        if (!batch.isEmpty)
+          probe(batch)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
+  }
+
+  /** The resolved join-scale serving closure [[serveStream]] (and
+    * `Serving.serveHybridStream`'s vector arm) probe with: routing
+    * centroids, PQ meta, the pinned allowed set, and (when salting)
+    * the population salt table resolve ONCE here, so each invocation
+    * of the returned function costs only its own probe — never a
+    * store-metadata job. A compressed closure over a non-PQ store
+    * refuses NOW (stream start), not inside the first micro-batch.
+    * The allowed set is pinned (localCheckpoint) so an expensive or
+    * non-deterministic producing plan doesn't re-execute per call and
+    * can't drift against the frozen salt table; salts are sized from
+    * the `allowed`-restricted corpus (the join's actual big side) —
+    * populations are a property of the static store, so restart the
+    * stream after mass ingest (the recall-curve staleness rule).
+    */
+  private[vector] def searchJoinServing(topK: Int, nprobe: Int,
+                                        allowed: Option[DataFrame],
+                                        excludeSelf: Boolean,
+                                        maxRowsPerTask: Long,
+                                        compressed: Boolean,
+                                        shortlist: Int): DataFrame => DataFrame = {
     val cents = centroids()
-    // resolve PQ meta NOW: a compressed stream over a non-PQ store
-    // must refuse at start(), not inside the first micro-batch
     val meta = if (compressed) Some(pqMeta().getOrElse(
       throw new IllegalStateException(
-        "serveStream(compressed = true) needs a PQ-built store: " +
+        "compressed serving needs a PQ-built store: " +
           "build(pqSubspaces > 0)"))) else None
-    // pin the allowed set at stream start too: its producing plan
-    // would otherwise re-execute inside EVERY micro-batch's semi-join
-    // (an expensive or non-deterministic lineage re-runs per tick,
-    // and could drift against the salt table frozen below)
     val allowedPinned = allowed.map(ids =>
       ids.select(col(idCol).cast(LongType).as(idCol)).localCheckpoint(true))
     val salts =
@@ -1064,17 +1093,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           .populationSalts(restricted, "shard", maxRowsPerTask)
           .localCheckpoint(true))
       }
-    queries.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // watermark ticks deliver empty batches — skip the probe and
-        // the append entirely (isEmpty is a limit-1 driver check)
-        if (!batch.isEmpty)
-          searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
-            maxRowsPerTask, compressed, shortlist, cents, meta, salts)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-      }
-      .start()
+    batch => searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
+      maxRowsPerTask, compressed, shortlist, cents, meta, salts)
   }
 
   /** Cosine top-k over the `nprobe` nearest shards (reference /search).

@@ -119,6 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "vdb_get_by_id" -> "EqualTo(vec_id,",
       "vdb_knn_filtered" -> "EqualTo(label,",
       "text_bm25_indexed" -> "In(term",
+      "text_bm25_filtered" -> "In(term",
       "text_phrase_indexed" -> "In(term",
       "text_phrase_mixed" -> "In(term")
     val failures = expect.flatMap { case (name, marker) =>

@@ -263,6 +263,51 @@ class TermIndexSpec extends AnyFunSuite {
     assert(padded.drop(2).forall(_._2 === 0.0))
   }
 
+  test("filtered search: filter-then-rank with index-global statistics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx-allow").toString
+    val idx = new TermIndex(spark, dir)
+    // 'beta' appears in a DISALLOWED doc too: index-global df counts it
+    // (the Lucene filter contract), so allowed docs' scores must equal
+    // their unfiltered scores exactly — slice-local statistics would
+    // shift every idf and the parity below would fail
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha beta"),
+      (3L, "alpha rare"),
+      (4L, "alpha beta beta"),
+      (5L, "gamma delta")).toDF("doc_id", "text")
+    idx.build(corpus)
+    val allowedIds = Set(1L, 2L, 5L)
+    val allowed = allowedIds.toSeq.toDF("doc_id")
+    val unfiltered = topMap(idx.search(Seq("alpha", "beta"), k = 10))
+    val got = topMap(
+      idx.search(Seq("alpha", "beta"), k = 10, allowed = Some(allowed)))
+    assert(got === unfiltered.filter(t => allowedIds(t._1)),
+      "filtered top-k must be the unfiltered ranking restricted to " +
+        "allowed ids — same (global) scores, eligible candidates only")
+    assert(got.map(_._1).toSet.subsetOf(allowedIds))
+    // batched form equals a filtered-search loop
+    val qs: Seq[(Long, Seq[String])] =
+      Seq(0L -> Seq("alpha", "beta"), 1L -> Seq("beta"))
+    val bGot = idx.searchBatch(qs.toDF("query_id", "terms"), k = 10,
+        allowed = Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bWant = qs.flatMap { case (q, ts) =>
+      topMap(idx.search(ts, k = 10, allowed = Some(allowed)))
+        .map { case (doc, s) => (q, doc, s) }
+    }.toSet
+    assert(bGot === bWant,
+      "batched filtered probe must equal a filtered search loop")
+    // the pad universe intersects the allowed set: no disallowed id
+    // leaks in as a 0.0-score row
+    val padded = topMap(idx.search(Seq("alpha"), k = 10,
+      padFrom = Some(corpus.select("doc_id")), allowed = Some(allowed)))
+    assert(padded.map(_._1).toSet === allowedIds,
+      "padding must fill from allowed ∩ universe only")
+    assert(padded.last === ((5L, 0.0)), "the termless allowed doc pads at 0.0")
+  }
+
   test("duplicate query terms are refused (they would double-count)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tidx7").toString

@@ -904,6 +904,90 @@ class VectorSpec extends AnyFunSuite {
     assert(streamed === got, "streamed hybrid must equal the one-shot join")
   }
 
+  test("hybridJoin passes the vector arm's modes through: filtered+salted and compressed equal per-query loops") {
+    import spark.implicits._
+    val n = 256
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val docs = spark.range(0, n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-hybm-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16)
+    val tdir = Files.createTempDirectory("graft-hybm-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir, positional = false)
+    idx.build(docs)
+    val qRows: Seq[(Long, Seq[String])] = Seq(3L -> Seq("merge", "join"),
+      10L -> Seq("join", "w3"))
+    val qv = corpus.filter(col("id").isin(qRows.map(_._1): _*))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val queries = qRows.map { case (id, t) => (id, t, qv(id)) }
+      .toDF("query_id", "terms", "qv")
+    val allowedIds = (0L until n.toLong).filter(_ % 2 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("doc_id")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // the per-query mirror: kw ranks from search(allowed), vec ranks
+    // from the given per-query single-vector arm, Scala-side RRF
+    def loopMirror(kwAllowed: Option[org.apache.spark.sql.DataFrame],
+                   vecRanks: Long => Seq[Long]) =
+      qRows.flatMap { case (id, terms) =>
+        val kw = idx.search(terms, k = 20, allowed = kwAllowed).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+          .sortBy { case (doc, s) => (-s, doc) }.zipWithIndex
+          .map { case ((doc, _), i) => doc -> (i + 1) }.toMap
+        val vec = vecRanks(id).zipWithIndex
+          .map { case (doc, i) => doc -> (i + 1) }.toMap
+        (kw.keySet ++ vec.keySet).toSeq.map { doc =>
+          val rrf = kw.get(doc).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            vec.get(doc).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (doc, rrf, kw.getOrElse(doc, 0).toLong, vec.getOrElse(doc, 0).toLong)
+        }.sortBy { case (doc, rrf, _, _) => (-rrf, doc) }.take(5).zipWithIndex.map {
+          case ((doc, rrf, rk, rv), i) =>
+            (id, (i + 1).toLong, doc, rk, rv, math.rint(rrf * 1e6).toLong)
+        }
+      }.toSet
+    // variant 1: allowed + excludeSelf + salted — the predicated,
+    // skew-bounded hybrid; salting must stay result-invariant and the
+    // allowed set must restrict BOTH arms
+    val got1 = canon(graft.vector.Serving.hybridJoin(idx, vs, queries,
+      topK = 5, shortlist = 20, nprobe = 2, allowed = Some(allowed),
+      excludeSelf = true, maxRowsPerTask = 16L).collect())
+    val want1 = loopMirror(Some(allowed), id =>
+      vs.searchWhere(qv(id).toArray, Some(allowedIds.toSeq.toDF("id")),
+          topK = 21, nprobe = 2).collect()
+        .map(_.getLong(0)).filter(_ != id).take(20).toSeq)
+    assert(got1 === want1,
+      "filtered+salted hybrid must equal the per-query searchWhere loop")
+    assert(got1.forall { case (_, _, doc, _, _, _) => allowedIds(doc) },
+      "no disallowed doc may surface in the fused top-k")
+    // variant 2: compressed vector arm (ADC shortlist + exact re-rank)
+    // — wide shortlist makes it exact, so the raw loop is the mirror
+    val comp = graft.vector.Serving.hybridJoin(idx, vs, queries,
+      topK = 5, shortlist = 20, nprobe = 2, compressed = true,
+      vecShortlist = 300)
+    val got2 = canon(comp.collect())
+    val want2 = loopMirror(None, id =>
+      vs.search(qv(id).toArray, topK = 20, nprobe = 2).collect()
+        .map(_.getLong(0)).toSeq)
+    assert(got2 === want2,
+      "compressed hybrid must equal the per-query raw-arm loop at full shortlist")
+    // the hybrid's ADC candidate scan stays codes-only: some store
+    // scan lists pq_codes WITHOUT the raw vector column (the exact
+    // re-rank join legitimately reads vectors in its own scan)
+    val schemas = "ReadSchema: \\S+".r
+      .findAllIn(comp.queryExecution.executedPlan.toString).toSeq
+    assert(schemas.exists(s => s.contains("pq_codes") && !s.contains("vector:")),
+      s"expected a codes-only candidate scan in the hybrid arm, got:\n${schemas.mkString("\n")}")
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
