@@ -125,7 +125,7 @@ final class ShingleProbe private[dedup](idx: ShingleIndex,
   }
 
   /** Free the fold's checkpoint blocks (base and delta frames hold no
-    * pinned state). The probe is dead afterwards.
+    * pinned state). Call after stopping the stream the probe served.
     */
   def release(): Unit = {
     folded.foreach(unpersistLeg)
@@ -134,6 +134,26 @@ final class ShingleProbe private[dedup](idx: ShingleIndex,
     deltas.clear()
     base = None
   }
+
+  /** Re-resolve this probe against CURRENT disk state — the exit of a
+    * maintenance window, so a 24/7 gate rides `judge … → (pause
+    * ingest, run compact/recap/reclaim/maintain on the index) →
+    * refresh() → judge …` without a stream restart. Drops every
+    * resolved frame, registered delta, fold checkpoint, and the
+    * folded-label ledger: maintenance folded the appended batches
+    * into the index's own tables, so the re-resolved base sees them
+    * there, and the old listings (which reference moved/removed
+    * files) are exactly what must NOT survive. The base re-resolves
+    * lazily at the NEXT [[judge]] with that tick's label excluded —
+    * a refreshed probe is indistinguishable from a fresh
+    * `resolveProbe()`, replay semantics included (if that next tick
+    * may replay an append, the maintenance must have run with
+    * `keepLabel = <that label>`, the index's own rule). Judging
+    * WITHOUT a refresh after maintenance keeps the documented
+    * stale-probe failure mode: frozen listings reference moved files
+    * and the scan fails loudly.
+    */
+  def refresh(): Unit = release()
 
   /** The frozen base: the index as of first judge, that tick's label
     * excluded (replay protection — see class doc). Plain frames: the

@@ -984,7 +984,32 @@ object TextAnalysis extends QueryModule {
     * count-distinct — the same cost class as `text_word_freq`.
     * Ratio is floor(x10000) over exact BIGINTs, hash-stable.
     */
-  private def corpusDiversity(s: SparkSession, d: String): DataFrame = {
+  private def corpusDiversity(s: SparkSession, d: String): DataFrame =
+    corpusDiversityFrame(s, d, countDistinct(col("s")).as("nd"))
+
+  /** [[corpusDiversity]]'s 100 TB twin — the `q_approx_distinct`
+    * treatment: the distinct side runs through HLL++
+    * (`approx_count_distinct`, rsd 2%) instead of an exact
+    * count-distinct, so the exchange carries one FIXED-SIZE sketch
+    * per (source, lang, map partition) rather than the corpus's full
+    * distinct-trigram volume — the operator becomes scan-bound, which
+    * is the right trade for its actual consumer (a per-source health
+    * dashboard watching for template collapse, where a 2% estimate
+    * error cannot flip the diagnosis of a ratio that craters 10-100x
+    * on templated sources). Rows-only by design (HLL estimates are
+    * engine-specific); the spec bounds drift vs the exact ratio and
+    * PlanAudit pins the partial-sketch aggregate shape.
+    */
+  private def corpusDiversityApprox(s: SparkSession, d: String): DataFrame =
+    corpusDiversityFrame(s, d, approx_count_distinct(col("s"), 0.02).as("nd"))
+
+  /** The shared diversity plan, parameterized by the distinct-side
+    * aggregate (exact countDistinct or the HLL sketch). The total
+    * side never explodes — `greatest(n_words − 2, 0)` summed per doc
+    * is a scan-bound projection in both variants.
+    */
+  private def corpusDiversityFrame(s: SparkSession, d: String,
+                                   distinctAgg: Column): DataFrame = {
     val docs = Tables.documents(s, d)
     val tri = docs.select(col("source"), col("lang"),
       explode(when(size(wsAll) >= 3,
@@ -996,8 +1021,7 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("lang"),
         greatest(size(wsAll) - 2, lit(0)).cast(LongType).as("nt"))
       .groupBy("source", "lang").agg(sum("nt").as("n_trigrams"))
-    val distincts = tri.groupBy("source", "lang")
-      .agg(countDistinct(col("s")).as("nd"))
+    val distincts = tri.groupBy("source", "lang").agg(distinctAgg)
     totals.join(distincts, Seq("source", "lang"), "left")
       .select(col("source"), col("lang"), col("n_trigrams"),
         coalesce(col("nd"), lit(0L)).as("n_distinct"),
@@ -1058,7 +1082,8 @@ object TextAnalysis extends QueryModule {
     "text_entropy"     -> (entropy _),
     "text_fingerprint" -> (fingerprint _),
     "corpus_quality_report" -> (qualityReportQ _),
-    "corpus_diversity" -> (corpusDiversity _))
+    "corpus_diversity" -> (corpusDiversity _),
+    "corpus_diversity_approx" -> (corpusDiversityApprox _))
 
   override val oracleSql: Map[String, String] = Map(
     "text_lm_score"    -> lmScoreSql,

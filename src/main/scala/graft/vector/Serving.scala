@@ -819,6 +819,62 @@ object Serving extends QueryModule {
     picked.toSeq
   }
 
+  /** The batched-MMR kernel shared by the registered `vdb_mmr_batch`
+    * and [[VectorStore.mmrJoin]]: `rows` is every query's shortlist as
+    * (query_id, id, vec, rel) — ≤ nQueries × shortlist rows, collected
+    * by the caller in ONE driver action for the whole batch (the
+    * greedy selection is inherently sequential per query, so it runs
+    * on collected shortlists exactly like single-query [[mmrSelect]];
+    * batching buys one job instead of nQueries jobs, the same
+    * shape win as `searchBatch` over a search loop). Shortlists
+    * re-sort (rel desc, id asc) before the greedy so candidate order —
+    * and therefore tie behavior — is identical to the single-query
+    * path no matter what join produced the rows.
+    */
+  private[vector] def mmrFromShortlists(
+      rows: Array[(Long, Long, Array[Double], Double)],
+      k: Int, lambda: Double, s: SparkSession): DataFrame = {
+    import s.implicits._
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      val cands = cs.sortBy(c => (-c._4, c._2)).map(c => (c._2, c._3, c._4)).toSeq
+      mmrSelect(cands, k, lambda).zipWithIndex.map { case ((id, rel, sc), i) =>
+        (qid, i + 1L, id, math.rint(rel * 1e4) / 1e4, math.rint(sc * 1e4) / 1e4)
+      }
+    }.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  /** Batched MMR — [[mmr]]'s diversified re-rank for a FRAME of
+    * queries, completing the batch-everything serving story
+    * (knn/bm25/phrase/hybrid all have batch forms; MMR now does too).
+    * Per-query exact shortlists ride the bounded heap (≤ SHORTLIST
+    * rows per (query, map partition) on the shuffle — the
+    * `vdb_knn_batch` discipline), candidate vectors come back via ONE
+    * equi-join of the nQueries×shortlist frame against the corpus
+    * (never a broadcast of anything corpus-sized), and the whole
+    * batch collects in ONE driver action before the per-query greedy.
+    * Rows-only by design, like `vdb_mmr` (recursive greedy selection
+    * is not SQL-expressible); the spec pins query 0's slice equal to
+    * the single-query `vdb_mmr` row-for-row.
+    */
+  private def mmrBatch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qIds = Seq(0L, 1L, 2L)
+    val queries = e.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val tops = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosineSim(col("embedding"), col("qv")))
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(col("rel"), col("vec_id"), SHORTLIST).as("tops"))
+      .select(col("query_id"), explode(col("tops")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("rel"))
+    val rows = tops.join(e, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+    mmrFromShortlists(rows, k = 10, lambda = 0.5, s)
+  }
+
   private def mmr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = queryVec(s, d)
@@ -845,7 +901,8 @@ object Serving extends QueryModule {
     "vdb_hybrid_filtered" -> (hybridFiltered _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
-    "vdb_mmr"           -> (mmr _))
+    "vdb_mmr"           -> (mmr _),
+    "vdb_mmr_batch"     -> (mmrBatch _))
 
   override val oracleSql: Map[String, String] = Map(
     "vdb_hybrid_search" -> hybridSearchSql,

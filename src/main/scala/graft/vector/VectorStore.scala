@@ -1312,4 +1312,38 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       heapTopK(rer, "__score", topK)
     }
   }
+
+  /** Diversified (MMR) knn JOIN against the store — [[searchJoin]]'s
+    * per-query shortlists re-ranked by greedy maximal marginal
+    * relevance (`λ·rel − (1−λ)·max sim(d, picked)`), the serving form
+    * of `vdb_mmr` for a FRAME of queries: near-duplicate hits stop
+    * crowding every query's result page in one call. The selection is
+    * inherently sequential per query, so the distributed plan reduces
+    * to ≤ nQueries×shortlist rows — shortlists through searchJoin's
+    * bounded heaps (every mode passes through: filtered, self-
+    * excluding, salted), candidate vectors back via ONE equi-join
+    * against the store, then ONE collect for the whole batch and
+    * `Serving.mmrSelect`'s greedy per query on driver rows (shortlist²
+    * ·dim flops each, corpus-size-independent). Returns (query_id,
+    * rank, <idCol>, relevance, mmr_score), 4-dp like `vdb_mmr`.
+    */
+  def mmrJoin(queries: DataFrame, topK: Int = 10, lambda: Double = 0.5,
+              shortlist: Int = 50, nprobe: Int = 2,
+              excludeSelf: Boolean = false,
+              allowed: Option[DataFrame] = None,
+              maxRowsPerTask: Long = 0L): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val short = searchJoin(queries, topK = shortlist, nprobe = nprobe,
+      allowed = allowed, excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask)
+    val rows = short
+      .join(spark.read.parquet(vecDir).select(col(idCol).cast(LongType).as(idCol),
+        col(vecCol).cast("array<double>").as("__v")), idCol)
+      .select(col("query_id"), col(idCol), col("__v"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+    Serving.mmrFromShortlists(rows, topK, lambda, spark)
+      .withColumnRenamed("vec_id", idCol)
+  }
 }

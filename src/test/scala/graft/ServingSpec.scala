@@ -66,6 +66,55 @@ class ServingSpec extends AnyFunSuite {
     assert(picked === Seq(1L, 4L, 6L))
   }
 
+  test("vdb_mmr_batch: query 0's slice is the single-query vdb_mmr row-for-row") {
+    val batch = SparkEntry.queries("vdb_mmr_batch")(spark, sf).collect()
+    // every query contributes its full k rows, deterministically
+    assert(batch.map(_.getLong(0)).distinct.sorted === Array(0L, 1L, 2L))
+    assert(batch.length === 30)
+    val batch2 = SparkEntry.queries("vdb_mmr_batch")(spark, sf).collect()
+    assert(batch.map(_.toSeq).toSeq === batch2.map(_.toSeq).toSeq,
+      "non-deterministic")
+    // same shortlist depth, k, and lambda as vdb_mmr → query 0's
+    // slice must reproduce the single-query greedy exactly
+    val single = SparkEntry.queries("vdb_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val slice0 = batch.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(slice0 === single,
+      "the batch kernel must equal the single-query selection per query")
+  }
+
+  test("store mmrJoin equals a per-query shortlist + mmrSelect loop") {
+    import spark.implicits._
+    val n = 128
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 12).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmrjoin").toString
+    val vs = new graft.vector.VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val vecs = corpus.select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qIds = Seq(5L, 17L, 90L)
+    val queries = qIds.map(id => (id, vecs(id).toSeq)).toDF("query_id", "qv")
+    val got = vs.mmrJoin(queries, topK = 5, lambda = 0.5, shortlist = 15,
+      nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+    // the mirror: the independent single-query search path supplies
+    // each query's shortlist, then the same greedy
+    val want = qIds.sorted.flatMap { id =>
+      val shortlist = vs.search(vecs(id), topK = 15, nprobe = 2).collect()
+        .map(r => (r.getLong(0), vecs(r.getLong(0)), r.getDouble(2))).toSeq
+      Serving.mmrSelect(shortlist, k = 5, lambda = 0.5).zipWithIndex.map {
+        case ((pid, rel, sc), i) => (id, i + 1L, pid,
+          math.rint(rel * 1e4) / 1e4, math.rint(sc * 1e4) / 1e4)
+      }
+    }
+    assert(got === want, "batched MMR must equal the per-query loop")
+  }
+
   test("recall_eval is integer-exact and bounded") {
     val rows = SparkEntry.queries("vdb_recall_eval")(spark, sf).collect()
     assert(rows.length === 20)

@@ -590,6 +590,47 @@ class ShingleIndexSpec extends AnyFunSuite {
     probe2.release()
   }
 
+  test("probe refresh rides a maintenance window; a stale probe fails loudly") {
+    import spark.implicits._
+    val corpus = Seq((1L, w("a", 40)), (2L, w("b", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shprobe-rf").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    def vmapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probe = idx.resolveProbe()
+    val batch1 = Seq((100L, w("c", 40))).toDF("doc_id", "text")
+    assert(vmapOf(probe.judge(batch1, "b1")) === Map(100L -> "keep"))
+    idx.append(batch1, "b1")
+    probe.register("b1")
+    // the maintenance window: fold everything (b1 included) into base
+    idx.compact()
+    // WITHOUT refresh the probe is stale by contract — its frozen
+    // listings reference the folded-away batch dirs and fail loudly
+    // rather than serving wrong verdicts
+    val batch2 = Seq(
+      (200L, w("c", 40)),
+      (201L, w("d", 40))).toDF("doc_id", "text")
+    assert(scala.util.Try(probe.judge(batch2, "b2x")).isFailure,
+      "a stale probe must fail loudly after maintenance moved its files")
+    // refresh → verdicts equal a FRESH probe's (and the live judge's):
+    // the folded b1 batch is visible through the re-resolved base
+    probe.refresh()
+    val got = vmapOf(probe.judge(batch2, "b2"))
+    assert(got === vmapOf(idx.judge(batch2, excludeLabel = Some("b2"))),
+      "a refreshed probe must equal the live judge")
+    assert(got === Map(200L -> "exact", 201L -> "keep"),
+      "the maintenance-folded batch must be visible post-refresh")
+    // the refreshed probe keeps working as a normal probe: register
+    // the next accepted batch, judge against it
+    idx.append(batch2.filter(col("doc_id") === 201L), "b2")
+    probe.register("b2")
+    val batch3 = Seq((300L, w("d", 40) + " delta")).toDF("doc_id", "text")
+    assert(vmapOf(probe.judge(batch3, "b3")) === Map(300L -> "near"),
+      "post-refresh deltas must serve like any probe delta")
+    probe.release()
+  }
+
   test("resolved probe parity in the banded regime") {
     import spark.implicits._
     val corpus = Seq((1L, w("a", 40)), (2L, w("b", 40))).toDF("doc_id", "text")

@@ -425,4 +425,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out("tpl") < 2000L, s"templated source must collapse: ${out("tpl")}")
     assert(out("var") > 8000L, s"varied source must stay diverse: ${out("var")}")
   }
+
+  test("approx corpus diversity: <5% ratio drift vs exact, sketch-shuffle plan") {
+    val exact = SparkEntry.queries("corpus_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val approx = SparkEntry.queries("corpus_diversity_approx")(spark, sf)
+    val got = approx.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got.keySet === exact.keySet, "same group set as the exact form")
+    got.foreach { case (k, bp) =>
+      val e = exact(k)
+      assert(e == 0L && bp == 0L || math.abs(bp - e) <= math.max(0.05 * e, 1.0),
+        s"group $k: approx $bp vs exact $e drifts > 5%")
+    }
+    // the scale property the twin exists for: the exchange carries
+    // partial HLL sketches, never raw trigram strings — the partial
+    // aggregate (ObjectHashAggregate buffering the sketch) sits below
+    // the shuffle in the physical plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"expected a map-side partial HLL sketch aggregate:\n$plan")
+    // the exact form's plan carries the distinct expansion the twin
+    // avoids — the two shapes must genuinely differ
+    assert(!SparkEntry.queries("corpus_diversity")(spark, sf)
+      .queryExecution.executedPlan.toString.contains("partial_approx_count_distinct"))
+  }
 }
