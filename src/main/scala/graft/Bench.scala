@@ -63,6 +63,19 @@ object Bench {
       }
     }
     val results = names.map(n => n -> (0 until nPasses).map(timings(_)(n)).min)
+    // Host-speed calibration: a FIXED in-memory aggregation — no IO,
+    // no data dependence, fully codegen'd — timed min-of-3 AFTER the
+    // suite (JIT settled). The artifact then carries its own host
+    // multiplier: BENCH_r11's pass totals spread 2-7x across runs
+    // purely from host contention, and round-over-round comparison
+    // needed a judge rerun to tell a regression from a slow host;
+    // dividing totals by `calib` normalizes that away.
+    val calib = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(id % 7 + (id >> 3)) AS s").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // the every-pass-succeeded query set: total sums its mins, and the
     // per-pass totals sum over the SAME set, so the two views agree by
     // construction (a query failing in any pass is excluded everywhere
@@ -93,7 +106,7 @@ object Bench {
     def lineAt(dec: Int): String = {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+      s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
     }
     // graceful degradation measured on the WHOLE line (query count,
     // value widths, and failure lists all move it): shed per-query
@@ -115,7 +128,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val detail =
-        s"""{"queries":$qs,"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
     }
@@ -126,7 +139,7 @@ object Bench {
       def lineTop(k: Int): String = {
         val qs = sorted.take(k)
           .map { case (n, v) => "\"" + n + "\":" + fN(2)(v) }.mkString("{", ",", "}")
-        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
       }
       (sorted.size to 0 by -1).view.map(lineTop).find(_.length <= 1900)
         .getOrElse(lineTop(0))

@@ -41,8 +41,11 @@ case class MediaResized(doc_id: Long, width: Int, height: Int,
   * dependencies: `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF readers ship
   * with the JRE) reads image dimensions from the header without
   * materializing pixels, and `javax.sound.sampled` parses WAV/AU/AIFF
-  * frame geometry. Payload families the JDK has no container parser
-  * for (MP4/MKV/WebM/Opus…) fall back to [[Decode.decodeStub]], the
+  * frame geometry; MP4/MOV video dimensions and frame counts come
+  * from a hand-rolled ISO-BMFF box walk ([[Decode.mp4Meta]] — the
+  * container is plain length-tagged records, no codec needed).
+  * Payload families with no JDK-parseable container left
+  * (MKV/WebM/Opus…) fall back to [[Decode.decodeStub]], the
   * clearly-marked deterministic fake — swap a javacv/ffmpeg binding
   * into `decodeMeta`'s None branch in production; schema and call
   * sites stay unchanged. Everything around them (binary column
@@ -97,8 +100,90 @@ object Decode {
       val fmt = aff.getFormat
       Some(("audio", fmt.getChannels, fmt.getSampleSizeInBits,
         aff.getFrameLength.toLong))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => mp4Meta(payload) }
   }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Boxes in `b`'s range [from, to): (type, payloadStart, payloadEnd)
+    * per ISO-BMFF framing — [size u32][type 4cc]; size 1 → a u64
+    * largesize follows the type; size 0 → the box runs to `to`. A
+    * malformed header (size < header length, end past the range,
+    * truncated header) aborts the iteration — the caller's moov/tkhd
+    * lookup then misses and the payload routes to the stub, the same
+    * damaged-object posture as the image/audio tiers.
+    */
+  private def mp4Boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = from
+    var ok = true
+    while (ok && o + 8 <= to) {
+      val size = be32(b, o)
+      val ty = new String(b, o + 4, 4, "ISO-8859-1")
+      val (pStart, end) =
+        if (size == 0L) (o + 8L, to.toLong)
+        else if (size == 1L) {
+          if (o + 16 > to) (0L, Long.MaxValue)
+          else ((o + 16).toLong,
+            o + ((be32(b, o + 8) << 32) | be32(b, o + 12)))
+        } else ((o + 8).toLong, o + size)
+      if (end > to || end <= pStart || pStart > to) ok = false
+      else {
+        out += ((ty, pStart.toInt, end.toInt))
+        o = end.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** MP4 / ISO-BMFF header parse — JDK-only, shrinking the declared
+    * decode stub to MKV/WebM: the container is plain length-tagged
+    * records (ISO/IEC 14496-12 box framing), so video dimensions and
+    * frame counts need no codec. Claims a payload only when its FIRST
+    * box is `ftyp` (the brand header every MP4/MOV writer emits
+    * first — four random bytes must not route as video), then walks
+    * moov → trak → tkhd for the first track with a nonzero 16.16
+    * fixed-point width (the video track; audio tracks carry 0×0) and
+    * that same trak's mdia → minf → stbl → stts for the sample
+    * (frame) count. Returns ("video", width, height, n_frames);
+    * n_frames 0 when stts is absent. Any structural damage — size
+    * running past the buffer, truncated boxes, missing moov/tkhd —
+    * yields None and the payload falls to [[decodeStub]] like every
+    * other undecodable object.
+    */
+  private[graft] def mp4Meta(payload: Array[Byte]): Option[(String, Int, Int, Long)] =
+    try {
+      val top = mp4Boxes(payload, 0, payload.length)
+      if (top.headOption.forall(_._1 != "ftyp")) return None
+      def kids(r: (String, Int, Int)): Seq[(String, Int, Int)] =
+        mp4Boxes(payload, r._2, r._3)
+      val hit = for {
+        moov <- top.find(_._1 == "moov").toSeq
+        trak <- kids(moov).filter(_._1 == "trak")
+        tkhd <- kids(trak).find(_._1 == "tkhd").toSeq
+        p = tkhd._2
+        v = payload(p) & 0xff
+        wOff = p + (if (v == 1) 88 else 76)
+        if wOff + 8 <= tkhd._3
+        w = (be32(payload, wOff) >> 16).toInt
+        h = (be32(payload, wOff + 4) >> 16).toInt
+        if w > 0 && h > 0
+      } yield {
+        val frames = (for {
+          mdia <- kids(trak).find(_._1 == "mdia")
+          minf <- kids(mdia).find(_._1 == "minf")
+          stbl <- kids(minf).find(_._1 == "stbl")
+          stts <- kids(stbl).find(_._1 == "stts")
+          n = be32(payload, stts._2 + 4)
+          if stts._2 + 8 + n * 8 <= stts._3
+        } yield (0L until n).map(i => be32(payload, (stts._2 + 8 + i * 8).toInt)).sum)
+          .getOrElse(0L)
+        ("video", w, h, frames)
+      }
+      hit.headOption
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pixel-tier image transform — the vision-model preprocessing
     * shape: decode, aspect-preserving downscale to fit `maxDim`,

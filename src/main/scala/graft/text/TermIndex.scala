@@ -431,13 +431,18 @@ class TermIndex(spark: SparkSession, path: String,
     */
   def searchPhrase(phrase: Seq[String], k: Int = 10,
                    excludeLabel: Option[String] = None,
-                   slop: Int = 0): DataFrame = {
+                   slop: Int = 0,
+                   allowed: Option[DataFrame] = None): DataFrame = {
     require(phrase.size >= 2,
       "a phrase needs >= 2 terms — rank single terms with search()")
     require(slop >= 0, s"slop must be >= 0, got $slop")
-    val post = minusDeleted(
+    // `allowed` is [[restrictTo]]'s filter-then-rank; phrase ranking
+    // carries no collection statistics, so restricting the postings
+    // IS restricting the docs — the semi-join just prunes disallowed
+    // candidates before the position intersect instead of after
+    val post = restrictTo(minusDeleted(
       BatchedTable.readIdx(spark, postDir, excludeLabel)
-        .filter(col("term").isin(phrase.distinct: _*)), excludeLabel)
+        .filter(col("term").isin(phrase.distinct: _*)), excludeLabel), allowed)
     require(post.columns.contains("pos"),
       s"index at $path predates the positional layout — rebuild() to serve phrases")
     val frames = phrase.zipWithIndex.map { case (t, i) =>
@@ -489,8 +494,9 @@ class TermIndex(spark: SparkSession, path: String,
     */
   def searchPhraseBatch(queries: DataFrame, k: Int = 10,
                         excludeLabel: Option[String] = None,
-                        slop: Int = 0): DataFrame =
-    searchPhraseBatchOpt(queries, k, excludeLabel, slop).getOrElse(
+                        slop: Int = 0,
+                        allowed: Option[DataFrame] = None): DataFrame =
+    searchPhraseBatchOpt(queries, k, excludeLabel, slop, allowed).getOrElse(
       throw new IllegalArgumentException("no phrases in the batch"))
 
   /** [[searchPhraseBatch]] tolerating an EMPTY query frame (None) —
@@ -498,7 +504,8 @@ class TermIndex(spark: SparkSession, path: String,
     */
   private def searchPhraseBatchOpt(queries: DataFrame, k: Int,
                                    excludeLabel: Option[String],
-                                   slop: Int): Option[DataFrame] = {
+                                   slop: Int,
+                                   allowed: Option[DataFrame] = None): Option[DataFrame] = {
     // PER-QUERY slop: a third `slop` column overrides the batch-wide
     // parameter row-by-row (a serving tier mixes exact and proximity
     // queries in one micro-batch) — the two knobs are mutually
@@ -540,9 +547,9 @@ class TermIndex(spark: SparkSession, path: String,
       "every per-query slop must be a non-negative, non-null integer")
     if (terms.isEmpty) return None
     val allTerms = terms.map(_.getString(0)).toSeq
-    val post = minusDeleted(
+    val post = restrictTo(minusDeleted(
       BatchedTable.readIdx(spark, postDir, excludeLabel)
-        .filter(col("term").isin(allTerms: _*)), excludeLabel)
+        .filter(col("term").isin(allTerms: _*)), excludeLabel), allowed)
     require(post.columns.contains("pos"),
       s"index at $path predates the positional layout — rebuild() to serve phrases")
     val slopC = if (hasSlopCol) col("slop").cast("int") else lit(slop)
@@ -572,17 +579,23 @@ class TermIndex(spark: SparkSession, path: String,
     * schemas differ (bm25 vs occurrence counts); same at-least-once
     * append posture. `slop` applies batch-wide; a stream whose rows
     * carry their own `slop` column gets per-query windows instead.
+    * `allowed` restricts every tick ([[restrictTo]]), pinned once at
+    * stream start like [[serveStream]]'s.
     */
   def servePhraseStream(queries: DataFrame, k: Int = 10, outDir: String,
-                        checkpoint: String, slop: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                        checkpoint: String, slop: Int = 0,
+                        allowed: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val allowedPinned = allowed.map(ids =>
+      ids.select(col("doc_id").cast(LongType).as("doc_id")).localCheckpoint(true))
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        searchPhraseBatchOpt(batch, k, None, slop).foreach(
+        searchPhraseBatchOpt(batch, k, None, slop, allowedPinned).foreach(
           _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir))
       }
       .start()
+  }
 
   /** [[phraseCountCol]] with a RUNTIME slot count and slop (the batch
     * path: phrase length — and, with a slop column, the window width —

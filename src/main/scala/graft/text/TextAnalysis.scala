@@ -886,14 +886,19 @@ object TextAnalysis extends QueryModule {
     * condition). Same anchor-count semantics as
     * `TermIndex.searchPhrase(slop = …)`, derived from the raw text.
     */
-  private def phraseSqlFor(terms: Seq[String], slop: Int): String = {
+  private def phraseSqlFor(terms: Seq[String], slop: Int,
+                           allowedSql: Option[String] = None): String = {
     val conds = terms.zipWithIndex.map { case (t, j) =>
       if (j == 0) s"ws[i] = '$t'"
       else if (slop == 0) s"i + $j <= len(ws) AND ws[i + $j] = '$t'"
       else s"len(list_filter(range(greatest(1, i + $j - $slop), " +
         s"least(len(ws), i + $j + $slop) + 1), q -> ws[q] = '$t')) > 0"
     }.mkString("\n          AND ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    // an allowed slice restricts CANDIDATES; phrase ranking carries no
+    // collection statistics, so filtering the source table is the
+    // whole semantics (unlike the BM25 oracle's global-stat CTEs)
+    val src = allowedSql.fold("documents")(p => s"documents WHERE $p")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |c AS (SELECT doc_id,
        |        CAST(len(list_filter(range(1, len(ws) + 1), i -> $conds)) AS BIGINT)
        |          AS n_occurrences
@@ -917,6 +922,26 @@ object TextAnalysis extends QueryModule {
   }
 
   private val phraseSlopSql = phraseSqlFor(slopTerms, slop = 2)
+
+  /** Predicated phrase search — `searchPhrase(allowed)`: the exact
+    * phrase probe restricted to the English slice, completing the
+    * filter-then-rank path across every text probe shape (BM25 one-
+    * shot/batch got it as #29u). Phrase ranking carries no collection
+    * statistics, so the semi-join's only job is pruning disallowed
+    * candidates BEFORE the position intersect — cheaper than post-
+    * filtering and, for a selective predicate, the only way to return
+    * k allowed matches at all. Oracle = the window-enumeration SQL
+    * over the filtered source table.
+    */
+  private def phraseFiltered(s: SparkSession, d: String): DataFrame = {
+    val idx = servedIdx(s, d, positional = true)
+    idx.searchPhrase(phraseTerms, k = 10,
+      allowed = Some(Tables.documents(s, d)
+        .filter(col("lang") === "en").select("doc_id")))
+  }
+
+  private val phraseFilteredSql =
+    phraseSqlFor(phraseTerms, slop = 0, allowedSql = Some("lang = 'en'"))
 
   /** Batched phrase serving — `TermIndex.searchPhraseBatch` over a
     * 3-phrase (query_id, phrase) frame: one term-pruned postings scan
@@ -1065,6 +1090,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25_filtered" -> (bm25Filtered _),
     "text_bm25_batch"  -> (bm25Batch _),
     "text_phrase_indexed" -> (phraseIndexed _),
+    "text_phrase_filtered" -> (phraseFiltered _),
     "text_phrase_slop" -> (phraseSlop _),
     "text_phrase_batch" -> (phraseBatch _),
     "text_phrase_mixed" -> (phraseMixed _),
@@ -1093,6 +1119,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25_filtered" -> bm25FilteredSql,
     "text_bm25_batch"  -> bm25BatchSql,
     "text_phrase_indexed" -> phraseIndexedSql,
+    "text_phrase_filtered" -> phraseFilteredSql,
     "text_phrase_slop" -> phraseSlopSql,
     "text_phrase_batch" -> phraseBatchSql,
     "text_phrase_mixed" -> phraseMixedSql,

@@ -121,6 +121,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bm25_indexed" -> "In(term",
       "text_bm25_filtered" -> "In(term",
       "text_phrase_indexed" -> "In(term",
+      "text_phrase_filtered" -> "In(term",
       "text_phrase_mixed" -> "In(term")
     val failures = expect.flatMap { case (name, marker) =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -308,6 +308,38 @@ class TermIndexSpec extends AnyFunSuite {
     assert(padded.last === ((5L, 0.0)), "the termless allowed doc pads at 0.0")
   }
 
+  test("filtered phrase search prunes candidates, not occurrence counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tidx-pallow").toString
+    val idx = new TermIndex(spark, dir)
+    val corpus = Seq(
+      (1L, "alpha beta x alpha beta"),  // allowed, 2 occurrences
+      (2L, "alpha beta y"),             // disallowed, would rank 2nd
+      (3L, "alpha beta z"),             // allowed, 1 occurrence
+      (4L, "beta alpha w")).toDF("doc_id", "text") // allowed, 0 occurrences
+    idx.build(corpus)
+    val allowed = Seq(1L, 3L, 4L).toDF("doc_id")
+    val got = idx.searchPhrase(Seq("alpha", "beta"), k = 10,
+        allowed = Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (3L, 1L)),
+      "counts must be the unfiltered per-doc counts, candidates the allowed set")
+    // batch form, with a per-query slop column riding along
+    val qs = Seq((0L, Seq("alpha", "beta"), 0), (1L, Seq("beta", "alpha"), 1))
+      .toDF("query_id", "phrase", "slop")
+    val bGot = idx.searchPhraseBatch(qs, k = 10, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bWant = Seq(0 -> (Seq("alpha", "beta"), 0), 1 -> (Seq("beta", "alpha"), 1))
+      .flatMap { case (q, (ph, sl)) =>
+        idx.searchPhrase(ph, k = 10, slop = sl, allowed = Some(allowed)).collect()
+          .map(r => (q.toLong, r.getLong(0), r.getLong(1)))
+      }.toSet
+    assert(bGot === bWant,
+      "batched filtered phrases must equal a filtered searchPhrase loop")
+    assert(bGot.exists(_._1 == 1L), "the slop query must match something")
+    assert(!bGot.exists(_._2 == 2L), "no disallowed doc may surface")
+  }
+
   test("duplicate query terms are refused (they would double-count)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tidx7").toString

@@ -194,6 +194,61 @@ class TextMultimodalSpec extends AnyFunSuite {
       md.digest(pngBytes).map("%02x".format(_)).mkString)
   }
 
+  test("mp4 header parse: ISO-BMFF box walk reads dims + frames, damaged boxes fall to stub") {
+    import spark.implicits._
+    // a minimal in-test MP4: ftyp, then moov[ trak(audio: 0x0 tkhd),
+    //                                         trak(video: tkhd + stts) ]
+    def box(ty: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(ty.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    def fullBoxPayload(version: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(version << 24).put(body)
+      bb.array()
+    }
+    def tkhd(version: Int, w: Int, h: Int): Array[Byte] = {
+      // v0: times/duration u32 (20B), v1: u64s (32B); then 16B of
+      // layer/volume reserveds, 36B matrix, 16.16 width + height
+      val pre = if (version == 1) 32 else 20
+      val bb = java.nio.ByteBuffer.allocate(pre + 16 + 36 + 8)
+      bb.position(pre + 16 + 36)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", fullBoxPayload(version, bb.array()))
+    }
+    def stts(counts: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + counts.size * 8)
+      bb.putInt(counts.size)
+      counts.foreach(c => bb.putInt(c.toInt).putInt(1000))
+      box("stts", fullBoxPayload(0, bb.array()))
+    }
+    def cat(bs: Array[Byte]*): Array[Byte] = bs.flatten.toArray
+    val ftyp = box("ftyp", "isom0000isomavc1".getBytes("ISO-8859-1"))
+    def mp4(version: Int): Array[Byte] = cat(ftyp, box("moov", cat(
+      box("trak", tkhd(0, 0, 0)),                     // audio track: 0x0
+      box("trak", cat(tkhd(version, 640, 360),
+        box("mdia", box("minf", box("stbl", stts(Seq(90L, 30L))))))))))
+    for (v <- Seq(0, 1)) {
+      assert(Decode.mp4Meta(mp4(v)) === Some(("video", 640, 360, 120L)),
+        s"tkhd v$v must parse dims from the video track and frames from stts")
+    }
+    // end-to-end through the detected-features tier
+    val got = Decode.featuresDetected(Seq(
+        MediaRef(1L, "video/mp4", mp4(0)),
+        // damaged: moov's declared size runs past the buffer
+        MediaRef(2L, "video/mp4", mp4(0).dropRight(24)),
+        // no ftyp brand: framing-shaped random bytes must not claim video
+        MediaRef(3L, "application/octet-stream",
+          cat(box("abcd", Array.fill[Byte](16)(7)))))
+      .toDS()).collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).modality === "video" && got(1L).decoded)
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((640, 360, 120L)))
+    for (id <- Seq(2L, 3L))
+      assert(got(id).modality === "opaque" && !got(id).decoded,
+        s"doc $id must route to the stub, not half-parse")
+  }
+
   test("pixel tier: resize downscales aspect-preserving, audio stats read real PCM") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
