@@ -85,24 +85,32 @@ object MixingPipeline {
 
   /** Run the mix. `targetPred` is DSIR's target-domain predicate over
     * the corpus columns (e.g. a curated-source marker);
-    * `budgetTokens = None` skips the token cut.
+    * `budgetTokens = None` skips the token cut. `clustered` supplies a
+    * pre-computed (doc_id, cluster) assignment — the SERVED-model path
+    * (`TopicCluster.servedAssignments`): a pipeline that mixes
+    * repeatedly against one corpus clusters once, and re-running
+    * Lloyd per mix would dominate the mix's cost with work whose
+    * result never changes. Default None keeps the self-contained
+    * cluster pass.
     */
   def mix(spark: SparkSession, docs: DataFrame,
           k: Int = 8, targetDocs: Int = 100,
           targetPred: Column, budgetTokens: Option[Long] = None,
           capacity: Long = 512, seed: String = "ep0",
-          lloydIters: Int = 5): Result = {
+          lloydIters: Int = 5,
+          clustered: Option[DataFrame] = None): Result = {
     // 1. topic routing + per-doc token counts, one slim frame the
     // whole selection works over (text stays behind until packing).
     // CACHED: quotas, the selection join, and the ledger all act on
     // it — uncached, every action would re-split the corpus text and
     // re-run the assignment projection. Three longs per doc; released
     // before returning (the checkpointed selection carries on alone).
-    val clustered = TopicCluster.clusterDocs(docs, k, lloydIters)
+    val clusteredF = clustered.getOrElse(
+        TopicCluster.clusterDocs(docs, k, lloydIters))
       .select("doc_id", "cluster")
     val slim = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-      .join(clustered, "doc_id")
+      .join(clusteredF, "doc_id")
       .cache()
 
     // 2. temperature quotas over per-topic token mass (the

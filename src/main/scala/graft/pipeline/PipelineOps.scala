@@ -499,7 +499,12 @@ object PipelineOps extends QueryModule {
     */
   private def mixQuery(s: SparkSession, d: String): DataFrame =
     graft.pipeline.MixingPipeline.mix(s, Tables.documents(s, d),
-      k = 4, targetDocs = 100, targetPred = col("doc_id") < 20).packed
+      k = 4, targetDocs = 100, targetPred = col("doc_id") < 20,
+      // the served-model path: the assignment is a property of the
+      // corpus, clustered once (TopicCluster.servedAssignments) and
+      // reused by every mix/read against the same dataset
+      clustered = Some(graft.text.TopicCluster.servedAssignments(s, d, k = 4)))
+      .packed
 
   private val tokenBudgetApproxSql =
     s"""WITH q AS (${graft.text.TextAnalysis.qualitySql}),

@@ -36,8 +36,56 @@ object TopicCluster extends QueryModule {
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** The SERVED assignment — build-once-serve-many, the `servedIdx`
+    * treatment applied to the topic model: the registered
+    * `text_cluster` and `corpus_mix` queries were re-running
+    * hash-embed + Lloyd per call, overstating served clustering cost
+    * the same way per-query index rebuilds overstated text serving
+    * (a mixing pipeline clusters once, then samples/packs/dashboards
+    * against the SAME assignment many times — re-clustering between
+    * reads would even break mix reproducibility if the corpus
+    * drifted). One deterministic dir per (dataset, k, iters, layout
+    * version); freshness = (doc count, token-count sum) against the
+    * live table, persisted under `meta/` and checked once per JVM per
+    * dir — stale or crashed caches rebuild. Output is byte-identical
+    * to [[clusterDocs]] (everything deterministic), so the rows-only
+    * spec contract is unchanged.
+    */
+  private val servedFresh =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop the per-JVM freshness memo — the content check re-runs at
+    * each dir's next read. The memo assumes the session's datasets
+    * don't mutate mid-JVM (servedIdx's contract); a caller that DOES
+    * regenerate a dataset in-session invalidates first.
+    */
+  private[graft] def invalidateServed(): Unit = servedFresh.clear()
+  private[graft] def servedAssignments(s: SparkSession, d: String,
+                                       k: Int = 8, iters: Int = 5): DataFrame = {
+    val dir = TextAnalysis.termIdxDir(d, s"-cluster-k$k-i$iters-v1")
+    def assigned = s.read.parquet(s"$dir/assign")
+    if (servedFresh.contains(dir)) return assigned
+    val live = Tables.documents(s, d)
+    val liveRow = live.agg(count(lit(1)),
+      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L))).head()
+    val fresh = scala.util.Try {
+      val m = s.read.parquet(s"$dir/meta").head()
+      m.getLong(0) == liveRow.getLong(0) && m.getLong(1) == liveRow.getLong(1)
+    }.getOrElse(false)
+    if (!fresh) {
+      clusterDocs(live, k, iters)
+        .write.mode("overwrite").parquet(s"$dir/assign")
+      // meta LAST: its presence certifies a complete assign/ write
+      s.createDataFrame(Seq((liveRow.getLong(0), liveRow.getLong(1))))
+        .toDF("n_docs", "sum_dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    servedFresh.add(dir)
+    assigned
+  }
+
   private def clusterQuery(s: SparkSession, d: String): DataFrame =
-    clusterDocs(Tables.documents(s, d))
+    servedAssignments(s, d)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("text_cluster" -> (clusterQuery _))

@@ -135,12 +135,13 @@ object Serving extends QueryModule {
                  excludeSelf: Boolean = false,
                  maxRowsPerTask: Long = 0L,
                  compressed: Boolean = false,
-                 vecShortlist: Int = 100): DataFrame =
+                 vecShortlist: Int = 100,
+                 wKw: Double = 1.0, wVec: Double = 1.0): DataFrame =
     hybridJoinWith(idx, queries, topK, shortlist, rrfK, allowed,
       q => store.searchJoin(q, topK = shortlist, nprobe = nprobe,
         allowed = vecAllowed(store, allowed), excludeSelf = excludeSelf,
         maxRowsPerTask = maxRowsPerTask, compressed = compressed,
-        shortlist = vecShortlist))
+        shortlist = vecShortlist), wKw, wVec)
 
   /** The hybrid `allowed` set renamed to the store's id column — one
     * doc_id frame restricts BOTH arms (the store's ids are the
@@ -164,7 +165,8 @@ object Serving extends QueryModule {
   private def hybridJoinWith(idx: graft.text.TermIndex, queries: DataFrame,
                              topK: Int, shortlist: Int, rrfK: Int,
                              allowed: Option[DataFrame],
-                             vecArm: DataFrame => DataFrame): DataFrame = {
+                             vecArm: DataFrame => DataFrame,
+                             wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "qv"),
       s"queries must be (query_id, terms, qv), got ${queries.columns.mkString(", ")}")
     val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
@@ -175,7 +177,7 @@ object Serving extends QueryModule {
     val v = vecArm(queries.select("query_id", "qv"))
     val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
-    fuseRrf(kw, vec, topK, rrfK)
+    fuseRrf(kw, vec, topK, rrfK, wKw, wVec)
   }
 
   /** Continuous hybrid serving — the streamed twin completing the
@@ -198,7 +200,8 @@ object Serving extends QueryModule {
                         excludeSelf: Boolean = false,
                         maxRowsPerTask: Long = 0L,
                         compressed: Boolean = false,
-                        vecShortlist: Int = 100)
+                        vecShortlist: Int = 100,
+                        wKw: Double = 1.0, wVec: Double = 1.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // pin the allowed set ONCE (both arms read the same checkpoint —
     // the vector arm's serving pin re-reads it, never the lineage)
@@ -212,7 +215,8 @@ object Serving extends QueryModule {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          hybridJoinWith(idx, batch, topK, shortlist, rrfK, kwAllowed, vecArm)
+          hybridJoinWith(idx, batch, topK, shortlist, rrfK, kwAllowed, vecArm,
+            wKw, wVec)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
       }
       .start()
@@ -222,9 +226,10 @@ object Serving extends QueryModule {
     * [[hybridJoin]] and the registered `vdb_hybrid_batch`.
     */
   private[vector] def fuseRrf(kw: DataFrame, vec: DataFrame,
-                              topK: Int, rrfK: Int): DataFrame = {
-    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
-      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
+                              topK: Int, rrfK: Int,
+                              wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
+    val rrf = lit(wKw) * coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      lit(wVec) * coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
     kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), rrf.as("rrf"),
         coalesce(col("rank_kw"), lit(0)).cast(LongType).as("rank_kw"),
@@ -267,7 +272,8 @@ object Serving extends QueryModule {
     * `searchBatch(allowed)`'s filter-then-rank with index-global df).
     */
   private def hybridBatchFrame(s: SparkSession, d: String,
-                               allowed: Option[DataFrame]): DataFrame = {
+                               allowed: Option[DataFrame],
+                               wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
     val cents = Centroids.deterministicInit(e, k = K)
@@ -299,8 +305,20 @@ object Serving extends QueryModule {
       .withColumn("rank_kw", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_kw")
-    fuseRrf(kw, vec, topK = 10, rrfK = RRF_K)
+    fuseRrf(kw, vec, topK = 10, rrfK = RRF_K, wKw = wKw, wVec = wVec)
   }
+
+  /** Weighted RRF — the fusion knob real RAG stacks tune: score =
+    * w_kw/(K + rank_kw) + w_vec/(K + rank_vec). Equal weights are the
+    * standard default, but a corpus whose keyword arm is noisy (OCR
+    * text) or whose embeddings are weak (out-of-domain encoder) wants
+    * the arms rebalanced; the registered query runs 2:1
+    * keyword-favored so the reordering vs #9m is visible and
+    * oracle-pinned. Weights multiply exactly reproducible double
+    * divisions — the x1e6 BIGINT emission stays engine-stable.
+    */
+  private def hybridWeighted(s: SparkSession, d: String): DataFrame =
+    hybridBatchFrame(s, d, allowed = None, wKw = 2.0, wVec = 1.0)
 
   /** The registered FILTERED hybrid — `vdb_hybrid_batch` restricted to
     * the English slice on both arms (the tenant/license/language
@@ -326,7 +344,8 @@ object Serving extends QueryModule {
     * order by the 4-dp values both engines emit.
     */
   private def hybridBatchSqlFor(qid: Long, terms: Seq[String],
-                                allowedSql: Option[String] = None): String = {
+                                allowedSql: Option[String] = None,
+                                wKw: Double = 1.0, wVec: Double = 1.0): String = {
     val (bmCtes, bmScore) = graft.text.TextAnalysis.bm25CtesFor(terms)
     // the allowed slice restricts each arm's SELECTION while df/N/avgdl
     // and the routing centroids stay corpus-global — the filter-then-
@@ -364,8 +383,8 @@ object Serving extends QueryModule {
        |  FROM vsel),
        |fused AS (
        |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
-       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + k.rank_kw), 0) +
-       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) AS rrf,
+       |         $wKw * COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + k.rank_kw), 0) +
+       |         $wVec * COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) AS rrf,
        |         COALESCE(k.rank_kw, 0) AS rank_kw,
        |         COALESCE(v.rank_vec, 0) AS rank_vec
        |  FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)
@@ -380,6 +399,11 @@ object Serving extends QueryModule {
   private val hybridBatchSql =
     hybridBatchQueries.map { case (qid, terms) =>
       s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms)}\n)"
+    }.mkString("\nUNION ALL\n")
+
+  private val hybridWeightedSql =
+    hybridBatchQueries.map { case (qid, terms) =>
+      s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms, None, wKw = 2.0, wVec = 1.0)}\n)"
     }.mkString("\nUNION ALL\n")
 
   private val hybridFilteredSql =
@@ -899,6 +923,7 @@ object Serving extends QueryModule {
     "vdb_knn_classify"  -> (knnClassify _),
     "vdb_hybrid_batch"  -> (hybridBatch _),
     "vdb_hybrid_filtered" -> (hybridFiltered _),
+    "vdb_hybrid_weighted" -> (hybridWeighted _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _),
@@ -911,6 +936,7 @@ object Serving extends QueryModule {
     "vdb_knn_classify"  -> knnClassifySql,
     "vdb_hybrid_batch"  -> hybridBatchSql,
     "vdb_hybrid_filtered" -> hybridFilteredSql,
+    "vdb_hybrid_weighted" -> hybridWeightedSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)
 }

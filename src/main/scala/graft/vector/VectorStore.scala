@@ -1331,11 +1331,20 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
               shortlist: Int = 50, nprobe: Int = 2,
               excludeSelf: Boolean = false,
               allowed: Option[DataFrame] = None,
-              maxRowsPerTask: Long = 0L): DataFrame = {
+              maxRowsPerTask: Long = 0L,
+              compressed: Boolean = false,
+              adcShortlist: Int = 100): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    // compressed: the SHORTLIST selection scans codes only (ADC +
+    // exact re-rank inside searchJoin, `adcShortlist` candidates per
+    // query) — the diversification pass keeps the codes-only IO
+    // regime; the greedy still needs raw vectors for pairwise sims,
+    // but only the ≤ nQueries×shortlist picked candidates' rows, an
+    // id-pruned fetch, never a shard scan
     val short = searchJoin(queries, topK = shortlist, nprobe = nprobe,
       allowed = allowed, excludeSelf = excludeSelf,
-      maxRowsPerTask = maxRowsPerTask)
+      maxRowsPerTask = maxRowsPerTask,
+      compressed = compressed, shortlist = adcShortlist)
     val rows = short
       .join(spark.read.parquet(vecDir).select(col(idCol).cast(LongType).as(idCol),
         col(vecCol).cast("array<double>").as("__v")), idCol)

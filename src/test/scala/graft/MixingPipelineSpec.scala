@@ -83,6 +83,24 @@ class MixingPipelineSpec extends AnyFunSuite {
     r.release(); r2.release()
   }
 
+  test("mix with a supplied assignment equals the self-clustering mix") {
+    val docs = Tables.documents(spark, sf)
+    val pred = col("doc_id") < 20
+    val self = MixingPipeline.mix(spark, docs, k = 4, targetDocs = 40,
+      targetPred = pred)
+    // the served-model path: hand the SAME deterministic assignment in
+    // (as servedAssignments would) — every downstream stage must be
+    // byte-identical, proving `clustered` is a pure cost knob
+    val handed = MixingPipeline.mix(spark, docs, k = 4, targetDocs = 40,
+      targetPred = pred,
+      clustered = Some(TopicCluster.clusterDocs(docs, k = 4)))
+    assert(rows(handed.packed, handed.packed.columns.toSeq: _*) ===
+      rows(self.packed, self.packed.columns.toSeq: _*),
+      "a pre-computed assignment must not change the mix")
+    assert(handed.ledger === self.ledger)
+    self.release(); handed.release()
+  }
+
   test("mix composes over the curation pipeline's survivors") {
     val docs = Tables.documents(spark, sf)
     val cur = graft.pipeline.CurationPipeline.curate(spark, docs)

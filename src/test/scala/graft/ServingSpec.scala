@@ -115,6 +115,60 @@ class ServingSpec extends AnyFunSuite {
     assert(got === want, "batched MMR must equal the per-query loop")
   }
 
+  test("weighted hybrid: 2:1 keyword weights reorder the equal-weight fusion") {
+    def rowsOf(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val equal = rowsOf("vdb_hybrid_batch")
+    val weighted = rowsOf("vdb_hybrid_weighted")
+    // both arms' SHORTLISTS are weight-independent — weights only
+    // rescale the fusion — so per (query, doc) the rank_kw/rank_vec
+    // pairs agree wherever a doc appears in both top-10s
+    val eqRanks = equal.map(t => (t._1, t._3) -> (t._4, t._5)).toMap
+    weighted.foreach { case (q, _, doc, rk, rv, _) =>
+      eqRanks.get((q, doc)).foreach(p => assert(p === ((rk, rv)),
+        s"arm ranks must be weight-independent for ($q, $doc)"))
+    }
+    // the 2:1 keyword boost must actually reorder something (else the
+    // knob is untested on this data)
+    val eqOrder = equal.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3)).toSeq
+    val wOrder = weighted.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3)).toSeq
+    assert(eqOrder !== wOrder, "weights changed nothing — widen the spec data")
+    // and a fused score must dominate where the keyword rank is better
+    weighted.foreach { case (_, _, _, rk, rv, x) =>
+      assert(x > 0L)
+      assert(rk > 0 || rv > 0)
+    }
+  }
+
+  test("compressed mmrJoin equals the raw arm at a covering ADC shortlist") {
+    import spark.implicits._
+    val n = 128
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmrpq").toString
+    val vs = new graft.vector.VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16)
+    val vecs = corpus.select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val queries = Seq(5L, 90L).map(id => (id, vecs(id).toSeq))
+      .toDF("query_id", "qv")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // a covering shortlist makes the ADC pass exact (every true
+    // top-15 member re-ranked on raw vectors), so the diversified
+    // result must be identical — while the selection scan stayed
+    // codes-only
+    val raw = canon(vs.mmrJoin(queries, topK = 5, shortlist = 15, nprobe = 2))
+    val comp = vs.mmrJoin(queries, topK = 5, shortlist = 15, nprobe = 2,
+      compressed = true, adcShortlist = 300)
+    assert(canon(comp) === raw,
+      "compressed MMR with a covering ADC shortlist must equal the raw arm")
+  }
+
   test("recall_eval is integer-exact and bounded") {
     val rows = SparkEntry.queries("vdb_recall_eval")(spark, sf).collect()
     assert(rows.length === 20)

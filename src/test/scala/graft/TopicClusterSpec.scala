@@ -45,4 +45,34 @@ class TopicClusterSpec extends AnyFunSuite {
     assert(lawClusters.size === 1, s"law docs split across $lawClusters")
     assert(sciClusters != lawClusters, "domains merged into one cluster")
   }
+
+  test("served assignments equal a direct cluster run, cache, and rebuild on drift") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-servclu").toString
+    def writeDocs(suffix: String): Unit =
+      (0L until 40L).map(i => (i, s"w${i % 7} x${i % 5} y${i % 3}$suffix"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    writeDocs("")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val direct = canon(TopicCluster.clusterDocs(
+      Tables.documents(spark, dataDir), k = 4))
+    val served = canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    assert(served === direct,
+      "the served assignment must be byte-identical to a direct Lloyd run")
+    assert(canon(TopicCluster.servedAssignments(spark, dataDir, k = 4)) === direct,
+      "a repeat read serves the cached assignment unchanged")
+    // corpus drift (same doc count, different tokens) must rebuild:
+    // the token-count sum moves, the meta check fails, Lloyd reruns.
+    // The per-JVM memo assumes immutable-in-session datasets, so an
+    // in-session regeneration invalidates first (the documented
+    // contract — a fresh JVM re-checks unprompted).
+    writeDocs(" drifted tokens here")
+    TopicCluster.invalidateServed()
+    val drifted = canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    assert(drifted === canon(TopicCluster.clusterDocs(
+        Tables.documents(spark, dataDir), k = 4)),
+      "a drifted corpus must re-cluster, not serve the stale assignment")
+  }
 }
