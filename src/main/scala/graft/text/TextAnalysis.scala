@@ -886,8 +886,9 @@ object TextAnalysis extends QueryModule {
     * condition). Same anchor-count semantics as
     * `TermIndex.searchPhrase(slop = …)`, derived from the raw text.
     */
-  private def phraseSqlFor(terms: Seq[String], slop: Int,
-                           allowedSql: Option[String] = None): String = {
+  private[graft] def phraseSqlFor(terms: Seq[String], slop: Int,
+                                  allowedSql: Option[String] = None,
+                                  limit: Int = 10): String = {
     val conds = terms.zipWithIndex.map { case (t, j) =>
       if (j == 0) s"ws[i] = '$t'"
       else if (slop == 0) s"i + $j <= len(ws) AND ws[i + $j] = '$t'"
@@ -904,7 +905,7 @@ object TextAnalysis extends QueryModule {
        |          AS n_occurrences
        |      FROM w)
        |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
-       |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin
+       |ORDER BY n_occurrences DESC, doc_id LIMIT $limit""".stripMargin
   }
 
   /** Proximity (slop) phrase search — `searchPhrase(slop = 2)`: term j

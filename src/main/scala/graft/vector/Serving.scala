@@ -271,13 +271,19 @@ object Serving extends QueryModule {
     * index, not of one query's allowed set — and the keyword arm is
     * `searchBatch(allowed)`'s filter-then-rank with index-global df).
     */
-  private def hybridBatchFrame(s: SparkSession, d: String,
-                               allowed: Option[DataFrame],
-                               wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
-    import s.implicits._
+  /** The inline IVF vector arm shared by every registered hybrid
+    * batch: per-query top-SHORTLIST through the bounded heap (the
+    * shuffle after scoring carries ≤ SHORTLIST rows per (query, map
+    * partition) — a row_number window would shuffle the full probed
+    * population per query before truncating), self excluded before
+    * ranking, deterministic-centroid nprobe=2 routing, allowed slice
+    * semi-joined AFTER shard assignment (routing is the index's
+    * property, not the query's).
+    */
+  private def ivfBatchArm(s: SparkSession, d: String, qIds: Seq[Long],
+                          allowed: Option[DataFrame]): DataFrame = {
     val e = emb(s, d)
     val cents = Centroids.deterministicInit(e, k = K)
-    val qIds = hybridBatchQueries.map(_._1)
     val probes = e.filter(col("vec_id").isin(qIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
@@ -286,12 +292,7 @@ object Serving extends QueryModule {
       Centroids.nearestShard(col("embedding"), cents))
     val corpus = allowed.fold(corpus0)(ids => corpus0.join(
       ids.select(col("doc_id").cast(LongType).as("vec_id")), Seq("vec_id"), "left_semi"))
-    // per-query shortlist through the bounded heap, like every join-
-    // scale rank here: the shuffle after scoring carries ≤ SHORTLIST
-    // rows per (query, map partition), never all scored candidates
-    // (a row_number window would shuffle the full probed population
-    // per query before truncating)
-    val vec = corpus.join(broadcast(probes), Seq("shard"))
+    corpus.join(broadcast(probes), Seq("shard"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
       .groupBy("query_id")
@@ -299,6 +300,13 @@ object Serving extends QueryModule {
       .select(col("query_id"), posexplode(col("tops")).as(Seq("__pos", "__e")))
       .select(col("query_id"), col("__e.id").as("doc_id"),
         (col("__pos") + 1).cast("int").as("rank_vec"))
+  }
+
+  private def hybridBatchFrame(s: SparkSession, d: String,
+                               allowed: Option[DataFrame],
+                               wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
+    import s.implicits._
+    val vec = ivfBatchArm(s, d, hybridBatchQueries.map(_._1), allowed)
     val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = false)
     val kw = idx.searchBatch(hybridBatchQueries.toDF("query_id", "terms"),
         k = SHORTLIST, allowed = allowed)
@@ -409,6 +417,163 @@ object Serving extends QueryModule {
   private val hybridFilteredSql =
     hybridBatchQueries.map { case (qid, terms) =>
       s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms, Some("lang = 'en'"))}\n)"
+    }.mkString("\nUNION ALL\n")
+
+  // --- three-arm hybrid: keyword + vector + phrase --------------------
+  /** Three-arm RRF: score = Σ_arm w/(K + rank_arm), absent arm
+    * contributes 0 — the full serving tier fused in one plan. The
+    * phrase arm catches exact multi-word matches BOTH other arms
+    * miss (BM25 is order-blind, embeddings paraphrase), the classic
+    * "named entity / quoted phrase" retrieval gap. Two chained
+    * full-outer joins of nQueries×shortlist frames — bounded, like
+    * the two-arm fuse.
+    */
+  private[vector] def fuseRrf3(kw: DataFrame, vec: DataFrame, ph: DataFrame,
+                               topK: Int, rrfK: Int): DataFrame = {
+    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_ph") + rrfK), lit(0.0))
+    kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .join(ph, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), rrf.as("rrf"),
+        coalesce(col("rank_kw"), lit(0)).cast(LongType).as("rank_kw"),
+        coalesce(col("rank_vec"), lit(0)).cast(LongType).as("rank_vec"),
+        coalesce(col("rank_ph"), lit(0)).cast(LongType).as("rank_ph"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id")))
+        .cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_kw"), col("rank_vec"), col("rank_ph"),
+        round(col("rrf") * 1e6, 0).cast(LongType).as("rrf_x1e6"))
+  }
+
+  /** The three-arm hybrid as a library call against BOTH maintained
+    * indexes: keyword (`searchBatch`) and phrase
+    * (`searchPhraseBatch`) arms probe the SAME positional
+    * [[graft.text.TermIndex]] — two probes over one postings layout,
+    * the phrase arm reading the pos column the BM25 arm leaves on
+    * disk — and the vector arm is [[VectorStore.searchJoin]].
+    * `queries` is (query_id, terms, phrase, qv); `allowed` restricts
+    * all three arms (filter-then-rank each, the #29u/#29v/#9k
+    * semantics per arm). Phrase ranks order by the integer
+    * occurrence counts — engine-stable with no rounding contract.
+    */
+  def triJoin(idx: graft.text.TermIndex, store: VectorStore,
+              queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
+              nprobe: Int = 2, rrfK: Int = RRF_K,
+              allowed: Option[DataFrame] = None): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "terms", "phrase", "qv"),
+      s"queries must be (query_id, terms, phrase, qv), got ${queries.columns.mkString(", ")}")
+    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
+        allowed = allowed)
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_kw")
+    val ph = idx.searchPhraseBatch(queries.select("query_id", "phrase"),
+        k = shortlist, allowed = allowed)
+      .withColumn("rank_ph", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("n_occurrences"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_ph")
+    val v = store.searchJoin(queries.select("query_id", "qv"),
+      topK = shortlist, nprobe = nprobe, allowed = vecAllowed(store, allowed))
+    val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
+      col("rank").cast("int").as("rank_vec"))
+    fuseRrf3(kw, vec, ph, topK, rrfK)
+  }
+
+  /** The registered three-arm batch — #9m's shape plus the phrase
+    * arm, all text probes served from ONE shared positional index.
+    */
+  private val hybridTriQueries: Seq[(Long, Seq[String], Seq[String])] = Seq(
+    (0L, Seq("vector", "merge", "scan"), Seq("merge", "join")),
+    (1L, Seq("scan", "filter", "join"), Seq("table", "hash")),
+    (2L, Seq("table", "stream"), Seq("part", "filter")))
+
+  private def hybridTri(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = true)
+    val kw = idx.searchBatch(
+        hybridTriQueries.map(q => (q._1, q._2)).toDF("query_id", "terms"),
+        k = SHORTLIST)
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_kw")
+    val ph = idx.searchPhraseBatch(
+        hybridTriQueries.map(q => (q._1, q._3)).toDF("query_id", "phrase"),
+        k = SHORTLIST)
+      .withColumn("rank_ph", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("n_occurrences"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_ph")
+    val vec = ivfBatchArm(s, d, hybridTriQueries.map(_._1), allowed = None)
+    fuseRrf3(kw, vec, ph, topK = 10, rrfK = RRF_K)
+  }
+
+  private def hybridTriSqlFor(qid: Long, terms: Seq[String],
+                              phrase: Seq[String]): String = {
+    val (bmCtes, bmScore) = graft.text.TextAnalysis.bm25CtesFor(terms)
+    // the phrase arm's window-enumeration SELECT nests as a subquery
+    // (its WITH names shadow the outer CTEs inside the parens)
+    val phSel = graft.text.TextAnalysis.phraseSqlFor(phrase, slop = 0,
+      limit = SHORTLIST)
+    s"""WITH $bmCtes,
+       |kwsel AS (
+       |  SELECT doc_id, score0 FROM (SELECT d.doc_id,
+       |      $bmScore AS score0
+       |      FROM d CROSS JOIN c) q
+       |  WHERE score0 > 0 ORDER BY score0 DESC, doc_id LIMIT $SHORTLIST),
+       |kwtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY ROUND(score0, 4) DESC, doc_id) AS rank_kw
+       |  FROM kwsel),
+       |${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = $qid),
+       |qsh AS (SELECT shard FROM (
+       |  SELECT c.shard, ROW_NUMBER() OVER (
+       |    ORDER BY list_distance(qv.v, c.c), c.shard) AS rn
+       |  FROM qv CROSS JOIN cent c) t WHERE rn <= 2),
+       |vsel AS (
+       |  SELECT b.vec_id AS doc_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], qv.v) AS vscore
+       |  FROM qv CROSS JOIN qsh
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> $qid
+       |  ORDER BY vscore DESC, doc_id LIMIT $SHORTLIST),
+       |vtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
+       |  FROM vsel),
+       |phtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY n_occurrences DESC, doc_id) AS rank_ph
+       |  FROM (
+       |$phSel
+       |  )),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id, p.doc_id) AS doc_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + k.rank_kw), 0) +
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) +
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + p.rank_ph), 0) AS rrf,
+       |         COALESCE(k.rank_kw, 0) AS rank_kw,
+       |         COALESCE(v.rank_vec, 0) AS rank_vec,
+       |         COALESCE(p.rank_ph, 0) AS rank_ph
+       |  FROM kwtop k
+       |  FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id
+       |  FULL OUTER JOIN phtop p ON p.doc_id = COALESCE(k.doc_id, v.doc_id))
+       |SELECT CAST($qid AS BIGINT) AS query_id,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, CAST(rank_kw AS BIGINT) AS rank_kw,
+       |       CAST(rank_vec AS BIGINT) AS rank_vec,
+       |       CAST(rank_ph AS BIGINT) AS rank_ph,
+       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  private val hybridTriSql =
+    hybridTriQueries.map { case (qid, terms, phrase) =>
+      s"SELECT * FROM (\n${hybridTriSqlFor(qid, terms, phrase)}\n)"
     }.mkString("\nUNION ALL\n")
 
   // --- knn join: top-3 neighbors for EVERY vector ---------------------
@@ -924,6 +1089,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_batch"  -> (hybridBatch _),
     "vdb_hybrid_filtered" -> (hybridFiltered _),
     "vdb_hybrid_weighted" -> (hybridWeighted _),
+    "vdb_hybrid_tri" -> (hybridTri _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_mmr"           -> (mmr _),
@@ -937,6 +1103,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_batch"  -> hybridBatchSql,
     "vdb_hybrid_filtered" -> hybridFilteredSql,
     "vdb_hybrid_weighted" -> hybridWeightedSql,
+    "vdb_hybrid_tri" -> hybridTriSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql)
 }

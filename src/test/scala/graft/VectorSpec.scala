@@ -988,6 +988,64 @@ class VectorSpec extends AnyFunSuite {
       s"expected a codes-only candidate scan in the hybrid arm, got:\n${schemas.mkString("\n")}")
   }
 
+  test("triJoin fuses keyword + vector + phrase arms like a per-query loop") {
+    import spark.implicits._
+    val n = 256
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    // doc text places the exact phrase "merge join" in a doc subset
+    // DISJOINT from the high-BM25 docs, so the phrase arm genuinely
+    // reorders the fusion
+    val docs = spark.range(0, n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        when(col("id") % 7 === 0, "merge join").otherwise("fz"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-tri-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tdir = Files.createTempDirectory("graft-tri-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir) // positional
+    idx.build(docs)
+    val qRows: Seq[(Long, Seq[String], Seq[String])] = Seq(
+      (3L, Seq("merge", "join"), Seq("merge", "join")),
+      (10L, Seq("join", "w3"), Seq("merge", "merge")))
+    val qv = corpus.filter(col("id").isin(qRows.map(_._1): _*))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val queries = qRows.map { case (id, t, p) => (id, t, p, qv(id)) }
+      .toDF("query_id", "terms", "phrase", "qv")
+    val got = graft.vector.Serving
+      .triJoin(idx, vs, queries, topK = 5, shortlist = 20, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = qRows.flatMap { case (id, terms, phrase) =>
+      val kw = idx.search(terms, k = 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (doc, sc) => (-sc, doc) }.zipWithIndex
+        .map { case ((doc, _), i) => doc -> (i + 1) }.toMap
+      val ph = idx.searchPhrase(phrase, k = 20).collect()
+        .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+      val vec = vs.search(qv(id).toArray, topK = 20, nprobe = 2).collect()
+        .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+      (kw.keySet ++ ph.keySet ++ vec.keySet).toSeq.map { doc =>
+        def c(m: Map[Long, Int]) = m.get(doc).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (doc, c(kw) + c(vec) + c(ph), kw.getOrElse(doc, 0).toLong,
+          vec.getOrElse(doc, 0).toLong, ph.getOrElse(doc, 0).toLong)
+      }.sortBy { case (doc, rrf, _, _, _) => (-rrf, doc) }.take(5).zipWithIndex.map {
+        case ((doc, rrf, rk, rv, rp), i) =>
+          (id, (i + 1).toLong, doc, rk, rv, rp, math.rint(rrf * 1e6).toLong)
+      }
+    }.toSet
+    assert(got === want, "three-arm fusion must equal the per-query RRF loop")
+    assert(got.exists { case (_, _, _, _, _, rp, _) => rp > 0 },
+      "the phrase arm must contribute at least one ranked doc")
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
