@@ -91,14 +91,19 @@ object MixingPipeline {
     * repeatedly against one corpus clusters once, and re-running
     * Lloyd per mix would dominate the mix's cost with work whose
     * result never changes. Default None keeps the self-contained
-    * cluster pass.
+    * cluster pass. `weights` likewise supplies pre-computed DSIR
+    * weights (doc_id, dsir_x1e6) — the served-artifact path
+    * ([[PipelineOps.servedDsirWeights]]); when set, `targetPred` is
+    * unused (the predicate is baked into the artifact) and the mix
+    * runs no token pass of its own beyond `slim`'s count projection.
     */
   def mix(spark: SparkSession, docs: DataFrame,
           k: Int = 8, targetDocs: Int = 100,
           targetPred: Column, budgetTokens: Option[Long] = None,
           capacity: Long = 512, seed: String = "ep0",
           lloydIters: Int = 5,
-          clustered: Option[DataFrame] = None): Result = {
+          clustered: Option[DataFrame] = None,
+          weights: Option[DataFrame] = None): Result = {
     // 1. topic routing + per-doc token counts, one slim frame the
     // whole selection works over (text stays behind until packing).
     // CACHED: quotas, the selection join, and the ledger all act on
@@ -137,10 +142,11 @@ object MixingPipeline {
     // checkpointed nothing references it, so repeated mixes in one
     // session must free it here (Result.release can't — the cache
     // isn't reachable from the returned frames).
-    val (weightsAll, releaseWeights) =
-      PipelineOps.dsirWeightsReleasable(docs, targetPred)
-    val weights = weightsAll.select("doc_id", "dsir_x1e6")
-    val keyed = weights
+    val (weightsAll, releaseWeights) = weights match {
+      case Some(w) => (w, () => ())
+      case None    => PipelineOps.dsirWeightsReleasable(docs, targetPred)
+    }
+    val keyed = weightsAll.select("doc_id", "dsir_x1e6")
       .withColumn("__sel", col("dsir_x1e6") + gumbelX1e6(col("doc_id")))
       .join(slim.select("doc_id", "cluster", "n_tokens"), "doc_id")
     // the heap key rides as double (TopKAgg's buffer type): micro-nat

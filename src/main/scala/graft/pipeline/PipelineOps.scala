@@ -500,10 +500,11 @@ object PipelineOps extends QueryModule {
   private def mixQuery(s: SparkSession, d: String): DataFrame =
     graft.pipeline.MixingPipeline.mix(s, Tables.documents(s, d),
       k = 4, targetDocs = 100, targetPred = col("doc_id") < 20,
-      // the served-model path: the assignment is a property of the
-      // corpus, clustered once (TopicCluster.servedAssignments) and
-      // reused by every mix/read against the same dataset
-      clustered = Some(graft.text.TopicCluster.servedAssignments(s, d, k = 4)))
+      // the served-model path: the assignment AND the DSIR weights are
+      // properties of the corpus, computed once (servedAssignments /
+      // servedDsirWeights) and reused by every mix against the dataset
+      clustered = Some(graft.text.TopicCluster.servedAssignments(s, d, k = 4)),
+      weights = Some(servedDsirWeights(s, d, "doclt20", col("doc_id") < 20)))
       .packed
 
   private val tokenBudgetApproxSql =
@@ -661,8 +662,61 @@ object PipelineOps extends QueryModule {
     (out, () => { db.unpersist(); () })
   }
 
+  // --- served DSIR weights (the maintained-artifact form) -------------
+  /** DSIR weights as a MAINTAINED ARTIFACT — the `servedAssignments`
+    * treatment applied to the importance model: the weights are a
+    * property of (corpus, target predicate, bucket count), not of one
+    * mix call, yet every `mix`/`corpus_dsir` invocation was re-paying
+    * the token explode + two model aggregates for a result that never
+    * changes between corpus drifts. One deterministic dir per
+    * (dataset, predicate key, buckets, layout version) holds the
+    * (doc_id, n_tokens, dsir_x1e6) table; freshness = (doc count,
+    * token-count sum) against the live table, persisted under `meta/`
+    * (written LAST — its presence certifies a complete weights write)
+    * and checked once per JVM per dir. Byte-identical to
+    * [[dsirWeights]] (floor-quantized integer weights are
+    * deterministic), so hash-oracle rows serve from it unchanged.
+    *
+    * `predKey` names the predicate in the cache key — the Column
+    * itself has no stable identity, so the CALLER owns the contract
+    * that one key means one predicate per dataset (same discipline as
+    * a view name). At 100 TB this turns the mix's dominant repeated
+    * corpus pass into a parquet read of one slim row-per-doc table.
+    */
+  private val servedDsirFresh =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop the per-JVM freshness memo — the content check re-runs at
+    * each dir's next read (see `TopicCluster.invalidateServed`).
+    */
+  private[graft] def invalidateServedDsir(): Unit = servedDsirFresh.clear()
+
+  def servedDsirWeights(s: SparkSession, d: String, predKey: String,
+                        targetPred: Column, buckets: Int = 1024): DataFrame = {
+    val dir = graft.text.TextAnalysis.termIdxDir(d, s"-dsir-$predKey-b$buckets-v1")
+    def weights = s.read.parquet(s"$dir/weights")
+    if (servedDsirFresh.contains(dir)) return weights
+    val live = Tables.documents(s, d)
+    val liveRow = live.agg(count(lit(1)),
+      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L))).head()
+    val fresh = scala.util.Try {
+      val m = s.read.parquet(s"$dir/meta").head()
+      m.getLong(0) == liveRow.getLong(0) && m.getLong(1) == liveRow.getLong(1)
+    }.getOrElse(false)
+    if (!fresh) {
+      val (w, release) = dsirWeightsReleasable(live, targetPred, buckets)
+      w.write.mode("overwrite").parquet(s"$dir/weights")
+      release()
+      s.createDataFrame(Seq((liveRow.getLong(0), liveRow.getLong(1))))
+        .toDF("n_docs", "sum_dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    servedDsirFresh.add(dir)
+    weights
+  }
+
   private def dsirQuery(s: SparkSession, d: String): DataFrame =
-    dsirWeights(Tables.documents(s, d), col("doc_id") < 20)
+    servedDsirWeights(s, d, "doclt20", col("doc_id") < 20)
 
   private val dsirSql =
     """WITH tok AS (
@@ -713,7 +767,7 @@ object PipelineOps extends QueryModule {
   }
 
   private def dsirSampleQuery(s: SparkSession, d: String): DataFrame =
-    dsirSample(dsirWeights(Tables.documents(s, d), col("doc_id") < 20))
+    dsirSample(servedDsirWeights(s, d, "doclt20", col("doc_id") < 20))
 
   private val dsirSampleSql =
     s"""WITH w AS ($dsirSql),

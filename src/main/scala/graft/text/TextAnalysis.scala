@@ -689,7 +689,7 @@ object TextAnalysis extends QueryModule {
     * invocations reuse the same path instead of accumulating
     * corpus-sized temp copies.
     */
-  private[text] def termIdxDir(d: String, suffix: String = ""): String =
+  private[graft] def termIdxDir(d: String, suffix: String = ""): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-termidx-" +
       java.lang.Long.toHexString(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(

@@ -146,4 +146,60 @@ class MixingPipelineSpec extends AnyFunSuite {
       "budget survivors must be the same docs at the same ranks as the free mix")
     free.release(); cut.release()
   }
+
+  test("served DSIR weights equal the direct computation and survive a freshness check") {
+    val docs = Tables.documents(spark, sf)
+    val pred = col("doc_id") < 20
+    val direct = rows(PipelineOps.dsirWeights(docs, pred),
+      "doc_id", "n_tokens", "dsir_x1e6")
+    PipelineOps.invalidateServedDsir()
+    val served1 = PipelineOps.servedDsirWeights(spark, sf, "doclt20", pred)
+    assert(rows(served1, "doc_id", "n_tokens", "dsir_x1e6") === direct,
+      "the maintained artifact must be byte-identical to dsirWeights")
+    // second read: the per-JVM memo path (no rebuild) serves the same
+    PipelineOps.invalidateServedDsir()
+    val served2 = PipelineOps.servedDsirWeights(spark, sf, "doclt20", pred)
+    assert(rows(served2, "doc_id", "n_tokens", "dsir_x1e6") === direct,
+      "a content-fresh artifact must serve unchanged after memo invalidation")
+  }
+
+  test("a drifted corpus rebuilds the served DSIR artifact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-drift").toString
+    def write(n: Int): Unit = (0 until n)
+      .map(i => (i.toLong, s"tok${i % 7} tok${i % 11} body$i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(40)
+    val pred = col("doc_id") < 10
+    PipelineOps.invalidateServedDsir()
+    val before = rows(PipelineOps.servedDsirWeights(spark, dir, "p10", pred),
+      "doc_id", "dsir_x1e6")
+    write(60) // drift: more docs → different models, stale artifact
+    PipelineOps.invalidateServedDsir() // in-session regeneration contract
+    val after = PipelineOps.servedDsirWeights(spark, dir, "p10", pred)
+    assert(after.count() === 60L, "the rebuilt artifact must cover the drifted corpus")
+    assert(rows(after, "doc_id", "dsir_x1e6") !==  before)
+    assert(rows(after, "doc_id", "dsir_x1e6") ===
+      rows(PipelineOps.dsirWeights(
+        spark.read.parquet(s"$dir/documents.parquet"), pred),
+        "doc_id", "dsir_x1e6"),
+      "post-drift serving must equal a fresh direct computation")
+  }
+
+  test("mix with supplied served weights equals the self-computing mix") {
+    val docs = Tables.documents(spark, sf)
+    val pred = col("doc_id") < 20
+    val self = MixingPipeline.mix(spark, docs, k = 4, targetDocs = 40,
+      targetPred = pred)
+    PipelineOps.invalidateServedDsir()
+    val handed = MixingPipeline.mix(spark, docs, k = 4, targetDocs = 40,
+      targetPred = pred,
+      weights = Some(PipelineOps.servedDsirWeights(spark, sf, "doclt20", pred)))
+    assert(rows(handed.packed, handed.packed.columns.toSeq: _*) ===
+      rows(self.packed, self.packed.columns.toSeq: _*),
+      "pre-computed weights must not change the mix")
+    assert(handed.ledger === self.ledger)
+    self.release(); handed.release()
+  }
 }
