@@ -26,10 +26,29 @@ import graft.vector.Centroids
   */
 object TopicCluster extends QueryModule {
 
-  def clusterDocs(docs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+  /** Train the model AND return it with the slim assignment — the
+    * form maintenance needs: the centroid set is the reusable model,
+    * the (doc_id, cluster) rows are one frozen-model projection of it.
+    */
+  private[graft] def clusterModel(docs: DataFrame, k: Int = 8, iters: Int = 5)
+      : (Array[(Int, Array[Double])], DataFrame) = {
     val emb = HashEmbedder.embed(docs)
-    val (_, assigned) = Centroids.lloyd(emb, idCol = "doc_id", k = k, iters = iters)
-    val a = assigned.select(col("doc_id"), col("shard").cast(LongType).as("cluster"))
+    val (cents, assigned) = Centroids.lloyd(emb, idCol = "doc_id", k = k, iters = iters)
+    (cents, assigned.select(col("doc_id"), col("shard").cast(LongType).as("cluster")))
+  }
+
+  /** Map-only frozen-model assignment: hash-embed + nearest centroid,
+    * no Lloyd pass — what `maintain` runs over NEW docs only.
+    */
+  private def assignFrozen(docs: DataFrame,
+                           cents: Array[(Int, Array[Double])]): DataFrame =
+    HashEmbedder.embed(docs)
+      .select(col("doc_id"),
+        Centroids.nearestShard(col("embedding"), cents.toSeq)
+          .cast(LongType).as("cluster"))
+
+  def clusterDocs(docs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val a = clusterModel(docs, k, iters)._2
     // cluster populations: a k-row aggregate, broadcast back
     val sizes = a.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
     a.join(broadcast(sizes), "cluster")
@@ -60,28 +79,139 @@ object TopicCluster extends QueryModule {
     * regenerate a dataset in-session invalidates first.
     */
   private[graft] def invalidateServed(): Unit = servedFresh.clear()
+
+  private def modelDir(d: String, k: Int, iters: Int): String =
+    TextAnalysis.termIdxDir(d, s"-cluster-k$k-i$iters-v2")
+
+  private def liveStamp(live: DataFrame): (Long, Long) = {
+    val r = live.agg(count(lit(1)),
+      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Full train-and-persist: slim assignment, k-row sizes, the
+    * centroid MODEL (what `maintain` assigns against), then meta LAST
+    * (its presence certifies a complete write).
+    */
+  private def persistModel(s: SparkSession, dir: String, live: DataFrame,
+                           stamp: (Long, Long), k: Int, iters: Int): Unit = {
+    import s.implicits._
+    val (cents, a) = clusterModel(live, k, iters)
+    a.write.mode("overwrite").parquet(s"$dir/assign")
+    writeSizes(s, dir)
+    cents.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+      .toDF("cluster", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    s.createDataFrame(Seq(stamp)).toDF("n_docs", "sum_dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def writeSizes(s: SparkSession, dir: String): Unit =
+    s.read.parquet(s"$dir/assign").groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/sizes")
+
+  private def readModel(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    s.read.parquet(s"$dir/model").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   private[graft] def servedAssignments(s: SparkSession, d: String,
                                        k: Int = 8, iters: Int = 5): DataFrame = {
-    val dir = TextAnalysis.termIdxDir(d, s"-cluster-k$k-i$iters-v1")
+    val dir = modelDir(d, k, iters)
+    // sizes live beside the appendable slim assignment (layout v2) so
+    // maintain() can append rows without rewriting every row's
+    // population; the served frame re-joins them broadcast-side
     def assigned = s.read.parquet(s"$dir/assign")
+      .join(broadcast(s.read.parquet(s"$dir/sizes")), "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
     if (servedFresh.contains(dir)) return assigned
     val live = Tables.documents(s, d)
-    val liveRow = live.agg(count(lit(1)),
-      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L))).head()
+    val stamp = liveStamp(live)
     val fresh = scala.util.Try {
       val m = s.read.parquet(s"$dir/meta").head()
-      m.getLong(0) == liveRow.getLong(0) && m.getLong(1) == liveRow.getLong(1)
+      m.getLong(0) == stamp._1 && m.getLong(1) == stamp._2
     }.getOrElse(false)
-    if (!fresh) {
-      clusterDocs(live, k, iters)
-        .write.mode("overwrite").parquet(s"$dir/assign")
-      // meta LAST: its presence certifies a complete assign/ write
-      s.createDataFrame(Seq((liveRow.getLong(0), liveRow.getLong(1))))
-        .toDF("n_docs", "sum_dl").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/meta")
-    }
+    if (!fresh) persistModel(s, dir, live, stamp, k, iters)
     servedFresh.add(dir)
     assigned
+  }
+
+  /** Maintenance ledger: how many docs the verb assigned or
+    * re-assigned, and whether the centroid model itself moved.
+    */
+  case class ModelMaintenance(nNew: Long, nDocs: Long, retrained: Boolean)
+
+  /** The staleness verbs for the served topic model — `maintain`/
+    * `retrain` symmetry with the two maintained indexes, replacing
+    * wholesale re-clustering on drift:
+    *
+    *  - `retrain = false` (default): FROZEN-MODEL append — docs the
+    *    live table has that the assignment lacks are hash-embedded
+    *    and routed to the nearest persisted centroid (map-only over
+    *    the NEW docs only — the Lloyd pass is not re-run, centroids
+    *    do not move, existing assignments are untouched). The
+    *    production-classifier contract: the model is a versioned
+    *    artifact, arrivals are scored against it, and re-training is
+    *    an explicit decision, not a side effect of serving. Deletions
+    *    are NOT handled incrementally (the assignment would go stale
+    *    silently under a frozen meta) — a shrunken corpus fails
+    *    loudly here and wants `retrain = true`.
+    *  - `retrain = true`: warm-start Lloyd from the PERSISTED
+    *    centroids ([[graft.vector.Centroids.lloydFrom]] — few
+    *    iterations to re-converge, shard identities stable for mass
+    *    that didn't move), full assignment rewrite. The drift-repair
+    *    verb when append volume has moved the topic mass enough that
+    *    frozen routing misleads quotas.
+    *
+    * Both end by re-stamping sizes + meta, so `servedAssignments`
+    * serves the maintained artifact without a rebuild. Requires a
+    * served model to exist (serve once first).
+    */
+  def maintainAssignments(s: SparkSession, d: String, k: Int = 8,
+                          iters: Int = 5, retrain: Boolean = false,
+                          retrainIters: Int = 2): ModelMaintenance = {
+    import s.implicits._
+    val dir = modelDir(d, k, iters)
+    require(scala.util.Try(s.read.parquet(s"$dir/meta").head()).isSuccess,
+      s"no served topic model at $dir — serve (or rebuild) before maintaining")
+    val live = Tables.documents(s, d)
+    val stamp = liveStamp(live)
+    val cached = s.read.parquet(s"$dir/assign").select("doc_id")
+    if (retrain) {
+      // count BEFORE the overwrite below: `cached`'s resolved file
+      // listing points at the pre-retrain part files
+      val nOld = cached.count()
+      val (cents, a) = Centroids.lloydFrom(HashEmbedder.embed(live),
+        idCol = "doc_id", vecCol = "embedding",
+        init = readModel(s, dir), iters = retrainIters)
+      a.select(col("doc_id"), col("shard").cast(LongType).as("cluster"))
+        .write.mode("overwrite").parquet(s"$dir/assign")
+      writeSizes(s, dir)
+      cents.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+        .toDF("cluster", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/model")
+      s.createDataFrame(Seq(stamp)).toDF("n_docs", "sum_dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      servedFresh.add(dir)
+      ModelMaintenance(nNew = stamp._1 - nOld, nDocs = stamp._1,
+        retrained = true)
+    } else {
+      val removed = cached.join(live.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      require(removed == 0L,
+        s"$removed assigned docs no longer exist — incremental maintain is " +
+          "append-only; deletions need retrain = true (or a rebuild)")
+      val newDocs = live.join(cached, Seq("doc_id"), "left_anti")
+      val nNew = newDocs.count()
+      if (nNew > 0)
+        assignFrozen(newDocs, readModel(s, dir))
+          .write.mode("append").parquet(s"$dir/assign")
+      writeSizes(s, dir)
+      s.createDataFrame(Seq(stamp)).toDF("n_docs", "sum_dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      servedFresh.add(dir)
+      ModelMaintenance(nNew = nNew, nDocs = stamp._1, retrained = false)
+    }
   }
 
   private def clusterQuery(s: SparkSession, d: String): DataFrame =

@@ -75,4 +75,68 @@ class TopicClusterSpec extends AnyFunSuite {
         Tables.documents(spark, dataDir), k = 4)),
       "a drifted corpus must re-cluster, not serve the stale assignment")
   }
+
+  test("maintain assigns appended docs to the frozen model without moving old rows") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-mainclu").toString
+    def gen(n: Long) = (0L until n).map(i => (i, s"w${i % 7} x${i % 5} y${i % 3}"))
+      .toDF("doc_id", "text")
+    gen(40).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    TopicCluster.invalidateServed()
+    val before = canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    gen(60).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    TopicCluster.invalidateServed()
+    val m = TopicCluster.maintainAssignments(spark, dataDir, k = 4)
+    assert(m.nNew === 20L && m.nDocs === 60L && !m.retrained)
+    val after = canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    assert(after.size === 60)
+    // old docs keep their (doc, cluster) pairs — the model was frozen,
+    // not re-trained (sizes legitimately change with the arrivals)
+    val beforeMap = before.map(t => t._1 -> t._2).toMap
+    after.filter(_._1 < 40).foreach { case (id, c, _) =>
+      assert(c === beforeMap(id), s"doc $id moved cluster under frozen maintain") }
+    // sizes are consistent with the maintained rows
+    val sizes = after.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    after.foreach { case (_, c, cs) => assert(cs === sizes(c)) }
+    // a fresh-JVM-style re-check (memo dropped) serves without rebuild:
+    // meta was re-stamped, so the served rows are the maintained ones
+    TopicCluster.invalidateServed()
+    assert(canon(TopicCluster.servedAssignments(spark, dataDir, k = 4)) === after,
+      "maintain must leave the artifact content-fresh for serving")
+    // maintain with nothing new is a cheap no-op ledger
+    val m2 = TopicCluster.maintainAssignments(spark, dataDir, k = 4)
+    assert(m2.nNew === 0L && m2.nDocs === 60L)
+  }
+
+  test("maintain refuses deletions; retrain re-converges and covers the shrunken corpus") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-retrclu").toString
+    def gen(ids: Seq[Long]) = ids.map(i => (i, s"w${i % 7} x${i % 5} y${i % 3}"))
+      .toDF("doc_id", "text")
+    gen(0L until 40L).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    TopicCluster.invalidateServed()
+    TopicCluster.servedAssignments(spark, dataDir, k = 4).count()
+    gen(10L until 40L).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    TopicCluster.invalidateServed()
+    val e = intercept[IllegalArgumentException] {
+      TopicCluster.maintainAssignments(spark, dataDir, k = 4)
+    }
+    assert(e.getMessage.contains("append-only"),
+      s"deletion must fail loudly, got: ${e.getMessage}")
+    val m = TopicCluster.maintainAssignments(spark, dataDir, k = 4, retrain = true)
+    assert(m.retrained && m.nDocs === 30L)
+    val served = TopicCluster.servedAssignments(spark, dataDir, k = 4)
+    assert(served.count() === 30L)
+    assert(served.select("doc_id").distinct().count() === 30L)
+    // maintaining against an unserved dataset fails loudly
+    val fresh = java.nio.file.Files.createTempDirectory("graft-noserve").toString
+    gen(0L until 5L).write.mode("overwrite").parquet(s"$fresh/documents.parquet")
+    val e2 = intercept[IllegalArgumentException] {
+      TopicCluster.maintainAssignments(spark, fresh, k = 4)
+    }
+    assert(e2.getMessage.contains("serve"),
+      s"maintain without a served model must fail loudly, got: ${e2.getMessage}")
+  }
 }
