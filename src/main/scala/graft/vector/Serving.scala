@@ -462,7 +462,25 @@ object Serving extends QueryModule {
   def triJoin(idx: graft.text.TermIndex, store: VectorStore,
               queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
               nprobe: Int = 2, rrfK: Int = RRF_K,
-              allowed: Option[DataFrame] = None): DataFrame = {
+              allowed: Option[DataFrame] = None,
+              excludeSelf: Boolean = false,
+              maxRowsPerTask: Long = 0L,
+              compressed: Boolean = false,
+              vecShortlist: Int = 100): DataFrame =
+    triJoinWith(idx, queries, topK, shortlist, rrfK, allowed,
+      q => store.searchJoin(q, topK = shortlist, nprobe = nprobe,
+        allowed = vecAllowed(store, allowed), excludeSelf = excludeSelf,
+        maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+        shortlist = vecShortlist))
+
+  /** The shared three-arm kernel — [[hybridJoinWith]] plus the phrase
+    * probe, vector arm supplied by the caller (one-shot searchJoin or
+    * the stream-resolved closure).
+    */
+  private def triJoinWith(idx: graft.text.TermIndex, queries: DataFrame,
+                          topK: Int, shortlist: Int, rrfK: Int,
+                          allowed: Option[DataFrame],
+                          vecArm: DataFrame => DataFrame): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "phrase", "qv"),
       s"queries must be (query_id, terms, phrase, qv), got ${queries.columns.mkString(", ")}")
     val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
@@ -476,11 +494,44 @@ object Serving extends QueryModule {
         Window.partitionBy("query_id")
           .orderBy(desc("n_occurrences"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_ph")
-    val v = store.searchJoin(queries.select("query_id", "qv"),
-      topK = shortlist, nprobe = nprobe, allowed = vecAllowed(store, allowed))
+    val v = vecArm(queries.select("query_id", "qv"))
     val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
     fuseRrf3(kw, vec, ph, topK, rrfK)
+  }
+
+  /** Continuous three-arm serving — [[serveHybridStream]]'s treatment
+    * for [[triJoin]]: each micro-batch of (query_id, terms, phrase,
+    * qv) rows probes the positional index twice (BM25 + phrase) and
+    * the vector store once, appending the fused top-k to `outDir`,
+    * at-least-once. The vector arm's serving state resolves ONCE at
+    * stream start (`VectorStore.searchJoinServing`); the allowed set
+    * is pinned once for all three arms.
+    */
+  def serveTriStream(idx: graft.text.TermIndex, store: VectorStore,
+                     queries: DataFrame, outDir: String, checkpoint: String,
+                     topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
+                     rrfK: Int = RRF_K,
+                     allowed: Option[DataFrame] = None,
+                     excludeSelf: Boolean = false,
+                     maxRowsPerTask: Long = 0L,
+                     compressed: Boolean = false,
+                     vecShortlist: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pinned = allowed.map(ids =>
+      ids.select(col("doc_id").cast(LongType).as("doc_id")).localCheckpoint(true))
+    val vecArm = store.searchJoinServing(topK = shortlist, nprobe = nprobe,
+      allowed = vecAllowed(store, pinned), excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      shortlist = vecShortlist)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          triJoinWith(idx, batch, topK, shortlist, rrfK, pinned, vecArm)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
   }
 
   /** The registered three-arm batch — #9m's shape plus the phrase

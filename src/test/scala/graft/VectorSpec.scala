@@ -1044,6 +1044,26 @@ class VectorSpec extends AnyFunSuite {
     assert(got === want, "three-arm fusion must equal the per-query RRF loop")
     assert(got.exists { case (_, _, _, _, _, rp, _) => rp > 0 },
       "the phrase arm must contribute at least one ranked doc")
+
+    // the streamed twin: per-batch results union to the one-shot join
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-tri-out").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-tri-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String], Seq[String], Seq[Double])]
+    val q = graft.vector.Serving.serveTriStream(idx, vs,
+      input.toDF().toDF("query_id", "terms", "phrase", "qv"), outDir, ckpt,
+      topK = 5, shortlist = 20, nprobe = 2)
+    try {
+      input.addData((3L, Seq("merge", "join"), Seq("merge", "join"), qv(3L)))
+      q.processAllAvailable()
+      input.addData((10L, Seq("join", "w3"), Seq("merge", "merge"), qv(10L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed === got, "streamed three-arm serving must equal the one-shot join")
   }
 
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
