@@ -735,6 +735,57 @@ object Serving extends QueryModule {
        |FROM scored WHERE rank <= 3""".stripMargin
 
   // --- FILTERED knn join: metadata predicate before scoring ----------
+  // --- range (radius) search at JOIN scale ----------------------------
+  /** Radius search for a BATCH of queries through the IVF routing —
+    * `vdb_range_search`'s threshold semantics (every match with
+    * cosine ≥ τ, unranked) at `knnJoinFrame`'s scale shape: queries
+    * probe their nprobe=2 nearest shards as a projection, scoring is
+    * the shard equi-join, and the threshold is a MAP-SIDE filter — no
+    * heap, no window, no per-query sort anywhere; the result is a
+    * data-determined set. The one-shot `vdb_range_search` broadcasts
+    * its 5 queries against the FULL corpus (exact); this is the form
+    * that scales to a query FRAME — per-query candidate volume is the
+    * probed shards' population, and a corpus-sized query set costs
+    * one equi-join, not a loop. The oracle replays the same
+    * deterministic-centroid pruning, so a green row pins the IVF
+    * recall contract too (matches in unprobed shards are missed by
+    * BOTH engines). Library twin: [[VectorStore.rangeJoin]] (adds
+    * allowed/excludeSelf/salting/compressed-ADC-prefilter modes
+    * against the persisted store).
+    */
+  private def rangeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val corpus = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    val queries = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+          .as("shard"))
+    corpus.join(broadcast(queries), Seq("shard"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .filter(col("score0") >= 0.25)
+      .select(col("query_id"), col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |      WHERE vec_id IN (0, 100, 200, 300, 400)),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2)
+       |SELECT q.query_id, b.vec_id,
+       |       ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.qv), 4) AS score
+       |FROM q
+       |JOIN qsh ON qsh.query_id = q.query_id
+       |JOIN assign a ON a.shard = qsh.shard
+       |JOIN embeddings b ON b.vec_id = a.vec_id
+       |WHERE b.vec_id <> q.query_id
+       |  AND list_cosine_similarity(b.embedding::DOUBLE[], q.qv) >= 0.25""".stripMargin
+
   /** The metadata-predicated knn JOIN — the most common real retrieval
     * shape after plain top-k: EVERY query vector's top-3 among the
     * docs an access/metadata predicate allows (here `label = 3` —
@@ -1135,6 +1186,7 @@ object Serving extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
+    "vdb_range_join"    -> (rangeJoinQuery _),
     "vdb_knn_join_filtered" -> (knnJoinFiltered _),
     "vdb_knn_classify"  -> (knnClassify _),
     "vdb_hybrid_batch"  -> (hybridBatch _),
@@ -1149,6 +1201,7 @@ object Serving extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
+    "vdb_range_join"    -> rangeJoinSql,
     "vdb_knn_join_filtered" -> knnJoinFilteredSql,
     "vdb_knn_classify"  -> knnClassifySql,
     "vdb_hybrid_batch"  -> hybridBatchSql,

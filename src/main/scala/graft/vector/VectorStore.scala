@@ -1355,4 +1355,89 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     Serving.mmrFromShortlists(rows, topK, lambda, spark)
       .withColumnRenamed("vec_id", idCol)
   }
+
+  /** Radius (range) JOIN against the store — ALL corpus rows within
+    * cosine `minScore` of each (query_id, qv ARRAY<DOUBLE>) row, the
+    * threshold twin of [[searchJoin]]: near-duplicate sweeps,
+    * compliance matching, recall-oriented candidate generation — the
+    * shapes where a top-k truncates an unknown-sized answer. No heap:
+    * the threshold is a MAP-SIDE filter after the shard equi-join, so
+    * the only shuffle is the probe join itself and the result size is
+    * data-determined (the caller owns a too-low τ on a dense corpus).
+    * IVF recall contract matches searchJoin: a neighbor assigned to
+    * an unprobed shard is missed; `nprobe = numShards` is exact.
+    * `allowed` filter-then-scores, `excludeSelf` drops the self pair,
+    * `maxRowsPerTask` salts hot shards — all [[searchJoin]] semantics.
+    *
+    * `compressed = true` prefilters on the ADC approximate cosine at
+    * `minScore - margin` over the codes-only scan, then re-checks the
+    * survivors' EXACT cosine against raw vectors: the shard scan
+    * stays code-sized and only threshold-plausible (query, id) pairs
+    * fetch vectors. `margin` bounds the ADC error the prefilter must
+    * absorb — too small drops true matches whose approximate score
+    * dips below `minScore`; the exact re-check means false POSITIVES
+    * from a generous margin cost IO, never correctness.
+    *
+    * Returns (query_id, <idCol>, score), unranked — range results
+    * are sets, not lists; callers wanting order sort the bounded
+    * result.
+    */
+  def rangeJoin(queries: DataFrame, minScore: Double, nprobe: Int = 2,
+                allowed: Option[DataFrame] = None,
+                excludeSelf: Boolean = false,
+                maxRowsPerTask: Long = 0L,
+                compressed: Boolean = false,
+                margin: Double = 0.05): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "qv"),
+      s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
+    require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
+    require(margin >= 0.0, s"margin must be non-negative: $margin")
+    val cents = centroids()
+    val raw = spark.read.parquet(vecDir)
+    def restrict(df: DataFrame): DataFrame = allowed match {
+      case Some(ids) => df.join(
+        ids.select(col(idCol).cast(LongType).as(idCol)), Seq(idCol), "left_semi")
+      case None => df
+    }
+    val probes = queries.select(col("query_id"),
+      col("qv").cast("array<double>").as("qv"),
+      explode(Centroids.nearestShards(col("qv"), cents, nprobe)).as("shard"))
+    def shardJoin(corpus: DataFrame): DataFrame =
+      if (maxRowsPerTask > 0L)
+        graft.operators.SaltedJoin.joinByPopulation(corpus, probes, "shard",
+          maxRowsPerTask, saltOn = Some(col(idCol)))
+      else corpus.join(probes, Seq("shard"))
+    def dropSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col("query_id")) else df
+    if (!compressed) {
+      val corpus = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
+        col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("__v")))
+      dropSelf(shardJoin(corpus))
+        .withColumn("score", cosineSim(col("__v"), col("qv")))
+        .filter(col("score") >= minScore)
+        .select(col("query_id"), col(idCol), col("score"))
+    } else {
+      val meta = pqMeta().getOrElse(throw new IllegalStateException(
+        "rangeJoin(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
+      val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
+        col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))
+      val (frame, recon) = withRecon(codes, meta, cents)
+      val cand = dropSelf(shardJoin(frame))
+        .withColumn("__qn", vecNorm(col("qv")))
+        .withColumn("__approx",
+          when(col("vnorm") === 0.0 || col("__qn") === 0.0, 0.0)
+            .otherwise(dotProduct(col("qv"), recon) / (col("vnorm") * col("__qn"))))
+        .filter(col("__approx") >= minScore - margin)
+        .select("query_id", idCol)
+      cand
+        .join(raw.select(col(idCol).cast(LongType).as(idCol),
+          col(vecCol).cast("array<double>").as("__v")), idCol)
+        .join(queries.select(col("query_id"),
+          col("qv").cast("array<double>").as("qv")), "query_id")
+        .withColumn("score", cosineSim(col("__v"), col("qv")))
+        .filter(col("score") >= minScore)
+        .select(col("query_id"), col(idCol), col("score"))
+    }
+  }
 }

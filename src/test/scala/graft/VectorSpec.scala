@@ -1066,6 +1066,63 @@ class VectorSpec extends AnyFunSuite {
     assert(streamed === got, "streamed three-arm serving must equal the one-shot join")
   }
 
+  test("rangeJoin returns exactly the above-threshold set; pruning, modes, and ADC prefilter hold") {
+    import spark.implicits._
+    val n = 256
+    val dim = 16
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until dim).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-range-v").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2, pqSubspaces = 16)
+    val vecs = corpus.select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val qIds = Seq(3L, 10L, 77L)
+    val queries = qIds.map(id => (id, vecs(id).toSeq)).toDF("query_id", "qv")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tau = 0.3
+    // nprobe = numShards is EXACT: parity with the all-pairs mirror
+    val exact = vs.rangeJoin(queries, minScore = tau, nprobe = 4,
+        excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mirror = (for {
+      q <- qIds; (id, v) <- vecs.toSeq if id != q && cos(vecs(q), v) >= tau
+    } yield (q, id)).toSet
+    assert(exact === mirror, "full-probe rangeJoin must equal the all-pairs threshold set")
+    assert(exact.nonEmpty, "test threshold must select something")
+    // IVF pruning: fewer probes only ever MISS, never invent
+    val pruned = vs.rangeJoin(queries, minScore = tau, nprobe = 1,
+        excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.subsetOf(exact), "pruned range results must be a subset of exact")
+    // allowed: filter-then-score — exactly the allowed slice of exact
+    val allowedIds = (0L until n.toLong).filter(_ % 2 == 0)
+    val filtered = vs.rangeJoin(queries, minScore = tau, nprobe = 4,
+        excludeSelf = true, allowed = Some(allowedIds.toDF("id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered === exact.filter(p => p._2 % 2 == 0),
+      "allowed must restrict matches to the slice, nothing else")
+    // compressed: generous margin → identical set (exact re-check
+    // removes ADC false positives; margin absorbs false negatives)
+    val adc = vs.rangeJoin(queries, minScore = tau, nprobe = 4,
+        excludeSelf = true, compressed = true, margin = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adc === exact,
+      "compressed rangeJoin at a covering margin must equal the raw arm")
+    // scores emitted are the exact cosines in every mode
+    val scored = vs.rangeJoin(queries, minScore = tau, nprobe = 4,
+        excludeSelf = true, compressed = true, margin = 1.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    scored.foreach { case ((q, id), s) =>
+      assert(math.abs(s - cos(vecs(q), vecs(id))) < 1e-12) }
+  }
+
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
