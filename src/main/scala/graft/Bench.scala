@@ -16,7 +16,8 @@ object Bench {
       val warmDir = "/root/testdata/sf0.001"
       for (_ <- 1 to 2) {
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
         }
         spark.catalog.clearCache()
       }
@@ -50,7 +51,17 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val df = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
-        val ok = try { df.foreach(_.count()); df.isDefined } catch { case _: Throwable => false }
+        // force through the noop sink, NOT count(): count() lets column
+        // pruning drop unused aggregate functions and final-project
+        // expressions, so any query ending in groupBy().agg(heavy) or a
+        // computed projection times a PHANTOM plan. Round 12 caught
+        // ScaleSmoke's knn JOIN reporting 3.8 s for a plan whose
+        // cosine + heap had been pruned out; the real number was 33 s.
+        // The noop sink materializes every output column and writes
+        // nothing — the standard Spark benchmarking sink.
+        val ok = try {
+          df.foreach(_.write.format("noop").mode("overwrite").save()); df.isDefined
+        } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operator-local caches don't leak across timings
         // checkpoint blocks (iterative queries localCheckpoint their

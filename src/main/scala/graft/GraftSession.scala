@@ -37,6 +37,20 @@ object GraftSession {
       // (or override spark.sql.codegen.cache.maxEntries on the session).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+      // ObjectHashAggregateExec (every TypedImperativeAggregate: TopKAgg,
+      // MinHashAgg, SimHashAgg, CountMinAgg, VectorSumAgg) falls back to
+      // SORT-BASED aggregation after this many DISTINCT KEYS per task —
+      // Spark's default is 128, sized for giant per-key sketches, not for
+      // bounded buffers. Our groups are queries (knn/bm25 serving joins)
+      // or documents (minhash/simhash signatures): thousands-to-millions
+      // of keys with K-bounded buffers of a few hundred bytes each. At
+      // the 5k-query x 1M-vector knn JOIN the fallback sorts the whole
+      // joined stream per task: 173 s vs 40 s with hashing kept (measured
+      // round 12, RangeProfile). 64k keys x ~1 kB sketch ≈ 64 MB per
+      // task worst-case — safe at executor sizes this engine targets;
+      // override via SPARK_GRAFT_OBJ_AGG_KEYS for memory-tight clusters.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession =

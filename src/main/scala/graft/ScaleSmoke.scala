@@ -208,10 +208,38 @@ object ScaleSmoke {
           !plan.contains("BroadcastNestedLoopJoin"),
         s"knn-join plan must be broadcast-free with broadcast disabled:\n$plan")
       println("[scale] knn-join plan broadcast-free: true (asserted)")
+      // force the HEAPS, not the row count: .count() on a
+      // groupBy().agg(topK) lets column pruning delete the aggregate
+      // function and the cosine project feeding it — rounds 9-11
+      // reported ~4 s for this leg, which was the join skeleton with
+      // zero scoring. sum(size(tops)) makes the aggregate's output a
+      // required column, so the timed plan is the served plan.
       val nOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2, shard equi-join, heap top-3)") {
-        knnJoin.count()
+        knnJoin.select(count(col("query_id")), sum(size(col("tops")))).head()
       }
-      println(s"[scale] knn join produced $nOut query rows")
+      println(s"[scale] knn join produced ${nOut.getLong(0)} query rows, " +
+        s"${nOut.getLong(1)} result pairs (heap output forced)")
+
+      // range JOIN at volume — the radius twin on the same probe plan:
+      // no heap at all, the threshold is pushed into the SMJ's join
+      // condition (cosine evaluated once per candidate pair inside
+      // whole-stage codegen), so the only shuffle is the join itself
+      // and the leg undercuts the knn JOIN ~2.4x (the heap aggregate's
+      // per-row ObjectHashAggregate walk costs more than the scoring —
+      // measured round 12: 13 s vs 31 s at 1M). Same broadcast-free
+      // contract.
+      val rangeQueries = vecs.filter(col("id") % (nVec / nQ) === 0)
+        .select(col("id").as("query_id"), col("vector").as("qv"))
+      val rangeDf = vsPq.rangeJoin(rangeQueries, minScore = 0.45,
+        nprobe = 2, excludeSelf = true)
+      val rPlan = rangeDf.queryExecution.executedPlan.toString
+      require(!rPlan.contains("BroadcastHashJoin") &&
+          !rPlan.contains("BroadcastNestedLoopJoin"),
+        s"range-join plan must be broadcast-free with broadcast disabled:\n$rPlan")
+      val nRange = timed(s"range JOIN ($nQ queries x $nVec corpus, nprobe=2, map-side cos >= 0.45)") {
+        rangeDf.count()
+      }
+      println(s"[scale] range join produced $nRange (query, match) pairs, broadcast-free (asserted)")
 
       // knn JOIN under PLANTED SHARD SKEW — half the corpus forced
       // into shard 0 (the drifted/clustered-ingest pathology). The

@@ -37,9 +37,8 @@ class TopKAggSpec extends AnyFunSuite {
     val agg = TopKAgg(ColumnInterop.expression(lit(0.0)),
       ColumnInterop.expression(lit(0L)), k = 3)
     val buf = agg.createAggregationBuffer()
-    Seq((0.9, 1L), (0.5, 2L), (0.7, 3L), (0.99, 4L)).foreach(buf.offer)
-    // trim to k the way update() does
-    while (buf.size > 3) buf.poll()
+    Seq((0.9, 1L), (0.5, 2L), (0.7, 3L), (0.99, 4L))
+      .foreach { case (s, i) => buf.offer(s, i) } // bounded: keeps best 3
     val first = agg.eval(buf)
     val second = agg.eval(buf)
     assert(buf.size === 3)
