@@ -1074,25 +1074,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                                         maxRowsPerTask: Long,
                                         compressed: Boolean,
                                         shortlist: Int): DataFrame => DataFrame = {
-    val cents = centroids()
-    val meta = if (compressed) Some(pqMeta().getOrElse(
-      throw new IllegalStateException(
-        "compressed serving needs a PQ-built store: " +
-          "build(pqSubspaces > 0)"))) else None
-    val allowedPinned = allowed.map(ids =>
-      ids.select(col(idCol).cast(LongType).as(idCol)).localCheckpoint(true))
-    val salts =
-      if (maxRowsPerTask <= 0L) None
-      else {
-        val base = spark.read.parquet(vecDir).select(
-          col(idCol).cast(LongType).as(idCol),
-          col("shard").cast(LongType).as("shard"))
-        val restricted = allowedPinned.fold(base)(ids =>
-          base.join(ids, Seq(idCol), "left_semi"))
-        Some(graft.operators.SaltedJoin
-          .populationSalts(restricted, "shard", maxRowsPerTask)
-          .localCheckpoint(true))
-      }
+    val (cents, meta, allowedPinned, salts) =
+      resolveServingState(allowed, maxRowsPerTask, compressed)
     batch => searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
       maxRowsPerTask, compressed, shortlist, cents, meta, salts)
   }
@@ -1387,12 +1370,28 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                 excludeSelf: Boolean = false,
                 maxRowsPerTask: Long = 0L,
                 compressed: Boolean = false,
-                margin: Double = 0.05): DataFrame = {
+                margin: Double = 0.05): DataFrame =
+    rangeJoinResolved(queries, minScore, nprobe, allowed, excludeSelf,
+      maxRowsPerTask, compressed, margin, centroids(),
+      if (compressed) pqMeta() else None, None)
+
+  /** [[rangeJoin]] against pre-resolved serving state — the per-stream
+    * fast path, [[searchJoinResolved]]'s contract for the radius shape.
+    */
+  private[vector] def rangeJoinResolved(queries: DataFrame, minScore: Double,
+                                        nprobe: Int,
+                                        allowed: Option[DataFrame],
+                                        excludeSelf: Boolean,
+                                        maxRowsPerTask: Long,
+                                        compressed: Boolean,
+                                        margin: Double,
+                                        cents: Array[(Int, Array[Double])],
+                                        metaOpt: Option[PqMeta],
+                                        salts: Option[DataFrame]): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "qv"),
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
     require(margin >= 0.0, s"margin must be non-negative: $margin")
-    val cents = centroids()
     val raw = spark.read.parquet(vecDir)
     def restrict(df: DataFrame): DataFrame = allowed match {
       case Some(ids) => df.join(
@@ -1405,7 +1404,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     def shardJoin(corpus: DataFrame): DataFrame =
       if (maxRowsPerTask > 0L)
         graft.operators.SaltedJoin.joinByPopulation(corpus, probes, "shard",
-          maxRowsPerTask, saltOn = Some(col(idCol)))
+          maxRowsPerTask, saltOn = Some(col(idCol)), precomputedSalts = salts)
       else corpus.join(probes, Seq("shard"))
     def dropSelf(df: DataFrame): DataFrame =
       if (excludeSelf) df.filter(col(idCol) =!= col("query_id")) else df
@@ -1418,7 +1417,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .filter(col("score") >= minScore)
         .select(col("query_id"), col(idCol), col("score"))
     } else {
-      val meta = pqMeta().getOrElse(throw new IllegalStateException(
+      val meta = metaOpt.getOrElse(throw new IllegalStateException(
         "rangeJoin(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
       val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
         col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))
@@ -1439,5 +1438,88 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .filter(col("score") >= minScore)
         .select(col("query_id"), col(idCol), col("score"))
     }
+  }
+
+  /** The resolved radius-serving closure — [[searchJoinServing]]'s
+    * once-per-stream resolution (centroids, PQ meta, pinned allowed
+    * set, population salt table) applied to [[rangeJoin]]: each call
+    * costs only its own probe, a compressed closure over a non-PQ
+    * store refuses at stream start.
+    */
+  private[vector] def rangeJoinServing(minScore: Double, nprobe: Int,
+                                       allowed: Option[DataFrame],
+                                       excludeSelf: Boolean,
+                                       maxRowsPerTask: Long,
+                                       compressed: Boolean,
+                                       margin: Double): DataFrame => DataFrame = {
+    val (cents, meta, allowedPinned, salts) =
+      resolveServingState(allowed, maxRowsPerTask, compressed)
+    batch => rangeJoinResolved(batch, minScore, nprobe, allowedPinned,
+      excludeSelf, maxRowsPerTask, compressed, margin, cents, meta, salts)
+  }
+
+  /** Streamed radius serving — [[serveStream]]'s contract for
+    * [[rangeJoin]]: a stream of (query_id, qv) rows is matched against
+    * the persisted store each micro-batch, appending every corpus row
+    * within cosine `minScore` to `outDir` as (query_id, <idCol>,
+    * score), unranked. The near-duplicate / compliance-sweep gate as
+    * a continuous service: serving state resolves ONCE at stream
+    * start (the per-tick twin of the one-shot call costs only its own
+    * probe). Streamed serving now covers every retrieval shape the
+    * engine has: knn, keyword, phrase, hybrid, tri-fusion, and range.
+    */
+  def serveRangeStream(queries: DataFrame, outDir: String, checkpoint: String,
+                       minScore: Double, nprobe: Int = 2,
+                       allowed: Option[DataFrame] = None,
+                       excludeSelf: Boolean = false,
+                       maxRowsPerTask: Long = 0L,
+                       compressed: Boolean = false,
+                       margin: Double = 0.05)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val probe = rangeJoinServing(minScore, nprobe, allowed, excludeSelf,
+      maxRowsPerTask, compressed, margin)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          probe(batch)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
+  }
+
+  /** Shared once-per-stream resolution for the join-scale serving
+    * closures ([[searchJoinServing]], [[rangeJoinServing]]): routing
+    * centroids, PQ meta (refusing NOW if `compressed` without a
+    * PQ build), the pinned allowed set (localCheckpoint — an
+    * expensive or non-deterministic producing plan must not re-execute
+    * per tick or drift against the frozen salt table), and the
+    * population salt table sized from the `allowed`-restricted corpus.
+    */
+  private def resolveServingState(allowed: Option[DataFrame],
+                                  maxRowsPerTask: Long,
+                                  compressed: Boolean)
+      : (Array[(Int, Array[Double])], Option[PqMeta],
+         Option[DataFrame], Option[DataFrame]) = {
+    val cents = centroids()
+    val meta = if (compressed) Some(pqMeta().getOrElse(
+      throw new IllegalStateException(
+        "compressed serving needs a PQ-built store: " +
+          "build(pqSubspaces > 0)"))) else None
+    val allowedPinned = allowed.map(ids =>
+      ids.select(col(idCol).cast(LongType).as(idCol)).localCheckpoint(true))
+    val salts =
+      if (maxRowsPerTask <= 0L) None
+      else {
+        val base = spark.read.parquet(vecDir).select(
+          col(idCol).cast(LongType).as(idCol),
+          col("shard").cast(LongType).as("shard"))
+        val restricted = allowedPinned.fold(base)(ids =>
+          base.join(ids, Seq(idCol), "left_semi"))
+        Some(graft.operators.SaltedJoin
+          .populationSalts(restricted, "shard", maxRowsPerTask)
+          .localCheckpoint(true))
+      }
+    (cents, meta, allowedPinned, salts)
   }
 }

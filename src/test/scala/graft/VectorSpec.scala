@@ -1121,6 +1121,25 @@ class VectorSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     scored.foreach { case ((q, id), s) =>
       assert(math.abs(s - cos(vecs(q), vecs(id))) < 1e-12) }
+
+    // the streamed twin: per-batch radius results union to the
+    // one-shot join (serving state resolved once at stream start)
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-range-out").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-range-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val sq = vs.serveRangeStream(input.toDF().toDF("query_id", "qv"),
+      outDir, ckpt, minScore = tau, nprobe = 4, excludeSelf = true)
+    try {
+      input.addData((3L, vecs(3L).toSeq), (10L, vecs(10L).toSeq))
+      sq.processAllAvailable()
+      input.addData((77L, vecs(77L).toSeq))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === exact, "streamed range serving must equal the one-shot join")
   }
 
   test("a rebuild or mass ingest stales the recall curve; serving refuses until re-measured") {
