@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -564,10 +563,14 @@ class TermIndex(spark: SparkSession, path: String,
       .filter(size(m) === col("__plen"))
       .withColumn("n_occurrences", cnt.cast(LongType))
       .filter(col("n_occurrences") > 0)
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("n_occurrences"), asc("doc_id"))))
-      .filter(col("__rk") <= k)
-      .select("query_id", "doc_id", "n_occurrences"))
+      // bounded-heap top-k per query (see searchBatchOpt) — counts are
+      // small integers, exact through the heap's double score
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("n_occurrences").cast("double"), col("doc_id"), k).as("__t"))
+      .select(col("query_id"), explode(col("__t")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        col("__e.score").cast(LongType).as("n_occurrences")))
   }
 
   /** Continuous PHRASE serving — [[serveStream]]'s contract for the
@@ -632,9 +635,11 @@ class TermIndex(spark: SparkSession, path: String,
     * per-(query, doc) scores assemble by sorting the (pos, contrib)
     * pairs and summing left-to-right — bit-identical to [[search]]'s
     * fixed-term-order association, because adding the absent terms'
-    * 0.0 placeholders cannot change an IEEE sum. Top-k per query is
-    * one window over (query_id), deterministic (score desc, doc_id
-    * asc). `allowed` applies [[restrictTo]]'s filter-then-rank to the
+    * 0.0 placeholders cannot change an IEEE sum. Top-k per query
+    * rides the bounded-heap aggregate, deterministic (score desc,
+    * doc_id asc) — a window would shuffle and sort every candidate
+    * of a common term into one partition per query.
+    * `allowed` applies [[restrictTo]]'s filter-then-rank to the
     * whole batch (one semi-join on the shared scan, index-global
     * statistics) — the batched form of the predicated keyword probe.
     */
@@ -682,10 +687,16 @@ class TermIndex(spark: SparkSession, path: String,
         array_sort(collect_list(struct(col("__qpos"), col("__c")))),
         lit(0.0),
         (acc, x) => acc + x.getField("__c")).as("score0"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score0"), asc("doc_id"))))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("doc_id"), round(col("score0"), 4).as("bm25")))
+      // top-k per query rides the bounded heap, not a window: a
+      // common term's candidate set is corpus-sized, and row_number
+      // would shuffle + SORT every candidate into one partition per
+      // query — the heap ships ≤ k rows per (query, map partition)
+      // with the identical (score desc, doc_id asc) order
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("doc_id"), k).as("__t"))
+      .select(col("query_id"), explode(col("__t")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        round(col("__e.score"), 4).as("bm25")))
   }
 
   /** Index health — the maintenance dashboard, metadata-cheap:
