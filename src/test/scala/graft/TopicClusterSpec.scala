@@ -139,4 +139,57 @@ class TopicClusterSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("serve"),
       s"maintain without a served model must fail loudly, got: ${e2.getMessage}")
   }
+
+  test("embedding-column model: clusters stored vectors, serves, maintains, refuses deletions") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-vecclu").toString
+    // two planted blobs in 8-d float space: ids < half near +1 on dims
+    // 0-3, the rest near +1 on dims 4-7, with a small per-id wiggle
+    def gen(ids: Seq[Long]) = ids.map { i =>
+      val base = if (i < 50) Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+                 else Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + ((i * 31 + d * 7) % 11).toFloat / 100f }
+      (i, v.toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    gen(0L until 100L).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    // direct: planted blobs recovered pure at k=2 on the raw column
+    val direct = TopicCluster.clusterVectors(
+      Tables.embeddings(spark, dataDir), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 50L).map(direct).toSet.size === 1, "blob A split")
+    assert((50L until 100L).map(direct).toSet.size === 1, "blob B split")
+    assert(direct(0L) !== direct(99L), "blobs merged")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    TopicCluster.invalidateServed()
+    val served = canon(TopicCluster.servedVectorAssignments(spark, dataDir, k = 2))
+    assert(served.map(t => t._1 -> t._2).toMap === direct,
+      "served vector assignment must equal the direct Lloyd run")
+    // frozen maintain: 20 new vectors in blob A route to blob A's
+    // cluster map-only; old pairs byte-stable
+    gen(0L until 120L).filter(col("vec_id") < 100 || col("vec_id") >= 100)
+      .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    TopicCluster.invalidateServed()
+    val m = TopicCluster.maintainVectorAssignments(spark, dataDir, k = 2)
+    assert(m.nNew === 20L && m.nDocs === 120L && !m.retrained)
+    val after = canon(TopicCluster.servedVectorAssignments(spark, dataDir, k = 2))
+    assert(after.size === 120)
+    val beforeMap = served.map(t => t._1 -> t._2).toMap
+    after.filter(_._1 < 100).foreach { case (id, c, _) =>
+      assert(c === beforeMap(id), s"vec $id moved under frozen maintain") }
+    // the appended ids (100-119 are all blob B by construction: >= 50)
+    after.filter(_._1 >= 100).foreach { case (id, c, _) =>
+      assert(c === direct(99L), s"new blob-B vec $id routed to cluster $c") }
+    // deletion refuses; retrain covers the shrunken set
+    gen(0L until 80L).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    TopicCluster.invalidateServed()
+    val e = intercept[IllegalArgumentException] {
+      TopicCluster.maintainVectorAssignments(spark, dataDir, k = 2)
+    }
+    assert(e.getMessage.contains("append-only"))
+    val mr = TopicCluster.maintainVectorAssignments(spark, dataDir, k = 2, retrain = true)
+    assert(mr.retrained && mr.nDocs === 80L)
+    assert(TopicCluster.servedVectorAssignments(spark, dataDir, k = 2).count() === 80L)
+  }
 }
