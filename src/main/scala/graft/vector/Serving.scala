@@ -169,16 +169,35 @@ object Serving extends QueryModule {
                              wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "qv"),
       s"queries must be (query_id, terms, qv), got ${queries.columns.mkString(", ")}")
-    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
+    fuseRrf(kwRanks(idx, queries, shortlist, allowed),
+      vecRanks(vecArm(queries.select("query_id", "qv"))), topK, rrfK, wKw, wVec)
+  }
+
+  /** The keyword arm's (query_id, doc_id, rank_kw) shortlist — the
+    * shortlist-bounded rank window every fusion arity shares.
+    */
+  private def kwRanks(idx: graft.text.TermIndex, queries: DataFrame,
+                      shortlist: Int, allowed: Option[DataFrame]): DataFrame =
+    idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
         allowed = allowed)
       .withColumn("rank_kw", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .select("query_id", "doc_id", "rank_kw")
-    val v = vecArm(queries.select("query_id", "qv"))
-    val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
+
+  /** The phrase arm's (query_id, doc_id, rank_ph) shortlist. */
+  private def phRanks(idx: graft.text.TermIndex, queries: DataFrame,
+                      shortlist: Int, allowed: Option[DataFrame]): DataFrame =
+    idx.searchPhraseBatch(queries.select("query_id", "phrase"),
+        k = shortlist, allowed = allowed)
+      .withColumn("rank_ph", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("n_occurrences"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_ph")
+
+  /** A searchJoin result reshaped to the fusion arm contract. */
+  private def vecRanks(v: DataFrame): DataFrame =
+    v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
-    fuseRrf(kw, vec, topK, rrfK, wKw, wVec)
-  }
 
   /** Continuous hybrid serving — the streamed twin completing the
     * set (keyword [[graft.text.TermIndex.serveStream]], phrase
@@ -483,21 +502,9 @@ object Serving extends QueryModule {
                           vecArm: DataFrame => DataFrame): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "terms", "phrase", "qv"),
       s"queries must be (query_id, terms, phrase, qv), got ${queries.columns.mkString(", ")}")
-    val kw = idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
-        allowed = allowed)
-      .withColumn("rank_kw", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
-      .select("query_id", "doc_id", "rank_kw")
-    val ph = idx.searchPhraseBatch(queries.select("query_id", "phrase"),
-        k = shortlist, allowed = allowed)
-      .withColumn("rank_ph", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(desc("n_occurrences"), asc("doc_id"))))
-      .select("query_id", "doc_id", "rank_ph")
-    val v = vecArm(queries.select("query_id", "qv"))
-    val vec = v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
-      col("rank").cast("int").as("rank_vec"))
-    fuseRrf3(kw, vec, ph, topK, rrfK)
+    fuseRrf3(kwRanks(idx, queries, shortlist, allowed),
+      vecRanks(vecArm(queries.select("query_id", "qv"))),
+      phRanks(idx, queries, shortlist, allowed), topK, rrfK)
   }
 
   /** Continuous three-arm serving — [[serveHybridStream]]'s treatment
@@ -532,6 +539,91 @@ object Serving extends QueryModule {
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
       }
       .start()
+  }
+
+  // --- cross-arity fusion serving: probe arms once, fuse many ways ---
+  /** One batch's PINNED arm shortlists ((query_id, doc_id, rank_*)
+    * frames, localCheckpoint'd eagerly) — the product of
+    * [[FusionServing.arms]], consumable by any fusion arity or
+    * weighting without re-probing. `release()` frees the checkpoint
+    * blocks when the batch's serving is done.
+    */
+  final class FusionArms private[Serving](
+      val kw: DataFrame, val vec: DataFrame, val ph: Option[DataFrame]) {
+    def release(): Unit =
+      (Seq(kw, vec) ++ ph).foreach(
+        org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint)
+  }
+
+  /** Cross-arity fusion serving — the shortlist-reuse path for a
+    * caller serving MULTIPLE fusions of the same batch (a hybrid page
+    * and a tri page; A/B'd RRF weightings; a weighted re-rank slider).
+    * [[hybridJoin]] and [[triJoin]] re-probe all arms per call, so
+    * serving both against one corpus pays the vector shard join and
+    * both index probes twice; here [[arms]] probes each arm ONCE and
+    * pins the ≤ nQueries×shortlist rank frames, and every
+    * [[hybrid]]/[[tri]] call after that is a fuse of pinned frames —
+    * re-weighting is FREE (weights enter at fusion, not at probing).
+    * Arm state (vector serving closure, pinned allowed set) resolves
+    * once at construction, [[VectorStore.searchJoinServing]]'s
+    * discipline.
+    */
+  final class FusionServing private[Serving](idx: graft.text.TermIndex,
+      vecArm: DataFrame => DataFrame, shortlist: Int, topK: Int, rrfK: Int,
+      allowed: Option[DataFrame]) {
+
+    /** Probe every arm the batch shape carries and pin the results:
+      * (query_id, terms, qv) probes keyword + vector; (query_id,
+      * terms, phrase, qv) adds the phrase arm (tri-capable).
+      */
+    def arms(queries: DataFrame): FusionArms = {
+      val cols = queries.columns.toSeq
+      require(cols == Seq("query_id", "terms", "qv") ||
+          cols == Seq("query_id", "terms", "phrase", "qv"),
+        s"queries must be (query_id, terms[, phrase], qv), got ${cols.mkString(", ")}")
+      val kw = kwRanks(idx, queries, shortlist, allowed).localCheckpoint(true)
+      val vec = vecRanks(vecArm(queries.select("query_id", "qv")))
+        .localCheckpoint(true)
+      val ph =
+        if (cols.contains("phrase"))
+          Some(phRanks(idx, queries, shortlist, allowed).localCheckpoint(true))
+        else None
+      new FusionArms(kw, vec, ph)
+    }
+
+    /** Two-arm RRF over pinned arms — [[hybridJoin]]'s output shape;
+      * weights are fusion-time knobs, so a re-weighted page costs no
+      * probe.
+      */
+    def hybrid(a: FusionArms, wKw: Double = 1.0, wVec: Double = 1.0): DataFrame =
+      fuseRrf(a.kw, a.vec, topK, rrfK, wKw, wVec)
+
+    /** Three-arm RRF over pinned arms — [[triJoin]]'s output shape. */
+    def tri(a: FusionArms): DataFrame =
+      fuseRrf3(a.kw, a.vec, a.ph.getOrElse(throw new IllegalArgumentException(
+        "tri fusion needs arms built from a (query_id, terms, phrase, qv) batch")),
+        topK, rrfK)
+  }
+
+  /** Build a [[FusionServing]] session over both maintained indexes —
+    * full vector-arm mode passthrough, allowed set pinned once for
+    * every arm of every batch.
+    */
+  def fusionServing(idx: graft.text.TermIndex, store: VectorStore,
+                    topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
+                    rrfK: Int = RRF_K,
+                    allowed: Option[DataFrame] = None,
+                    excludeSelf: Boolean = false,
+                    maxRowsPerTask: Long = 0L,
+                    compressed: Boolean = false,
+                    vecShortlist: Int = 100): FusionServing = {
+    val pinned = allowed.map(ids =>
+      ids.select(col("doc_id").cast(LongType).as("doc_id")).localCheckpoint(true))
+    val vecArm = store.searchJoinServing(topK = shortlist, nprobe = nprobe,
+      allowed = vecAllowed(store, pinned), excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      shortlist = vecShortlist)
+    new FusionServing(idx, vecArm, shortlist, topK, rrfK, pinned)
   }
 
   /** The registered three-arm batch — #9m's shape plus the phrase

@@ -1066,6 +1066,80 @@ class VectorSpec extends AnyFunSuite {
     assert(streamed === got, "streamed three-arm serving must equal the one-shot join")
   }
 
+  test("fusionServing probes arms once; hybrid/tri/re-weighted fusions ride the pinned frames") {
+    import spark.implicits._
+    val n = 256
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val docs = spark.range(0, n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        when(col("id") % 7 === 0, "merge join").otherwise("fz"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-fus-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tdir = Files.createTempDirectory("graft-fus-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir)
+    idx.build(docs)
+    val qRows: Seq[(Long, Seq[String], Seq[String])] = Seq(
+      (3L, Seq("merge", "join"), Seq("merge", "join")),
+      (10L, Seq("join", "w3"), Seq("merge", "merge")))
+    val qv = corpus.filter(col("id").isin(qRows.map(_._1): _*))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val triQ = qRows.map { case (id, t, p) => (id, t, p, qv(id)) }
+      .toDF("query_id", "terms", "phrase", "qv")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (0 until r.length).map(r.get).toSeq).toSet
+    // mirrors from the per-call APIs, computed BEFORE the dirs vanish
+    val wantHybrid = canon(graft.vector.Serving.hybridJoin(idx, vs,
+      triQ.select("query_id", "terms", "qv"), topK = 5, shortlist = 20,
+      nprobe = 2).collect())
+    val wantWeighted = canon(graft.vector.Serving.hybridJoin(idx, vs,
+      triQ.select("query_id", "terms", "qv"), topK = 5, shortlist = 20,
+      nprobe = 2, wKw = 2.0, wVec = 1.0).collect())
+    val wantTri = canon(graft.vector.Serving.triJoin(idx, vs, triQ,
+      topK = 5, shortlist = 20, nprobe = 2).collect())
+    val fs = graft.vector.Serving.fusionServing(idx, vs,
+      topK = 5, shortlist = 20, nprobe = 2)
+    val arms = fs.arms(triQ)
+    // the probes are PINNED: deleting both index layouts under the
+    // session proves no fusion below re-reads an index (a lineage
+    // re-execution would throw on the missing paths)
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmrf(vdir); rmrf(tdir)
+    assert(canon(fs.hybrid(arms).collect()) === wantHybrid,
+      "pinned-arm hybrid must equal hybridJoin")
+    assert(canon(fs.hybrid(arms, wKw = 2.0, wVec = 1.0).collect()) === wantWeighted,
+      "re-weighting pinned arms must equal the weighted hybridJoin, with no probe")
+    assert(canon(fs.tri(arms).collect()) === wantTri,
+      "pinned-arm tri must equal triJoin")
+    // a two-arm batch builds hybrid-only arms; tri refuses loudly
+    val hyArms = {
+      // rebuild the stores for the shape check (the dirs were deleted)
+      val vdir2 = Files.createTempDirectory("graft-fus-v2").toString
+      val vs2 = new VectorStore(spark, vdir2, numShards = 4)
+      vs2.build(corpus, iters = 2)
+      val tdir2 = Files.createTempDirectory("graft-fus-t2").toString
+      val idx2 = new graft.text.TermIndex(spark, tdir2)
+      idx2.build(docs)
+      graft.vector.Serving.fusionServing(idx2, vs2, topK = 5,
+        shortlist = 20, nprobe = 2).arms(triQ.select("query_id", "terms", "qv"))
+    }
+    val e = intercept[IllegalArgumentException] { fs.tri(hyArms) }
+    assert(e.getMessage.contains("phrase"))
+    arms.release(); hyArms.release()
+  }
+
   test("rangeJoin returns exactly the above-threshold set; pruning, modes, and ADC prefilter hold") {
     import spark.implicits._
     val n = 256
