@@ -43,12 +43,13 @@ case class MediaResized(doc_id: Long, width: Int, height: Int,
   * materializing pixels, and `javax.sound.sampled` parses WAV/AU/AIFF
   * frame geometry; MP4/MOV video dimensions and frame counts come
   * from a hand-rolled ISO-BMFF box walk ([[Decode.mp4Meta]] — the
-  * container is plain length-tagged records, no codec needed).
-  * Payload families with no JDK-parseable container left
-  * (MKV/WebM/Opus…) fall back to [[Decode.decodeStub]], the
-  * clearly-marked deterministic fake — swap a javacv/ffmpeg binding
-  * into `decodeMeta`'s None branch in production; schema and call
-  * sites stay unchanged. Everything around them (binary column
+  * container is plain length-tagged records, no codec needed), and
+  * MKV/WebM geometry from the EBML twin ([[Decode.ebmlMeta]]). With
+  * every mainstream container parsed, only CONTAINER-LESS payloads
+  * (raw elementary streams, novel formats) fall back to
+  * [[Decode.decodeStub]], the clearly-marked deterministic fake —
+  * swap a javacv/ffmpeg binding into `decodeMeta`'s None branch in
+  * production; schema and call sites stay unchanged. Everything around them (binary column
   * handling, partition-wise batch decode via mapPartitions, frame
   * sampling) is the real Spark plumbing either tier drops into.
   */
@@ -100,7 +101,8 @@ object Decode {
       val fmt = aff.getFormat
       Some(("audio", fmt.getChannels, fmt.getSampleSizeInBits,
         aff.getFrameLength.toLong))
-    } catch { case scala.util.control.NonFatal(_) => mp4Meta(payload) }
+    } catch { case scala.util.control.NonFatal(_) =>
+      mp4Meta(payload).orElse(ebmlMeta(payload)) }
   }
 
   private def be32(b: Array[Byte], o: Int): Long =
@@ -182,6 +184,146 @@ object Decode {
           .getOrElse(0L)
         ("video", w, h, frames)
       }
+      hit.headOption
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // --- EBML / Matroska / WebM header parse ---------------------------
+  /** EBML variable-length SIZE at offset `o`: (value, bytesConsumed),
+    * or None when truncated/invalid. The first byte's leading-one
+    * position gives the length (1-8 bytes); the marker bit is
+    * STRIPPED from the value. An all-ones value payload means
+    * "unknown size" (live-streamed segments) → value −1, the caller
+    * extends the element to its container's end.
+    */
+  private def ebmlSize(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+    if (o >= b.length) return None
+    val fb = b(o) & 0xff
+    if (fb == 0) return None
+    val len = 8 - (31 - Integer.numberOfLeadingZeros(fb))
+    if (o + len > b.length) return None
+    var v = (fb & (0x7f >> (len - 1))).toLong
+    var unknown = v == (0x7f >> (len - 1)).toLong
+    var i = 1
+    while (i < len) {
+      val x = b(o + i) & 0xffL
+      if (x != 0xffL) unknown = false
+      v = (v << 8) | x
+      i += 1
+    }
+    Some((if (unknown) -1L else v, len))
+  }
+
+  /** EBML element ID at offset `o`: (id INCLUDING its marker bits —
+    * the form IDs are quoted in, e.g. Segment 0x18538067), or None.
+    */
+  private def ebmlId(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+    if (o >= b.length) return None
+    val fb = b(o) & 0xff
+    if (fb == 0) return None
+    val len = 8 - (31 - Integer.numberOfLeadingZeros(fb))
+    if (len > 4 || o + len > b.length) return None
+    var v = fb.toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    Some((v, len))
+  }
+
+  /** Child elements of range [from, to): (id, payloadStart,
+    * payloadEnd). Malformed framing aborts the walk — the caller's
+    * lookup misses and the payload routes to the stub, the
+    * damaged-object posture shared with [[mp4Boxes]].
+    */
+  private def ebmlKids(b: Array[Byte], from: Int, to: Int): Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var o = from
+    var ok = true
+    while (ok && o < to) {
+      (for {
+        (id, idLen) <- ebmlId(b, o)
+        (sz, szLen) <- ebmlSize(b, o + idLen)
+      } yield {
+        val pStart = o + idLen + szLen
+        val end = if (sz < 0) to.toLong else pStart + sz
+        if (end > to || pStart > to) ok = false
+        else { out += ((id, pStart, end.toInt)); o = end.toInt }
+      }).getOrElse { ok = false }
+    }
+    out.result()
+  }
+
+  private def ebmlUint(b: Array[Byte], from: Int, to: Int): Long = {
+    var v = 0L; var i = from
+    while (i < to) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Matroska / WebM header parse — JDK-only, the EBML twin of
+    * [[mp4Meta]], closing the last declared container stub: EBML is
+    * plain (id varint, size varint, payload) framing, so track
+    * geometry needs no codec. Claims a payload only when its FIRST
+    * element is the EBML header (0x1A45DFA3 — random bytes must not
+    * route as video), then walks Segment → Tracks → TrackEntry for
+    * the first video track's Video{PixelWidth, PixelHeight}
+    * (("video", w, h, nFrames) where nFrames counts that track's
+    * SimpleBlocks / BlockGroup Blocks across all Clusters — each
+    * block's first varint is its track number), or, in a file with
+    * no video track, the first audio track's Audio{Channels,
+    * BitDepth} (("audio", channels, bitDepth, 0) — bit depth is
+    * optional in Matroska, 0 when absent, sampling rate is a float
+    * the integer contract cannot carry). Unknown-size segments (live
+    * captures) extend to the buffer end. Any structural damage yields
+    * None and the payload falls to [[decodeStub]].
+    */
+  private[graft] def ebmlMeta(payload: Array[Byte]): Option[(String, Int, Int, Long)] =
+    try {
+      val top = ebmlKids(payload, 0, payload.length)
+      if (top.headOption.forall(_._1 != 0x1A45DFA3L)) return None
+      val SEGMENT = 0x18538067L; val TRACKS = 0x1654AE6BL
+      val TRACK_ENTRY = 0xAEL; val TRACK_NUMBER = 0xD7L; val TRACK_TYPE = 0x83L
+      val VIDEO = 0xE0L; val PIX_W = 0xB0L; val PIX_H = 0xBAL
+      val AUDIO = 0xE1L; val CHANNELS = 0x9FL; val BIT_DEPTH = 0x6264L
+      val CLUSTER = 0x1F43B675L; val SIMPLE_BLOCK = 0xA3L
+      val BLOCK_GROUP = 0xA0L; val BLOCK = 0xA1L
+      def u(e: (Long, Int, Int)): Long = ebmlUint(payload, e._2, e._3)
+      val hit = for {
+        seg <- top.find(_._1 == SEGMENT).toSeq
+        segKids = ebmlKids(payload, seg._2, seg._3)
+        tracks <- segKids.find(_._1 == TRACKS).toSeq
+        entries = ebmlKids(payload, tracks._2, tracks._3).filter(_._1 == TRACK_ENTRY)
+          .map(t => ebmlKids(payload, t._2, t._3))
+        video = entries.find(_.exists(_._1 == VIDEO))
+        audio = entries.find(_.exists(_._1 == AUDIO))
+        meta <- video.flatMap { t =>
+          val vk = ebmlKids(payload, t.find(_._1 == VIDEO).get._2,
+            t.find(_._1 == VIDEO).get._3)
+          for {
+            w <- vk.find(_._1 == PIX_W).map(u)
+            h <- vk.find(_._1 == PIX_H).map(u)
+            if w > 0 && h > 0
+          } yield {
+            // frame count: this track's blocks across all clusters
+            // (each block's first varint is the track number)
+            val trackNo = t.find(_._1 == TRACK_NUMBER).map(u).getOrElse(-1L)
+            val frames = segKids.filter(_._1 == CLUSTER).map { c =>
+              val blocks = ebmlKids(payload, c._2, c._3).flatMap {
+                case (SIMPLE_BLOCK, s, e) => Seq((s, e))
+                case (BLOCK_GROUP, s, e) =>
+                  ebmlKids(payload, s, e).collect { case (BLOCK, bs, be) => (bs, be) }
+                case _ => Nil
+              }
+              blocks.count { case (s, _) =>
+                ebmlSize(payload, s).exists(_._1 == trackNo) }.toLong
+            }.sum
+            ("video", w.toInt, h.toInt, frames)
+          }
+        }.orElse(audio.flatMap { t =>
+          val ak = ebmlKids(payload, t.find(_._1 == AUDIO).get._2,
+            t.find(_._1 == AUDIO).get._3)
+          ak.find(_._1 == CHANNELS).map(u).map(ch =>
+            ("audio", ch.toInt,
+              ak.find(_._1 == BIT_DEPTH).map(u).getOrElse(0L).toInt, 0L))
+        }).toSeq
+      } yield meta
       hit.headOption
     } catch { case scala.util.control.NonFatal(_) => None }
 

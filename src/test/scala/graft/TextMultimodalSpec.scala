@@ -249,6 +249,61 @@ class TextMultimodalSpec extends AnyFunSuite {
         s"doc $id must route to the stub, not half-parse")
   }
 
+  test("ebml header parse: MKV/WebM walk reads dims + per-track frames, damage falls to stub") {
+    import spark.implicits._
+    // minimal in-test WebM built from raw EBML framing
+    def idBytes(id: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8)
+      (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    }
+    def sizeBytes(n: Int): Array[Byte] =
+      if (n < 0x7f) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeBytes(payload.length) ++ payload
+    def u(v: Long): Array[Byte] = idBytes(v) // minimal big-endian uint
+    def cat(bs: Array[Byte]*): Array[Byte] = bs.flatten.toArray
+    val header = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("ISO-8859-1")))
+    val trackVideo = el(0xAEL, cat(el(0xD7L, u(1)), el(0x83L, u(1)),
+      el(0xE0L, cat(el(0xB0L, u(320)), el(0xBAL, u(240))))))
+    val trackAudio = el(0xAEL, cat(el(0xD7L, u(2)), el(0x83L, u(2)),
+      el(0xE1L, cat(el(0x9FL, u(2)), el(0x6264L, u(16))))))
+    // a block's payload leads with its track number as an EBML varint
+    def blockBytes(track: Int): Array[Byte] =
+      cat(sizeBytes(track), Array[Byte](0, 0, 0), Array.fill[Byte](4)(9))
+    def sb(track: Int): Array[Byte] = el(0xA3L, blockBytes(track))
+    def bg(track: Int): Array[Byte] = el(0xA0L, el(0xA1L, blockBytes(track)))
+    val cluster1 = el(0x1F43B675L, cat(el(0xE7L, u(0)), sb(1), sb(2), bg(1)))
+    val cluster2 = el(0x1F43B675L, cat(el(0xE7L, u(1)), sb(1), sb(2)))
+    val webm = cat(header,
+      el(0x18538067L, cat(el(0x1654AE6BL, cat(trackVideo, trackAudio)),
+        cluster1, cluster2)))
+    // video track 1 has 3 blocks (2 SimpleBlocks + 1 BlockGroup Block);
+    // track 2's blocks must not count
+    assert(Decode.ebmlMeta(webm) === Some(("video", 320, 240, 3L)))
+    // unknown-size segment (live capture): 0xFF size extends to buffer end
+    val segBody = cat(el(0x1654AE6BL, trackVideo), cluster1)
+    val unknownSeg = cat(header, idBytes(0x18538067L), Array(0xff.toByte), segBody)
+    assert(Decode.ebmlMeta(unknownSeg) === Some(("video", 320, 240, 2L)),
+      "an unknown-size segment must extend to the container end")
+    // audio-only matroska: channels + bit depth through the int contract
+    val audioOnly = cat(header,
+      el(0x18538067L, el(0x1654AE6BL, trackAudio)))
+    assert(Decode.ebmlMeta(audioOnly) === Some(("audio", 2, 16, 0L)))
+    // damage and non-EBML bytes fall to None (stub routing)
+    assert(Decode.ebmlMeta(webm.take(10)) === None)
+    assert(Decode.ebmlMeta("not an ebml stream at all".getBytes("UTF-8")) === None)
+    // end-to-end through the detected-features tier
+    val got = Decode.featuresDetected(Seq(
+        MediaRef(1L, "video/webm", webm),
+        MediaRef(2L, "video/webm", webm.take(10)))
+      .toDS()).collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).modality === "video" && got(1L).decoded)
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((320, 240, 3L)))
+    assert(got(2L).modality === "opaque" && !got(2L).decoded,
+      "a truncated webm must route to the stub, not half-parse")
+  }
+
   test("pixel tier: resize downscales aspect-preserving, audio stats read real PCM") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
