@@ -33,15 +33,23 @@ object Dedup extends QueryModule {
     * `ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]` exactly.
     */
   private def shingles(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
     // test parquet is one row group -> one input split; fan the cheap
     // doc rows across cores before the explode-heavy work. (On a real
     // multi-file corpus the scan is already parallel and AQE elides
     // needless exchanges.)
     // docs under 3 words produce NO shingles (oracle's generate_series
     // is empty there); sequence(1, 0) would count DOWN and explode on
-    // element_at(ws, 0), so guard explicitly
-    docs.repartition(col("doc_id")).select(col("doc_id"),
+    // element_at(ws, 0), so guard explicitly.
+    // The split MATERIALIZES as its own projection before the lambda
+    // touches it: expressions referenced from inside a higher-order
+    // function's lambda sit outside common-subexpression elimination,
+    // so an inline split(text) would re-tokenize the document for
+    // every element_at — 3x per shingle (measured ~2x on this kernel
+    // at sf0.1, round 12)
+    val ws = col("__ws")
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"),
         explode(when(size(ws) >= 3,
           array_distinct(transform(
             sequence(lit(1), size(ws) - 2),
@@ -233,9 +241,11 @@ object Dedup extends QueryModule {
     * token count / 10). countDistinct is per-chunk-group, never global.
     */
   def paragraphDups(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
-    val ws = split(col("text"), " ")
+    // __ws materialized before the lambda — see shingles()
+    val ws = col("__ws")
     val nFull = floor(size(ws) / chunkWords).cast("int")
     docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"),
         explode(when(nFull > 0,
           transform(sequence(lit(0), nFull - 1),
@@ -1109,7 +1119,8 @@ object Dedup extends QueryModule {
     * aggregate. No sorts, no windows over the corpus.
     */
   def spanDupStats(docs: DataFrame, spanWords: Int = 8): DataFrame = {
-    val words = split(col("text"), " ")
+    // __ws materialized before the lambda — see shingles()
+    val words = col("__ws")
     val win = when(size(words) >= spanWords,
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
         i => array_join(slice(words, i, lit(spanWords)), " ")))
@@ -1121,7 +1132,9 @@ object Dedup extends QueryModule {
     // elimination share the span string across the two seed hashes;
     // the cache holds (doc_id, h1, h2) — 24 bytes/window, never the
     // strings
-    val exploded = docs.select(col("doc_id"), explode(win).as("sp"))
+    val exploded = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), explode(win).as("sp"))
       .select(col("doc_id"), xxhash64(col("sp")).as("h1"),
         xxhash64(col("sp"), lit(1L)).as("h2")).cache()
     val dfCounts = exploded.groupBy("h1", "h2").agg(countDistinct("doc_id").as("ndocs"))
@@ -1167,12 +1180,15 @@ object Dedup extends QueryModule {
     * asc.
     */
   def topDupSpans(docs: DataFrame, spanWords: Int = 8, topN: Int = 20): DataFrame = {
-    val words = split(col("text"), " ")
+    // __ws materialized before the lambda — see shingles()
+    val words = col("__ws")
     val win = when(size(words) >= spanWords,
       transform(sequence(lit(1), size(words) - (spanWords - 1)),
         i => array_join(slice(words, i, lit(spanWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    val spans = docs.select(col("doc_id"), explode(win).as("span"))
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), explode(win).as("span"))
     val counts = spans
       .select(spanKey(col("span")).as("wh"), col("doc_id"))
       .groupBy("wh")

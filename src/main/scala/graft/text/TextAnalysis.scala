@@ -424,21 +424,31 @@ object TextAnalysis extends QueryModule {
     * windows are natural units).
     */
   private def repetition(s: SparkSession, d: String): DataFrame = {
+    // the token array materializes BEFORE the nested lambda reads it:
+    // `filter(ws, …)` sits inside transform's lambda, outside
+    // common-subexpression elimination, so an inline split(text)
+    // would re-tokenize the document once per DISTINCT WORD (measured
+    // ~4x this operator's cost at sf0.1, round 12)
+    val ws = col("__ws")
+    val nw = size(ws).cast(LongType)
+    val wsd = array_distinct(ws)
     val bigrams = zip_with(
-      slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val topCnt = array_max(transform(wsDistinct, w => size(filter(wsAll, x => x === w))))
+    val topCnt = array_max(transform(wsd, w => size(filter(ws, x => x === w))))
       .cast(LongType)
     val nBi = size(bigrams).cast(LongType)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      floor(lit(10000.0) * topCnt / nWords).as("top_word_share_x1e4"),
-      floor(lit(10000.0) * (nWords - size(wsDistinct).cast(LongType)) / nWords)
-        .as("dup_word_share_x1e4"),
-      when(nBi > 0,
-        floor(lit(10000.0) * (nBi - size(array_distinct(bigrams)).cast(LongType)) / nBi))
-        .otherwise(0L).as("dup_bigram_share_x1e4"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), wsAll.as("__ws"))
+      .select(
+        col("doc_id"),
+        nw.as("n_words"),
+        floor(lit(10000.0) * topCnt / nw).as("top_word_share_x1e4"),
+        floor(lit(10000.0) * (nw - size(wsd).cast(LongType)) / nw)
+          .as("dup_word_share_x1e4"),
+        when(nBi > 0,
+          floor(lit(10000.0) * (nBi - size(array_distinct(bigrams)).cast(LongType)) / nBi))
+          .otherwise(0L).as("dup_bigram_share_x1e4"))
   }
 
   private val repetitionSql =
@@ -1027,22 +1037,40 @@ object TextAnalysis extends QueryModule {
     * PlanAudit pins the partial-sketch aggregate shape.
     */
   private def corpusDiversityApprox(s: SparkSession, d: String): DataFrame =
-    corpusDiversityFrame(s, d, approx_count_distinct(col("s"), 0.02).as("nd"))
+    // the sketch never sees the trigram TEXT, so the approx twin
+    // hashes the token triple in place (xxhash64 — one long per
+    // trigram, no string concat/allocation on the exploded path;
+    // 64-bit collisions are ~n²/2⁶⁵, noise next to the 2% rsd) —
+    // the exact twin must keep real strings for oracle parity
+    corpusDiversityFrame(s, d, approx_count_distinct(col("s"), 0.02).as("nd"),
+      ws => i => xxhash64(element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2)))
 
   /** The shared diversity plan, parameterized by the distinct-side
-    * aggregate (exact countDistinct or the HLL sketch). The total
-    * side never explodes — `greatest(n_words − 2, 0)` summed per doc
-    * is a scan-bound projection in both variants.
+    * aggregate (exact countDistinct or the HLL sketch) and the
+    * per-position trigram representation (string for exact,
+    * xxhash64 for the sketch). The total side never explodes —
+    * `greatest(n_words − 2, 0)` summed per doc is a scan-bound
+    * projection in both variants. The split token array MATERIALIZES
+    * in its own projection before the lambda touches it: expressions
+    * referenced from inside a higher-order function's lambda sit
+    * outside common-subexpression elimination, so an inline
+    * `split(text)` would re-tokenize the document for every
+    * element_at — 3× per trigram (measured 40% of this operator's
+    * cost at sf0.1, round 12).
     */
   private def corpusDiversityFrame(s: SparkSession, d: String,
-                                   distinctAgg: Column): DataFrame = {
+                                   distinctAgg: Column,
+                                   triOf: Column => Column => Column = ws => i =>
+                                     concat_ws(" ", element_at(ws, i),
+                                       element_at(ws, i + 1),
+                                       element_at(ws, i + 2))): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tri = docs.select(col("source"), col("lang"),
-      explode(when(size(wsAll) >= 3,
-          transform(sequence(lit(1), size(wsAll) - 2),
-            i => concat_ws(" ", element_at(wsAll, i), element_at(wsAll, i + 1),
-              element_at(wsAll, i + 2))))
-        .otherwise(array())).as("s"))
+    val tri = docs.select(col("source"), col("lang"), wsAll.as("__ws"))
+      .select(col("source"), col("lang"),
+        explode(when(size(col("__ws")) >= 3,
+            transform(sequence(lit(1), size(col("__ws")) - 2), triOf(col("__ws"))))
+          .otherwise(array())).as("s"))
     val totals = docs
       .select(col("source"), col("lang"),
         greatest(size(wsAll) - 2, lit(0)).cast(LongType).as("nt"))
