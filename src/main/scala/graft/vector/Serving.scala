@@ -626,6 +626,47 @@ object Serving extends QueryModule {
     new FusionServing(idx, vecArm, shortlist, topK, rrfK, pinned)
   }
 
+  /** Continuous cross-arity serving — [[fusionServing]] as a stream:
+    * each micro-batch of (query_id, terms, phrase, qv) rows probes
+    * the three arms ONCE, appends the two-arm RRF page to
+    * `hybridOut` AND the three-arm page to `triOut`, then releases
+    * the pinned arm frames. The one-stream form of "a service that
+    * renders both fusion styles": [[serveHybridStream]] +
+    * [[serveTriStream]] side by side would probe the vector store
+    * and both index layouts TWICE per tick for the same queries.
+    * Arm state resolves once at stream start; weights apply at
+    * fusion, per the [[FusionServing]] contract.
+    */
+  def serveFusionStream(idx: graft.text.TermIndex, store: VectorStore,
+                        queries: DataFrame, hybridOut: String, triOut: String,
+                        checkpoint: String,
+                        topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
+                        rrfK: Int = RRF_K,
+                        allowed: Option[DataFrame] = None,
+                        excludeSelf: Boolean = false,
+                        maxRowsPerTask: Long = 0L,
+                        compressed: Boolean = false,
+                        vecShortlist: Int = 100,
+                        wKw: Double = 1.0, wVec: Double = 1.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fs = fusionServing(idx, store, topK, shortlist, nprobe, rrfK,
+      allowed, excludeSelf, maxRowsPerTask, compressed, vecShortlist)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val a = fs.arms(batch)
+          try {
+            fs.hybrid(a, wKw, wVec)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hybridOut)
+            fs.tri(a)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(triOut)
+          } finally a.release()
+        }
+      }
+      .start()
+  }
+
   /** The registered three-arm batch — #9m's shape plus the phrase
     * arm, all text probes served from ONE shared positional index.
     */

@@ -1104,6 +1104,26 @@ class VectorSpec extends AnyFunSuite {
       nprobe = 2, wKw = 2.0, wVec = 1.0).collect())
     val wantTri = canon(graft.vector.Serving.triJoin(idx, vs, triQ,
       topK = 5, shortlist = 20, nprobe = 2).collect())
+    // streamed twin FIRST (it needs the live dirs): one arms probe
+    // per tick feeds BOTH output pages
+    implicit val sqlCtx = spark.sqlContext
+    val hyOut = Files.createTempDirectory("graft-fus-hy").toString + "/res"
+    val trOut = Files.createTempDirectory("graft-fus-tr").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-fus-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String], Seq[String], Seq[Double])]
+    val sq = graft.vector.Serving.serveFusionStream(idx, vs,
+      input.toDF().toDF("query_id", "terms", "phrase", "qv"), hyOut, trOut,
+      ckpt, topK = 5, shortlist = 20, nprobe = 2)
+    try {
+      input.addData(qRows.map { case (id, t, p) => (id, t, p, qv(id)) }: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(canon(spark.read.parquet(hyOut).collect()) === wantHybrid,
+      "streamed fusion's hybrid page must equal hybridJoin")
+    assert(canon(spark.read.parquet(trOut).collect()) === wantTri,
+      "streamed fusion's tri page must equal triJoin")
+
     val fs = graft.vector.Serving.fusionServing(idx, vs,
       topK = 5, shortlist = 20, nprobe = 2)
     val arms = fs.arms(triQ)
