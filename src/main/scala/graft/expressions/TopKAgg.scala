@@ -74,9 +74,16 @@ final class TopKHeap(val k: Int) {
   /** (score, id) pairs best-first: score desc, ties id asc. */
   def sortedPairs: Array[(Double, Long)] = {
     val arr = Array.tabulate(size)(i => (scores(i), ids(i)))
-    arr.sortWith { case ((s1, i1), (s2, i2)) =>
-      if (s1 != s2) s1 > s2 else i1 < i2
-    }
+    // Total order via Double.compare (matches offer()'s comparator);
+    // a raw !=/> double comparison is not total under NaN and can make
+    // Timsort throw "Comparison method violates its general contract".
+    java.util.Arrays.sort(arr, new java.util.Comparator[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+    arr
   }
 }
 

@@ -178,6 +178,10 @@ object Decode {
           minf <- kids(mdia).find(_._1 == "minf")
           stbl <- kids(minf).find(_._1 == "stbl")
           stts <- kids(stbl).find(_._1 == "stts")
+          // A truncated stts (payload < 8 bytes) must degrade to
+          // frames = 0, not AIOOBE out through the outer catch and
+          // drop the already-parsed width/height.
+          if stts._2 + 8 <= stts._3
           n = be32(payload, stts._2 + 4)
           if stts._2 + 8 + n * 8 <= stts._3
         } yield (0L until n).map(i => be32(payload, (stts._2 + 8 + i * 8).toInt)).sum)

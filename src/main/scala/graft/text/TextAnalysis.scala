@@ -618,17 +618,25 @@ object TextAnalysis extends QueryModule {
     * 33rd/67th percentile cut-points come from one KLL-sketch
     * aggregation (2 longs, taken eagerly driver-side) and bucket
     * assignment is a pure projection with the cuts as literals — no
-    * global sort, no session cache pinned. The scoring runs twice
-    * (cut pass + assignment pass); a production job persists the
-    * scores once and reads them for both. Rows-only (sketch cuts are
-    * engine-specific); CurationOpsSpec bounds bucket-size drift vs
-    * the exact NTILE terciles. Ties land in the lower bucket
-    * (`> cut`), mirroring NTILE's bias closely enough for the bound.
+    * global sort. The LM scoring (the heaviest text pass: bigram
+    * explode + two count-table joins) runs ONCE: the slim
+    * (doc_id, score) frame is localCheckpoint'd eagerly, the sketch
+    * cut reads the checkpoint blocks, and the returned assignment
+    * plan reads the same blocks — cut + assignment share one LM pass.
+    * Rows-only (sketch cuts are engine-specific); CurationOpsSpec
+    * bounds bucket-size drift vs the exact NTILE terciles. Ties land
+    * in the lower bucket (`> cut`), mirroring NTILE's bias closely
+    * enough for the bound.
     */
   private def pplBucketApprox(s: SparkSession, d: String): DataFrame = {
-    def scored = lmScores(Tables.documents(s, d))
+    // eager localCheckpoint: materializes the scored frame once and
+    // severs lineage, so the cuts action below AND the returned plan
+    // both read the 2-column checkpoint blocks instead of re-running
+    // the bigram-LM join pipeline (round-12 weak plan: double pass).
+    val scored = lmScores(Tables.documents(s, d))
       .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("avg_logp_x1e6"))
+      .localCheckpoint(true)
     val cuts = scored.agg(percentile_approx(col("avg_logp_x1e6"),
       typedlit(Seq(1.0 / 3, 2.0 / 3)), lit(10000))).head().getSeq[Long](0)
     scored.select(col("doc_id"), col("avg_logp_x1e6"),

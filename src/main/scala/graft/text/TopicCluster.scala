@@ -118,9 +118,16 @@ object TopicCluster extends QueryModule {
 
   private def docSource(s: SparkSession, d: String, k: Int, iters: Int): ModelSource = {
     val live = Tables.documents(s, d)
+    // content stamp: row count + (token sum + order-independent sum of
+    // per-row 32-bit text hashes) — the hash term catches an in-place
+    // edit that preserves both row count and token count, matching
+    // vecSource's hash-based stamp (asymmetry flagged in round 12).
+    // hash() is 32-bit so the long sum can't ANSI-overflow below 2^32
+    // rows (xxhash64 would).
     val r = live.agg(count(lit(1)),
-      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L))).head()
-    ModelSource(TextAnalysis.termIdxDir(d, s"-cluster-k$k-i$iters-v2"),
+      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L)) +
+        coalesce(sum(hash(col("text")).cast(LongType)), lit(0L))).head()
+    ModelSource(TextAnalysis.termIdxDir(d, s"-cluster-k$k-i$iters-v3"),
       live, "doc_id", docs => HashEmbedder.embed(docs),
       (r.getLong(0), r.getLong(1)))
   }

@@ -283,13 +283,6 @@ object Serving extends QueryModule {
   private def hybridBatch(s: SparkSession, d: String): DataFrame =
     hybridBatchFrame(s, d, allowed = None)
 
-  /** The batched-hybrid plan, optionally restricted to an allowed
-    * doc_id frame on BOTH arms (filter-then-search each side: the
-    * vector arm semi-joins the corpus AFTER shard assignment against
-    * the full-corpus routing centroids — routing is a property of the
-    * index, not of one query's allowed set — and the keyword arm is
-    * `searchBatch(allowed)`'s filter-then-rank with index-global df).
-    */
   /** The inline IVF vector arm shared by every registered hybrid
     * batch: per-query top-SHORTLIST through the bounded heap (the
     * shuffle after scoring carries ≤ SHORTLIST rows per (query, map
@@ -321,6 +314,13 @@ object Serving extends QueryModule {
         (col("__pos") + 1).cast("int").as("rank_vec"))
   }
 
+  /** The batched-hybrid plan, optionally restricted to an allowed
+    * doc_id frame on BOTH arms (filter-then-search each side: the
+    * vector arm semi-joins the corpus AFTER shard assignment against
+    * the full-corpus routing centroids — routing is a property of the
+    * index, not of one query's allowed set — and the keyword arm is
+    * `searchBatch(allowed)`'s filter-then-rank with index-global df).
+    */
   private def hybridBatchFrame(s: SparkSession, d: String,
                                allowed: Option[DataFrame],
                                wKw: Double = 1.0, wVec: Double = 1.0): DataFrame = {

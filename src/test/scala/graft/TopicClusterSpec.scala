@@ -76,6 +76,39 @@ class TopicClusterSpec extends AnyFunSuite {
       "a drifted corpus must re-cluster, not serve the stale assignment")
   }
 
+  test("in-place edit preserving row count AND token count still rebuilds") {
+    // round-12 advice: the doc stamp was (count, token-sum) only, so a
+    // content edit that keeps both served a stale model silently; the
+    // stamp now folds in a per-row text hash like the vector twin.
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-editclu").toString
+    def writeDocs(vocab: IndexedSeq[String]): Unit =
+      (0L until 40L).map(i =>
+        (i, s"${vocab((i % 7).toInt)} ${vocab((i % 5).toInt)} ${vocab((i % 3).toInt)}"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    val v1 = (0 until 7).map(j => s"aa$j")
+    val v2 = (0 until 7).map(j => s"zz$j") // same word lengths, same token counts
+    writeDocs(v1)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    TopicCluster.invalidateServed()
+    canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    val metaDir =
+      graft.text.TextAnalysis.termIdxDir(dataDir, "-cluster-k4-i5-v3") + "/meta"
+    val stampBefore = spark.read.parquet(metaDir).head().getLong(1)
+    writeDocs(v2)
+    TopicCluster.invalidateServed()
+    val edited = canon(TopicCluster.servedAssignments(spark, dataDir, k = 4))
+    assert(edited === canon(TopicCluster.clusterDocs(
+        Tables.documents(spark, dataDir), k = 4)),
+      "a count- and token-preserving edit must re-cluster, not serve stale")
+    // proof the rebuild actually FIRED: the re-stamped meta moved, which
+    // only the hash term can see (row count and token sum are unchanged)
+    assert(spark.read.parquet(metaDir).head().getLong(1) !== stampBefore,
+      "the content-hash stamp must move on an in-place edit")
+  }
+
   test("maintain assigns appended docs to the frozen model without moving old rows") {
     import spark.implicits._
     val dataDir = java.nio.file.Files.createTempDirectory("graft-mainclu").toString
