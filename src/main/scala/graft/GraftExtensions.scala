@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "cosine_sim", CosineSim.apply)
     register(ext, "l2_dist", L2Dist.apply)
     register(ext, "dot_product", DotProduct.apply)
+    // whole-operator extension: the fused shard-join + bounded top-k
+    // (graft.plans.ShardTopKJoinNode -> ...Exec) — the knn-JOIN
+    // serving kernel
+    ext.injectPlannerStrategy(_ => graft.plans.ShardTopKJoinStrategy)
   }
 }

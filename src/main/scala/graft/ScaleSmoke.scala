@@ -214,11 +214,54 @@ object ScaleSmoke {
       // reported ~4 s for this leg, which was the join skeleton with
       // zero scoring. sum(size(tops)) makes the aggregate's output a
       // required column, so the timed plan is the served plan.
-      val nOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2, shard equi-join, heap top-3)") {
+      val nOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2, shard equi-join, heap top-3) [declarative round-12 plan]") {
         knnJoin.select(count(col("query_id")), sum(size(col("tops")))).head()
       }
       println(s"[scale] knn join produced ${nOut.getLong(0)} query rows, " +
         s"${nOut.getLong(1)} result pairs (heap output forced)")
+
+      // FUSED exec (graft.plans.ShardTopKJoinExec, round 13): same
+      // shard-key shuffle on both sides — EnsureRequirements plans the
+      // exchanges, broadcast still disabled and asserted — but the
+      // cosine + bounded heap run inside the join's partition loop,
+      // so the ~3·10^8 candidate pairs never materialize as rows and
+      // never walk ObjectHashAggregate's per-pair hash lookup. The
+      // partials the exec emits are <= 3 rows per (probe, partition);
+      // the final TopKAgg merge aggregates thousands of rows.
+      val corpusF = corpusS.select(col("id").cast("long").as("id"),
+        col("shard"), col("vector").cast("array<double>").as("vec"))
+      val probesF = knnQueries.select(col("query_id").cast("long").as("query_id"),
+        col("shard").cast("long").as("shard"),
+        col("qv").cast("array<double>").as("qv"))
+      val fused = graft.plans.ShardTopKJoin
+        .ranked(corpusF, probesF, k = 3, excludeSelf = true)
+      val fusedAgg = fused.groupBy("query_id")
+        .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      val fPlan = fused.queryExecution.executedPlan.toString
+      require(fPlan.contains("ShardTopKJoin"),
+        s"fused knn-join plan must contain the fused exec:\n$fPlan")
+      require(!fPlan.contains("BroadcastHashJoin") &&
+          !fPlan.contains("BroadcastNestedLoopJoin"),
+        s"fused knn-join plan must be broadcast-free:\n$fPlan")
+      println("[scale] fused knn-join plan: ShardTopKJoinExec present, broadcast-free (asserted)")
+      val fOut = timed(s"knn JOIN ($nQ queries x $nVec corpus, nprobe=2) [FUSED ShardTopKJoinExec]") {
+        fusedAgg.select(count(col("query_id")), sum(col("n"))).head()
+      }
+      println(s"[scale] fused knn join produced ${fOut.getLong(0)} query rows, " +
+        s"${fOut.getLong(1)} result pairs")
+      // same answers, not just same counts: top-3 id SETS per query
+      // must match the declarative plan exactly (both heaps order by
+      // score desc, id asc; collect_list order is nondeterministic so
+      // compare sorted)
+      val declTops = knnJoin.select(col("query_id"), col("tops.id").as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+      val fusedTops = fused.groupBy("query_id")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      require(declTops.keySet == fusedTops.keySet &&
+          declTops.forall { case (q, ids) => fusedTops(q) == ids },
+        "fused knn JOIN must reproduce the declarative top-3 exactly")
+      println(s"[scale] fused top-3 identical to declarative: true (${declTops.size} queries, asserted)")
 
       // range JOIN at volume — the radius twin on the same probe plan:
       // no heap at all, the threshold is pushed into the SMJ's join
@@ -278,6 +321,22 @@ object ScaleSmoke {
           .select(col("query_id"), col("tops.id").as("ids"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
       }
+      // fused twin: the same hot corpus through ShardTopKJoinExec with
+      // the packed (shard, salt) key — proves the fused operator keeps
+      // joinByPopulation's straggler bound AND its result invariance
+      def knnTopsFused(salt: Long): Array[(Long, Seq[Long])] =
+        graft.plans.ShardTopKJoin.ranked(
+            hotCorpus.select(col("id").cast("long").as("id"), col("shard"),
+              col("vector").cast("array<double>").as("vec")),
+            hotQueries.select(col("query_id").cast("long").as("query_id"),
+              col("shard").cast("long").as("shard"),
+              col("qv").cast("array<double>").as("qv")),
+            k = 3, excludeSelf = true,
+            maxRowsPerTask = salt, saltOn = Some(col("id")))
+          .groupBy("query_id")
+          .agg(transform(sort_array(collect_list(struct(col("rank"), col("id")))),
+            x => x.getField("id")).as("ids"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       val unsalted = timed("knn JOIN hot-shard UNSALTED, skew-split off (the streaming regime)") {
         knnTops(0L)
@@ -285,6 +344,12 @@ object ScaleSmoke {
       val saltedTop = timed(s"knn JOIN hot-shard salted maxRowsPerTask=$maxRows, skew-split off") {
         knnTops(maxRows)
       }
+      val fusedSalted = timed(s"knn JOIN hot-shard FUSED salted maxRowsPerTask=$maxRows, skew-split off") {
+        knnTopsFused(maxRows)
+      }
+      require(unsalted.length == fusedSalted.length &&
+          unsalted.zip(fusedSalted).forall { case (a, b) => a._1 == b._1 && a._2 == b._2 },
+        "fused salted knn JOIN must reproduce the unsalted top-3 exactly")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
       val aqeTop = timed("knn JOIN hot-shard UNSALTED, AQE skew-split on (the batch engine's own defense)") {
         knnTops(0L)

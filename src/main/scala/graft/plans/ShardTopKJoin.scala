@@ -1,0 +1,303 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanInterop
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+import graft.expressions.TopKHeap
+
+/** Fused shard-equi-join + cosine scoring + per-query bounded top-k.
+  *
+  * The declarative knn-JOIN plan — `corpus JOIN probes ON shard`,
+  * cosine projection, `groupBy(query_id).agg(topK)` — materializes one
+  * joined row per (corpus row, probing query) pair and walks each
+  * through ObjectHashAggregate: an UnsafeRow write, a group-key
+  * projection, and a hash-map lookup PER CANDIDATE PAIR. At the 5k×1M
+  * serving join (nprobe=2, ~300 queries/shard) that is ~3·10⁸ pair
+  * rows, and round 12 measured ~20 s of the leg's 33.6 s inside the
+  * aggregate walk alone — more than the scoring itself.
+  *
+  * This operator is the (c)-tier answer (custom LogicalPlan + Strategy
+  * + SparkPlan via SparkSessionExtensions): both children shuffle on
+  * the join key exactly as before — `requiredChildDistribution` is the
+  * same pair of ClusteredDistributions a SortMergeJoin would demand,
+  * so EnsureRequirements/AQE plan the exchanges and the 100 TB "both
+  * sides corpus-sized, nobody broadcasts" shape is preserved — but the
+  * per-partition loop joins, scores, and folds into per-probe
+  * [[TopKHeap]]s in ONE pass with no intermediate row, no group-key
+  * projection, and no hash probe per pair (the probe list is resolved
+  * once per CORPUS ROW, its heaps live on the probe entries
+  * themselves). Output is the k-bounded partials (query_id, id,
+  * score), ≤ k rows per (probe replica, partition) — the downstream
+  * [[graft.expressions.TopKAgg]] merge then aggregates thousands of
+  * rows, not hundreds of millions.
+  *
+  * Score parity: per corpus row the squared norm accumulates in
+  * element order, per pair the dot accumulates in element order, and
+  * the result is `dot / (sqrt(na) * sqrt(nb))` with the zero-norm → 0
+  * guard — term-for-term [[graft.expressions.VectorKernels.cosine]],
+  * so fused scores are BIT-IDENTICAL to the expression pipeline and
+  * the DuckDB-oracle hash checks stay green (hoisting na/nb out of
+  * the pair loop reuses identical values; it cannot change them).
+  *
+  * Reference anchor: this is the batched form of the reference's
+  * /search loop (test.py:117-127) — every client vector gets its
+  * top-k against the sharded store in one distributed plan.
+  */
+object ShardTopKJoin {
+
+  /** Per-partition partial top-k candidates for `probes` against
+    * `corpus`, both taken POSITIONALLY as (id: LONG, key: LONG,
+    * vec: ARRAY<DOUBLE>) / (query_id: LONG, key: LONG, qv:
+    * ARRAY<DOUBLE>). Output (query_id, id, score) with ≤ k rows per
+    * (probe row, partition); callers merge with a final TopKAgg —
+    * see [[ranked]]. Null ids/keys/vectors are skipped (inner-join
+    * semantics). `excludeSelf` drops candidates whose id equals the
+    * probing query_id before they reach the heap.
+    */
+  def partials(corpus: DataFrame, probes: DataFrame, k: Int,
+               excludeSelf: Boolean): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def check(df: DataFrame, what: String): Unit = {
+      val t = df.schema.fields.map(_.dataType)
+      val ok = t.length == 3 && t(0) == LongType && t(1) == LongType &&
+        (t(2) match { case ArrayType(DoubleType, _) => true; case _ => false })
+      require(ok, s"$what must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
+        df.schema.simpleString)
+    }
+    check(corpus, "corpus"); check(probes, "probes")
+    val out = Seq(
+      AttributeReference("query_id", LongType, nullable = false)(),
+      AttributeReference("id", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)())
+    PlanInterop.ofRows(corpus.sparkSession,
+      ShardTopKJoinNode(corpus.queryExecution.analyzed,
+        probes.queryExecution.analyzed, k, excludeSelf, out))
+  }
+
+  /** The full knn-JOIN result: fused partials + the k-bounded
+    * [[graft.expressions.TopKAgg]] merge (input ≤ k rows per probe
+    * replica per partition — thousands of rows at serving scale).
+    * Returns (query_id, rank, `idName`, score) with rank 1-based on
+    * (score desc, id asc) — the [[graft.vector.VectorStore]] serving
+    * contract. `maxRowsPerTask > 0` bounds hot-shard stragglers by
+    * salting the corpus side and replicating probes per salt
+    * ([[graft.operators.SaltedJoin.joinByPopulation]]'s discipline)
+    * with the (key, salt) pair PACKED into the single fused join key —
+    * result-invariant: each matching pair still meets exactly once.
+    */
+  def ranked(corpus: DataFrame, probes: DataFrame, k: Int,
+             excludeSelf: Boolean, idName: String = "id",
+             maxRowsPerTask: Long = 0L,
+             saltOn: Option[Column] = None,
+             precomputedSalts: Option[DataFrame] = None): DataFrame = {
+    val (c, p) =
+      if (maxRowsPerTask > 0L)
+        packSalted(corpus, probes, maxRowsPerTask, saltOn, precomputedSalts)
+      else (corpus, probes)
+    val part = partials(c, p, k, excludeSelf)
+    part.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score"), col("id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
+        col("__e.id").as(idName), col("__e.score").as("score"))
+  }
+
+  /** Salt packing for the fused key: per-key salt count sized from the
+    * corpus population (`saltc = ceil(n/maxRowsPerTask)`, broadcast
+    * table), corpus rows land on `key·2¹⁶ + hash(salt basis) mod
+    * saltc`, probes replicate to every salt of their key. Packing is
+    * collision-free while keys are non-negative and < 2⁴⁷ and saltc ≤
+    * 2¹⁶ — shard ids are small ints, and the require guards the
+    * contract loudly.
+    */
+  private[graft] def packSalted(corpus: DataFrame, probes: DataFrame,
+                                maxRowsPerTask: Long, saltOn: Option[Column],
+                                precomputedSalts: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val Seq(cId, cKey, cVec) = corpus.columns.toSeq.map(col)
+    val Seq(pId, pKey, pVec) = probes.columns.toSeq.map(col)
+    val salts = precomputedSalts.getOrElse(
+      graft.operators.SaltedJoin.populationSalts(
+        corpus, corpus.columns(1), maxRowsPerTask))
+    val basis = saltOn.getOrElse(cId)
+    // same null-safe <=> broadcast lookup on BOTH sides as
+    // joinByPopulation, so ReuseExchange serves the probe side from
+    // the corpus side's broadcast of the salts aggregate
+    val c = corpus.join(broadcast(salts), cKey <=> col("__jk"), "left")
+      .select(cId,
+        (cKey * lit(65536L) +
+          pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L)))).as("__pk"),
+        cVec)
+    val p = probes.join(broadcast(salts), pKey <=> col("__jk"), "left")
+      .select(pId, pKey, pVec,
+        explode(sequence(lit(0L), coalesce(col("__saltc"), lit(1L)) - 1))
+          .as("__salt"))
+      .select(pId, (pKey * lit(65536L) + col("__salt")).as("__pk"), pVec)
+    (c, p)
+  }
+}
+
+/** Logical node: opaque to the optimizer (it references every child
+  * column and produces its own output, so column pruning can't eat
+  * the vector columns the way count()-forcing once did to the bench).
+  * Children are POSITIONAL: left = (id, key, vec), right =
+  * (query_id, key, qv).
+  */
+case class ShardTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
+                             k: Int, excludeSelf: Boolean,
+                             output: Seq[Attribute]) extends BinaryNode {
+  override def producedAttributes: AttributeSet = outputSet
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): ShardTopKJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule wiring [[ShardTopKJoinNode]] to its exec — injected by
+  * [[graft.GraftExtensions]] (`injectPlannerStrategy`).
+  */
+object ShardTopKJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: ShardTopKJoinNode =>
+      ShardTopKJoinExec(planLater(n.left), planLater(n.right),
+        n.k, n.excludeSelf, n.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One probe replica's serving state inside a partition: its query id,
+  * materialized query vector, precomputed norm, and live heap.
+  */
+private final class ProbeState(val qid: Long, val qv: Array[Double],
+                               val sqrtNb: Double, val heap: TopKHeap)
+
+case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
+                             k: Int, excludeSelf: Boolean,
+                             output: Seq[Attribute]) extends BinaryExecNode {
+
+  // the same distribution pair a shuffled join would demand: both
+  // children clustered on their key column — EnsureRequirements
+  // inserts co-partitioned exchanges (never a broadcast), AQE
+  // coalesces them consistently, and zipPartitions below sees aligned
+  // partitions. numPartitions mismatches fail loudly at runtime.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(left.output(1))) ::
+      ClusteredDistribution(Seq(right.output(1))) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numPairs" -> SQLMetrics.createMetric(sparkContext, "candidate pairs scored"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ShardTopKJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val exSelf = excludeSelf
+    val outRows = longMetric("numOutputRows")
+    val pairs = longMetric("numPairs")
+    left.execute().zipPartitions(right.execute()) { (cIter, pIter) =>
+      // resolve the partition's probes once: key -> replicas
+      val byKey = new java.util.HashMap[Long, java.util.ArrayList[ProbeState]]()
+      val all = new java.util.ArrayList[ProbeState]()
+      while (pIter.hasNext) {
+        val r = pIter.next()
+        if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+          val qv = r.getArray(2).toDoubleArray()
+          var nb = 0.0
+          var i = 0
+          while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
+          val st = new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
+          val key = r.getLong(1)
+          var lst = byKey.get(key)
+          if (lst == null) { lst = new java.util.ArrayList[ProbeState](4); byKey.put(key, lst) }
+          lst.add(st)
+          all.add(st)
+        }
+      }
+      if (all.isEmpty) {
+        // nothing probes this partition — don't touch the corpus side
+        // beyond the iterator contract
+        Iterator.empty
+      } else {
+        var nPairs = 0L
+        while (cIter.hasNext) {
+          val r = cIter.next()
+          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+            val lst = byKey.get(r.getLong(1))
+            if (lst != null) {
+              val id = r.getLong(0)
+              val v = r.getArray(2).toDoubleArray()
+              val n = v.length
+              // squared norm once per corpus row (identical element
+              // order to VectorKernels.cosine — hoisting can't change
+              // the accumulated value)
+              var na = 0.0
+              var i = 0
+              while (i < n) { val x = v(i); na += x * x; i += 1 }
+              val sqrtNa = math.sqrt(na)
+              var j = 0
+              val m = lst.size
+              while (j < m) {
+                val p = lst.get(j)
+                if (!(exSelf && id == p.qid)) {
+                  val qv = p.qv
+                  if (qv.length != n) throw new IllegalArgumentException(
+                    s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
+                      "(ragged embedding row?)")
+                  var dot = 0.0
+                  var t = 0
+                  while (t < n) { dot += v(t) * qv(t); t += 1 }
+                  val score =
+                    if (na == 0.0 || p.sqrtNb == 0.0) 0.0
+                    else dot / (sqrtNa * p.sqrtNb)
+                  p.heap.offer(score, id)
+                  nPairs += 1L
+                }
+                j += 1
+              }
+            }
+          }
+        }
+        pairs += nPairs
+        val proj = UnsafeProjection.create(
+          Array[org.apache.spark.sql.types.DataType](LongType, LongType, DoubleType))
+        val buf = new Array[Any](3)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buf)
+        new Iterator[InternalRow] {
+          private var pi = 0
+          private var hi = 0
+          private var cur: ProbeState = if (all.isEmpty) null else all.get(0)
+          private def advance(): Unit = {
+            while (cur != null && hi >= cur.heap.size) {
+              pi += 1; hi = 0
+              cur = if (pi < all.size) all.get(pi) else null
+            }
+          }
+          override def hasNext: Boolean = { advance(); cur != null }
+          override def next(): InternalRow = {
+            advance()
+            val h = cur.heap
+            buf(0) = cur.qid
+            buf(1) = h.ids(hi)
+            buf(2) = h.scores(hi)
+            hi += 1
+            outRows += 1L
+            proj(row)
+          }
+        }
+      }
+    }
+  }
+}

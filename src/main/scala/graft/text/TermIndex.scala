@@ -729,6 +729,24 @@ class TermIndex(spark: SparkSession, path: String,
       lit(tomb).as("n_tombstones"))
   }
 
+  /** A metadata-cheap content stamp: the hash of every batch
+    * directory name across post/meta/del — pure driver-side FS
+    * listings, no Spark job, no postings read. Every mutation path
+    * (append, delete, reclaim, compact, maintain) creates or removes
+    * a `batch=` directory, so any stamp-equal index serves the same
+    * rows; [[graft.vector.Serving.FusionServing]] keys its cross-call
+    * arms cache on this so a mutated index EVICTS, never serves
+    * stale shortlists.
+    */
+  private[graft] def contentStamp(): Long = {
+    val names = dirs.flatMap { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.listStatus(p).map(s => d + "/" + s.getPath.getName)
+      else Nil
+    }.sorted
+    names.foldLeft(17L)((acc, n) => acc * 31L + n.hashCode.toLong)
+  }
+
   /** Continuous text-query serving — the text twin of
     * [[graft.streaming.StreamingSearch]]: each micro-batch of keyword
     * queries (query_id, terms array) probes the index via

@@ -591,6 +591,66 @@ object Serving extends QueryModule {
       new FusionArms(kw, vec, ph)
     }
 
+    // --- cross-CALL arms cache (round-13 VERDICT ask 4) -------------
+    // A dashboard refreshing the same query frame re-probed per call
+    // even though arms() reuses probes across arities WITHIN a call.
+    // Key = (batch content hash, batch arity, text-index content
+    // stamp): the hash is one tiny agg over the BATCH (never the
+    // corpus), and the index stamp is a driver-side directory listing
+    // — any append/delete/reclaim/compact changes it, so a mutated
+    // index gets fresh probes, never stale shortlists. (The vector
+    // arm's store state is frozen at construction by this class's
+    // existing contract — searchJoinServing resolves centroids once —
+    // so the store needs no stamp here.) LRU-bounded: evicted entries
+    // release their checkpoint blocks, which is why CACHE-owned arms
+    // must never be release()d by callers.
+    private val armsLru =
+      new java.util.LinkedHashMap[(Long, Long, Long, String), FusionArms](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long, Long, String), FusionArms])
+            : Boolean = {
+          val evict = size() > 8
+          if (evict) e.getValue.release()
+          evict
+        }
+      }
+
+    private def batchStamp(queries: DataFrame): (Long, Long) = {
+      // 32-bit hash() summed into a long (ANSI-overflow-safe below
+      // 2^32 rows — the TopicCluster stamp convention); order-
+      // independent, content-sensitive across every column including
+      // the vector
+      val r = queries.agg(count(lit(1)), coalesce(
+        sum(hash(queries.columns.map(col): _*).cast(LongType)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    /** [[arms]] behind the cross-call cache: a repeated batch (same
+      * content, same arity, index unchanged) serves its pinned arm
+      * frames with NO index or store probe — one batch-sized hash agg
+      * is the whole cost. Returned arms are cache-owned: do NOT call
+      * `release()` on them (eviction and [[invalidateArms]] do).
+      */
+    def armsCached(queries: DataFrame): FusionArms = {
+      val (n, h) = batchStamp(queries)
+      val key = (n, h, idx.contentStamp(), queries.columns.mkString(","))
+      armsLru.synchronized {
+        val hit = armsLru.get(key)
+        if (hit != null) hit
+        else { val a = arms(queries); armsLru.put(key, a); a }
+      }
+    }
+
+    /** Drop every cached arm frame and free its checkpoint blocks —
+      * for callers that mutate the underlying DATASET in-session
+      * (the store side has no stamp; see the cache comment).
+      */
+    def invalidateArms(): Unit = armsLru.synchronized {
+      armsLru.values().forEach(_.release())
+      armsLru.clear()
+    }
+
     /** Two-arm RRF over pinned arms — [[hybridJoin]]'s output shape;
       * weights are fusion-time knobs, so a re-weighted page costs no
       * probe.
@@ -814,21 +874,27 @@ object Serving extends QueryModule {
     // restricting who asks is the caller's slice, orthogonal to this.
     val corpus0 = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
     val corpus = corpusPred.fold(corpus0)(corpus0.filter)
-    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
-    val joined =
-      if (maxRowsPerTask > 0L)
-        graft.operators.SaltedJoin.joinByPopulation(corpus, queries, "shard",
-          maxRowsPerTask, saltOn = Some(col("vec_id")))
-      else corpus.join(queries, Seq("shard"))
-    joined
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(col("score0"), col("vec_id"), k).as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
+      .select(col("vec_id").cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // nearestShards elements are already LONG (Centroids casts sids)
+    val queries = e.select(col("vec_id").cast(LongType).as("query_id"),
+      explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+        .as("shard"),
+      col("embedding").cast("array<double>").as("qv"))
+    // fused exec (graft.plans.ShardTopKJoinExec): both sides still
+    // shuffle on the (shard[, salt]) key exactly like the old
+    // join→cosine→TopKAgg pipeline, but scoring and the bounded heap
+    // run inside the join's own partition loop — no per-pair row
+    // materialization or aggregate hash walk (round 12 measured that
+    // walk at ~20 s of the 5k×1M leg's 33.6 s). Scores bit-identical
+    // (the exec mirrors VectorKernels.cosine term-for-term), so the
+    // DuckDB-oracle hash stays the proof.
+    graft.plans.ShardTopKJoin.ranked(corpus, queries, k,
+        excludeSelf = true, idName = "vec_id",
+        maxRowsPerTask = maxRowsPerTask, saltOn = Some(col("vec_id")))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
   }
 
   private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
@@ -1110,6 +1176,85 @@ object Serving extends QueryModule {
     curveFromHits(exactHits(assigned, queries, topK), assigned, queries,
       cents, k, topK, nQueries)
 
+  /** Radius (range-search) recall curve — [[recallCurve]]'s probe-rank
+    * trick applied to a THRESHOLD truth set: for each probe depth p,
+    * the fraction of TRUE τ-matches (exact cosine ≥ τ, self excluded)
+    * whose assigned shard ranks ≤ p in the query's centroid-distance
+    * order. This MEASURES `vdb_range_join`'s IVF recall contract
+    * (matches in unprobed shards are missed — until now oracle-pinned
+    * but never quantified per depth; reference anchor:
+    * compute_server.py:106-138's shards_to_search knob, radius
+    * flavor). Unlike recall@k the denominator is data-determined (the
+    * true match count), so `n_matches` rides along. One corpus
+    * scoring pass: the tiny prank frame (one LONG per true match) is
+    * eagerly localCheckpoint'd, and the count + per-depth rollup both
+    * read it.
+    */
+  private def rangeRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val assigned = e.withColumn("shard",
+      Centroids.nearestShard(col("embedding"), cents))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    rangeCurveFrom(assigned, queries, cents, K, minScore = 0.25)
+  }
+
+  /** The shared radius-curve kernel (this query and
+    * `VectorStore.evalRangeRecall`): score the broadcast queries
+    * against the assigned corpus once, keep each τ-match's probe
+    * rank, roll up to per-depth found-fractions. `assigned`:
+    * (vec_id, shard, embedding); `queries`: (query_id, qv). A
+    * zero-match corpus yields recall 10000 at every depth (vacuously
+    * complete — there was nothing to find).
+    */
+  private[vector] def rangeCurveFrom(assigned: DataFrame, queries: DataFrame,
+                                     cents: Seq[(Int, Array[Double])],
+                                     k: Int, minScore: Double): DataFrame = {
+    val pranks = assigned.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("__s", cosineSim(col("embedding"), col("qv")))
+      .filter(col("__s") >= minScore)
+      .select(array_position(
+        Centroids.nearestShards(col("qv"), cents, k), col("shard")).as("prank"))
+      .localCheckpoint(true)
+    val nm = pranks.count()
+    if (nm == 0L) {
+      val s = queries.sparkSession
+      s.range(1, k + 1L).select(col("id").as("nprobe"),
+        lit(10000L).as("recall_x1e4"), lit(0L).as("n_matches"))
+    } else
+      pranks
+        .select(explode(sequence(lit(1L), lit(k.toLong))).as("nprobe"), col("prank"))
+        .groupBy("nprobe")
+        .agg((sum(when(col("prank") <= col("nprobe"), 1L).otherwise(0L)) * 10000L)
+          .as("__h"))
+        .select(col("nprobe"), expr(s"__h div $nm").as("recall_x1e4"),
+          lit(nm).as("n_matches"))
+  }
+
+  private val rangeRecallSql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |qsh AS (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS prank
+       |  FROM q CROSS JOIN cent c),
+       |hits AS (
+       |  SELECT qsh.prank
+       |  FROM q
+       |  JOIN embeddings b ON b.vec_id <> q.query_id
+       |  JOIN assign a ON a.vec_id = b.vec_id
+       |  JOIN qsh ON qsh.query_id = q.query_id AND qsh.shard = a.shard
+       |  WHERE list_cosine_similarity(b.embedding::DOUBLE[], q.qv) >= 0.25)
+       |SELECT p.nprobe,
+       |       CAST(SUM(CASE WHEN hits.prank <= p.nprobe THEN 1 ELSE 0 END) * 10000
+       |            // (SELECT COUNT(*) FROM hits) AS BIGINT) AS recall_x1e4,
+       |       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_matches
+       |FROM hits CROSS JOIN (SELECT UNNEST(range(1, ${K + 1})) AS nprobe) p
+       |GROUP BY 1""".stripMargin
+
   /** The shared exact arm: per query, the exact cosine top-`topK` ids
     * (self excluded) via the bounded-heap aggregate — (query_id,
     * vec_id) rows. Both the raw-IVF curve and `VectorStore.evalRecall`'s
@@ -1328,6 +1473,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_tri" -> (hybridTri _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
+    "vdb_range_recall"  -> (rangeRecall _),
     "vdb_mmr"           -> (mmr _),
     "vdb_mmr_batch"     -> (mmrBatch _))
 
@@ -1342,5 +1488,6 @@ object Serving extends QueryModule {
     "vdb_hybrid_weighted" -> hybridWeightedSql,
     "vdb_hybrid_tri" -> hybridTriSql,
     "vdb_recall_eval"   -> recallEvalSql,
-    "vdb_recall_curve"  -> recallCurveSql)
+    "vdb_recall_curve"  -> recallCurveSql,
+    "vdb_range_recall"  -> rangeRecallSql)
 }

@@ -26,6 +26,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val pqDir = s"$path/pq"
   private val opqDir = s"$path/opq"
   private val recallDir = s"$path/recall_eval"
+  private val rangeRecallDir = s"$path/range_recall_eval"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
@@ -999,6 +1000,109 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     search(q, topK, nprobeFor(targetRecall, compressed, shortlist, checkFresh),
       compressed, shortlist)
 
+  // --- radius (range-search) recall: measure, persist, tune ----------
+  /** The RADIUS flavor of [[evalRecall]] (round-13 VERDICT ask 5):
+    * [[rangeJoin]]'s IVF recall contract — matches in unprobed shards
+    * are missed — was oracle-pinned but never MEASURED per probe
+    * depth. For each depth p this persists the fraction of true
+    * τ-matches (exact cosine ≥ `minScore`, self excluded, over a
+    * deterministic `nQueries` query sample) whose shard ranks ≤ p in
+    * the query's centroid order, so radius callers pick nprobe from a
+    * measured curve exactly the way `searchAtRecall` does for top-k.
+    * The denominator is data-determined (`n_matches` rides along —
+    * recall@τ is a different metric per τ, so curves are keyed by
+    * `min_score_x1e6`). Provenance stamps (cent_stamp, n_rows) and
+    * the merge-don't-clobber discipline mirror [[evalRecall]];
+    * [[nprobeForRange]] refuses a stale curve the same way.
+    */
+  def evalRangeRecall(minScore: Double, nQueries: Int = 64): DataFrame = {
+    val cents = centroids()
+    val store = spark.read.parquet(vecDir)
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("embedding"))
+    val queries = store
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .orderBy("query_id").limit(nQueries)
+    val nq = queries.count()
+    val tauKey = math.round(minScore * 1e6)
+    val fresh = Serving.rangeCurveFrom(store, queries, cents.toSeq, numShards,
+        minScore)
+      .withColumn("n_queries", lit(nq))
+      .withColumn("min_score_x1e6", lit(tauKey))
+      .withColumn("cent_stamp", lit(centStamp(cents)))
+      .withColumn("n_rows", lit(store.count()))
+      .select("nprobe", "recall_x1e4", "n_matches", "n_queries",
+        "min_score_x1e6", "cent_stamp", "n_rows")
+    val rp = new org.apache.hadoop.fs.Path(rangeRecallDir)
+    val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (!rfs.exists(rp)) fresh.localCheckpoint(true)
+      else fresh.unionByName(
+        spark.read.parquet(rangeRecallDir).filter(
+          col("min_score_x1e6") =!= tauKey && col("n_queries") === nq))
+        .localCheckpoint(true)
+    try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(rangeRecallDir)
+    finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+    spark.read.parquet(rangeRecallDir)
+  }
+
+  /** Cheapest probe depth whose MEASURED radius recall at `minScore`
+    * meets `target` — [[nprobeFor]]'s contract for the range path:
+    * no curve (or no curve at this τ) falls back to full probing;
+    * centroid or >20% row-count drift REFUSES loudly unless
+    * `checkFresh = false`.
+    */
+  def nprobeForRange(minScore: Double, target: Double,
+                     checkFresh: Boolean = true): Int = {
+    val p = new org.apache.hadoop.fs.Path(rangeRecallDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      numShards
+    else {
+      val curve = spark.read.parquet(rangeRecallDir)
+        .filter(col("min_score_x1e6") === math.round(minScore * 1e6))
+      if (checkFresh) {
+        val head = curve.select("cent_stamp", "n_rows").limit(1).collect()
+        if (head.nonEmpty) {
+          val (mStamp, mRows) = (head(0).getLong(0), head(0).getLong(1))
+          if (mStamp != centStamp(centroids()))
+            throw new IllegalStateException(
+              "range-recall curve is STALE: the store's routing centroids " +
+                "changed since it was measured — re-run evalRangeRecall, or " +
+                "pass checkFresh = false to knowingly serve on the stale curve")
+          val nowRows = spark.read.parquet(vecDir).count()
+          if (math.abs(nowRows - mRows) * 5L > math.max(nowRows, mRows))
+            throw new IllegalStateException(
+              s"range-recall curve is STALE: store row count drifted > 20% " +
+                s"since measurement ($mRows -> $nowRows) — re-run " +
+                "evalRangeRecall, or pass checkFresh = false")
+        }
+      }
+      val rows = curve
+        .filter(col("recall_x1e4") >= math.ceil(target * 10000).toLong)
+        .agg(min("nprobe")).head()
+      if (rows.isNullAt(0)) numShards else rows.getLong(0).toInt
+    }
+  }
+
+  /** [[rangeJoin]] with nprobe chosen from the persisted radius curve
+    * — the cheapest depth whose measured τ-recall meets
+    * `targetRecall` on this index's own data distribution.
+    */
+  def rangeJoinAtRecall(queries: DataFrame, minScore: Double,
+                        targetRecall: Double = 0.95,
+                        allowed: Option[DataFrame] = None,
+                        excludeSelf: Boolean = false,
+                        maxRowsPerTask: Long = 0L,
+                        compressed: Boolean = false,
+                        margin: Double = 0.05,
+                        checkFresh: Boolean = true): DataFrame =
+    rangeJoin(queries, minScore,
+      nprobe = nprobeForRange(minScore, targetRecall, checkFresh),
+      allowed = allowed, excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      margin = margin)
+
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,
     * test.py:100-101 firing one HTTP POST per vector). Returns the
@@ -1257,9 +1361,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val corpus = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
         col("shard").cast(LongType).as("shard"),
         col(vecCol).cast("array<double>").as("__v")))
-      heapTopK(dropSelf(shardJoin(corpus))
-        .withColumn("__score", cosineSim(col("__v"), col("qv"))),
-        "__score", topK)
+      // fused exec (graft.plans.ShardTopKJoinExec): the shard(+salt)
+      // shuffle shape is unchanged — scoring and the bounded heap now
+      // run inside the join's partition loop instead of a per-pair
+      // ObjectHashAggregate walk; scores bit-identical to cosineSim
+      // (ServingSpec/ShardTopKJoinSpec pin both)
+      val probes3 = probes.select(col("query_id"), col("shard"), col("qv"))
+      graft.plans.ShardTopKJoin.ranked(corpus, probes3, topK,
+        excludeSelf = excludeSelf, idName = idCol,
+        maxRowsPerTask = maxRowsPerTask, saltOn = Some(col(idCol)),
+        precomputedSalts = salts)
     } else {
       // join-scale COMPRESSED serving: the candidate scan reads codes
       // + norm (~M bytes/row), never raw vectors — the IO regime

@@ -152,18 +152,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("the knn join keeps its population-adaptive salted shape") {
-    val plan = SparkEntry.queries("vdb_knn_join_ivf")(spark, sf)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("__salt"),
-      "vdb_knn_join_ivf must join on the population-adaptive salt " +
-        "(SaltedJoin.joinByPopulation) — the streaming/pinned-partitioning skew defense")
+  test("the knn join keeps its fused, population-adaptive salted shape") {
+    val qe = SparkEntry.queries("vdb_knn_join_ivf")(spark, sf).queryExecution
+    val plan = qe.optimizedPlan.toString
+    assert(plan.contains("__salt") && plan.contains("__pk"),
+      "vdb_knn_join_ivf must join on the PACKED population-adaptive salt key " +
+        "(ShardTopKJoin.packSalted) — the streaming/pinned-partitioning skew defense")
+    assert(plan.contains("ShardTopKJoin"),
+      "vdb_knn_join_ivf must score through the fused ShardTopKJoin node, " +
+        "not a materialized join + ObjectHashAggregate walk")
+    assert(qe.executedPlan.toString.contains("ShardTopKJoin"),
+      "the fused node must survive to the physical plan")
   }
 
   test("the filtered knn join is salted AND filters the corpus before scoring") {
     val qe = SparkEntry.queries("vdb_knn_join_filtered")(spark, sf).queryExecution
-    assert(qe.optimizedPlan.toString.contains("__salt"),
-      "vdb_knn_join_filtered must keep the population-adaptive salted shape")
+    assert(qe.optimizedPlan.toString.contains("__pk") &&
+        qe.optimizedPlan.toString.contains("ShardTopKJoin"),
+      "vdb_knn_join_filtered must keep the fused packed-salt shape")
     // filter-THEN-search: the label predicate must reach the parquet
     // scan (below the shard projection and the join), not post-filter
     // a scored top-k

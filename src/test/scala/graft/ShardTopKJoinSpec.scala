@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.VectorExpressions.cosineSim
+import graft.plans.ShardTopKJoin
+
+/** The fused shard-join + bounded-top-k operator must be a drop-in for
+  * the declarative `join → cosine → groupBy.agg(topK)` pipeline:
+  * bit-identical rows (scores included — the oracle hashes them),
+  * salt-invariant, broadcast-free, and shaped like a shuffled join in
+  * the physical plan.
+  */
+class ShardTopKJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  import spark.implicits._
+
+  /** Deterministic little corpus: 200 vectors in 4 shards, dim 8. */
+  private def corpus(n: Int = 200, shards: Int = 4): DataFrame =
+    (0 until n).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      (i.toLong, (i % shards).toLong, v)
+    }.toDF("id", "shard", "vec").select($"id", $"shard",
+      $"vec".cast("array<double>").as("vec"))
+
+  /** Probes: every 10th vector asks, probing its own shard and the
+    * next (two replicas per query — the nprobe=2 shape).
+    */
+  private def probes(n: Int = 200, shards: Int = 4): DataFrame =
+    (0 until n by 10).flatMap { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      Seq((i.toLong, (i % shards).toLong, v),
+        (i.toLong, ((i + 1) % shards).toLong, v))
+    }.toDF("query_id", "shard", "qv").select($"query_id", $"shard",
+      $"qv".cast("array<double>").as("qv"))
+
+  /** The declarative pipeline the exec replaces, same inputs. */
+  private def declarative(c: DataFrame, p: DataFrame, k: Int,
+                          excludeSelf: Boolean): Seq[(Long, Long, Long, Double)] = {
+    val j = c.join(p, Seq("shard"))
+    val f = if (excludeSelf) j.filter($"id" =!= $"query_id") else j
+    f.withColumn("s", cosineSim($"vec", $"qv"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK($"s", $"id", k).as("t"))
+      .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"e.id".as("id"), $"e.score".as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  test("fused ranked == declarative join+agg, scores bit-identical") {
+    val exp = declarative(corpus(), probes(), k = 5, excludeSelf = false)
+    val got = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 5,
+      excludeSelf = false))
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("excludeSelf drops the self match before ranking") {
+    val exp = declarative(corpus(), probes(), k = 3, excludeSelf = true)
+    val got = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 3,
+      excludeSelf = true))
+    assert(got === exp)
+    assert(!got.exists(t => t._1 == t._3), "self id must never appear")
+  }
+
+  test("salted (packed-key) path is result-invariant vs unsalted") {
+    val base = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true))
+    // maxRowsPerTask small enough to force saltc >= 2 on every shard
+    val salted = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true, maxRowsPerTask = 10L,
+      saltOn = Some(col("id"))))
+    assert(salted === base)
+  }
+
+  test("plan: fused node present, shuffles on both sides, no broadcast join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = ShardTopKJoin.partials(corpus(), probes(), k = 3,
+        excludeSelf = false)
+      df.collect() // force through AQE so the final plan is real
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShardTopKJoin"), s"fused exec missing:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"fused plan must not broadcast either side:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
+        s"both children must shuffle on the key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("zero-norm vectors score 0.0 (kernel parity), empty probes OK") {
+    val c = Seq((1L, 0L, Array(0.0, 0.0)), (2L, 0L, Array(1.0, 0.0)))
+      .toDF("id", "shard", "vec")
+    val p = Seq((9L, 0L, Array(1.0, 1.0))).toDF("query_id", "shard", "qv")
+    val got = canon(ShardTopKJoin.ranked(c, p, k = 5, excludeSelf = false))
+    val exp = declarative(c, p, k = 5, excludeSelf = false)
+    assert(got === exp)
+    assert(got.exists(t => t._3 == 1L && t._4 == 0.0),
+      "zero-norm corpus row must score 0.0 like VectorKernels.cosine")
+    // probes hitting no corpus shard → query absent, not erroring
+    val p2 = Seq((9L, 7L, Array(1.0, 1.0))).toDF("query_id", "shard", "qv")
+    assert(ShardTopKJoin.ranked(c, p2, k = 5, excludeSelf = false).count() === 0)
+  }
+
+  test("ragged dimensions fail loudly, matching the expression kernel") {
+    val c = Seq((1L, 0L, Array(1.0, 2.0, 3.0))).toDF("id", "shard", "vec")
+    val p = Seq((9L, 0L, Array(1.0, 1.0))).toDF("query_id", "shard", "qv")
+    val ex = intercept[Exception] {
+      ShardTopKJoin.ranked(c, p, k = 1, excludeSelf = false).collect()
+    }
+    assert(ex.getMessage.contains("mismatched dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mismatched dimensions")))
+  }
+}

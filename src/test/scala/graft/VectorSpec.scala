@@ -1160,6 +1160,134 @@ class VectorSpec extends AnyFunSuite {
     arms.release(); hyArms.release()
   }
 
+  test("armsCached: repeated batch serves the SAME pinned arms; index mutation evicts") {
+    import spark.implicits._
+    val n = 128
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    def docsOf(m: Long) = spark.range(0, m).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-fusc-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tdir = Files.createTempDirectory("graft-fusc-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir)
+    idx.build(docsOf(n))
+    val qv = corpus.filter(col("id").isin(3L, 10L))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    def batch() = Seq((3L, Seq("merge", "join"), qv(3L)),
+      (10L, Seq("join", "w3"), qv(10L))).toDF("query_id", "terms", "qv")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (0 until r.length).map(r.get).toSeq).toSet
+    val fs = graft.vector.Serving.fusionServing(idx, vs,
+      topK = 5, shortlist = 20, nprobe = 2)
+    val a1 = fs.armsCached(batch())
+    val want = canon(fs.hybrid(a1).collect())
+    // a REBUILT frame with identical content hits the cache: object
+    // identity proves no index/store probe ran (the returned arms ARE
+    // the pinned checkpoints from call 1)
+    val a2 = fs.armsCached(batch())
+    assert(a2 eq a1, "same-content batch must serve the cached arms object")
+    assert(canon(fs.hybrid(a2).collect()) === want)
+    // different batch content -> different key -> fresh probe
+    val other = Seq((3L, Seq("merge"), qv(3L))).toDF("query_id", "terms", "qv")
+    assert(!(fs.armsCached(other) eq a1))
+    // index mutation moves the content stamp -> eviction, results
+    // reflect the APPENDED corpus (doc ids >= n carry 'merge' too)
+    idx.append(spark.range(n, n + 16).select(col("id").as("doc_id"),
+      lit("merge join merge").as("text")), "mut1")
+    val a3 = fs.armsCached(batch())
+    assert(!(a3 eq a1), "a mutated index must not serve cached arms")
+    val fresh = canon(graft.vector.Serving.hybridJoin(idx, vs, batch(),
+      topK = 5, shortlist = 20, nprobe = 2).collect())
+    assert(canon(fs.hybrid(a3).collect()) === fresh,
+      "post-mutation arms must equal a fresh per-call fusion")
+    assert(fresh !== want, "the appended merge-heavy docs must change the page")
+    fs.invalidateArms()
+  }
+
+  test("evalRangeRecall: measured radius curve matches a driver mirror; nprobeForRange tunes and refuses stale") {
+    import spark.implicits._
+    val n = 256
+    val dim = 16
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until dim).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-rrc-v").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tau = 0.3
+    val curve = vs.evalRangeRecall(minScore = tau, nQueries = 32)
+      .filter(col("min_score_x1e6") === math.round(tau * 1e6))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.length === 4, "one row per probe depth")
+    // monotone nondecreasing, full probing finds every true match
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(curve.last._2 === 10000L, "nprobe = numShards is exact")
+    // driver mirror: true tau-matches + shard probe ranks, recomputed
+    // from the persisted store itself
+    val cents = vs.centroids().toSeq
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("shard").cast("long"),
+        col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def shardRanks(q: Array[Double]): Seq[Long] =
+      cents.map { case (sid, c) =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val dd = q(i) - c(i); s += dd * dd; i += 1 }
+        (math.sqrt(s), sid)
+      }.sortBy(identity).map(_._2.toLong)
+    val qs = stored.sortBy(_._1).take(32)
+    val pranks = for {
+      (qid, _, qv) <- qs.toSeq
+      ranks = shardRanks(qv)
+      (id, shard, v) <- stored if id != qid && cos(qv, v) >= tau
+    } yield ranks.indexOf(shard) + 1
+    assert(curve.head._3 === pranks.size.toLong, "n_matches must equal the mirror")
+    curve.foreach { case (p, r, _) =>
+      val want = pranks.count(_ <= p).toLong * 10000L / math.max(pranks.size, 1)
+      assert(r === want, s"recall at depth $p must match the mirror")
+    }
+    assert(curve.head._2 < 10000L,
+      "hash-scattered vectors must have cross-shard matches at depth 1 " +
+        "(otherwise the curve measures nothing)")
+    // tuning: cheapest depth meeting the measured target, exact for 1.0
+    val p95 = vs.nprobeForRange(tau, target = curve.head._2 / 10000.0)
+    assert(p95 === 1, "depth-1 recall as target must pick nprobe = 1")
+    assert(vs.nprobeForRange(tau, target = 1.0) ===
+      curve.indexWhere(_._2 == 10000L) + 1)
+    // rangeJoinAtRecall serves through the curve and stays a subset of
+    // the exact set with at least the measured fraction found
+    val qdf = qs.take(4).map(t => (t._1, t._3.toSeq)).toSeq.toDF("query_id", "qv")
+    val atR = vs.rangeJoinAtRecall(qdf, minScore = tau, targetRecall = 1.0,
+      excludeSelf = true)
+    val full = vs.rangeJoin(qdf, minScore = tau, nprobe = 4, excludeSelf = true)
+    assert(atR.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "target 1.0 must reproduce full probing on the measured corpus")
+    // an unknown tau falls back to full probing rather than guessing
+    assert(vs.nprobeForRange(0.77, target = 0.9) === 4)
+    // staleness: new routing centroids must refuse the old curve
+    vs.setCentroids(vs.centroids().map { case (s, c) => (s, c.map(_ * -1.0)) })
+    val ex = intercept[IllegalStateException] { vs.nprobeForRange(tau, 0.9) }
+    assert(ex.getMessage.contains("STALE"))
+    assert(vs.nprobeForRange(tau, 0.9, checkFresh = false) >= 1,
+      "checkFresh = false knowingly serves the stale curve")
+  }
+
   test("rangeJoin returns exactly the above-threshold set; pruning, modes, and ADC prefilter hold") {
     import spark.implicits._
     val n = 256
