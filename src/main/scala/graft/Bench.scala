@@ -1,5 +1,18 @@
 package graft
 object Bench {
+  /** The host-speed probe: a FIXED in-memory aggregation — no IO, no
+    * data dependence, fully codegen'd — timed min-of-3. Dividing pass
+    * totals by its value normalizes host contention out of
+    * round-over-round comparisons (see the per-pass stamps below).
+    */
+  private def calibProbe(spark: org.apache.spark.sql.SparkSession): Double =
+    (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(id % 7 + (id >> 3)) AS s").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,6 +34,10 @@ object Bench {
         }
         spark.catalog.clearCache()
       }
+      // JIT the calibration probe too: it now runs after EVERY pass
+      // (per-pass host-speed stamps), so pass 1's stamp must not pay
+      // the probe's own compilation
+      calibProbe(spark)
     }
     // Five timed passes (SPARK_GRAFT_PASSES overrides), each visiting
     // the queries in a DIFFERENT deterministically-shuffled order; per
@@ -45,6 +62,7 @@ object Bench {
       case None => 5
     }
     val timings = Array.fill(nPasses)(scala.collection.mutable.Map.empty[String, Double])
+    val calibs = Array.fill(nPasses)(0.0)
     (0 until nPasses).foreach { p =>
       val order = new scala.util.Random(1000 + p).shuffle(names)
       order.foreach { name =>
@@ -72,21 +90,18 @@ object Bench {
         // partial elapsed time; min() propagates it as the query's result
         timings(p)(name) = if (ok) t else -1.0
       }
+      // Host-speed calibration PER PASS (round 13): a contention burst
+      // is minutes long — one post-suite calib can miss the burst that
+      // inflated pass 2, leaving the artifact ambiguous. A stamp after
+      // every pass localizes contention to the passes it hit, so
+      // round-over-round comparison (tools/bench_compare.py) can
+      // normalize or discard exactly the contended passes.
+      calibs(p) = calibProbe(spark)
     }
     val results = names.map(n => n -> (0 until nPasses).map(timings(_)(n)).min)
-    // Host-speed calibration: a FIXED in-memory aggregation — no IO,
-    // no data dependence, fully codegen'd — timed min-of-3 AFTER the
-    // suite (JIT settled). The artifact then carries its own host
-    // multiplier: BENCH_r11's pass totals spread 2-7x across runs
-    // purely from host contention, and round-over-round comparison
-    // needed a judge rerun to tell a regression from a slow host;
-    // dividing totals by `calib` normalizes that away.
-    val calib = (0 until 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32)
-        .selectExpr("sum(id % 7 + (id >> 3)) AS s").head()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    // the single `calib` stays (min across passes — the run's best
+    // host state) so older comparisons keep working
+    val calib = calibs.min
     // the every-pass-succeeded query set: total sums its mins, and the
     // per-pass totals sum over the SAME set, so the two views agree by
     // construction (a query failing in any pass is excluded everywhere
@@ -105,6 +120,7 @@ object Bench {
     def f3(v: Double): String = fN(3)(v)
     val passes = (0 until nPasses)
       .map(p => f3(okNames.map(timings(p)).sum)).mkString("[", ",", "]")
+    val calibsJson = calibs.map(f3).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if okNames.contains(k) => v }.sum
     val failed = names.filterNot(okNames.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
@@ -117,7 +133,7 @@ object Bench {
     def lineAt(dec: Int): String = {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+      s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"calibs":$calibsJson,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
     }
     // graceful degradation measured on the WHOLE line (query count,
     // value widths, and failure lists all move it): shed per-query
@@ -139,7 +155,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val detail =
-        s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        s"""{"queries":$qs,"passes":$passes,"calib":${f3(calib)},"calibs":$calibsJson,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
     }
@@ -150,7 +166,7 @@ object Bench {
       def lineTop(k: Int): String = {
         val qs = sorted.take(k)
           .map { case (n, v) => "\"" + n + "\":" + fN(2)(v) }.mkString("{", ",", "}")
-        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"calib":${f3(calib)},"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
+        s"""{"queries":$qs,"q_omitted":${results.size - k},"passes":$passes,"calib":${f3(calib)},"calibs":$calibsJson,"failed":$failed,"n_failed":${names.size - okNames.size},"sf":"$sfShort","unit":"sec","metric":"total","value":${f3(total)}}"""
       }
       (sorted.size to 0 by -1).view.map(lineTop).find(_.length <= 1900)
         .getOrElse(lineTop(0))
