@@ -284,6 +284,30 @@ object ScaleSmoke {
       }
       println(s"[scale] range join produced $nRange (query, match) pairs, broadcast-free (asserted)")
 
+      // COMPRESSED knn JOIN at volume (round 13): the codes-only IO
+      // regime through the fused exec's DotOverNorm metric. Two wins
+      // vs the old declarative compressed plan: no per-pair agg walk
+      // (same as the raw leg), AND the codebook reconstruction now
+      // materializes once per CORPUS ROW in the exec's child
+      // projection — the old post-join projection recomputed the M
+      // lookups + sum once per (row, probing query) PAIR, ~300x
+      // redundant at this shard fan-in. The shortlist heap + exact
+      // re-rank of nQ x 200 survivors ride behind it.
+      val compQueries = vecs.filter(col("id") % (nVec / nQ) === 0)
+        .select(col("id").as("query_id"), col("vector").as("qv"))
+      val compDf = vsPq.searchJoin(compQueries, topK = 3, nprobe = 2,
+        excludeSelf = true, compressed = true, shortlist = 200)
+      val cPlan = compDf.queryExecution.executedPlan.toString
+      require(cPlan.contains("ShardTopKJoin"),
+        s"compressed knn-join plan must use the fused exec:\n$cPlan")
+      require(!cPlan.contains("BroadcastHashJoin") &&
+          !cPlan.contains("BroadcastNestedLoopJoin"),
+        s"compressed knn-join plan must be broadcast-free:\n$cPlan")
+      val nComp = timed(s"compressed knn JOIN ($nQ queries x $nVec corpus, nprobe=2, ADC shortlist-200 + exact rerank) [FUSED DotOverNorm]") {
+        compDf.count()
+      }
+      println(s"[scale] compressed knn join produced $nComp ranked rows, fused + broadcast-free (asserted)")
+
       // knn JOIN under PLANTED SHARD SKEW — half the corpus forced
       // into shard 0 (the drifted/clustered-ingest pathology). The
       // shard-key join then lands ~500k corpus rows x every query

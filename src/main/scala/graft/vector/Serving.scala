@@ -857,7 +857,10 @@ object Serving extends QueryModule {
     */
   private[graft] def knnJoinFrame(e: DataFrame, maxRowsPerTask: Long = 0L,
                                   corpusPred: Option[Column] = None,
-                                  k: Int = 3): DataFrame = {
+                                  k: Int = 3,
+                                  metric: String =
+                                    graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame = {
     val cents = Centroids.deterministicInit(e, k = K)
     // FILTER-then-search at join scale (`corpusPred`): the metadata
     // predicate restricts the CORPUS side before any scoring, after
@@ -892,9 +895,11 @@ object Serving extends QueryModule {
     // DuckDB-oracle hash stays the proof.
     graft.plans.ShardTopKJoin.ranked(corpus, queries, k,
         excludeSelf = true, idName = "vec_id",
-        maxRowsPerTask = maxRowsPerTask, saltOn = Some(col("vec_id")))
+        maxRowsPerTask = maxRowsPerTask, saltOn = Some(col("vec_id")),
+        metric = metric)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("score"), 4).as("score"))
+        round(col("score"), 4).as(
+          if (metric == graft.plans.ShardTopKJoin.Metric.L2) "dist" else "score"))
   }
 
   private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
@@ -910,6 +915,45 @@ object Serving extends QueryModule {
     val n = e.count()
     knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / (8L * K)))
   }
+
+  /** The L2 (euclidean) knn JOIN — [[knnJoinFrame]] through the fused
+    * exec's L2 metric: the heap keys on the NEGATED distance so the
+    * max-heap keeps the nearest, rank ascends distance with ties to
+    * the lower id. The reference routes on L2 (compute_server.py:40-48)
+    * and `vdb_knn_l2` serves the single-query form; this is the
+    * metric-complete join twin — same salted shard equi-join shape,
+    * same oracle discipline (DuckDB `list_distance` agrees with
+    * VectorKernels.l2 at 4-dp rounding, proven by vdb_knn_l2 since
+    * round 4).
+    */
+  private def knnJoinL2(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.count()
+    knnJoinFrame(e, maxRowsPerTask = math.max(2L, n / (8L * K)),
+      metric = graft.plans.ShardTopKJoin.Metric.L2)
+  }
+
+  private val knnJoinL2Sql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+       |qsh AS (SELECT query_id, shard FROM (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |         list_distance(b.embedding::DOUBLE[], q.qv) AS s,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(b.embedding::DOUBLE[], q.qv) ASC,
+       |                    b.vec_id) AS rank
+       |  FROM q
+       |  JOIN qsh ON qsh.query_id = q.query_id
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> q.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(s, 4) AS dist
+       |FROM scored WHERE rank <= 3""".stripMargin
 
   private val knnJoinIvfSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
@@ -1464,6 +1508,7 @@ object Serving extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vdb_hybrid_search" -> (hybridSearch _),
     "vdb_knn_join_ivf"  -> (knnJoinIvf _),
+    "vdb_knn_join_l2"   -> (knnJoinL2 _),
     "vdb_range_join"    -> (rangeJoinQuery _),
     "vdb_knn_join_filtered" -> (knnJoinFiltered _),
     "vdb_knn_classify"  -> (knnClassify _),
@@ -1480,6 +1525,7 @@ object Serving extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "vdb_hybrid_search" -> hybridSearchSql,
     "vdb_knn_join_ivf"  -> knnJoinIvfSql,
+    "vdb_knn_join_l2"   -> knnJoinL2Sql,
     "vdb_range_join"    -> rangeJoinSql,
     "vdb_knn_join_filtered" -> knnJoinFilteredSql,
     "vdb_knn_classify"  -> knnClassifySql,

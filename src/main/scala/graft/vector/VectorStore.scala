@@ -1390,12 +1390,23 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
         col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))
       val (frame, recon) = withRecon(codes, meta, cents)
-      val approx = dropSelf(shardJoin(frame))
-        .withColumn("__qn", vecNorm(col("qv")))
-        .withColumn("__approx",
-          when(col("vnorm") === 0.0 || col("__qn") === 0.0, 0.0)
-            .otherwise(dotProduct(col("qv"), recon) / (col("vnorm") * col("__qn"))))
-      val short = heapTopK(approx, "__approx", shortlist)
+      // fused exec, DotOverNorm metric — and a second win the
+      // declarative plan couldn't have: `recon` (M codebook lookups +
+      // a sum per element) now materializes in the CORPUS CHILD's
+      // projection, ONCE PER ROW, where the old plan's post-join
+      // projection recomputed it once per (row, probing query) PAIR
+      // (~nprobe·queries/shard times redundant). Score =
+      // dot(recon, qv) / (vnorm · |qv|) with the zero guards —
+      // term-for-term the old `__approx` column, so the shortlist and
+      // the exact re-rank below are unchanged.
+      val corpusR = frame.select(col(idCol), col("shard"),
+        recon.as("__recon"), col("vnorm").cast("double").as("__vn"))
+      val probesC = probes.select(col("query_id"), col("shard"), col("qv"))
+      val short = graft.plans.ShardTopKJoin.ranked(corpusR, probesC,
+          shortlist, excludeSelf = excludeSelf, idName = idCol,
+          maxRowsPerTask = maxRowsPerTask, saltOn = Some(col(idCol)),
+          precomputedSalts = salts,
+          metric = graft.plans.ShardTopKJoin.Metric.DotOverNorm)
         .select("query_id", idCol)
       val rer = short
         .join(raw.select(col(idCol).cast(LongType).as(idCol),

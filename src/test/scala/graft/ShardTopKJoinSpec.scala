@@ -116,6 +116,70 @@ class ShardTopKJoinSpec extends AnyFunSuite {
     assert(ShardTopKJoin.ranked(c, p2, k = 5, excludeSelf = false).count() === 0)
   }
 
+  test("L2 metric == declarative l2Dist + heap on negated distance") {
+    import graft.expressions.VectorExpressions.l2Dist
+    val exp = {
+      val j = corpus().join(probes(), Seq("shard"))
+        .filter($"id" =!= $"query_id")
+        .withColumn("s", -l2Dist($"vec", $"qv"))
+        .groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK($"s", $"id", 4).as("t"))
+        .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"e.id".as("id"), (-$"e.score").as("score"))
+      j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val got = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true, metric = ShardTopKJoin.Metric.L2))
+    assert(got === exp)
+    // rank ascends distance
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank === byRank.sorted, "L2 rank must ascend the distance")
+    }
+  }
+
+  test("DotOverNorm metric == the declarative compressed __approx column") {
+    import graft.expressions.VectorExpressions.{dotProduct, vecNorm}
+    // corpus carries a STORED norm that is deliberately NOT the norm
+    // of the scored array (the ADC-reconstruction shape)
+    val c4 = corpus().withColumn("norm",
+      when($"id" % 17 === 0, lit(0.0)).otherwise(vecNorm($"vec") * 1.1))
+      .select($"id", $"shard", $"vec", $"norm")
+    val exp = {
+      val j = corpus().withColumn("norm",
+        when($"id" % 17 === 0, lit(0.0)).otherwise(vecNorm($"vec") * 1.1))
+        .join(probes(), Seq("shard"))
+        .withColumn("qn", vecNorm($"qv"))
+        .withColumn("s", when($"norm" === 0.0 || $"qn" === 0.0, 0.0)
+          .otherwise(dotProduct($"qv", $"vec") / ($"norm" * $"qn")))
+        .groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK($"s", $"id", 5).as("t"))
+        .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"e.id".as("id"), $"e.score".as("score"))
+      j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val got = canon(ShardTopKJoin.ranked(c4, probes(), k = 5,
+      excludeSelf = false, metric = ShardTopKJoin.Metric.DotOverNorm))
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("salted packing passes the norm column through (4-col corpus)") {
+    import graft.expressions.VectorExpressions.vecNorm
+    val c4 = corpus().withColumn("norm", vecNorm($"vec"))
+      .select($"id", $"shard", $"vec", $"norm")
+    val base = canon(ShardTopKJoin.ranked(c4, probes(), k = 3,
+      excludeSelf = true, metric = ShardTopKJoin.Metric.DotOverNorm))
+    val salted = canon(ShardTopKJoin.ranked(c4, probes(), k = 3,
+      excludeSelf = true, maxRowsPerTask = 10L, saltOn = Some(col("id")),
+      metric = ShardTopKJoin.Metric.DotOverNorm))
+    assert(salted === base)
+  }
+
   test("ragged dimensions fail loudly, matching the expression kernel") {
     val c = Seq((1L, 0L, Array(1.0, 2.0, 3.0))).toDF("id", "shard", "vec")
     val p = Seq((9L, 0L, Array(1.0, 1.0))).toDF("query_id", "shard", "qv")
