@@ -1299,16 +1299,25 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * invariant. Returns (query_id, rank, <idCol>, score). Requires an
     * integral id column (the heap carries Long ids — same contract as
     * [[evalRecall]]).
+    *
+    * `metric` (round 13): cosine (default, the reference's scoring) or
+    * [[graft.plans.ShardTopKJoin.Metric.L2]] — euclidean top-k, rank
+    * ascending distance, `score` column = the distance. Routing is L2
+    * in both cases (compute_server.py:40-48). L2 composes with
+    * allowed/excludeSelf/salting but NOT compressed: the stored ADC
+    * state approximates dot/cosine, so an L2 shortlist through it
+    * would silently rank on the wrong geometry — refused loudly.
     */
   def searchJoin(queries: DataFrame, topK: Int = 5, nprobe: Int = 2,
                  allowed: Option[DataFrame] = None,
                  excludeSelf: Boolean = false,
                  maxRowsPerTask: Long = 0L,
                  compressed: Boolean = false,
-                 shortlist: Int = 100): DataFrame =
+                 shortlist: Int = 100,
+                 metric: String = graft.plans.ShardTopKJoin.Metric.Cosine): DataFrame =
     searchJoinResolved(queries, topK, nprobe, allowed, excludeSelf,
       maxRowsPerTask, compressed, shortlist, centroids(),
-      if (compressed) pqMeta() else None, None)
+      if (compressed) pqMeta() else None, None, metric)
 
   /** [[searchJoin]] against pre-resolved serving state — the
     * per-stream fast path: [[serveStream]] resolves the routing
@@ -1324,10 +1333,20 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                                          shortlist: Int,
                                          cents: Array[(Int, Array[Double])],
                                          metaOpt: Option[PqMeta],
-                                         salts: Option[DataFrame]): DataFrame = {
+                                         salts: Option[DataFrame],
+                                         metric: String =
+                                           graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "qv"),
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
+    require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
+        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
+      s"searchJoin metric must be cosine or l2, got '$metric'")
+    require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
+      "searchJoin(compressed = true) is cosine-only: the ADC state " +
+        "approximates dot/cosine — an L2 shortlist through it would rank " +
+        "on the wrong geometry")
     val raw = spark.read.parquet(vecDir)
     require(Seq[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
@@ -1370,7 +1389,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       graft.plans.ShardTopKJoin.ranked(corpus, probes3, topK,
         excludeSelf = excludeSelf, idName = idCol,
         maxRowsPerTask = maxRowsPerTask, saltOn = Some(col(idCol)),
-        precomputedSalts = salts)
+        precomputedSalts = salts, metric = metric)
     } else {
       // join-scale COMPRESSED serving: the candidate scan reads codes
       // + norm (~M bytes/row), never raw vectors — the IO regime

@@ -738,6 +738,48 @@ class VectorSpec extends AnyFunSuite {
     assert(noSelf.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("searchJoin metric=l2: distance top-k equals a driver mirror; compressed+l2 refuses") {
+    val corpus = spark.range(0, 256, 1, 8).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-sjl2").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val queries = corpus.filter(col("id") < 6)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    val got = vs.searchJoin(queries, topK = 4, nprobe = 4, excludeSelf = true,
+        metric = graft.plans.ShardTopKJoin.Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // full-probe L2 mirror on collected vectors
+    val vecs = corpus.select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val want = vecs.filter(_._1 < 6).toSeq.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (id, l2(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(4).zipWithIndex
+        .map { case ((id, d), i) =>
+          (qid, i + 1L, id, math.rint(d * 1e9).toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got === want, "L2 join must rank by ascending distance, ties id asc")
+    // rank 1 distance <= rank 2 distance per query (dist emitted, not negated)
+    got.groupBy(_._1).values.foreach { rs =>
+      val d = rs.sortBy(_._2).map(_._4)
+      assert(d === d.sorted)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      vs.searchJoin(queries, topK = 4, compressed = true,
+        metric = graft.plans.ShardTopKJoin.Metric.L2)
+    }
+    assert(ex.getMessage.contains("cosine-only"))
+  }
+
   test("compressed searchJoin: code-scan shortlist + exact re-rank equals the raw join") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 32).map(d =>
