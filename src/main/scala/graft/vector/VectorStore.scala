@@ -647,9 +647,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * an offline maintenance job, like [[maintain]]; re-run it after
     * drift or rebuilds (the reference leaves shards_to_search to the
     * caller entirely, compute_server.py:108-138).
+    *
+    * `metric` (round 13): the ground-truth geometry — cosine
+    * (default) or L2, completing the metric surface for the
+    * `search(metric = l2)` / `searchJoin(metric = l2)` serving paths
+    * (routing is L2 either way; only the truth set changes). Curves
+    * persist keyed by (metric, compressed, shortlist) and merge
+    * without clobbering other modes; compressed + L2 is refused —
+    * there is no compressed L2 path to measure.
     */
   def evalRecall(nQueries: Int = 64, topK: Int = 10, compressed: Boolean = false,
-                 shortlist: Int = 100): DataFrame = {
+                 shortlist: Int = 100,
+                 metric: String = graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame = {
+    require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
+        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
+      s"evalRecall metric must be cosine or l2, got '$metric'")
+    require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
+      "evalRecall(compressed = true) is cosine-only: the ADC state " +
+        "approximates dot/cosine — there is no compressed L2 serving path " +
+        "to measure (searchJoin refuses the combination too)")
     val cents = centroids()
     val raw = spark.read.parquet(vecDir)
     // the exact arm's bounded-heap aggregate (TopKAgg) carries Long
@@ -678,7 +695,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     // whether the hit survives the ADC shortlist at each depth. The
     // hits frame is tiny (nQueries x topK) — checkpointed so the two
     // rollups don't re-run the corpus-scoring pass.
-    val hits = Serving.exactHits(store, queries, topK).localCheckpoint(true)
+    val hits = Serving.exactHits(store, queries, topK, metric).localCheckpoint(true)
     try {
       val rawCurve = Serving
         .curveFromHits(hits, store, queries, cents, numShards, topK, nq)
@@ -701,12 +718,13 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // curve would silently mis-tune nprobe. One extra count job in
       // an offline maintenance pass.
       val fresh = curve
+        .withColumn("metric", lit(metric))
         .withColumn("n_queries", lit(nq))
         .withColumn("top_k", lit(topK.toLong))
         .withColumn("cent_stamp", lit(centStamp(cents)))
         .withColumn("n_rows", lit(store.count()))
         .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed",
-          "shortlist", "cent_stamp", "n_rows")
+          "shortlist", "metric", "cent_stamp", "n_rows")
       // MERGE with the persisted table, don't clobber it: a raw-only
       // re-measurement would otherwise erase a previously measured
       // compressed curve (and vice versa), and searchAtRecall for the
@@ -738,12 +756,24 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           if (!existing.columns.contains("compressed") ||
               !existing.columns.contains("cent_stamp"))
             fresh.localCheckpoint(true)
-          else fresh.unionByName(existing.filter(
-            !newKeys.map(k =>
-              col("compressed") === k._1 && col("shortlist") === k._2)
-              .reduce(_ || _) &&
-            col("top_k") === topK.toLong && col("n_queries") === nq))
-            .localCheckpoint(true)
+          else {
+            // a table persisted before the L2 extension has no metric
+            // column — every pre-metric measurement was cosine, so
+            // stamp its rows as such and merge normally (superseding
+            // would clobber a measured compressed curve on an L2
+            // re-measurement, against the merge discipline above)
+            val withMetric =
+              if (existing.columns.contains("metric")) existing
+              else existing.withColumn("metric",
+                lit(graft.plans.ShardTopKJoin.Metric.Cosine))
+            fresh.unionByName(withMetric.filter(
+              !newKeys.map(k =>
+                col("metric") === metric &&
+                col("compressed") === k._1 && col("shortlist") === k._2)
+                .reduce(_ || _) &&
+              col("top_k") === topK.toLong && col("n_queries") === nq))
+              .localCheckpoint(true)
+          }
         }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
@@ -948,18 +978,31 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * check — their provenance is unknowable; re-measure.
     */
   def nprobeFor(target: Double, compressed: Boolean = false,
-                shortlist: Int = 0, checkFresh: Boolean = true): Int = {
+                shortlist: Int = 0, checkFresh: Boolean = true,
+                metric: String = graft.plans.ShardTopKJoin.Metric.Cosine): Int = {
+    val wantCos = metric == graft.plans.ShardTopKJoin.Metric.Cosine
     val p = new org.apache.hadoop.fs.Path(recallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) numShards
     else {
       val t = spark.read.parquet(recallDir)
       // curves persisted before the compressed extension carry no mode
-      // columns: they are raw-path measurements
+      // columns: they are raw-path COSINE measurements; pre-metric
+      // tables (compressed column, no metric column) are cosine too —
+      // an unmeasured mode falls through to full probing below, which
+      // is exact, never a silently wrong tune
       val mode =
-        if (!t.columns.contains("compressed")) { if (compressed) t.limit(0) else t }
-        else if (compressed)
-          t.filter(col("compressed") && col("shortlist") === shortlist.toLong)
-        else t.filter(!col("compressed"))
+        if (!t.columns.contains("compressed")) {
+          if (compressed || !wantCos) t.limit(0) else t
+        } else {
+          val tm =
+            if (t.columns.contains("metric")) t
+            else t.withColumn("metric",
+              lit(graft.plans.ShardTopKJoin.Metric.Cosine))
+          val m0 = tm.filter(col("metric") === metric)
+          if (compressed)
+            m0.filter(col("compressed") && col("shortlist") === shortlist.toLong)
+          else m0.filter(!col("compressed"))
+        }
       if (checkFresh && t.columns.contains("cent_stamp")) {
         // one measurement run per mode key (replaced wholesale by
         // evalRecall), so any row carries the mode's provenance
@@ -996,9 +1039,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def searchAtRecall(q: Array[Double], topK: Int = 5, targetRecall: Double = 0.95,
                      compressed: Boolean = false, shortlist: Int = 100,
-                     checkFresh: Boolean = true): DataFrame =
-    search(q, topK, nprobeFor(targetRecall, compressed, shortlist, checkFresh),
-      compressed, shortlist)
+                     checkFresh: Boolean = true,
+                     metric: String =
+                       graft.plans.ShardTopKJoin.Metric.Cosine): DataFrame =
+    search(q, topK,
+      nprobeFor(targetRecall, compressed, shortlist, checkFresh, metric),
+      compressed, shortlist, metric)
 
   // --- radius (range-search) recall: measure, persist, tune ----------
   /** The RADIUS flavor of [[evalRecall]] (round-13 VERDICT ask 5):
@@ -1197,10 +1243,19 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * (the id filter pushes to parquet row-group stats, so decompressed
     * IO is shortlist-sized, not shard-sized). At 100 TB that turns the
     * within-shard scan from 8·dim bytes/row into ~M bytes/row.
+    *
+    * `metric` (round 13): cosine (default) or
+    * [[graft.plans.ShardTopKJoin.Metric.L2]] — euclidean top-k with
+    * `score` = the distance and rank ASCENDING it, the single-query
+    * twin of `searchJoin(metric = l2)`. Routing is L2 either way
+    * (compute_server.py:40-48); compressed + L2 is refused (the ADC
+    * state approximates dot/cosine).
     */
   def search(q: Array[Double], topK: Int = 5, nprobe: Int = 1,
-             compressed: Boolean = false, shortlist: Int = 100): DataFrame =
-    searchWhere(q, None, topK, nprobe, compressed, shortlist)
+             compressed: Boolean = false, shortlist: Int = 100,
+             metric: String =
+               graft.plans.ShardTopKJoin.Metric.Cosine): DataFrame =
+    searchWhere(q, None, topK, nprobe, compressed, shortlist, metric)
 
   /** Predicated ANN: [[search]] restricted to the ids in `allowed` —
     * filter-THEN-search, not search-then-filter. Post-filtering a
@@ -1217,7 +1272,17 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def searchWhere(q: Array[Double], allowed: Option[DataFrame], topK: Int = 5,
                   nprobe: Int = 1, compressed: Boolean = false,
-                  shortlist: Int = 100): DataFrame = {
+                  shortlist: Int = 100,
+                  metric: String =
+                    graft.plans.ShardTopKJoin.Metric.Cosine): DataFrame = {
+    val isL2 = metric == graft.plans.ShardTopKJoin.Metric.L2
+    require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
+        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
+      s"search metric must be cosine or l2, got '$metric'")
+    require(!compressed || !isL2,
+      "search(compressed = true) is cosine-only: the ADC state approximates " +
+        "dot/cosine — an L2 shortlist through it would rank on the wrong " +
+        "geometry (searchJoin's contract)")
     val cents = centroids()
     val probe = Centroids.nearestShardsOf(q, cents, nprobe).map(_.toLong)
     val probedAll = spark.read.parquet(vecDir).filter(col("shard").isin(probe: _*))
@@ -1226,7 +1291,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       case None => probedAll
     }
     val ranked =
-      if (!compressed) probed.withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
+      if (!compressed) probed.withColumn("score",
+        if (isL2) l2Dist(col(vecCol), typedlit(q.toSeq))
+        else cosineSim(col(vecCol), typedlit(q.toSeq)))
       else {
         val PqMeta(books, residual, rotation) = pqMeta().getOrElse(
           throw new IllegalStateException(
@@ -1271,7 +1338,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           .withColumn("score", cosineSim(col(vecCol), typedlit(q.toSeq)))
       }
     ranked
-      .orderBy(desc("score"), col(idCol).asc)
+      .orderBy(if (isL2) asc("score") else desc("score"), col(idCol).asc)
       .limit(topK)
       .select(col(idCol), col("shard").cast(LongType).as("shard"), col("score"))
   }

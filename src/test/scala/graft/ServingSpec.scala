@@ -115,6 +115,29 @@ class ServingSpec extends AnyFunSuite {
     assert(got === want, "batched MMR must equal the per-query loop")
   }
 
+  test("ivfBatchArm: the fused-shuffle arm equals the broadcast arm, allowed slice included") {
+    // the hybrid/tri vector arm goes size-conditional in round 13:
+    // page-sized batches broadcast (corpus never shuffles), larger
+    // frames ride knnJoinFrame's fused ShardTopKJoin exec — this pins
+    // the two plans bit-identical so the switch can never reorder a
+    // fusion, and pins the plan shapes so the condition really routes
+    val qIds = Seq(0L, 1L, 2L, 5L, 9L)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      (rows, df.queryExecution.executedPlan.toString.contains("ShardTopKJoin"))
+    }
+    val (bcRows, bcFused) = canon(Serving.ivfBatchArm(spark, sf, qIds, None))
+    val (fRows, fFused) = canon(Serving.ivfBatchArm(spark, sf, qIds, None, fusedMin = 1))
+    assert(fFused, "fusedMin <= batch size must take the fused exec")
+    assert(!bcFused, "a page-sized batch must stay on the broadcast plan")
+    assert(fRows === bcRows, "fused and broadcast arms must agree exactly")
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en").select("doc_id")
+    val (bcA, _) = canon(Serving.ivfBatchArm(spark, sf, qIds, Some(en)))
+    val (fA, fAF) = canon(Serving.ivfBatchArm(spark, sf, qIds, Some(en), fusedMin = 1))
+    assert(fAF && fA === bcA, "the allowed slice must restrict both plans identically")
+    assert(fA !== fRows, "the slice must actually restrict on this data")
+  }
+
   test("weighted hybrid: 2:1 keyword weights reorder the equal-weight fusion") {
     def rowsOf(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

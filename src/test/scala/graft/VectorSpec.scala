@@ -693,6 +693,77 @@ class VectorSpec extends AnyFunSuite {
       "the stale-k compressed curve is superseded, not carried")
   }
 
+  test("evalRecall(metric = l2): measured L2 curve tunes searchAtRecall; modes stay isolated") {
+    val L2 = graft.plans.ShardTopKJoin.Metric.L2
+    // the self-tune corpus shape: 4 true clusters split over 8 shards,
+    // so nprobe=1 cannot reach high L2 recall either
+    val corpus = spark.range(0, 1200, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-recall-l2").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3)
+
+    val curve = vs.evalRecall(nQueries = 32, topK = 10, metric = L2)
+      .filter(col("metric") === L2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve(8L) === 10000L, "full probe is exact by construction")
+    assert(curve(1L) < 9500L, "split clusters must make nprobe=1 insufficient")
+    val p = vs.nprobeFor(0.95, metric = L2)
+    assert(p > 1 && p < 8, s"L2 tuning should prune (1 < p < 8), got $p")
+    // an UNMEASURED mode (cosine) falls back to full probing — exact,
+    // never a tune borrowed from the wrong geometry
+    assert(vs.nprobeFor(0.95) === 8, "cosine request on an L2-only table")
+
+    // measured L2 recall at the tuned depth on held-out queries
+    val store = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+    val qs = corpus.filter(col("id") >= 100 && col("id") < 112)
+      .select(col("id"), col("vector").cast("array<double>").as("v")).collect()
+    var hit = 0; var tot = 0
+    qs.foreach { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val truth = store.filter(col("id") =!= r.getLong(0))
+        .withColumn("s", l2Dist(col("v"), typedlit(qv.toSeq)))
+        .orderBy(asc("s"), col("id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = vs.searchAtRecall(qv, topK = 11, targetRecall = 0.95, metric = L2)
+        .collect().map(_.getLong(0)).filter(_ != r.getLong(0)).take(10).toSet
+      hit += truth.intersect(got).size; tot += 10
+    }
+    assert(hit.toDouble / tot >= 0.95,
+      s"requested L2 recall 0.95 -> measured ${hit.toDouble / tot} at nprobe=$p")
+
+    // the single-query L2 path: score IS the distance, rank ascends it
+    val qv0 = qs.head.getSeq[Double](1).toArray
+    val got = vs.search(qv0, topK = 5, nprobe = 8, metric = L2).collect()
+    val want = store.withColumn("s", l2Dist(col("v"), typedlit(qv0.toSeq)))
+      .orderBy(asc("s"), col("id").asc).limit(5)
+      .select("id", "s").collect()
+    assert(got.map(_.getLong(0)).toSeq === want.map(_.getLong(0)).toSeq)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getDouble(2) === w.getDouble(1), "score must be the L2 distance") }
+
+    // compressed + L2 refused on every entry point
+    val e1 = intercept[IllegalArgumentException] {
+      vs.search(qv0, topK = 5, nprobe = 2, compressed = true, metric = L2) }
+    assert(e1.getMessage.contains("cosine-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      vs.evalRecall(nQueries = 8, topK = 5, compressed = true, metric = L2) }
+    assert(e2.getMessage.contains("cosine-only"))
+
+    // a later cosine measurement MERGES — both curves coexist and each
+    // mode tunes from its own geometry
+    vs.evalRecall(nQueries = 32, topK = 10)
+    val t = spark.read.parquet(s"$dir/recall_eval")
+    assert(t.filter(col("metric") === L2).count() === 8L,
+      "cosine re-measurement must not erase the L2 curve")
+    assert(t.filter(col("metric") =!= L2).count() === 8L)
+    assert(vs.nprobeFor(0.95) < 8, "cosine now measured -> tunes")
+  }
+
   test("searchJoin equals the per-query search loop, filtered and salted included") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 32).map(d =>
@@ -1200,6 +1271,67 @@ class VectorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { fs.tri(hyArms) }
     assert(e.getMessage.contains("phrase"))
     arms.release(); hyArms.release()
+  }
+
+  test("serveFusionStream(cacheArms = true): an identical tick re-serves with NO probe") {
+    import spark.implicits._
+    val n = 128
+    val corpus = spark.range(0, n, 1, 4).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val docs = spark.range(0, n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 3 === 0, "merge merge").otherwise("fx"),
+        when(col("id") % 5 === 0, "join").otherwise("fy"),
+        concat(lit("w"), pmod(col("id"), lit(11)))).as("text"))
+    val vdir = Files.createTempDirectory("graft-fscache-v").toString
+    val vs = new VectorStore(spark, vdir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val tdir = Files.createTempDirectory("graft-fscache-t").toString
+    val idx = new graft.text.TermIndex(spark, tdir)
+    idx.build(docs)
+    val qv = corpus.filter(col("id").isin(3L, 10L))
+      .select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val tick: Seq[(Long, Seq[String], Seq[String], Seq[Double])] = Seq(
+      (3L, Seq("merge", "join"), Seq("merge", "join"), qv(3L)),
+      (10L, Seq("join", "w3"), Seq("merge", "merge"), qv(10L)))
+    implicit val sqlCtx = spark.sqlContext
+    val hyOut = Files.createTempDirectory("graft-fscache-hy").toString + "/res"
+    val trOut = Files.createTempDirectory("graft-fscache-tr").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-fscache-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String], Seq[String], Seq[Double])]
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    def canon(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    val sq = graft.vector.Serving.serveFusionStream(idx, vs,
+      input.toDF().toDF("query_id", "terms", "phrase", "qv"), hyOut, trOut,
+      ckpt, topK = 5, shortlist = 20, nprobe = 2, cacheArms = true)
+    try {
+      input.addData(tick: _*)
+      sq.processAllAvailable()
+      val hy1 = canon(hyOut); val tr1 = canon(trOut)
+      // delete the VECTOR store out from under the stream: the cache
+      // key is the TEXT index's content stamp (unmoved), so an
+      // identical tick must serve from the pinned arms — an uncached
+      // tick would scan the deleted parquet and kill the stream
+      rmrf(vdir)
+      input.addData(tick: _*)
+      sq.processAllAvailable()
+      assert(sq.isActive, "the cached tick must not have probed the deleted store")
+      val hy2 = canon(hyOut); val tr2 = canon(trOut)
+      assert(hy2.length === 2 * hy1.length && tr2.length === 2 * tr1.length,
+        "the second tick must have appended")
+      assert(hy2.toSet === hy1.toSet && tr2.toSet === tr1.toSet,
+        "the cached tick must reproduce the first tick's pages exactly")
+    } finally sq.stop()
   }
 
   test("armsCached: repeated batch serves the SAME pinned arms; index mutation evicts") {
