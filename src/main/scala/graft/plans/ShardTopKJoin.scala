@@ -42,9 +42,12 @@ import graft.expressions.TopKHeap
   * 36.2 s declarative → 10.6 s fused; planted hot shard with the salt
   * packed into the fused key: 9.3 s → 3.1 s.
   *
-  * Three metrics, each mirroring its expression twin term-for-term so
-  * fused scores are BIT-IDENTICAL and the DuckDB-oracle hash checks
-  * stay the proof:
+  * Four metrics — the first three mirror their expression twins
+  * term-for-term so fused scores are BIT-IDENTICAL and the
+  * DuckDB-oracle hash checks stay the proof; the fourth ([[Metric.Adc]],
+  * see [[AdcState]]) trades last-ulp grouping identity for the IVFADC
+  * lookup-table fast path, with exactness restored by the caller's
+  * exact re-rank:
   *  - [[Metric.Cosine]] — `dot / (sqrt(na) · sqrt(nb))`, zero-norm →
   *    0.0, exactly [[graft.expressions.VectorKernels.cosine]]
   *    (hoisting the squared norms out of the pair loop reuses
@@ -71,8 +74,49 @@ object ShardTopKJoin {
     val Cosine = "cosine"
     val DotOverNorm = "dot_norm"
     val L2 = "l2"
-    val all: Set[String] = Set(Cosine, DotOverNorm, L2)
+    val Adc = "adc"
+    val all: Set[String] = Set(Cosine, DotOverNorm, L2, Adc)
   }
+
+  /** Driver-resolved ADC serving state for [[Metric.Adc]] — the
+    * codes-native compressed mode (round 13). [[Metric.DotOverNorm]]
+    * scores a RECONSTRUCTED array per pair: dim multiply-adds, the
+    * same flop count as raw scoring — compression saved IO but not
+    * CPU. The classic IVFADC fast path is per-QUERY lookup tables:
+    * LUT[m][k] = ⟨q_m, book[m][k]⟩ built once per probe (M·K·subDim
+    * flops), then every candidate costs M table lookups instead of
+    * dim multiply-adds — a dim/M flop cut on the pair loop (4× at
+    * dim=64, M=16). The declarative plan cannot express it (the query
+    * is a column, not a literal; the single-query path's adcDot
+    * literals don't scale to a query FRAME) — this is exactly the
+    * per-partition state a custom exec exists for.
+    *
+    * Semantics: approx = offset(shard) + Σ_m LUT[m][code_m], score =
+    * approx / (vnorm · |q|) with the zero guards — the same TERMS as
+    * the reconstruction dot, accumulated per-subspace instead of
+    * element-sequential, so scores may differ from DotOverNorm's in
+    * the last ulp (grouping, not math). Callers re-rank shortlists
+    * exactly, so a covering shortlist gives identical final results
+    * (spec-pinned); the ADC-mode spec mirrors the LUT math driver-side
+    * for exactness.
+    *
+    *  - `books`: shard → codebooks [m][k][subDim] in CODE SPACE (the
+    *    space vectors were encoded in — rotated for OPQ stores);
+    *    global books under key -1.
+    *  - `rotation`: OPQ rotation R (row-major); the probe is rotated
+    *    ONCE per replica (⟨q, Rᵀd⟩ = ⟨Rq, d⟩) before the LUT build.
+    *  - `residual`: shard → routing centroid (RAW space) for residual
+    *    stores; contributes a per-probe CONSTANT ⟨q_raw, c_shard⟩ —
+    *    one dot at setup, zero per-pair cost.
+    *  - `packed` is stamped by [[ranked]] when salting packs
+    *    (shard, salt) into the key; the exec unpacks shard = key/2¹⁶
+    *    for book/offset resolution.
+    */
+  final case class AdcState(
+      books: Map[Int, Array[Array[Array[Double]]]],
+      rotation: Option[Array[Array[Double]]],
+      residual: Option[Map[Int, Array[Double]]],
+      packed: Boolean = false)
 
   private def isDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean =
     t match { case ArrayType(DoubleType, _) => true; case _ => false }
@@ -88,22 +132,36 @@ object ShardTopKJoin {
     * equals the probing query_id before they reach the heap. L2
     * scores are emitted NEGATED (heap order); [[ranked]] restores.
     */
+  private def isIntArray(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+
   def partials(corpus: DataFrame, probes: DataFrame, k: Int,
                excludeSelf: Boolean,
-               metric: String = Metric.Cosine): DataFrame = {
+               metric: String = Metric.Cosine,
+               adc: Option[AdcState] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(Metric.all.contains(metric), s"unknown metric '$metric'")
+    require((metric == Metric.Adc) == adc.isDefined,
+      "Metric.Adc requires an AdcState (and only Metric.Adc takes one)")
     val ct = corpus.schema.fields.map(_.dataType)
     val wantNorm = metric == Metric.DotOverNorm
+    val wantCodes = metric == Metric.Adc
     val corpusOk =
-      if (wantNorm)
+      if (wantCodes)
+        ct.length == 4 && ct(0) == LongType && ct(1) == LongType &&
+          isIntArray(ct(2)) && ct(3) == DoubleType
+      else if (wantNorm)
         ct.length == 4 && ct(0) == LongType && ct(1) == LongType &&
           isDoubleArray(ct(2)) && ct(3) == DoubleType
       else
         ct.length == 3 && ct(0) == LongType && ct(1) == LongType &&
           isDoubleArray(ct(2))
-    require(corpusOk, s"corpus must be (LONG, LONG, ARRAY<DOUBLE>" +
-      (if (wantNorm) ", DOUBLE" else "") +
+    require(corpusOk, s"corpus must be (LONG, LONG, " +
+      (if (wantCodes) "ARRAY<INT>, DOUBLE" else if (wantNorm) "ARRAY<DOUBLE>, DOUBLE"
+       else "ARRAY<DOUBLE>") +
       s") positionally for metric $metric, got ${corpus.schema.simpleString}")
     val pt = probes.schema.fields.map(_.dataType)
     require(pt.length == 3 && pt(0) == LongType && pt(1) == LongType &&
@@ -116,7 +174,7 @@ object ShardTopKJoin {
       AttributeReference("score", DoubleType, nullable = false)())
     PlanInterop.ofRows(corpus.sparkSession,
       ShardTopKJoinNode(corpus.queryExecution.analyzed,
-        probes.queryExecution.analyzed, k, excludeSelf, metric, out))
+        probes.queryExecution.analyzed, k, excludeSelf, metric, adc, out))
   }
 
   /** The full knn-JOIN result: fused partials + the k-bounded
@@ -136,12 +194,14 @@ object ShardTopKJoin {
              maxRowsPerTask: Long = 0L,
              saltOn: Option[Column] = None,
              precomputedSalts: Option[DataFrame] = None,
-             metric: String = Metric.Cosine): DataFrame = {
+             metric: String = Metric.Cosine,
+             adc: Option[AdcState] = None): DataFrame = {
     val (c, p) =
       if (maxRowsPerTask > 0L)
         packSalted(corpus, probes, maxRowsPerTask, saltOn, precomputedSalts)
       else (corpus, probes)
-    val part = partials(c, p, k, excludeSelf, metric)
+    val part = partials(c, p, k, excludeSelf, metric,
+      adc.map(_.copy(packed = maxRowsPerTask > 0L)))
     val scoreOut =
       if (metric == Metric.L2) (-col("__e.score")).as("score")
       else col("__e.score").as("score")
@@ -195,6 +255,7 @@ object ShardTopKJoin {
   */
 case class ShardTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
                              k: Int, excludeSelf: Boolean, metric: String,
+                             adc: Option[ShardTopKJoin.AdcState],
                              output: Seq[Attribute]) extends BinaryNode {
   override def producedAttributes: AttributeSet = outputSet
   override def references: AttributeSet =
@@ -211,19 +272,25 @@ object ShardTopKJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: ShardTopKJoinNode =>
       ShardTopKJoinExec(planLater(n.left), planLater(n.right),
-        n.k, n.excludeSelf, n.metric, n.output) :: Nil
+        n.k, n.excludeSelf, n.metric, n.adc, n.output) :: Nil
     case _ => Nil
   }
 }
 
 /** One probe replica's serving state inside a partition: its query id,
-  * materialized query vector, precomputed norm, and live heap.
+  * materialized query vector, precomputed norm, and live heap. ADC
+  * mode adds the per-probe lookup table (flat [m·K + code] layout),
+  * its codeword count K, and the residual-centroid offset.
   */
 private final class ProbeState(val qid: Long, val qv: Array[Double],
-                               val sqrtNb: Double, val heap: TopKHeap)
+                               val sqrtNb: Double, val heap: TopKHeap,
+                               val lut: Array[Double] = null,
+                               val lutK: Int = 0,
+                               val off: Double = 0.0)
 
 case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
                              k: Int, excludeSelf: Boolean, metric: String,
+                             adc: Option[ShardTopKJoin.AdcState],
                              output: Seq[Attribute]) extends BinaryExecNode {
 
   // the same distribution pair a shuffled join would demand: both
@@ -248,10 +315,15 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
     val exSelf = excludeSelf
     val mCos = metric == ShardTopKJoin.Metric.Cosine
     val mDot = metric == ShardTopKJoin.Metric.DotOverNorm
+    val mAdc = metric == ShardTopKJoin.Metric.Adc
+    val adcState = adc.orNull
     val outRows = longMetric("numOutputRows")
     val pairs = longMetric("numPairs")
     left.execute().zipPartitions(right.execute()) { (cIter, pIter) =>
-      // resolve the partition's probes once: key -> replicas
+      // resolve the partition's probes once: key -> replicas. ADC mode
+      // does its per-probe setup here — rotation, the M·K lookup
+      // table, the residual offset — so the pair loop below pays M
+      // lookups per candidate, never a dim-length dot
       val byKey = new java.util.HashMap[Long, java.util.ArrayList[ProbeState]]()
       val all = new java.util.ArrayList[ProbeState]()
       while (pIter.hasNext) {
@@ -261,8 +333,57 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
           var nb = 0.0
           var i = 0
           while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
-          val st = new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
           val key = r.getLong(1)
+          val st =
+            if (!mAdc)
+              new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
+            else {
+              val shard = (if (adcState.packed) key / 65536L else key).toInt
+              val book = adcState.books.getOrElse(shard,
+                adcState.books.getOrElse(-1, throw new IllegalStateException(
+                  s"no ADC codebook for shard $shard")))
+              // rotate once per replica: ⟨q, Rᵀ·decode⟩ = ⟨R·q, decode⟩
+              val qr = adcState.rotation match {
+                case Some(rot) =>
+                  val out = new Array[Double](rot.length)
+                  var ri = 0
+                  while (ri < rot.length) {
+                    val row = rot(ri)
+                    var s = 0.0; var j = 0
+                    while (j < qv.length) { s += row(j) * qv(j); j += 1 }
+                    out(ri) = s; ri += 1
+                  }
+                  out
+                case None => qv
+              }
+              val mSub = book.length
+              val kCodes = book(0).length
+              val subDim = book(0)(0).length
+              val lut = new Array[Double](mSub * kCodes)
+              var m = 0
+              while (m < mSub) {
+                val bm = book(m)
+                var c = 0
+                while (c < kCodes) {
+                  val cw = bm(c)
+                  var s = 0.0; var j = 0
+                  while (j < subDim) { s += qr(m * subDim + j) * cw(j); j += 1 }
+                  lut(m * kCodes + c) = s; c += 1
+                }
+                m += 1
+              }
+              val off = adcState.residual match {
+                case Some(cmap) =>
+                  val cent = cmap.getOrElse(shard, throw new IllegalStateException(
+                    s"no residual centroid for shard $shard"))
+                  var s = 0.0; var j = 0
+                  while (j < qv.length) { s += qv(j) * cent(j); j += 1 }
+                  s
+                case None => 0.0
+              }
+              new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk),
+                lut, kCodes, off)
+            }
           var lst = byKey.get(key)
           if (lst == null) { lst = new java.util.ArrayList[ProbeState](4); byKey.put(key, lst) }
           lst.add(st)
@@ -278,9 +399,35 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
         while (cIter.hasNext) {
           val r = cIter.next()
           if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
-              !(mDot && r.isNullAt(3))) {
+              !((mDot || mAdc) && r.isNullAt(3))) {
             val lst = byKey.get(r.getLong(1))
-            if (lst != null) {
+            if (lst != null && mAdc) {
+              // ADC pair loop: M lookups + adds per candidate
+              val id = r.getLong(0)
+              val codes = r.getArray(2).toIntArray()
+              val vn = r.getDouble(3)
+              var j = 0
+              val m = lst.size
+              while (j < m) {
+                val p = lst.get(j)
+                if (!(exSelf && id == p.qid)) {
+                  val lut = p.lut
+                  val kC = p.lutK
+                  if (codes.length * kC != lut.length)
+                    throw new IllegalArgumentException(
+                      s"ADC codes/book mismatch: ${codes.length} codes vs " +
+                        s"${lut.length / kC} subspaces (mixed-build store?)")
+                  var s = p.off
+                  var mi = 0
+                  while (mi < codes.length) { s += lut(mi * kC + codes(mi)); mi += 1 }
+                  val score = if (vn == 0.0 || p.sqrtNb == 0.0) 0.0
+                    else s / (vn * p.sqrtNb)
+                  p.heap.offer(score, id)
+                  nPairs += 1L
+                }
+                j += 1
+              }
+            } else if (lst != null) {
               val id = r.getLong(0)
               val v = r.getArray(2).toDoubleArray()
               val n = v.length

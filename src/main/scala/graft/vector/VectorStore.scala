@@ -1164,7 +1164,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   /** Continuous knn-JOIN serving — [[graft.text.TermIndex.serveStream]]'s
     * contract for the vector store: each micro-batch of (query_id, qv)
     * rows probes via [[searchJoin]] (every mode included — filtered,
-    * salted, compressed-with-exact-re-rank) and appends (query_id,
+    * salted, compressed-with-exact-re-rank, and since round 13 the L2
+    * metric, whose contract checks fire at stream start) and appends (query_id,
     * rank, <idCol>, score) to `outDir`, at-least-once. Completes the
     * serving pair with [[graft.streaming.StreamingSearch]]: that
     * object scores an in-memory corpus frame; this serves the
@@ -1188,10 +1189,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                   excludeSelf: Boolean = false,
                   maxRowsPerTask: Long = 0L,
                   compressed: Boolean = false,
-                  shortlist: Int = 100)
+                  shortlist: Int = 100,
+                  metric: String =
+                    graft.plans.ShardTopKJoin.Metric.Cosine)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val probe = searchJoinServing(topK, nprobe, allowed, excludeSelf,
-      maxRowsPerTask, compressed, shortlist)
+      maxRowsPerTask, compressed, shortlist, metric)
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1223,11 +1226,23 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                                         excludeSelf: Boolean,
                                         maxRowsPerTask: Long,
                                         compressed: Boolean,
-                                        shortlist: Int): DataFrame => DataFrame = {
+                                        shortlist: Int,
+                                        metric: String =
+                                          graft.plans.ShardTopKJoin.Metric.Cosine)
+      : DataFrame => DataFrame = {
+    // the metric contract checks fire at STREAM START, not inside the
+    // first micro-batch (searchJoinResolved would repeat them per tick)
+    require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
+        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
+      s"serving metric must be cosine or l2, got '$metric'")
+    require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
+      "compressed serving is cosine-only: the ADC state approximates " +
+        "dot/cosine — an L2 shortlist through it would rank on the wrong " +
+        "geometry")
     val (cents, meta, allowedPinned, salts) =
       resolveServingState(allowed, maxRowsPerTask, compressed)
     batch => searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
-      maxRowsPerTask, compressed, shortlist, cents, meta, salts)
+      maxRowsPerTask, compressed, shortlist, cents, meta, salts, metric)
   }
 
   /** Cosine top-k over the `nprobe` nearest shards (reference /search).
@@ -1460,12 +1475,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     } else {
       // join-scale COMPRESSED serving: the candidate scan reads codes
       // + norm (~M bytes/row), never raw vectors — the IO regime
-      // compression exists for. Per-query ADC LOOKUP tables don't
-      // exist here (the query is a column, not a driver literal), so
-      // the approx score is <qv, reconstruct(codes)> — same
-      // multiply-add count as a raw dot at local scale, but the scan
-      // byte cut stands, exactly [[graft.streaming.StreamingSearch
-      // .scoreIvfCompressed]]'s trade. The per-query shortlist rides
+      // compression exists for. Since round 13 the CPU regime matches:
+      // the fused exec's ADC mode builds per-query lookup tables per
+      // partition (the state a declarative plan can't hold — the
+      // query is a column, not a driver literal), so candidates cost
+      // M lookups, not dim multiply-adds. The per-query shortlist rides
       // the bounded heap (≤ shortlist rows per (query, partition) on
       // the shuffle — never collected to the driver, unlike the
       // single-query path's id-pushdown), and only shortlisted
@@ -1475,24 +1489,35 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         "searchJoin(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
       val codes = restrict(raw.select(col(idCol).cast(LongType).as(idCol),
         col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")))
-      val (frame, recon) = withRecon(codes, meta, cents)
-      // fused exec, DotOverNorm metric — and a second win the
-      // declarative plan couldn't have: `recon` (M codebook lookups +
-      // a sum per element) now materializes in the CORPUS CHILD's
-      // projection, ONCE PER ROW, where the old plan's post-join
-      // projection recomputed it once per (row, probing query) PAIR
-      // (~nprobe·queries/shard times redundant). Score =
-      // dot(recon, qv) / (vnorm · |qv|) with the zero guards —
-      // term-for-term the old `__approx` column, so the shortlist and
-      // the exact re-rank below are unchanged.
-      val corpusR = frame.select(col(idCol), col("shard"),
-        recon.as("__recon"), col("vnorm").cast("double").as("__vn"))
+      // fused exec, ADC metric (round 13, codes-NATIVE): the corpus
+      // side ships (id, shard, codes, vnorm) straight off the pruned
+      // scan — no reconstruction projection at all — and the exec
+      // builds each probe's M·K lookup table ONCE per partition
+      // replica, so a candidate costs M table lookups instead of a
+      // dim-length dot (dim/M fewer flops on the pair loop — the
+      // classic IVFADC fast path, inexpressible declaratively because
+      // the query is a column). Same TERMS as the old reconstruction
+      // dot, accumulated per-subspace (may differ in the last ulp —
+      // grouping, not math); the exact re-rank below makes the final
+      // results identical at a covering shortlist, spec-pinned.
+      val corpusC = codes.select(col(idCol), col("shard"),
+        col("pq_codes").cast("array<int>").as("__codes"),
+        col("vnorm").cast("double").as("__vn"))
+      val adcState = graft.plans.ShardTopKJoin.AdcState(
+        books = meta.books match {
+          case ProductQuantizer.GlobalBooks(m) => Map(-1 -> m.centroids)
+          case ps: ProductQuantizer.PerShardBooks =>
+            ps.models.map { case (s, m) => s -> m.centroids }
+        },
+        rotation = meta.rotation,
+        residual = if (!meta.residual) None
+          else Some(cents.map { case (s, c) => s -> c }.toMap))
       val probesC = probes.select(col("query_id"), col("shard"), col("qv"))
-      val short = graft.plans.ShardTopKJoin.ranked(corpusR, probesC,
+      val short = graft.plans.ShardTopKJoin.ranked(corpusC, probesC,
           shortlist, excludeSelf = excludeSelf, idName = idCol,
           maxRowsPerTask = maxRowsPerTask, saltOn = Some(col(idCol)),
           precomputedSalts = salts,
-          metric = graft.plans.ShardTopKJoin.Metric.DotOverNorm)
+          metric = graft.plans.ShardTopKJoin.Metric.Adc, adc = Some(adcState))
         .select("query_id", idCol)
       val rer = short
         .join(raw.select(col(idCol).cast(LongType).as(idCol),
@@ -1675,6 +1700,13 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * start (the per-tick twin of the one-shot call costs only its own
     * probe). Streamed serving now covers every retrieval shape the
     * engine has: knn, keyword, phrase, hybrid, tri-fusion, and range.
+    *
+    * `targetRecall` (round 13): choose the probe depth from the
+    * persisted radius-recall curve at stream start — the streamed
+    * form of [[rangeJoinAtRecall]]. The staleness check runs where it
+    * belongs: a stale curve (centroid or >20% row drift since
+    * measurement) REFUSES before the stream starts, not inside a
+    * tick; `nprobe` is ignored when a target is given.
     */
   def serveRangeStream(queries: DataFrame, outDir: String, checkpoint: String,
                        minScore: Double, nprobe: Int = 2,
@@ -1682,9 +1714,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                        excludeSelf: Boolean = false,
                        maxRowsPerTask: Long = 0L,
                        compressed: Boolean = false,
-                       margin: Double = 0.05)
+                       margin: Double = 0.05,
+                       targetRecall: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val probe = rangeJoinServing(minScore, nprobe, allowed, excludeSelf,
+    val depth = targetRecall.fold(nprobe)(t => nprobeForRange(minScore, t))
+    val probe = rangeJoinServing(minScore, depth, allowed, excludeSelf,
       maxRowsPerTask, compressed, margin)
     queries.writeStream
       .option("checkpointLocation", checkpoint)

@@ -180,6 +180,91 @@ class ShardTopKJoinSpec extends AnyFunSuite {
     assert(salted === base)
   }
 
+  test("Adc metric == a driver LUT mirror: rotation + residual + per-shard books + salt") {
+    // dim 8, M = 4 subspaces of 2 dims, K = 4 codewords; per-SHARD
+    // books, an orthonormal rotation (reversal permutation), residual
+    // centroids, and a stored vnorm that is sometimes zero — every
+    // AdcState field exercised at once
+    val n = 200; val shards = 4; val dim = 8; val M = 4; val K = 4
+    val subDim = dim / M
+    def book(s: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(M, K, subDim)((m, k, j) =>
+        math.sin(s * 13 + m * 7 + k * 3 + j).abs + 0.01)
+    val rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (j == dim - 1 - i) 1.0 else 0.0)
+    def cent(s: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.cos(s * 5 + j) * 0.5)
+    def codesOf(id: Int): Array[Int] = Array.tabulate(M)(m => (id + m) % K)
+    def vnormOf(id: Int): Double = if (id % 17 == 0) 0.0 else 1.0 + (id % 7) * 0.1
+    val c = (0 until n).map { i =>
+      (i.toLong, (i % shards).toLong, codesOf(i), vnormOf(i))
+    }.toDF("id", "shard", "codes", "vnorm")
+      .select($"id", $"shard", $"codes".cast("array<int>").as("codes"), $"vnorm")
+    val p = probes(n, shards)
+    val state = ShardTopKJoin.AdcState(
+      books = (0 until shards).map(s => s -> book(s)).toMap,
+      rotation = Some(rot),
+      residual = Some((0 until shards).map(s => s -> cent(s)).toMap))
+    // driver mirror, SAME accumulation order as the exec: rotate the
+    // query, LUT per (m, k) in j order, approx = off + Σ_m lut —
+    // bit-identical, not approximately equal
+    val pRows = p.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val exp = pRows.groupBy(_._1).toSeq.flatMap { case (qid, reps) =>
+      val qv = reps.head._3
+      var nb = 0.0; var i = 0
+      while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
+      val qn = math.sqrt(nb)
+      val qr = rot.map { row =>
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += row(j) * qv(j); j += 1 }
+        s
+      }
+      val probedShards = reps.map(_._2).toSet
+      val scored = (0 until n).filter(id => probedShards((id % shards).toLong))
+        .map { id =>
+          val s = id % shards
+          val bk = book(s)
+          var acc = { // off
+            val cc = cent(s); var o = 0.0; var j = 0
+            while (j < qv.length) { o += qv(j) * cc(j); j += 1 }
+            o
+          }
+          val codes = codesOf(id)
+          var m = 0
+          while (m < M) {
+            val cw = bk(m)(codes(m)); var lv = 0.0; var j = 0
+            while (j < subDim) { lv += qr(m * subDim + j) * cw(j); j += 1 }
+            acc += lv; m += 1
+          }
+          val vn = vnormOf(id)
+          val score = if (vn == 0.0 || qn == 0.0) 0.0 else acc / (vn * qn)
+          (id.toLong, score)
+        }
+      scored.sortBy(t => (-t._2, t._1)).take(5).zipWithIndex.map {
+        case ((id, sc), r) => (qid, (r + 1).toLong, id, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = canon(ShardTopKJoin.ranked(c, p, k = 5, excludeSelf = false,
+      metric = ShardTopKJoin.Metric.Adc, adc = Some(state)))
+    assert(got === exp, "fused ADC scores must equal the driver LUT mirror exactly")
+    assert(exp.exists(_._4 != 0.0))
+    // packed-salt path: shard unpacks from the fused key for book,
+    // residual, and LUT resolution — result-invariant
+    val salted = canon(ShardTopKJoin.ranked(c, p, k = 5, excludeSelf = false,
+      maxRowsPerTask = 10L, saltOn = Some(col("id")),
+      metric = ShardTopKJoin.Metric.Adc, adc = Some(state)))
+    assert(salted === exp, "salting must not change ADC results")
+    // global-books fallback under key -1
+    val globalState = ShardTopKJoin.AdcState(books = Map(-1 -> book(0)),
+      rotation = None, residual = None)
+    val g = canon(ShardTopKJoin.ranked(c, p, k = 3, excludeSelf = false,
+      metric = ShardTopKJoin.Metric.Adc, adc = Some(globalState)))
+    assert(g.nonEmpty && g.forall(_._2 <= 3L))
+    // an AdcState without Metric.Adc (and vice versa) refuses
+    intercept[IllegalArgumentException](ShardTopKJoin.ranked(c, p, k = 3,
+      excludeSelf = false, metric = ShardTopKJoin.Metric.Adc))
+  }
+
   test("ragged dimensions fail loudly, matching the expression kernel") {
     val c = Seq((1L, 0L, Array(1.0, 2.0, 3.0))).toDF("id", "shard", "vec")
     val p = Seq((9L, 0L, Array(1.0, 1.0))).toDF("query_id", "shard", "qv")

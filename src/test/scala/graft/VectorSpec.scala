@@ -943,6 +943,51 @@ class VectorSpec extends AnyFunSuite {
       compressed = true))
   }
 
+  test("serveStream(metric = l2) equals the one-shot L2 join; compressed + L2 refuses at start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val L2 = graft.plans.ShardTopKJoin.Metric.L2
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 32).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-vserve-l2").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    // PQ-built on purpose: the compressed+L2 refusal below must be
+    // about the METRIC, not a missing PQ build
+    vs.build(corpus, iters = 2, pqSubspaces = 16, pqCodes = 16)
+    val qrows: Seq[Seq[(Long, Seq[Double])]] = Seq(Seq(0L, 3L), Seq(7L, 11L)).map(
+      ids => corpus.filter(col("id").isin(ids: _*))
+        .select(col("id"), col("vector").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong)).toSet
+    val outDir = Files.createTempDirectory("graft-vserve-l2o").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-vserve-l2c").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = vs.serveStream(input.toDF().toDF("query_id", "qv"), outDir, ckpt,
+      topK = 5, nprobe = 2, metric = L2)
+    try {
+      input.addData(qrows.head: _*)
+      q.processAllAvailable()
+      input.addData(qrows(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val allQ = qrows.flatten.toDF("query_id", "qv")
+    assert(canon(spark.read.parquet(outDir).collect()) ===
+      canon(vs.searchJoin(allQ, topK = 5, nprobe = 2, metric = L2).collect()),
+      "L2 streamed serving must equal the one-shot L2 join")
+    val e = intercept[IllegalArgumentException](vs.serveStream(
+      input.toDF().toDF("query_id", "qv"),
+      Files.createTempDirectory("graft-vserve-l2x").toString + "/res",
+      Files.createTempDirectory("graft-vserve-l2xc").toString,
+      compressed = true, metric = L2))
+    assert(e.getMessage.contains("cosine-only"),
+      "compressed + L2 must refuse at stream start on the metric contract")
+  }
+
   test("hybridJoin fuses both maintained indexes like a per-query RRF loop") {
     import spark.implicits._
     val n = 256
@@ -1454,12 +1499,39 @@ class VectorSpec extends AnyFunSuite {
       "target 1.0 must reproduce full probing on the measured corpus")
     // an unknown tau falls back to full probing rather than guessing
     assert(vs.nprobeForRange(0.77, target = 0.9) === 4)
+    // the streamed form at a MEASURED depth (round 13): targetRecall
+    // resolves nprobe from the curve at stream start; the streamed
+    // pages equal the one-shot rangeJoinAtRecall
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-rrc-out").toString + "/res"
+    val ckpt = Files.createTempDirectory("graft-rrc-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val sq = vs.serveRangeStream(input.toDF().toDF("query_id", "qv"),
+      outDir, ckpt, minScore = tau, excludeSelf = true,
+      targetRecall = Some(1.0))
+    try {
+      input.addData(qs.take(2).map(t => (t._1, t._3.toSeq)): _*)
+      sq.processAllAvailable()
+      input.addData(qs.slice(2, 4).map(t => (t._1, t._3.toSeq)): _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      atR.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "recall-tuned streamed range serving must equal rangeJoinAtRecall")
     // staleness: new routing centroids must refuse the old curve
     vs.setCentroids(vs.centroids().map { case (s, c) => (s, c.map(_ * -1.0)) })
     val ex = intercept[IllegalStateException] { vs.nprobeForRange(tau, 0.9) }
     assert(ex.getMessage.contains("STALE"))
     assert(vs.nprobeForRange(tau, 0.9, checkFresh = false) >= 1,
       "checkFresh = false knowingly serves the stale curve")
+    // ... and refuses the STREAM at start(), never inside a tick
+    val exS = intercept[IllegalStateException] {
+      vs.serveRangeStream(input.toDF().toDF("query_id", "qv"),
+        outDir + "2", ckpt + "2", minScore = tau, targetRecall = Some(0.9))
+    }
+    assert(exS.getMessage.contains("STALE"))
   }
 
   test("rangeJoin returns exactly the above-threshold set; pruning, modes, and ADC prefilter hold") {
