@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.ShardTopKJoinNode -> ...Exec) — the knn-JOIN
     // serving kernel
     ext.injectPlannerStrategy(_ => graft.plans.ShardTopKJoinStrategy)
+    // its broadcast sibling: exact all-shards scoring for a tiny query
+    // batch — corpus stays map-only (no exchange), probes broadcast
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastTopKJoinStrategy)
   }
 }

@@ -394,6 +394,71 @@ object ScaleSmoke {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
     }
 
+    // ADC-mode A/B at EMBEDDING width (round 13, committed evidence
+    // for the codes-native fast path): at dim=64 the pair-loop
+    // overhead masks the dim/M flop cut, so the 64-d legs above show
+    // parity — the win the Adc metric exists for appears at real
+    // embedding dims. Same shuffle shape both arms (fused exec,
+    // clustered on the packed shard key): (a) DotOverNorm scores a
+    // per-row RECONSTRUCTION (dim multiply-adds per candidate pair),
+    // (b) Adc builds each probe's M·K lookup table once per partition
+    // and pays M lookups per pair. Corpus is 0.4x the 64-d volume so
+    // the section stays minutes-bounded; DevAdcBench sweeps more
+    // shapes.
+    val dimH = 256
+    val nVecH = math.max(nVec * 2 / 5, 1000)
+    val nQH = math.max(nQ * 2 / 5, 100)
+    val vecsH = spark.range(0, nVecH, 1, 64)
+      .select(col("id"), array((0 until dimH).map(i => rand(seed = 2000 + i) - 0.5): _*)
+        .cast("array<double>").as("vector"))
+      .cache()
+    vecsH.count()
+    val centsH = graft.vector.Centroids.deterministicInit(
+      vecsH.select(col("id").as("vec_id"), col("vector").as("embedding")), k = 16)
+    val modelH = timed(s"pq train at dim=$dimH (16x16 codes, 2% sample)") {
+      graft.vector.ProductQuantizer.train(
+        vecsH.sample(0.02, seed = 7).select(col("id"), col("vector")),
+        idCol = "id", vecCol = "vector", dim = dimH, numSubspaces = 16, numCodes = 16)
+    }
+    val codedH = timed(s"pq encode $nVecH x $dimH") {
+      graft.vector.ProductQuantizer.encode(vecsH, modelH, "vector")
+        .withColumn("shard", graft.vector.Centroids.nearestShard(col("vector"), centsH))
+        .withColumn("vnorm", vecNorm(col("vector")))
+        .select(col("id").cast("long").as("id"), col("shard").cast("long").as("shard"),
+          col("pq_codes").cast("array<int>").as("codes"),
+          col("vnorm").cast("double").as("vnorm"))
+        .localCheckpoint(true)
+    }
+    val probesH = vecsH.filter(col("id") % math.max(nVecH / nQH, 1) === 0)
+      .select(col("id").as("query_id"),
+        explode(graft.vector.Centroids.nearestShards(col("vector"), centsH, nprobe = 2))
+          .as("shard"),
+        col("vector").as("qv"))
+      .localCheckpoint(true)
+    def forceRanked(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("id") + col("rank")), lit(0L)).cast("long"))
+        .head().getLong(0)
+    val corpusRH = codedH.select(col("id"), col("shard"),
+      graft.vector.ProductQuantizer.decodeCol(col("codes"), modelH).as("__recon"),
+      col("vnorm"))
+    val ckRecon = timed(s"compressed knn JOIN dim=$dimH ($nQH x $nVecH, k=100) [fused, RECONSTRUCTION DotOverNorm]") {
+      forceRanked(graft.plans.ShardTopKJoin.ranked(corpusRH, probesH, k = 100,
+        excludeSelf = false, metric = graft.plans.ShardTopKJoin.Metric.DotOverNorm))
+    }
+    val stateH = graft.plans.ShardTopKJoin.AdcState(
+      books = Map(-1 -> modelH.centroids), rotation = None, residual = None)
+    val ckAdc = timed(s"compressed knn JOIN dim=$dimH ($nQH x $nVecH, k=100) [fused, codes-native Adc LUT]") {
+      forceRanked(graft.plans.ShardTopKJoin.ranked(codedH, probesH, k = 100,
+        excludeSelf = false, metric = graft.plans.ShardTopKJoin.Metric.Adc,
+        adc = Some(stateH)))
+    }
+    // same candidate sets; scores carry the same terms accumulated
+    // per-subspace, so ulp-level rank flips are possible by design —
+    // report the id+rank checksum rather than assert
+    println(s"[scale] dim=$dimH id+rank checksum: recon=$ckRecon adc=$ckAdc " +
+      s"(equal=${ckRecon == ckAdc})")
+    vecsH.unpersist()
+
     // upsert/delete at volume. Two contrasting workloads:
     // (a) worst case — ids spread over every shard, negated vectors
     //     re-route across shards, so ALL partitions rewrite;
@@ -489,7 +554,7 @@ object ScaleSmoke {
     // shard's probe rank); searchAtRecall then serves at the cheapest
     // depth meeting the target — the /search shards_to_search knob
     // made data-driven
-    val rcurve = timed("evalRecall (1M vectors, 48 queries, full curve in one pass)") {
+    val rcurve = timed(s"evalRecall ($nVec vectors, 48 queries, full curve in one pass) [fused broadcast exact arm]") {
       vs.evalRecall(nQueries = 48, topK = 10)
         .orderBy("nprobe").collect()
     }
@@ -618,8 +683,12 @@ object ScaleSmoke {
       shIdx.recap()
     }
     // 10 inner hot trigrams x the 200 first-batch carriers (later
-    // batches crossed the cap at insert and never carried them)
-    require(recapped == 2000L, s"expected 2000 stale rows, got $recapped")
+    // batches crossed the cap at insert and never carried them). The
+    // phrase only crosses the df cap against the DEFAULT 50k-doc base
+    // — a scaled-down validation run skips the count assertion
+    if (nDoc >= 50000)
+      require(recapped == 2000L, s"expected 2000 stale rows, got $recapped")
+    else println(s"[scale] (recap count assertion skipped at nDoc=$nDoc < 50000)")
     println(s"[scale] recap dropped $recapped stale postings rows (carrier batch only)")
 
     // resolved-probe fixed cost vs batch count: the live judge()

@@ -1,0 +1,247 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanInterop
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+import graft.expressions.TopKHeap
+
+/** Fused BROADCAST scoring + per-query bounded top-k — the
+  * query-count-bounded sibling of [[ShardTopKJoin]] for exact
+  * all-shards scoring (recall ground truth, brute-force knn over a
+  * small query batch).
+  *
+  * The declarative exact arm — `corpus JOIN broadcast(queries) ON
+  * true`, score projection, `groupBy(query_id).agg(topK)` — keeps the
+  * corpus scan map-only (the right 100 TB shape when the query side is
+  * tiny: no corpus shuffle, partial heaps merge per partition), but
+  * walks every (corpus row, query) pair through ObjectHashAggregate:
+  * an UnsafeRow write, a group-key projection, and a hash probe per
+  * pair — at 1M rows x 48 queries the walk costs as much as the
+  * scoring. This exec keeps the exact same distribution demands
+  * (corpus unspecified — NO exchange; probes via a real
+  * `BroadcastDistribution(IdentityBroadcastMode)`, so
+  * EnsureRequirements plans the one tiny broadcast) and fuses scoring
+  * + heaps into the partition loop: every probe scores every corpus
+  * row, partials are ≤ k rows per (probe, partition), and the final
+  * [[graft.expressions.TopKAgg]] merge aggregates thousands of rows.
+  *
+  * Metrics mirror [[ShardTopKJoin]]'s exact arms term-for-term
+  * (cosine: identical accumulation to
+  * [[graft.expressions.VectorKernels.cosine]]; L2: heap on the negated
+  * distance, [[ranked]] re-negates) — so results are BIT-IDENTICAL to
+  * the declarative plan, spec-pinned. The compressed metrics
+  * (dot_norm, adc) are shard-join shapes and are refused here.
+  *
+  * Reference anchor: compute_server.py:106-138's exact scan is the
+  * per-query form; this is the batched ground-truth pass
+  * `VectorStore.evalRecall` measures curves with.
+  */
+object BroadcastTopKJoin {
+
+  private def isDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match { case ArrayType(DoubleType, _) => true; case _ => false }
+
+  /** Per-partition partial top-k for `probes` (query_id: LONG, qv:
+    * ARRAY<DOUBLE> — positional) against `corpus` (id: LONG, vec:
+    * ARRAY<DOUBLE> — positional): every probe scores every corpus row.
+    * Output (query_id, id, score), ≤ k rows per (probe, partition);
+    * merge with [[ranked]]'s TopKAgg. Null ids/vectors skip; L2 scores
+    * emit NEGATED (heap order).
+    */
+  def partials(corpus: DataFrame, probes: DataFrame, k: Int,
+               excludeSelf: Boolean,
+               metric: String = ShardTopKJoin.Metric.Cosine): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(metric == ShardTopKJoin.Metric.Cosine ||
+        metric == ShardTopKJoin.Metric.L2,
+      s"broadcast top-k is an exact arm: metric must be cosine or l2, got '$metric'")
+    val ct = corpus.schema.fields.map(_.dataType)
+    require(ct.length == 2 && ct(0) == LongType && isDoubleArray(ct(1)),
+      s"corpus must be (LONG, ARRAY<DOUBLE>) positionally, got ${corpus.schema.simpleString}")
+    val pt = probes.schema.fields.map(_.dataType)
+    require(pt.length == 2 && pt(0) == LongType && isDoubleArray(pt(1)),
+      s"probes must be (LONG, ARRAY<DOUBLE>) positionally, got ${probes.schema.simpleString}")
+    val out = Seq(
+      AttributeReference("query_id", LongType, nullable = false)(),
+      AttributeReference("id", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)())
+    PlanInterop.ofRows(corpus.sparkSession,
+      BroadcastTopKJoinNode(corpus.queryExecution.analyzed,
+        probes.queryExecution.analyzed, k, excludeSelf, metric, out))
+  }
+
+  /** Full result: fused partials + TopKAgg merge → (query_id, rank,
+    * `idName`, score), rank 1-based on (score desc, id asc); for L2
+    * score is the DISTANCE and rank ascends it.
+    */
+  def ranked(corpus: DataFrame, probes: DataFrame, k: Int,
+             excludeSelf: Boolean, idName: String = "id",
+             metric: String = ShardTopKJoin.Metric.Cosine): DataFrame = {
+    val part = partials(corpus, probes, k, excludeSelf, metric)
+    val scoreOut =
+      if (metric == ShardTopKJoin.Metric.L2) (-col("__e.score")).as("score")
+      else col("__e.score").as("score")
+    part.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score"), col("id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
+        col("__e.id").as(idName), scoreOut)
+  }
+}
+
+/** Logical node — opaque to the optimizer, children POSITIONAL:
+  * left = (id, vec), right = (query_id, qv).
+  */
+case class BroadcastTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
+                                 k: Int, excludeSelf: Boolean, metric: String,
+                                 output: Seq[Attribute]) extends BinaryNode {
+  override def producedAttributes: AttributeSet = outputSet
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BroadcastTopKJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule — injected by [[graft.GraftExtensions]]. */
+object BroadcastTopKJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: BroadcastTopKJoinNode =>
+      BroadcastTopKJoinExec(planLater(n.left), planLater(n.right),
+        n.k, n.excludeSelf, n.metric, n.output) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
+                                 k: Int, excludeSelf: Boolean, metric: String,
+                                 output: Seq[Attribute]) extends BinaryExecNode {
+
+  // corpus: wherever it already lives — NO exchange (the scan stays
+  // map-only at any corpus size). probes: a genuine broadcast, so
+  // EnsureRequirements plans one BroadcastExchange of the tiny side
+  // and every partition sees the full probe set.
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numPairs" -> SQLMetrics.createMetric(sparkContext, "candidate pairs scored"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastTopKJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val exSelf = excludeSelf
+    val mCos = metric == ShardTopKJoin.Metric.Cosine
+    val outRows = longMetric("numOutputRows")
+    val pairs = longMetric("numPairs")
+    val bcProbes = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { cIter =>
+      // fresh heaps per partition (the broadcast rows are shared and
+      // immutable; probe state is partition-local)
+      val rows = bcProbes.value
+      val all = new java.util.ArrayList[ProbeState](rows.length)
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri)
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val qv = r.getArray(1).toDoubleArray()
+          var nb = 0.0
+          var i = 0
+          while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
+          all.add(new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk)))
+        }
+        ri += 1
+      }
+      if (all.isEmpty) Iterator.empty
+      else {
+        var nPairs = 0L
+        while (cIter.hasNext) {
+          val r = cIter.next()
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val id = r.getLong(0)
+            val v = r.getArray(1).toDoubleArray()
+            val n = v.length
+            // cosine: squared norm once per corpus row — identical
+            // element order to VectorKernels.cosine
+            var na = 0.0
+            var preNorm = 0.0
+            if (mCos) {
+              var i = 0
+              while (i < n) { val x = v(i); na += x * x; i += 1 }
+              preNorm = math.sqrt(na)
+            }
+            var j = 0
+            val m = all.size
+            while (j < m) {
+              val p = all.get(j)
+              if (!(exSelf && id == p.qid)) {
+                val qv = p.qv
+                if (qv.length != n) throw new IllegalArgumentException(
+                  s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
+                    "(ragged embedding row?)")
+                var score = 0.0
+                if (mCos) {
+                  var dot = 0.0
+                  var t = 0
+                  while (t < n) { dot += v(t) * qv(t); t += 1 }
+                  score = if (na == 0.0 || p.sqrtNb == 0.0) 0.0
+                    else dot / (preNorm * p.sqrtNb)
+                } else {
+                  // L2, negated so the max-heap keeps the NEAREST
+                  var s = 0.0
+                  var t = 0
+                  while (t < n) { val d = v(t) - qv(t); s += d * d; t += 1 }
+                  score = -math.sqrt(s)
+                }
+                p.heap.offer(score, id)
+                nPairs += 1L
+              }
+              j += 1
+            }
+          }
+        }
+        pairs += nPairs
+        val proj = UnsafeProjection.create(
+          Array[org.apache.spark.sql.types.DataType](LongType, LongType, DoubleType))
+        val buf = new Array[Any](3)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buf)
+        new Iterator[InternalRow] {
+          private var pi = 0
+          private var hi = 0
+          private var cur: ProbeState = if (all.isEmpty) null else all.get(0)
+          private def advance(): Unit = {
+            while (cur != null && hi >= cur.heap.size) {
+              pi += 1; hi = 0
+              cur = if (pi < all.size) all.get(pi) else null
+            }
+          }
+          override def hasNext: Boolean = { advance(); cur != null }
+          override def next(): InternalRow = {
+            advance()
+            val h = cur.heap
+            buf(0) = cur.qid
+            buf(1) = h.ids(hi)
+            buf(2) = h.scores(hi)
+            hi += 1
+            outRows += 1L
+            proj(row)
+          }
+        }
+      }
+    }
+  }
+}

@@ -125,6 +125,68 @@ object StreamingSearch {
       .select(col("query_id"), col(idCol), col("score"))
   }
 
+  /** [[scoreIvfCompressed]] through the codes-native ADC fast path —
+    * the declarative twin of [[graft.plans.ShardTopKJoin]]'s
+    * `Metric.Adc` for plans the custom exec can't serve (a pure
+    * stream transform is planned by the streaming engine, not routed
+    * through foreachBatch where the batch-only exec lives). The
+    * reconstruction variant pays a dim-length dot per candidate PAIR
+    * (M lookups to decode + dim multiply-adds — compression saved IO
+    * but not CPU); here each routed query replica builds its M·K
+    * lookup table ONCE on the stream side (tiny per micro-batch, plus
+    * the per-shard residual offset ⟨q, c_shard⟩ and |q|), and every
+    * candidate costs M `element_at`s — a dim/M flop cut on the pair
+    * loop that grows with embedding width (2.5–4.5× at dim=256 in the
+    * exec's A/B; same arithmetic here).
+    *
+    * Scoring contract matches `VectorStore`'s compressed shortlist:
+    * `score = (offset + Σ_m LUT[m][code_m]) / (vnorm · |q|)` with
+    * zero-norm → 0.0 — the corpus side must carry the RAW vector's
+    * norm (`normCol`; the reconstruction twin normalizes by the
+    * reconstruction's own norm instead, so the two variants' scores
+    * agree only up to quantization error — both are shortlist
+    * approximations to be re-ranked exactly). Reads (shard, id,
+    * codes, vnorm) only: column pruning leaves raw vectors on disk.
+    */
+  def scoreIvfCompressedAdc(queries: DataFrame, corpus: DataFrame,
+                            cents: Seq[(Int, Array[Double])],
+                            model: graft.vector.ProductQuantizer.Model,
+                            residual: Boolean, nprobe: Int = 1,
+                            idCol: String = "id", codesCol: String = "pq_codes",
+                            normCol: String = "vnorm",
+                            shardCol: String = "shard", queryVecCol: String = "qv",
+                            rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.vector.ProductQuantizer
+    val routed = queries
+      .withColumn(shardCol,
+        explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
+      // per-replica probe state, computed once on the SMALL side:
+      // the flat M·K LUT (rotated first for an OPQ store), |q|, and
+      // the residual-centroid offset ⟨q_raw, c_shard⟩ (raw space —
+      // rotation never touches it, same split as the exec's AdcState)
+      .withColumn("__lut",
+        ProductQuantizer.adcLutCol(col(queryVecCol), model, rotation))
+      .withColumn("__qn", vecNorm(col(queryVecCol)))
+      .withColumn("__off",
+        if (!residual) lit(0.0)
+        else {
+          val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+          aggregate(
+            zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),
+              col(queryVecCol), _ * _),
+            lit(0.0), _ + _)
+        })
+    val side = corpus.select(col(shardCol).cast("long").as(shardCol),
+      col(idCol), col(codesCol), col(normCol))
+    val approx = ProductQuantizer.adcDotFromLut(col(codesCol), col("__lut"),
+      model, init = col("__off"))
+    routed.join(side, shardCol)
+      .withColumn("score",
+        when(col(normCol) === 0.0 || col("__qn") === 0.0, lit(0.0))
+          .otherwise(approx / (col(normCol) * col("__qn"))))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   /** [[scoreIvfCompressed]] for a PER-SHARD-codebook corpus
     * (`VectorStore.build(pqPerShard = true)`, optionally with
     * `opqRotate`). Each (shard, m, k) codeword is pre-mapped

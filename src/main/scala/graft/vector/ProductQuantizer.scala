@@ -309,6 +309,51 @@ object ProductQuantizer extends QueryModule {
     }.reduce(_ + _)
   }
 
+  /** [[adcDot]] when the query is a COLUMN, not a literal — the
+    * declarative half of the exec's `AdcState` fast path
+    * ([[graft.plans.ShardTopKJoin]]): build the per-query M·K lookup
+    * table ONCE on the (small) query side as a flat array column, and
+    * [[adcDotFromLut]] then scores each candidate pair with M
+    * `element_at`s instead of a dim-length reconstruction dot. The
+    * codebook rides as one M x K x subDim plan literal; the LUT build
+    * costs M·K·subDim flops per query row — amortized over every
+    * candidate that row meets in the join. An OPQ `rotation` (row
+    * major, the store's R) is applied to the query column first
+    * (⟨q, Rᵀd⟩ = ⟨Rq, d⟩ — same one-rotation trick as the exec),
+    * costing dim² flops per query row, once.
+    *
+    * Entry layout matches the exec's ProbeState.lut: `lut[m·K + c] =
+    * ⟨q_m, book[m][c]⟩` (0-based; `element_at` callers add 1).
+    */
+  def adcLutCol(qvCol: Column, model: Model,
+                rotation: Option[Array[Array[Double]]] = None): Column = {
+    val qr = rotation match {
+      case Some(r) =>
+        transform(typedlit(r.map(_.toSeq).toSeq),
+          row => aggregate(zip_with(row, qvCol, _ * _), lit(0.0), _ + _))
+      case None => qvCol
+    }
+    val book = typedlit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(book, (bm, m) => transform(bm, cw =>
+      aggregate(
+        zip_with(cw, slice(qr, m * model.subDim + 1, lit(model.subDim)), _ * _),
+        lit(0.0), _ + _))))
+  }
+
+  /** The pair-loop half of [[adcLutCol]]: approximate `<row, q>` as M
+    * lookups into the query row's LUT column. Pure codegen'd
+    * arithmetic — no higher-order function, no per-pair allocation.
+    * `init` seeds the accumulation (a residual store's per-shard
+    * offset ⟨q, c_shard⟩) BEFORE the first lookup — the same
+    * `s = off; s += lut(...)` order as the exec's Adc pair loop, so
+    * the two paths' scores are bit-identical, not just close.
+    */
+  def adcDotFromLut(codesCol: Column, lutCol: Column, model: Model,
+                    init: Column = lit(0.0)): Column =
+    (init +: (0 until model.numSubspaces).map { m =>
+      element_at(lutCol, lit(m * model.numCodes + 1) + element_at(codesCol, m + 1))
+    }).reduce(_ + _)
+
   /** Reconstruct the quantized approximation of each row: the M
     * looked-up codewords concatenated — the decode half of the codec,
     * for diagnostics and code-only scoring (a compressed corpus scored

@@ -1379,7 +1379,8 @@ object Serving extends QueryModule {
        |GROUP BY 1""".stripMargin
 
   /** The shared exact arm: per query, the exact top-`topK` ids
-    * (self excluded) via the bounded-heap aggregate — (query_id,
+    * (self excluded) via the fused broadcast exec
+    * ([[graft.plans.BroadcastTopKJoin]]) — (query_id,
     * vec_id) rows. Both the raw-IVF curve and `VectorStore.evalRecall`'s
     * compressed (ADC-shortlist) curve measure against this ground
     * truth, so `evalRecall(compressed = true)` runs it ONCE for both.
@@ -1392,17 +1393,23 @@ object Serving extends QueryModule {
                                 topK: Int,
                                 metric: String =
                                   graft.plans.ShardTopKJoin.Metric.Cosine)
-      : DataFrame = {
-    val score0 =
-      if (metric == graft.plans.ShardTopKJoin.Metric.L2)
-        -l2Dist(col("embedding"), col("qv"))
-      else cosineSim(col("embedding"), col("qv"))
-    assigned.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("score0", score0)
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(col("score0"), col("vec_id"), topK).as("tops"))
-      .select(col("query_id"), explode(col("tops.id")).as("vec_id"))
-  }
+      : DataFrame =
+    // fused broadcast exec (round 13): the corpus scan stays map-only
+    // — NO exchange, the one shape that survives 100 TB for a tiny
+    // query sample — but scoring + heaps run inside the partition
+    // loop, so the (corpus row x query) pairs never walk
+    // ObjectHashAggregate (the declarative broadcast-join + TopKAgg
+    // plan paid a hash probe per pair, ~half the exact arm's cost at
+    // 1M x 48). Kernel accumulation and (score desc, id asc) heap
+    // order are bit-identical to the previous plan — the recall-curve
+    // oracle hashes and BroadcastTopKJoinSpec pin it.
+    graft.plans.BroadcastTopKJoin.ranked(
+        assigned.select(col("vec_id").cast(LongType).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        queries.select(col("query_id").cast(LongType).as("query_id"),
+          col("qv").cast("array<double>").as("qv")),
+        topK, excludeSelf = true, metric = metric)
+      .select(col("query_id"), col("id").as("vec_id"))
 
   /** Probe-rank rollup of [[exactHits]] output into the raw-path
     * recall curve (see [[curveFrom]]'s Scaladoc for the trick).

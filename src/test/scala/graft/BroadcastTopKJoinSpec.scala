@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.VectorExpressions.{cosineSim, l2Dist}
+import graft.plans.{BroadcastTopKJoin, ShardTopKJoin}
+
+/** The fused broadcast top-k exec must be a drop-in for the
+  * declarative `corpus × broadcast(queries) → score → groupBy.agg
+  * (topK)` exact arm: bit-identical rows (scores included — the recall
+  * oracle hashes ride on them), corpus side exchange-free, probe side
+  * a real broadcast.
+  */
+class BroadcastTopKJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  import spark.implicits._
+
+  private def corpus(n: Int = 200): DataFrame =
+    (0 until n).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      (i.toLong, v)
+    }.toDF("id", "vec").select($"id", $"vec".cast("array<double>").as("vec"))
+
+  private def probes(n: Int = 200): DataFrame =
+    (0 until n by 10).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      (i.toLong, v)
+    }.toDF("query_id", "qv").select($"query_id",
+      $"qv".cast("array<double>").as("qv"))
+
+  /** The declarative exact arm the exec replaces, same inputs. */
+  private def declarative(c: DataFrame, p: DataFrame, k: Int,
+                          excludeSelf: Boolean,
+                          l2: Boolean = false): Seq[(Long, Long, Long, Double)] = {
+    val j = c.join(broadcast(p), expr("true"))
+    val f = if (excludeSelf) j.filter($"id" =!= $"query_id") else j
+    val scored =
+      if (l2) f.withColumn("s", -l2Dist($"vec", $"qv"))
+      else f.withColumn("s", cosineSim($"vec", $"qv"))
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK($"s", $"id", k).as("t"))
+      .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"e.id".as("id"), (if (l2) -$"e.score" else $"e.score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  test("fused ranked == declarative broadcast exact arm, scores bit-identical") {
+    val exp = declarative(corpus(), probes(), k = 5, excludeSelf = false)
+    val got = canon(BroadcastTopKJoin.ranked(corpus(), probes(), k = 5,
+      excludeSelf = false))
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("excludeSelf drops the self match before ranking") {
+    val exp = declarative(corpus(), probes(), k = 3, excludeSelf = true)
+    val got = canon(BroadcastTopKJoin.ranked(corpus(), probes(), k = 3,
+      excludeSelf = true))
+    assert(got === exp)
+    assert(!got.exists(t => t._1 == t._3), "self id must never appear")
+  }
+
+  test("L2 metric == declarative l2Dist + heap on negated distance") {
+    val exp = declarative(corpus(), probes(), k = 4, excludeSelf = true, l2 = true)
+    val got = canon(BroadcastTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true, metric = ShardTopKJoin.Metric.L2))
+    assert(got === exp)
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank === byRank.sorted, "L2 rank must ascend the distance")
+    }
+  }
+
+  test("plan: corpus side exchange-free, probe side one BroadcastExchange") {
+    val df = BroadcastTopKJoin.partials(corpus(), probes(), k = 3,
+      excludeSelf = false)
+    df.collect() // force through AQE so the final plan is real
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastTopKJoin"), s"fused exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus scan must stay map-only — no shuffle exchange:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pairing happens inside the exec, not a join node:\n$plan")
+  }
+
+  test("zero-norm vectors score 0.0; empty probes produce no rows") {
+    val c = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0))).toDF("id", "vec")
+    val p = Seq((9L, Array(1.0, 1.0))).toDF("query_id", "qv")
+    val got = canon(BroadcastTopKJoin.ranked(c, p, k = 5, excludeSelf = false))
+    val exp = declarative(c, p, k = 5, excludeSelf = false)
+    assert(got === exp)
+    assert(got.exists(t => t._3 == 1L && t._4 == 0.0),
+      "zero-norm corpus row must score 0.0 like VectorKernels.cosine")
+    val none = p.filter($"query_id" < 0)
+    assert(BroadcastTopKJoin.ranked(c, none, k = 5, excludeSelf = false).count() === 0)
+  }
+
+  test("compressed metrics refuse — this exec is the exact arm only") {
+    intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
+      corpus(), probes(), k = 3, excludeSelf = false,
+      metric = ShardTopKJoin.Metric.DotOverNorm))
+    intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
+      corpus(), probes(), k = 3, excludeSelf = false,
+      metric = ShardTopKJoin.Metric.Adc))
+  }
+
+  test("ragged dimensions fail loudly, matching the expression kernel") {
+    val c = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val p = Seq((9L, Array(1.0, 1.0))).toDF("query_id", "qv")
+    val ex = intercept[Exception] {
+      BroadcastTopKJoin.ranked(c, p, k = 1, excludeSelf = false).collect()
+    }
+    assert(ex.getMessage.contains("mismatched dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mismatched dimensions")))
+  }
+}

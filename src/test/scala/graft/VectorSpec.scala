@@ -241,6 +241,117 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed ADC LUT scoring: driver-mirror exact and bit-identical to the fused exec") {
+    // an OPQ + residual store — the hardest composition: the LUT must
+    // rotate the query into code space while the residual offset stays
+    // raw-space, exactly the exec's AdcState split
+    val vecs = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(col("id") * 31 + d, lit(7)).cast("double") - 3.0) * 0.05
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-adcstream").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(vecs, iters = 3, pqSubspaces = 16, opqRotate = true)
+    val model = vs.pqModel().get
+    val rot = vs.opqRotation()
+    assert(rot.isDefined, "opqRotate build must persist a rotation")
+    val cents = vs.centroids()
+    val corpus = spark.read.parquet(s"$dir/vectors")
+      .withColumn("shard", col("shard").cast("long"))
+    val queries = vecs.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    import graft.streaming.StreamingSearch
+
+    // nprobe = numShards, so every (query, corpus row) pair scores and
+    // the mirror below needs no routing logic
+    val adcScores = StreamingSearch.scoreIvfCompressedAdc(
+        queries, corpus, cents.toSeq, model, residual = true, nprobe = 4,
+        rotation = rot)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adcScores.size === 3 * 2000)
+
+    // driver mirror, accumulated in the exec's order: s = off, then
+    // += LUT[m][code_m]; LUT rows in j order; qn = sqrt(sum q^2)
+    val R = rot.get
+    val centMap = cents.toMap
+    val qvs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sub = model.subDim
+    val kC = model.numCodes
+    def mirrorState(q: Array[Double]): (Array[Double], Double) = {
+      val qr = R.map { row =>
+        var s = 0.0; var j = 0
+        while (j < q.length) { s += row(j) * q(j); j += 1 }
+        s
+      }
+      val lut = new Array[Double](model.numSubspaces * kC)
+      for (m <- 0 until model.numSubspaces; c <- 0 until kC) {
+        val cw = model.centroids(m)(c)
+        var s = 0.0; var j = 0
+        while (j < sub) { s += qr(m * sub + j) * cw(j); j += 1 }
+        lut(m * kC + c) = s
+      }
+      var nb = 0.0
+      q.foreach(x => nb += x * x)
+      (lut, math.sqrt(nb))
+    }
+    val states = qvs.map { case (qid, q) => qid -> mirrorState(q) }
+    val rows = corpus.select(col("id"), col("shard"), col("pq_codes"), col("vnorm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toArray, r.getDouble(3)))
+    var checked = 0
+    for ((qid, q) <- qvs; (id, shard, codes, vn) <- rows) {
+      val (lut, qn) = states(qid)
+      val cent = centMap(shard.toInt)
+      var s = 0.0; var j = 0
+      while (j < q.length) { s += q(j) * cent(j); j += 1 }
+      var mi = 0
+      while (mi < codes.length) { s += lut(mi * kC + codes(mi)); mi += 1 }
+      val want = if (vn == 0.0 || qn == 0.0) 0.0 else s / (vn * qn)
+      assert(adcScores((qid, id)) === want,
+        s"query $qid candidate $id: streamed ADC diverges from the mirror")
+      checked += 1
+    }
+    assert(checked === 3 * 2000)
+
+    // the fused exec's Metric.Adc over the same frames must emit the
+    // SAME doubles — k covers the whole corpus so every pair ranks
+    import graft.plans.ShardTopKJoin
+    val corpusC = corpus.select(col("id").cast("long").as("id"), col("shard"),
+      col("pq_codes").cast("array<int>").as("codes"),
+      col("vnorm").cast("double").as("vnorm"))
+    val probesC = queries
+      .withColumn("shard", explode(Centroids.nearestShards(col("qv"), cents.toSeq, 4)))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("shard").cast("long").as("shard"), col("qv"))
+    val state = ShardTopKJoin.AdcState(books = Map(-1 -> model.centroids),
+      rotation = rot, residual = Some(centMap))
+    val fused = ShardTopKJoin.ranked(corpusC, probesC, k = 2000,
+        excludeSelf = false, metric = ShardTopKJoin.Metric.Adc, adc = Some(state))
+      .collect()
+    assert(fused.length === 3 * 2000)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(adcScores(key) === r.getDouble(3),
+        s"pair $key: streamed ADC and fused exec disagree")
+    }
+
+    // end to end: ADC shortlist + exact re-rank tracks the raw scorer
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      StreamingSearch.topKPerQuery(df, 5).select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val adcTop = top5(StreamingSearch.scoreIvfCompressedAdc(
+      queries, corpus, cents.toSeq, model, residual = true, nprobe = 4,
+      rotation = rot))
+    val exactTop = top5(StreamingSearch.scoreIvf(queries, corpus, cents.toSeq, nprobe = 4))
+    (0L until 3L).foreach { q =>
+      assert((adcTop(q) intersect exactTop(q)).size >= 4,
+        s"query $q: ${adcTop(q)} vs ${exactTop(q)}")
+    }
+  }
+
   test("store-level semdedup drops planted twins within shards; delete closes the loop") {
     val dir = Files.createTempDirectory("graft-vs-sd").toString
     val base = Tables.embeddings(spark, sf)
