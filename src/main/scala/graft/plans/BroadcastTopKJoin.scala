@@ -56,27 +56,46 @@ object BroadcastTopKJoin {
     * Output (query_id, id, score), ≤ k rows per (probe, partition);
     * merge with [[ranked]]'s TopKAgg. Null ids/vectors skip; L2 scores
     * emit NEGATED (heap order).
+    *
+    * `keyed = true` is the IVF-ROUTED form: corpus = (id, key, vec)
+    * and probes = (query_id, key, qv) — a corpus row scores only the
+    * probe replicas that share its key (the broadcast twin of
+    * [[ShardTopKJoin]]'s equi-join, for query batches small enough to
+    * broadcast: the batch-knn and hybrid page-arm shape, where the
+    * corpus staying put beats a shard shuffle).
     */
   def partials(corpus: DataFrame, probes: DataFrame, k: Int,
                excludeSelf: Boolean,
-               metric: String = ShardTopKJoin.Metric.Cosine): DataFrame = {
+               metric: String = ShardTopKJoin.Metric.Cosine,
+               keyed: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(metric == ShardTopKJoin.Metric.Cosine ||
         metric == ShardTopKJoin.Metric.L2,
       s"broadcast top-k is an exact arm: metric must be cosine or l2, got '$metric'")
     val ct = corpus.schema.fields.map(_.dataType)
-    require(ct.length == 2 && ct(0) == LongType && isDoubleArray(ct(1)),
-      s"corpus must be (LONG, ARRAY<DOUBLE>) positionally, got ${corpus.schema.simpleString}")
     val pt = probes.schema.fields.map(_.dataType)
-    require(pt.length == 2 && pt(0) == LongType && isDoubleArray(pt(1)),
-      s"probes must be (LONG, ARRAY<DOUBLE>) positionally, got ${probes.schema.simpleString}")
+    if (keyed) {
+      require(ct.length == 3 && ct(0) == LongType && ct(1) == LongType &&
+        isDoubleArray(ct(2)),
+        s"keyed corpus must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
+          corpus.schema.simpleString)
+      require(pt.length == 3 && pt(0) == LongType && pt(1) == LongType &&
+        isDoubleArray(pt(2)),
+        s"keyed probes must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
+          probes.schema.simpleString)
+    } else {
+      require(ct.length == 2 && ct(0) == LongType && isDoubleArray(ct(1)),
+        s"corpus must be (LONG, ARRAY<DOUBLE>) positionally, got ${corpus.schema.simpleString}")
+      require(pt.length == 2 && pt(0) == LongType && isDoubleArray(pt(1)),
+        s"probes must be (LONG, ARRAY<DOUBLE>) positionally, got ${probes.schema.simpleString}")
+    }
     val out = Seq(
       AttributeReference("query_id", LongType, nullable = false)(),
       AttributeReference("id", LongType, nullable = false)(),
       AttributeReference("score", DoubleType, nullable = false)())
     PlanInterop.ofRows(corpus.sparkSession,
       BroadcastTopKJoinNode(corpus.queryExecution.analyzed,
-        probes.queryExecution.analyzed, k, excludeSelf, metric, out))
+        probes.queryExecution.analyzed, k, excludeSelf, metric, keyed, out))
   }
 
   /** Full result: fused partials + TopKAgg merge → (query_id, rank,
@@ -85,8 +104,9 @@ object BroadcastTopKJoin {
     */
   def ranked(corpus: DataFrame, probes: DataFrame, k: Int,
              excludeSelf: Boolean, idName: String = "id",
-             metric: String = ShardTopKJoin.Metric.Cosine): DataFrame = {
-    val part = partials(corpus, probes, k, excludeSelf, metric)
+             metric: String = ShardTopKJoin.Metric.Cosine,
+             keyed: Boolean = false): DataFrame = {
+    val part = partials(corpus, probes, k, excludeSelf, metric, keyed)
     val scoreOut =
       if (metric == ShardTopKJoin.Metric.L2) (-col("__e.score")).as("score")
       else col("__e.score").as("score")
@@ -99,10 +119,11 @@ object BroadcastTopKJoin {
 }
 
 /** Logical node — opaque to the optimizer, children POSITIONAL:
-  * left = (id, vec), right = (query_id, qv).
+  * left = (id[, key], vec), right = (query_id[, key], qv).
   */
 case class BroadcastTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
                                  k: Int, excludeSelf: Boolean, metric: String,
+                                 keyed: Boolean,
                                  output: Seq[Attribute]) extends BinaryNode {
   override def producedAttributes: AttributeSet = outputSet
   override def references: AttributeSet =
@@ -117,13 +138,14 @@ object BroadcastTopKJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: BroadcastTopKJoinNode =>
       BroadcastTopKJoinExec(planLater(n.left), planLater(n.right),
-        n.k, n.excludeSelf, n.metric, n.output) :: Nil
+        n.k, n.excludeSelf, n.metric, n.keyed, n.output) :: Nil
     case _ => Nil
   }
 }
 
 case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
                                  k: Int, excludeSelf: Boolean, metric: String,
+                                 keyed: Boolean,
                                  output: Seq[Attribute]) extends BinaryExecNode {
 
   // corpus: wherever it already lives — NO exchange (the scan stays
@@ -145,24 +167,40 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val kk = k
     val exSelf = excludeSelf
+    val isKeyed = keyed
+    val vecOrd = if (isKeyed) 2 else 1
     val mCos = metric == ShardTopKJoin.Metric.Cosine
     val outRows = longMetric("numOutputRows")
     val pairs = longMetric("numPairs")
     val bcProbes = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { cIter =>
       // fresh heaps per partition (the broadcast rows are shared and
-      // immutable; probe state is partition-local)
+      // immutable; probe state is partition-local). Keyed mode also
+      // resolves the key -> replicas map here, once per partition.
       val rows = bcProbes.value
       val all = new java.util.ArrayList[ProbeState](rows.length)
+      val byKey =
+        if (isKeyed) new java.util.HashMap[Long, java.util.ArrayList[ProbeState]]()
+        else null
       var ri = 0
       while (ri < rows.length) {
         val r = rows(ri)
-        if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val qv = r.getArray(1).toDoubleArray()
+        if (!r.isNullAt(0) && !r.isNullAt(vecOrd) &&
+            !(isKeyed && r.isNullAt(1))) {
+          val qv = r.getArray(vecOrd).toDoubleArray()
           var nb = 0.0
           var i = 0
           while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
-          all.add(new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk)))
+          val st = new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
+          if (isKeyed) {
+            val key = r.getLong(1)
+            var lst = byKey.get(key)
+            if (lst == null) {
+              lst = new java.util.ArrayList[ProbeState](4); byKey.put(key, lst)
+            }
+            lst.add(st)
+          }
+          all.add(st)
         }
         ri += 1
       }
@@ -171,23 +209,26 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
         var nPairs = 0L
         while (cIter.hasNext) {
           val r = cIter.next()
-          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          if (!r.isNullAt(0) && !r.isNullAt(vecOrd) &&
+              !(isKeyed && r.isNullAt(1))) {
             val id = r.getLong(0)
-            val v = r.getArray(1).toDoubleArray()
-            val n = v.length
+            val cand =
+              if (isKeyed) byKey.get(r.getLong(1)) else all
+            val v = if (cand == null) null else r.getArray(vecOrd).toDoubleArray()
+            val n = if (v == null) 0 else v.length
             // cosine: squared norm once per corpus row — identical
             // element order to VectorKernels.cosine
             var na = 0.0
             var preNorm = 0.0
-            if (mCos) {
+            if (mCos && cand != null) {
               var i = 0
               while (i < n) { val x = v(i); na += x * x; i += 1 }
               preNorm = math.sqrt(na)
             }
             var j = 0
-            val m = all.size
+            val m = if (cand == null) 0 else cand.size
             while (j < m) {
-              val p = all.get(j)
+              val p = cand.get(j)
               if (!(exSelf && id == p.qid)) {
                 val qv = p.qv
                 if (qv.length != n) throw new IllegalArgumentException(

@@ -176,8 +176,8 @@ object Serving extends QueryModule {
   /** The keyword arm's (query_id, doc_id, rank_kw) shortlist — the
     * shortlist-bounded rank window every fusion arity shares.
     */
-  private def kwRanks(idx: graft.text.TermIndex, queries: DataFrame,
-                      shortlist: Int, allowed: Option[DataFrame]): DataFrame =
+  private[vector] def kwRanks(idx: graft.text.TermIndex, queries: DataFrame,
+                              shortlist: Int, allowed: Option[DataFrame]): DataFrame =
     idx.searchBatch(queries.select("query_id", "terms"), k = shortlist,
         allowed = allowed)
       .withColumn("rank_kw", row_number().over(
@@ -195,9 +195,97 @@ object Serving extends QueryModule {
       .select("query_id", "doc_id", "rank_ph")
 
   /** A searchJoin result reshaped to the fusion arm contract. */
-  private def vecRanks(v: DataFrame): DataFrame =
+  private[vector] def vecRanks(v: DataFrame): DataFrame =
     v.select(col("query_id"), col(v.columns(2)).as("doc_id"),
       col("rank").cast("int").as("rank_vec"))
+
+  // --- fusion-level recall: served page vs exact-arm page -----------
+  /** Replica-id pack base for [[fusionRecallFrame]]'s one-pass trick:
+    * probe replicas carry `query_id · 64 + (prank − 1)` so one fused
+    * broadcast pass ranks every (query, probe-depth-class) shortlist
+    * at once. Bounds numShards ≤ 64 for the eval (not for serving).
+    */
+  private val FUSION_PACK = 64L
+
+  /** The fusion-recall curve (round 13): for every probe depth p in
+    * 1..k, how much of the EXACT hybrid page (keyword arm + exact
+    * all-shards vector arm, RRF-fused) does the page served at
+    * nprobe = p recover? IVF misses do NOT translate 1:1 into page
+    * misses — RRF can re-surface a vector-missed doc through its
+    * keyword rank, and can demote a doc the vector arm found — so the
+    * vector recall curve ([[VectorStore.evalRecall]]) bounds but does
+    * not determine the page-level metric a RAG caller actually
+    * experiences. That metric is what this measures.
+    *
+    * ONE corpus pass for all depths: probe replicas carry
+    * (query · 64 + prank − 1) as their id with the prank-th nearest
+    * shard as their key, so the keyed [[graft.plans
+    * .BroadcastTopKJoin]] emits each (query, prank)'s within-shard
+    * top-(shortlist+1) in a single map-only scan (the +1 absorbs the
+    * self row, dropped after unpacking — each group still covers its
+    * non-self top-shortlist). A candidate visible at depth p is
+    * visible at every deeper page, so per-depth vector shortlists are
+    * a bounded re-rank of prank ≤ p groups (≤ nQueries·k²·shortlist
+    * tiny rows — never the corpus), the keyword arm is
+    * depth-independent, and the RRF pages + recall rollup are
+    * arithmetic on page-sized frames.
+    *
+    * Output: (nprobe, recall_x1e4) — integer-exact
+    * `hits·10⁴ div (nQueries·topK)`, recall ≡ 10⁴ at p = k by
+    * construction. `kw` is the (query_id, doc_id, rank_kw) arm;
+    * `assigned`/`queries` positional as in [[curveFrom]].
+    */
+  private[vector] def fusionRecallFrame(kw: DataFrame, assigned: DataFrame,
+                                        queries: DataFrame,
+                                        cents: Seq[(Int, Array[Double])], k: Int,
+                                        topK: Int, shortlist: Int, rrfK: Int,
+                                        nQueries: Long): DataFrame = {
+    require(k > 0 && k <= FUSION_PACK,
+      s"fusion recall packs prank into the replica id: numShards $k > $FUSION_PACK")
+    val corpusK = assigned.select(col("vec_id").cast(LongType).as("vec_id"),
+      col("shard").cast(LongType).as("shard"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val probes = queries
+      .select(col("query_id").cast(LongType).as("query_id"),
+        posexplode(Centroids.nearestShards(col("qv"), cents, k))
+          .as(Seq("__p0", "shard")),
+        col("qv").cast("array<double>").as("qv"))
+      .select((col("query_id") * FUSION_PACK + col("__p0")).as("query_id"),
+        col("shard"), col("qv"))
+    val cand = graft.plans.BroadcastTopKJoin.ranked(corpusK, probes,
+        k = shortlist + 1, excludeSelf = false, idName = "doc_id", keyed = true)
+      .select(expr(s"query_id div $FUSION_PACK").as("qid"),
+        (pmod(col("query_id"), lit(FUSION_PACK)) + 1).as("prank"),
+        col("doc_id"), col("score"))
+      .filter(col("doc_id") =!= col("qid"))
+    // a candidate found at probe rank r is on every page of depth >= r
+    val vtop = cand
+      .select(col("qid"), col("doc_id"), col("score"),
+        explode(sequence(col("prank"), lit(k.toLong))).as("nprobe"))
+      .withColumn("rank_vec", row_number().over(
+        Window.partitionBy("qid", "nprobe")
+          .orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank_vec") <= shortlist)
+      .select(col("qid"), col("nprobe"), col("doc_id"), col("rank_vec"))
+    val kwD = kw
+      .select(col("query_id").cast(LongType).as("qid"), col("doc_id"),
+        col("rank_kw"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("nprobe"))
+    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
+    val pages = kwD.join(vtop, Seq("qid", "nprobe", "doc_id"), "full_outer")
+      .select(col("qid"), col("nprobe"), col("doc_id"), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid", "nprobe").orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nprobe"), col("doc_id"))
+    val exact = pages.filter(col("nprobe") === k.toLong)
+      .select(col("qid"), col("doc_id"), lit(1L).as("__hit"))
+    pages.join(exact, Seq("qid", "doc_id"), "left")
+      .groupBy("nprobe")
+      .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
+      .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
+  }
 
   /** Continuous hybrid serving — the streamed twin completing the
     * set (keyword [[graft.text.TermIndex.serveStream]], phrase
@@ -336,18 +424,24 @@ object Serving extends QueryModule {
         .select(col("query_id"), col("doc_id"),
           col("rank").cast("int").as("rank_vec"))
     } else {
+      // page-sized batch: the KEYED broadcast exec (round 13) — the
+      // corpus stays put, the probe page broadcasts, candidates pair
+      // on the shard key inside the partition loop (no per-pair
+      // aggregate walk). Bit-identical to the previous broadcast-join
+      // + TopKAgg plan; the fused-vs-broadcast equivalence spec pins
+      // both against the shuffle exec above.
+      val corpusK = corpus.select(col("vec_id").cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col("embedding").cast("array<double>").as("embedding"))
       val probes = e.filter(col("vec_id").isin(qIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        .select(col("vec_id").cast(LongType).as("query_id"),
           explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
-            .as("shard"))
-      corpus.join(broadcast(probes), Seq("shard"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("vscore", cosineSim(col("embedding"), col("qv")))
-        .groupBy("query_id")
-        .agg(TopKAgg.topK(col("vscore"), col("vec_id"), SHORTLIST).as("tops"))
-        .select(col("query_id"), posexplode(col("tops")).as(Seq("__pos", "__e")))
-        .select(col("query_id"), col("__e.id").as("doc_id"),
-          (col("__pos") + 1).cast("int").as("rank_vec"))
+            .as("shard"),
+          col("embedding").cast("array<double>").as("qv"))
+      graft.plans.BroadcastTopKJoin.ranked(corpusK, probes, SHORTLIST,
+          excludeSelf = true, idName = "doc_id", keyed = true)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("int").as("rank_vec"))
     }
   }
 
@@ -409,7 +503,22 @@ object Serving extends QueryModule {
     */
   private def hybridBatchSqlFor(qid: Long, terms: Seq[String],
                                 allowedSql: Option[String] = None,
-                                wKw: Double = 1.0, wVec: Double = 1.0): String = {
+                                wKw: Double = 1.0, wVec: Double = 1.0): String =
+    s"""${hybridFusedCtes(qid, terms, allowedSql, wKw, wVec)}
+       |SELECT CAST($qid AS BIGINT) AS query_id,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, CAST(rank_kw AS BIGINT) AS rank_kw,
+       |       CAST(rank_vec AS BIGINT) AS rank_vec,
+       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The WITH … fused chain shared by the hybrid-page oracle and the
+    * fusion-recall oracle — identical CTEs, parameterized probe depth.
+    */
+  private def hybridFusedCtes(qid: Long, terms: Seq[String],
+                              allowedSql: Option[String] = None,
+                              wKw: Double = 1.0, wVec: Double = 1.0,
+                              nprobe: Int = 2): String = {
     val (bmCtes, bmScore) = graft.text.TextAnalysis.bm25CtesFor(terms)
     // the allowed slice restricts each arm's SELECTION while df/N/avgdl
     // and the routing centroids stay corpus-global — the filter-then-
@@ -433,7 +542,7 @@ object Serving extends QueryModule {
        |qsh AS (SELECT shard FROM (
        |  SELECT c.shard, ROW_NUMBER() OVER (
        |    ORDER BY list_distance(qv.v, c.c), c.shard) AS rn
-       |  FROM qv CROSS JOIN cent c) t WHERE rn <= 2),
+       |  FROM qv CROSS JOIN cent c) t WHERE rn <= $nprobe),
        |vsel AS (
        |  SELECT b.vec_id AS doc_id,
        |         list_cosine_similarity(b.embedding::DOUBLE[], qv.v) AS vscore
@@ -451,14 +560,17 @@ object Serving extends QueryModule {
        |         $wVec * COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) AS rrf,
        |         COALESCE(k.rank_kw, 0) AS rank_kw,
        |         COALESCE(v.rank_vec, 0) AS rank_vec
-       |  FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)
-       |SELECT CAST($qid AS BIGINT) AS query_id,
-       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-       |       doc_id, CAST(rank_kw AS BIGINT) AS rank_kw,
-       |       CAST(rank_vec AS BIGINT) AS rank_vec,
-       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
-       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+       |  FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)""".stripMargin
   }
+
+  /** One (query, depth) fusion page for the recall oracle: the same
+    * fused CTEs at probe depth `p`, emitting the page's doc ids.
+    */
+  private def fusionPageSqlFor(qid: Long, terms: Seq[String], p: Int): String =
+    s"""${hybridFusedCtes(qid, terms, nprobe = p)}
+       |SELECT CAST($qid AS BIGINT) AS query_id, CAST($p AS BIGINT) AS nprobe,
+       |       doc_id
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   private val hybridBatchSql =
     hybridBatchQueries.map { case (qid, terms) =>
@@ -722,6 +834,33 @@ object Serving extends QueryModule {
       shortlist = vecShortlist)
     new FusionServing(idx, vecArm, shortlist, topK, rrfK, pinned)
   }
+
+  /** [[fusionServing]] with the probe depth resolved from the store's
+    * persisted PAGE-level recall curve
+    * ([[VectorStore.evalFusionRecall]]): the cheapest nprobe whose
+    * measured fusion recall meets `targetRecall` — tuned on the
+    * metric the caller actually serves, not the vector arm's recall
+    * in isolation. Refuses a stale curve (routing change, > 20% row
+    * drift, OR a mutated text index) unless `checkFresh = false`;
+    * the tune resolves ONCE here, [[FusionServing]]'s
+    * state-at-construction discipline.
+    */
+  def fusionServingAtRecall(idx: graft.text.TermIndex, store: VectorStore,
+                            targetRecall: Double,
+                            topK: Int = 10, shortlist: Int = 50,
+                            rrfK: Int = RRF_K,
+                            allowed: Option[DataFrame] = None,
+                            excludeSelf: Boolean = false,
+                            maxRowsPerTask: Long = 0L,
+                            compressed: Boolean = false,
+                            vecShortlist: Int = 100,
+                            checkFresh: Boolean = true): FusionServing =
+    fusionServing(idx, store, topK, shortlist,
+      nprobe = store.nprobeForFusion(idx, targetRecall, topK, shortlist, rrfK,
+        checkFresh, compressed = compressed, vecShortlist = vecShortlist),
+      rrfK = rrfK, allowed = allowed, excludeSelf = excludeSelf,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      vecShortlist = vecShortlist)
 
   /** Continuous cross-arity serving — [[fusionServing]] as a stream:
     * each micro-batch of (query_id, terms, phrase, qv) rows probes
@@ -1299,6 +1438,50 @@ object Serving extends QueryModule {
       metric = graft.plans.ShardTopKJoin.Metric.L2)
   }
 
+  /** The registered fusion-recall query — `vdb_fusion_recall`:
+    * [[fusionRecallFrame]] over the deterministic-centroid store and
+    * the SHARED flat TermIndex, on the same three (terms, qv) probes
+    * `vdb_hybrid_batch` serves. Per depth p, the page served at
+    * nprobe = p vs the exact-arm page (p = numShards) — the
+    * page-level recall a RAG caller experiences, which the vector
+    * curve (#9j) bounds but does not determine (RRF re-surfaces
+    * vector misses through keyword ranks). The DuckDB oracle replays
+    * every (query, depth) page through the SAME fused CTE chain the
+    * hybrid-page oracles use and rolls up the overlap — integer-exact.
+    */
+  private def fusionRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val cents = Centroids.deterministicInit(e, k = K)
+    val assigned = e.select(col("vec_id"),
+      Centroids.nearestShard(col("embedding"), cents).as("shard"),
+      col("embedding"))
+    val idx = graft.text.TextAnalysis.servedIdx(s, d, positional = false)
+    val kw = kwRanks(idx, hybridBatchQueries.toDF("query_id", "terms"),
+      SHORTLIST, allowed = None)
+    val queries = e.filter(col("vec_id").isin(hybridBatchQueries.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    fusionRecallFrame(kw, assigned, queries, cents, K, topK = 10,
+      shortlist = SHORTLIST, rrfK = RRF_K,
+      nQueries = hybridBatchQueries.size.toLong)
+  }
+
+  private val fusionRecallSql = {
+    val pages = (for {
+      (qid, terms) <- hybridBatchQueries
+      p <- 1 to K
+    } yield s"SELECT * FROM (\n${fusionPageSqlFor(qid, terms, p)}\n)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pages AS (\n$pages\n),
+       |exact AS (SELECT query_id, doc_id FROM pages WHERE nprobe = $K)
+       |SELECT p.nprobe,
+       |       CAST(SUM(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END) * 10000
+       |            // ${hybridBatchQueries.size * 10} AS BIGINT) AS recall_x1e4
+       |FROM pages p LEFT JOIN exact e
+       |  ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Radius (range-search) recall curve — [[recallCurve]]'s probe-rank
     * trick applied to a THRESHOLD truth set: for each probe depth p,
     * the fraction of TRUE τ-matches (exact cosine ≥ τ, self excluded)
@@ -1643,6 +1826,7 @@ object Serving extends QueryModule {
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_recall_l2"     -> (recallL2 _),
+    "vdb_fusion_recall" -> (fusionRecall _),
     "vdb_range_recall"  -> (rangeRecall _),
     "vdb_mmr"           -> (mmr _),
     "vdb_mmr_batch"     -> (mmrBatch _))
@@ -1661,5 +1845,6 @@ object Serving extends QueryModule {
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql,
     "vdb_recall_l2"     -> recallL2Sql,
+    "vdb_fusion_recall" -> fusionRecallSql,
     "vdb_range_recall"  -> rangeRecallSql)
 }

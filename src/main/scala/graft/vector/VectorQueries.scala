@@ -257,22 +257,24 @@ object VectorQueries extends QueryModule {
       |LIMIT 10""".stripMargin
 
   // --- batch knn: top-5 for each of the 20 lowest-id queries ---------
-  /** Per-query top-k via the bounded-heap TopKAgg: partial aggregation
-    * ships at most k rows per (query, map partition) to the shuffle —
-    * the window formulation would shuffle every scored pair.
+  /** Per-query exact top-k through the fused broadcast exec
+    * ([[graft.plans.BroadcastTopKJoin]], round 13): the corpus scan
+    * stays map-only and the query batch broadcasts — the same data
+    * movement as the previous broadcast-join + bounded-heap TopKAgg
+    * plan (partials still ship ≤ k rows per (query, partition) to the
+    * merge), minus ObjectHashAggregate's per-pair walk. Scores are
+    * bit-identical to the expression kernel (spec-pinned), so the
+    * oracle hash is unchanged.
     */
   private def knnBatch(s: SparkSession, d: String): DataFrame = {
-    // pre-cast once per row so the per-pair kernel sees double arrays
-    val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val e = emb(s, d).select(col("vec_id").cast(LongType).as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), 5).as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
+    graft.plans.BroadcastTopKJoin.ranked(e, queries, k = 5,
+        excludeSelf = true, idName = "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
   }
 
   private val knnBatchSql =
@@ -296,20 +298,28 @@ object VectorQueries extends QueryModule {
     * The batch twin of StreamingSearch.scoreIvf.
     */
   private def knnBatchIvf(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val e = emb(s, d).select(col("vec_id").cast(LongType).as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
     val cents = Centroids.deterministicInit(e, k = K)
-    val assigned = e.withColumn("shard", Centroids.nearestShard(col("embedding"), cents))
+    // KEYED broadcast exec (round 13): a corpus row scores only the
+    // probe replicas sharing its shard — the IVF routing — with the
+    // corpus still unmoved and the probe batch still the only
+    // broadcast. Same candidate set and bit-identical scores as the
+    // previous shard equi-join + TopKAgg plan, minus the per-pair
+    // aggregate walk.
+    val assigned = e.select(col("vec_id"),
+      Centroids.nearestShard(col("embedding"), cents).cast(LongType).as("shard"),
+      col("embedding"))
     val queries = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2)).as("shard"))
-    assigned.join(broadcast(queries), Seq("shard"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score0", cosineSim(col("embedding"), col("qv")))
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(col("score0"), col("vec_id"), 5).as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("t.id").as("vec_id"), round(col("t.score"), 4).as("score"))
+      .select(col("vec_id").as("query_id"),
+        // nearestShards elements are already LONG (Centroids casts sids)
+        explode(Centroids.nearestShards(col("embedding"), cents, nprobe = 2))
+          .as("shard"),
+        col("embedding").as("qv"))
+    graft.plans.BroadcastTopKJoin.ranked(assigned, queries, k = 5,
+        excludeSelf = true, idName = "vec_id", keyed = true)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
   }
 
   private val knnBatchIvfSql =

@@ -27,6 +27,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val opqDir = s"$path/opq"
   private val recallDir = s"$path/recall_eval"
   private val rangeRecallDir = s"$path/range_recall_eval"
+  private val fusionRecallDir = s"$path/fusion_recall_eval"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
@@ -1148,6 +1149,188 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       allowed = allowed, excludeSelf = excludeSelf,
       maxRowsPerTask = maxRowsPerTask, compressed = compressed,
       margin = margin)
+
+  // --- fusion-level recall: measure, persist, tune -------------------
+  /** The PAGE-level recall curve for hybrid serving (round 13): per
+    * probe depth p, how much of the exact-arm RRF page (keyword arm +
+    * exact all-shards vector arm) the page served at nprobe = p
+    * recovers. The vector curve ([[evalRecall]]) bounds but does not
+    * determine this — RRF re-surfaces vector-missed docs through
+    * keyword ranks and demotes vector hits — so a RAG caller tuning
+    * nprobe against the VECTOR curve over- or under-probes for the
+    * metric they actually serve. One map-only corpus pass measures
+    * every depth ([[Serving.fusionRecallFrame]]'s packed-replica
+    * trick through the broadcast exec).
+    *
+    * `queries` must carry (query_id, terms, qv) — fusion recall is a
+    * property of BOTH indexes, so the persisted curve stamps the
+    * store's routing (cent_stamp, n_rows) AND the text index's
+    * content stamp; [[nprobeForFusion]] refuses if either moved.
+    * Curves merge keyed by (top_k, shortlist, rrf_k, compressed,
+    * vec_shortlist) without clobbering other parameterizations,
+    * [[evalRecall]]'s discipline.
+    *
+    * `compressed = true` measures the ADC-SERVED page instead
+    * (shortlist truncation at `vecShortlist` on top of IVF misses,
+    * exact re-rank included) against the SAME exact-arm reference —
+    * per-depth compressed shortlists are not derivable from one
+    * scoring pass, so this mode pays numShards probe-bounded
+    * searchJoin runs (offline-eval priced; the keyword arm pins
+    * once). A covering `vecShortlist` reproduces the raw curve
+    * exactly (spec-pinned).
+    */
+  def evalFusionRecall(idx: graft.text.TermIndex, queries: DataFrame,
+                       topK: Int = 10, shortlist: Int = 50,
+                       rrfK: Int = 60,
+                       compressed: Boolean = false,
+                       vecShortlist: Int = 100): DataFrame = {
+    val cents = centroids()
+    val assigned = spark.read.parquet(vecDir)
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        col("shard").cast(LongType).as("shard"),
+        col(vecCol).cast("array<double>").as("embedding"))
+    val q = queries
+      .select(col("query_id").cast(LongType).as("query_id"),
+        col("terms"), col("qv").cast("array<double>").as("qv"))
+      .localCheckpoint(true)
+    try {
+      val nq = q.count()
+      require(nq > 0, "evalFusionRecall needs a non-empty query sample")
+      val kw = Serving.kwRanks(idx, q, shortlist, allowed = None)
+      val curve =
+        if (!compressed)
+          // ONE map-only pass for every depth (packed-replica trick)
+          Serving.fusionRecallFrame(kw, assigned,
+            q.select("query_id", "qv"), cents.toSeq, numShards,
+            topK, shortlist, rrfK, nq)
+        else {
+          // the ADC-SERVED page's recall: shortlist truncation on top
+          // of IVF misses, against the same exact-arm reference page.
+          // The compressed arm's per-depth shortlists are not
+          // derivable from one scoring pass (each depth's ADC
+          // shortlist truncates BEFORE the exact re-rank), so this
+          // mode pays numShards probe-bounded searchJoin runs — an
+          // offline eval, priced like the vector curve's compressed
+          // flavor. The kw arm pins once; every arm run reuses it.
+          require(pqMeta().isDefined,
+            "evalFusionRecall(compressed = true) needs a PQ-built store: " +
+              "build(pqSubspaces > 0)")
+          val kwPinned = kw.localCheckpoint(true)
+          try {
+            val qv = q.select("query_id", "qv")
+            def pageAt(p: Int, comp: Boolean): DataFrame =
+              Serving.fuseRrf(kwPinned,
+                  Serving.vecRanks(searchJoin(qv, topK = shortlist, nprobe = p,
+                    excludeSelf = true, compressed = comp,
+                    shortlist = vecShortlist)),
+                  topK, rrfK)
+                .select(col("query_id"), col("doc_id"))
+            val exact = pageAt(numShards, comp = false)
+              .withColumn("__hit", lit(1L)).localCheckpoint(true)
+            try {
+              (1 to numShards).map(p => pageAt(p, comp = true)
+                  .withColumn("nprobe", lit(p.toLong)))
+                .reduce(_ unionByName _)
+                .join(exact, Seq("query_id", "doc_id"), "left")
+                .groupBy("nprobe")
+                .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
+                .select(col("nprobe"),
+                  expr(s"__h div ${nq * topK}").as("recall_x1e4"))
+                .localCheckpoint(true)
+            } finally org.apache.spark.sql.graftshim.CheckpointInterop
+              .unpersistCheckpoint(exact)
+          } finally org.apache.spark.sql.graftshim.CheckpointInterop
+            .unpersistCheckpoint(kwPinned)
+        }
+      val fresh = curve
+        .withColumn("n_queries", lit(nq))
+        .withColumn("top_k", lit(topK.toLong))
+        .withColumn("shortlist", lit(shortlist.toLong))
+        .withColumn("rrf_k", lit(rrfK.toLong))
+        .withColumn("compressed", lit(compressed))
+        .withColumn("vec_shortlist",
+          lit(if (compressed) vecShortlist.toLong else 0L))
+        .withColumn("cent_stamp", lit(centStamp(cents)))
+        .withColumn("idx_stamp", lit(idx.contentStamp()))
+        .withColumn("n_rows", lit(assigned.count()))
+        .select("nprobe", "recall_x1e4", "n_queries", "top_k", "shortlist",
+          "rrf_k", "compressed", "vec_shortlist", "cent_stamp", "idx_stamp",
+          "n_rows")
+      val rp = new org.apache.hadoop.fs.Path(fusionRecallDir)
+      val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val all =
+        if (!rfs.exists(rp)) fresh.localCheckpoint(true)
+        else fresh.unionByName(
+          spark.read.parquet(fusionRecallDir).filter(
+            !(col("top_k") === topK.toLong &&
+              col("shortlist") === shortlist.toLong &&
+              col("rrf_k") === rrfK.toLong &&
+              col("compressed") === compressed &&
+              col("vec_shortlist") ===
+                (if (compressed) vecShortlist.toLong else 0L)) &&
+            col("n_queries") === nq))
+          .localCheckpoint(true)
+      try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(fusionRecallDir)
+      finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+      spark.read.parquet(fusionRecallDir)
+    } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(q)
+  }
+
+  /** Cheapest probe depth whose MEASURED fusion recall meets `target`
+    * — [[nprobeFor]]'s contract at the page level. No curve (or none
+    * at this parameterization) falls back to full probing, which is
+    * exact; a stale curve REFUSES loudly: the store's routing moved,
+    * the corpus drifted > 20%, or the TEXT index's content stamp
+    * changed (the keyword arm's ranks — half the page — are as much a
+    * provenance input as the shards).
+    */
+  def nprobeForFusion(idx: graft.text.TermIndex, target: Double,
+                      topK: Int = 10, shortlist: Int = 50, rrfK: Int = 60,
+                      checkFresh: Boolean = true,
+                      compressed: Boolean = false,
+                      vecShortlist: Int = 100): Int = {
+    val p = new org.apache.hadoop.fs.Path(fusionRecallDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      numShards
+    else {
+      val curve = spark.read.parquet(fusionRecallDir)
+        .filter(col("top_k") === topK.toLong &&
+          col("shortlist") === shortlist.toLong &&
+          col("rrf_k") === rrfK.toLong &&
+          col("compressed") === compressed &&
+          col("vec_shortlist") ===
+            (if (compressed) vecShortlist.toLong else 0L))
+      if (checkFresh) {
+        val head = curve.select("cent_stamp", "idx_stamp", "n_rows")
+          .limit(1).collect()
+        if (head.nonEmpty) {
+          val (mStamp, mIdx, mRows) =
+            (head(0).getLong(0), head(0).getLong(1), head(0).getLong(2))
+          if (mStamp != centStamp(centroids()))
+            throw new IllegalStateException(
+              "fusion-recall curve is STALE: the store's routing centroids " +
+                "changed since it was measured — re-run evalFusionRecall, or " +
+                "pass checkFresh = false to knowingly serve on the stale curve")
+          if (mIdx != idx.contentStamp())
+            throw new IllegalStateException(
+              "fusion-recall curve is STALE: the text index mutated since it " +
+                "was measured (append/delete/reclaim/compact) — the keyword " +
+                "arm's ranks are provenance too; re-run evalFusionRecall, or " +
+                "pass checkFresh = false")
+          val nowRows = spark.read.parquet(vecDir).count()
+          if (math.abs(nowRows - mRows) * 5L > math.max(nowRows, mRows))
+            throw new IllegalStateException(
+              s"fusion-recall curve is STALE: store row count drifted > 20% " +
+                s"since measurement ($mRows -> $nowRows) — re-run " +
+                "evalFusionRecall, or pass checkFresh = false")
+        }
+      }
+      val rows = curve
+        .filter(col("recall_x1e4") >= math.ceil(target * 10000).toLong)
+        .agg(min("nprobe")).head()
+      if (rows.isNullAt(0)) numShards else rows.getLong(0).toInt
+    }
+  }
 
   /** Continuous ingest: route and append each micro-batch of a vector
     * stream (the streaming twin of the reference's /store loop,

@@ -106,6 +106,63 @@ class BroadcastTopKJoinSpec extends AnyFunSuite {
     assert(BroadcastTopKJoin.ranked(c, none, k = 5, excludeSelf = false).count() === 0)
   }
 
+  private def corpusKeyed(n: Int = 200, shards: Int = 4): DataFrame =
+    (0 until n).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      (i.toLong, (i % shards).toLong, v)
+    }.toDF("id", "shard", "vec").select($"id", $"shard",
+      $"vec".cast("array<double>").as("vec"))
+
+  private def probesKeyed(n: Int = 200, shards: Int = 4): DataFrame =
+    (0 until n by 10).flatMap { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      Seq((i.toLong, (i % shards).toLong, v),
+        (i.toLong, ((i + 1) % shards).toLong, v))
+    }.toDF("query_id", "shard", "qv").select($"query_id", $"shard",
+      $"qv".cast("array<double>").as("qv"))
+
+  test("keyed mode: three-way bit-identical with the declarative join and the shuffle exec") {
+    // declarative keyed mirror: shard equi-join with the probe side
+    // broadcast, bounded-heap TopKAgg
+    val exp = {
+      val j = corpusKeyed().join(broadcast(probesKeyed()), Seq("shard"))
+        .filter($"id" =!= $"query_id")
+        .withColumn("s", cosineSim($"vec", $"qv"))
+        .groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK($"s", $"id", 5).as("t"))
+        .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"e.id".as("id"), $"e.score".as("score"))
+      j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val got = canon(BroadcastTopKJoin.ranked(corpusKeyed(), probesKeyed(), k = 5,
+      excludeSelf = true, keyed = true))
+    assert(got === exp)
+    assert(exp.nonEmpty)
+    // the shuffle exec over the same frames must agree too — the two
+    // fused regimes (corpus-shuffle vs probe-broadcast) are
+    // interchangeable on results, only the data movement differs
+    val shuffled = canon(ShardTopKJoin.ranked(corpusKeyed(), probesKeyed(), k = 5,
+      excludeSelf = true))
+    assert(got === shuffled)
+  }
+
+  test("keyed plan: corpus exchange-free; unmatched keys produce no rows") {
+    val df = BroadcastTopKJoin.partials(corpusKeyed(), probesKeyed(), k = 3,
+      excludeSelf = false, keyed = true)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastTopKJoin") && plan.contains("BroadcastExchange"),
+      s"keyed fused exec + probe broadcast expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the keyed corpus scan must stay map-only:\n$plan")
+    val lonely = Seq((9L, 99L, Array.fill(8)(1.0))).toDF("query_id", "shard", "qv")
+      .select($"query_id", $"shard", $"qv".cast("array<double>").as("qv"))
+    assert(BroadcastTopKJoin.ranked(corpusKeyed(), lonely, k = 3,
+      excludeSelf = false, keyed = true).count() === 0)
+  }
+
   test("compressed metrics refuse — this exec is the exact arm only") {
     intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
       corpus(), probes(), k = 3, excludeSelf = false,

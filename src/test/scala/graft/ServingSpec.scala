@@ -247,4 +247,114 @@ class ServingSpec extends AnyFunSuite {
     // prove at least one query had a non-unanimous vote
     assert(got.values.exists(_._2 < 10L), "every vote unanimous — widen the spec corpus")
   }
+
+  test("fusion recall: one-pass curve persists, tunes serving, refuses EITHER index stale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fusrec").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embIn = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, s"$dir/vs", numShards = 4)
+    vs.build(embIn, iters = 3)
+    val idx = new graft.text.TermIndex(spark, s"$dir/ti")
+    idx.build(docs)
+    val queries = Seq(
+      (0L, Seq("vector", "merge", "scan")),
+      (1L, Seq("scan", "filter", "join")),
+      (2L, Seq("table", "stream"))).toDF("query_id", "terms")
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select("query_id", "terms", "qv")
+
+    val curve = vs.evalFusionRecall(idx, queries)
+      .orderBy("nprobe").collect()
+    assert(curve.length === 4)
+    val rec = curve.map(_.getAs[Long]("recall_x1e4"))
+    assert(rec.last === 10000L, "full probing IS the exact page — recall 1 by construction")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"page recall must be monotone in probe depth, got ${rec.mkString(",")}")
+
+    // tuner: the cheapest depth whose measured page recall meets the
+    // target; target = the depth-1 recall must tune to depth 1
+    val pFull = vs.nprobeForFusion(idx, 1.0)
+    assert(pFull === curve.indexWhere(_.getAs[Long]("recall_x1e4") === 10000L) + 1)
+    assert(vs.nprobeForFusion(idx, rec.head / 10000.0) === 1)
+    // unmeasured parameterization falls back to full probing (exact)
+    assert(vs.nprobeForFusion(idx, 0.9, shortlist = 17) === 4)
+
+    // the serving hook resolves the tune once at construction and is
+    // page-equal to the explicitly-probed session
+    val fsAt = Serving.fusionServingAtRecall(idx, vs, targetRecall = 1.0,
+      excludeSelf = true)
+    val fsEx = Serving.fusionServing(idx, vs, nprobe = pFull, excludeSelf = true)
+    val qb = queries
+    val (aAt, aEx) = (fsAt.arms(qb), fsEx.arms(qb))
+    val pageOf = (fs: Serving.FusionServing, a: Serving.FusionArms) =>
+      fs.hybrid(a).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pageOf(fsAt, aAt) === pageOf(fsEx, aEx))
+    aAt.release(); aEx.release()
+
+    // staleness is two-sided: mutate the TEXT index → refuse
+    idx.append(docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 100000L), "b1")
+    val exIdx = intercept[IllegalStateException](vs.nprobeForFusion(idx, 0.9))
+    assert(exIdx.getMessage.contains("text index"))
+    assert(vs.nprobeForFusion(idx, 0.9, checkFresh = false) >= 1)
+    // re-measure clears it (merge keeps the parameterization keyed)
+    vs.evalFusionRecall(idx, queries)
+    vs.nprobeForFusion(idx, 0.9)
+    // mutate the STORE's routing → refuse
+    vs.refreshCentroids(sampleFraction = 1.0, iters = 2)
+    val exVs = intercept[IllegalStateException](vs.nprobeForFusion(idx, 0.9))
+    assert(exVs.getMessage.contains("routing centroids"))
+  }
+
+  test("compressed fusion recall: covering shortlist reproduces the raw curve, modes merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fusrec-c").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embIn = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, s"$dir/vs", numShards = 4)
+    vs.build(embIn, iters = 3, pqSubspaces = 16)
+    val idx = new graft.text.TermIndex(spark, s"$dir/ti")
+    idx.build(docs)
+    val queries = Seq(
+      (0L, Seq("vector", "merge", "scan")),
+      (1L, Seq("scan", "filter", "join")),
+      (2L, Seq("table", "stream"))).toDF("query_id", "terms")
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select("query_id", "terms", "qv")
+
+    def curveOf(df: org.apache.spark.sql.DataFrame, comp: Boolean): Seq[(Long, Long)] =
+      df.filter(col("compressed") === comp)
+        .orderBy("nprobe")
+        .collect().map(r =>
+          (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_x1e4"))).toSeq
+
+    val raw = curveOf(vs.evalFusionRecall(idx, queries), comp = false)
+    // a COVERING ADC shortlist (larger than any probed population's
+    // contribution to the page) re-ranks exactly — the compressed
+    // page equals the raw page at every depth, so the curves match
+    val withComp = vs.evalFusionRecall(idx, queries,
+      compressed = true, vecShortlist = 4000)
+    assert(curveOf(withComp, comp = true) === raw,
+      "covering-shortlist compressed fusion must reproduce the raw curve")
+    // the raw parameterization survived the compressed re-measure
+    assert(curveOf(withComp, comp = false) === raw,
+      "merge must not clobber the raw mode")
+    // tuner reads the matching mode
+    assert(vs.nprobeForFusion(idx, 1.0, compressed = true, vecShortlist = 4000) ===
+      vs.nprobeForFusion(idx, 1.0))
+    // an unmeasured compressed parameterization falls back to full probing
+    assert(vs.nprobeForFusion(idx, 0.9, compressed = true, vecShortlist = 7) === 4)
+    // a TRUNCATING shortlist is a valid measurement (rows land, keyed)
+    val tight = vs.evalFusionRecall(idx, queries,
+      compressed = true, vecShortlist = 10)
+    val tightCurve = tight.filter(col("compressed") === true &&
+        col("vec_shortlist") === 10L)
+      .orderBy("nprobe").collect().map(_.getAs[Long]("recall_x1e4")).toSeq
+    assert(tightCurve.size === 4)
+  }
 }
