@@ -187,6 +187,56 @@ object StreamingSearch {
       .select(col("query_id"), col(idCol), col("score"))
   }
 
+  /** [[scoreIvfCompressedAdc]] for a PER-SHARD-codebook corpus: each
+    * routed (query, shard) replica joins the broadcast code-space book
+    * frame and builds ITS shard's M·K LUT (the query is rotated once
+    * for an OPQ store — codewords stay as trained, so the book frame
+    * is rotation-free data); the pair loop is still M `element_at`s.
+    * Completes the streamed ADC surface: global books
+    * ([[scoreIvfCompressedAdc]]) and per-shard books both score
+    * codes-native, reconstruction twins retained for plans that want
+    * raw-basis scores.
+    */
+  def scoreIvfCompressedPerShardAdc(queries: DataFrame, corpus: DataFrame,
+                                    cents: Seq[(Int, Array[Double])],
+                                    books: graft.vector.ProductQuantizer.PerShardBooks,
+                                    residual: Boolean, nprobe: Int = 1,
+                                    idCol: String = "id", codesCol: String = "pq_codes",
+                                    normCol: String = "vnorm",
+                                    shardCol: String = "shard", queryVecCol: String = "qv",
+                                    rotation: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    import graft.vector.ProductQuantizer
+    val someModel = books.models.head._2
+    val cb = ProductQuantizer.codeBookFrame(corpus.sparkSession, books, shardCol)
+    val routed = queries
+      .withColumn(shardCol,
+        explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
+      .join(broadcast(cb), shardCol)
+      .withColumn("__lut", ProductQuantizer.adcLutFromBook(col(queryVecCol),
+        col("__cbook"), someModel.subDim, rotation))
+      .withColumn("__qn", vecNorm(col(queryVecCol)))
+      .withColumn("__off",
+        if (!residual) lit(0.0)
+        else {
+          val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
+          aggregate(
+            zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),
+              col(queryVecCol), _ * _),
+            lit(0.0), _ + _)
+        })
+      .drop("__cbook")
+    val side = corpus.select(col(shardCol).cast("long").as(shardCol),
+      col(idCol), col(codesCol), col(normCol))
+    val approx = ProductQuantizer.adcDotFromLut(col(codesCol), col("__lut"),
+      someModel, init = col("__off"))
+    routed.join(side, shardCol)
+      .withColumn("score",
+        when(col(normCol) === 0.0 || col("__qn") === 0.0, lit(0.0))
+          .otherwise(approx / (col(normCol) * col("__qn"))))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   /** [[scoreIvfCompressed]] for a PER-SHARD-codebook corpus
     * (`VectorStore.build(pqPerShard = true)`, optionally with
     * `opqRotate`). Each (shard, m, k) codeword is pre-mapped
@@ -230,11 +280,31 @@ object StreamingSearch {
   }
 
   /** Rank and truncate one micro-batch to top-k per query — call from
-    * foreachBatch.
+    * foreachBatch. Schema-generic (any extra columns ride along), at
+    * the cost of a full per-query sort under the window; for the
+    * canonical 3-column scorer output prefer [[topKPerQueryFused]].
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(desc("score"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[topKPerQuery]] through the bounded heap, for the canonical
+    * (query_id, id: LONG, score) shape every scorer here emits:
+    * partial aggregation ships ≤ k rows per (query, map partition) to
+    * the merge instead of sorting every scored pair under the window,
+    * and ties are DETERMINISTIC — (score desc, id asc), the batch
+    * engine's convention, where the window form inherits sort-order
+    * nondeterminism on equal scores. Same output columns plus the
+    * same `rank` the window emits.
+    */
+  def topKPerQueryFused(scored: DataFrame, k: Int): DataFrame = {
+    val idName = scored.columns(1)
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(col("score"), col(idName), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as(idName),
+        col("__e.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
   }
 }

@@ -326,18 +326,44 @@ object ProductQuantizer extends QueryModule {
     * ⟨q_m, book[m][c]⟩` (0-based; `element_at` callers add 1).
     */
   def adcLutCol(qvCol: Column, model: Model,
-                rotation: Option[Array[Array[Double]]] = None): Column = {
+                rotation: Option[Array[Array[Double]]] = None): Column =
+    adcLutFromBook(qvCol,
+      typedlit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq),
+      model.subDim, rotation)
+
+  /** [[adcLutCol]] when the codebook itself is a COLUMN — the
+    * per-shard form: each routed (query, shard) replica joins its
+    * shard's book frame ([[codeBookFrame]]) and builds its LUT from
+    * the joined book, so generated code stays shard-count-independent
+    * (books are data, not plan literals). Same entry layout and
+    * accumulation order as the literal-book twin.
+    */
+  def adcLutFromBook(qvCol: Column, bookCol: Column, subDim: Int,
+                     rotation: Option[Array[Array[Double]]] = None): Column = {
     val qr = rotation match {
       case Some(r) =>
         transform(typedlit(r.map(_.toSeq).toSeq),
           row => aggregate(zip_with(row, qvCol, _ * _), lit(0.0), _ + _))
       case None => qvCol
     }
-    val book = typedlit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq)
-    flatten(transform(book, (bm, m) => transform(bm, cw =>
+    flatten(transform(bookCol, (bm, m) => transform(bm, cw =>
       aggregate(
-        zip_with(cw, slice(qr, m * model.subDim + 1, lit(model.subDim)), _ * _),
+        zip_with(cw, slice(qr, m * subDim + 1, lit(subDim)), _ * _),
         lit(0.0), _ + _))))
+  }
+
+  /** Per-shard codebooks in CODE space as one (shard, __cbook) frame
+    * to broadcast-join against routed queries — the LUT-building twin
+    * of [[rawBookFrame]] (which pre-maps codewords into RAW space for
+    * reconstruction; here the QUERY is rotated instead, so codewords
+    * stay as trained). `__cbook(m)(k)(j)` = codeword (m, k) dim j.
+    */
+  def codeBookFrame(spark: SparkSession, books: PerShardBooks,
+                    shardCol: String = "shard"): DataFrame = {
+    import spark.implicits._
+    books.models.toSeq
+      .map { case (s, m) => (s.toLong, m.centroids.map(_.map(_.toSeq).toSeq).toSeq) }
+      .toDF(shardCol, "__cbook")
   }
 
   /** The pair-loop half of [[adcLutCol]]: approximate `<row, q>` as M

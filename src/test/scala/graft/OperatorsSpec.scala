@@ -92,6 +92,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head.getMap[String, Double](1).toMap === Map("px" -> 11.0))
   }
 
+  test("topKPerQueryFused matches the window form and breaks ties deterministically") {
+    import spark.implicits._
+    import graft.streaming.StreamingSearch
+    // distinct scores: heap and window must agree on rows AND ranks
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.8),
+      (2L, 10L, 0.1), (2L, 13L, 0.5)).toDF("query_id", "id", "score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(canon(StreamingSearch.topKPerQueryFused(scored, 2)) ===
+      canon(StreamingSearch.topKPerQuery(scored, 2)))
+    // equal scores: the fused form ranks (score desc, id asc) —
+    // deterministic where the window's tie order is engine whim
+    val ties = Seq((1L, 20L, 0.5), (1L, 7L, 0.5), (1L, 9L, 0.5))
+      .toDF("query_id", "id", "score")
+    val got = StreamingSearch.topKPerQueryFused(ties, 2).orderBy("rank")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L, 9L))
+  }
+
   test("streaming scoreIvf with maxRowsPerTask matches the unsalted scores") {
     import spark.implicits._
     import graft.vector.VectorStore

@@ -352,6 +352,65 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed per-shard ADC LUT scoring is bit-identical to the fused exec") {
+    import spark.implicits._
+    // synthetic per-shard books + rotation + residual — the full
+    // AdcState composition, with the streamed plan building each
+    // replica's LUT from the broadcast code-space book frame
+    val n = 300; val shards = 4; val dim = 8; val M = 4; val K = 4
+    val subDim = dim / M
+    def book(s: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(M, K, subDim)((m, k, j) =>
+        math.sin(s * 13 + m * 7 + k * 3 + j).abs + 0.01)
+    val rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (j == dim - 1 - i) 1.0 else 0.0)
+    def cent(s: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.cos(s * 5 + j) * 0.5)
+    def codesOf(id: Int): Array[Int] = Array.tabulate(M)(m => (id + m) % K)
+    def vnormOf(id: Int): Double = if (id % 17 == 0) 0.0 else 1.0 + (id % 7) * 0.1
+    val corpus = (0 until n).map { i =>
+      (i.toLong, (i % shards).toLong, codesOf(i), vnormOf(i))
+    }.toDF("id", "shard", "pq_codes", "vnorm")
+      .select($"id", $"shard", $"pq_codes".cast("array<int>").as("pq_codes"), $"vnorm")
+    val cents = (0 until shards).map(s => s -> cent(s))
+    val books = graft.vector.ProductQuantizer.PerShardBooks(
+      (0 until shards).map(s =>
+        s -> graft.vector.ProductQuantizer.Model(subDim, book(s))).toMap)
+    val queries = (0 until 3).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d))
+    }.toDF("query_id", "qv").select($"query_id", $"qv".cast("array<double>").as("qv"))
+
+    import graft.streaming.StreamingSearch
+    val streamed = StreamingSearch.scoreIvfCompressedPerShardAdc(
+        queries, corpus, cents, books, residual = true, nprobe = 4,
+        rotation = Some(rot))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.size === 3 * n)
+
+    import graft.plans.ShardTopKJoin
+    val corpusC = corpus.select($"id", $"shard",
+      $"pq_codes".as("codes"), $"vnorm".cast("double").as("vnorm"))
+    val probesC = queries
+      .withColumn("shard", explode(graft.vector.Centroids.nearestShards(
+        $"qv", cents, 4)))
+      .select($"query_id", $"shard".cast("long").as("shard"), $"qv")
+    val state = ShardTopKJoin.AdcState(
+      books = (0 until shards).map(s => s -> book(s)).toMap,
+      rotation = Some(rot),
+      residual = Some(cents.toMap))
+    val fused = ShardTopKJoin.ranked(corpusC, probesC, k = n,
+        excludeSelf = false, metric = ShardTopKJoin.Metric.Adc,
+        adc = Some(state))
+      .collect()
+    assert(fused.length === 3 * n)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(streamed(key) === r.getDouble(3),
+        s"pair $key: streamed per-shard ADC and fused exec disagree")
+    }
+    assert(streamed.values.exists(_ != 0.0))
+  }
+
   test("store-level semdedup drops planted twins within shards; delete closes the loop") {
     val dir = Files.createTempDirectory("graft-vs-sd").toString
     val base = Tables.embeddings(spark, sf)
