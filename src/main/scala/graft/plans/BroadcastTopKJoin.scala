@@ -64,17 +64,42 @@ object BroadcastTopKJoin {
     * broadcast: the batch-knn and hybrid page-arm shape, where the
     * corpus staying put beats a shard shuffle).
     */
+  private def isIntArray(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+
   def partials(corpus: DataFrame, probes: DataFrame, k: Int,
                excludeSelf: Boolean,
                metric: String = ShardTopKJoin.Metric.Cosine,
-               keyed: Boolean = false): DataFrame = {
+               keyed: Boolean = false,
+               adc: Option[ShardTopKJoin.AdcState] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(metric == ShardTopKJoin.Metric.Cosine ||
-        metric == ShardTopKJoin.Metric.L2,
-      s"broadcast top-k is an exact arm: metric must be cosine or l2, got '$metric'")
+        metric == ShardTopKJoin.Metric.L2 ||
+        metric == ShardTopKJoin.Metric.Adc,
+      s"broadcast top-k metric must be cosine, l2, or adc, got '$metric'")
+    val wantAdc = metric == ShardTopKJoin.Metric.Adc
+    require(wantAdc == adc.isDefined,
+      "Metric.Adc requires an AdcState (and only Metric.Adc takes one)")
+    require(!wantAdc || keyed,
+      "broadcast Metric.Adc is keyed-only: the replica's key IS the shard " +
+        "its lookup table and residual offset resolve from")
+    require(adc.forall(!_.packed),
+      "broadcast top-k never salt-packs keys; AdcState.packed must be false")
     val ct = corpus.schema.fields.map(_.dataType)
     val pt = probes.schema.fields.map(_.dataType)
-    if (keyed) {
+    if (wantAdc) {
+      require(ct.length == 4 && ct(0) == LongType && ct(1) == LongType &&
+        isIntArray(ct(2)) && ct(3) == DoubleType,
+        s"ADC corpus must be (LONG, LONG, ARRAY<INT>, DOUBLE) positionally, got " +
+          corpus.schema.simpleString)
+      require(pt.length == 3 && pt(0) == LongType && pt(1) == LongType &&
+        isDoubleArray(pt(2)),
+        s"keyed probes must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
+          probes.schema.simpleString)
+    } else if (keyed) {
       require(ct.length == 3 && ct(0) == LongType && ct(1) == LongType &&
         isDoubleArray(ct(2)),
         s"keyed corpus must be (LONG, LONG, ARRAY<DOUBLE>) positionally, got " +
@@ -95,7 +120,7 @@ object BroadcastTopKJoin {
       AttributeReference("score", DoubleType, nullable = false)())
     PlanInterop.ofRows(corpus.sparkSession,
       BroadcastTopKJoinNode(corpus.queryExecution.analyzed,
-        probes.queryExecution.analyzed, k, excludeSelf, metric, keyed, out))
+        probes.queryExecution.analyzed, k, excludeSelf, metric, keyed, adc, out))
   }
 
   /** Full result: fused partials + TopKAgg merge → (query_id, rank,
@@ -105,8 +130,9 @@ object BroadcastTopKJoin {
   def ranked(corpus: DataFrame, probes: DataFrame, k: Int,
              excludeSelf: Boolean, idName: String = "id",
              metric: String = ShardTopKJoin.Metric.Cosine,
-             keyed: Boolean = false): DataFrame = {
-    val part = partials(corpus, probes, k, excludeSelf, metric, keyed)
+             keyed: Boolean = false,
+             adc: Option[ShardTopKJoin.AdcState] = None): DataFrame = {
+    val part = partials(corpus, probes, k, excludeSelf, metric, keyed, adc)
     val scoreOut =
       if (metric == ShardTopKJoin.Metric.L2) (-col("__e.score")).as("score")
       else col("__e.score").as("score")
@@ -124,6 +150,7 @@ object BroadcastTopKJoin {
 case class BroadcastTopKJoinNode(left: LogicalPlan, right: LogicalPlan,
                                  k: Int, excludeSelf: Boolean, metric: String,
                                  keyed: Boolean,
+                                 adc: Option[ShardTopKJoin.AdcState],
                                  output: Seq[Attribute]) extends BinaryNode {
   override def producedAttributes: AttributeSet = outputSet
   override def references: AttributeSet =
@@ -138,7 +165,7 @@ object BroadcastTopKJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: BroadcastTopKJoinNode =>
       BroadcastTopKJoinExec(planLater(n.left), planLater(n.right),
-        n.k, n.excludeSelf, n.metric, n.keyed, n.output) :: Nil
+        n.k, n.excludeSelf, n.metric, n.keyed, n.adc, n.output) :: Nil
     case _ => Nil
   }
 }
@@ -146,6 +173,7 @@ object BroadcastTopKJoinStrategy extends SparkStrategy {
 case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
                                  k: Int, excludeSelf: Boolean, metric: String,
                                  keyed: Boolean,
+                                 adc: Option[ShardTopKJoin.AdcState],
                                  output: Seq[Attribute]) extends BinaryExecNode {
 
   // corpus: wherever it already lives — NO exchange (the scan stays
@@ -170,13 +198,17 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
     val isKeyed = keyed
     val vecOrd = if (isKeyed) 2 else 1
     val mCos = metric == ShardTopKJoin.Metric.Cosine
+    val mAdc = metric == ShardTopKJoin.Metric.Adc
+    val adcState = adc.orNull
     val outRows = longMetric("numOutputRows")
     val pairs = longMetric("numPairs")
     val bcProbes = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { cIter =>
       // fresh heaps per partition (the broadcast rows are shared and
       // immutable; probe state is partition-local). Keyed mode also
-      // resolves the key -> replicas map here, once per partition.
+      // resolves the key -> replicas map here, once per partition;
+      // ADC mode builds each replica's LUT here too (the key IS the
+      // shard — no salt packing on the broadcast path).
       val rows = bcProbes.value
       val all = new java.util.ArrayList[ProbeState](rows.length)
       val byKey =
@@ -191,7 +223,12 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
           var nb = 0.0
           var i = 0
           while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
-          val st = new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
+          val st =
+            if (mAdc)
+              AdcKernel.probeState(r.getLong(0), qv, math.sqrt(nb),
+                r.getLong(1).toInt, adcState, kk)
+            else
+              new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
           if (isKeyed) {
             val key = r.getLong(1)
             var lst = byKey.get(key)
@@ -210,10 +247,15 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
         while (cIter.hasNext) {
           val r = cIter.next()
           if (!r.isNullAt(0) && !r.isNullAt(vecOrd) &&
-              !(isKeyed && r.isNullAt(1))) {
+              !(isKeyed && r.isNullAt(1)) && !(mAdc && r.isNullAt(3))) {
             val id = r.getLong(0)
             val cand =
               if (isKeyed) byKey.get(r.getLong(1)) else all
+            if (mAdc) {
+              if (cand != null)
+                nPairs += AdcKernel.offerAll(cand, id,
+                  r.getArray(2).toIntArray(), r.getDouble(3), exSelf)
+            } else {
             val v = if (cand == null) null else r.getArray(vecOrd).toDoubleArray()
             val n = if (v == null) 0 else v.length
             // cosine: squared norm once per corpus row — identical
@@ -252,6 +294,7 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
                 nPairs += 1L
               }
               j += 1
+            }
             }
           }
         }

@@ -288,6 +288,96 @@ private final class ProbeState(val qid: Long, val qv: Array[Double],
                                val lutK: Int = 0,
                                val off: Double = 0.0)
 
+/** The ADC probe setup and pair loop shared by BOTH fused execs
+  * (shuffle [[ShardTopKJoinExec]] and broadcast
+  * [[BroadcastTopKJoinExec]]) — one implementation so the two plans'
+  * scores cannot drift by accumulation order.
+  */
+private object AdcKernel {
+
+  /** Per-replica setup: rotate the query once (⟨q, Rᵀd⟩ = ⟨Rq, d⟩),
+    * build the flat M·K LUT from the replica's shard book (global
+    * fallback under key −1), and fold the residual-centroid offset
+    * ⟨q_raw, c_shard⟩ — all once per replica, never per pair.
+    */
+  def probeState(qid: Long, qv: Array[Double], sqrtNb: Double, shard: Int,
+                 st: ShardTopKJoin.AdcState, k: Int): ProbeState = {
+    val book = st.books.getOrElse(shard,
+      st.books.getOrElse(-1, throw new IllegalStateException(
+        s"no ADC codebook for shard $shard")))
+    val qr = st.rotation match {
+      case Some(rot) =>
+        val out = new Array[Double](rot.length)
+        var ri = 0
+        while (ri < rot.length) {
+          val row = rot(ri)
+          var s = 0.0; var j = 0
+          while (j < qv.length) { s += row(j) * qv(j); j += 1 }
+          out(ri) = s; ri += 1
+        }
+        out
+      case None => qv
+    }
+    val mSub = book.length
+    val kCodes = book(0).length
+    val subDim = book(0)(0).length
+    val lut = new Array[Double](mSub * kCodes)
+    var m = 0
+    while (m < mSub) {
+      val bm = book(m)
+      var c = 0
+      while (c < kCodes) {
+        val cw = bm(c)
+        var s = 0.0; var j = 0
+        while (j < subDim) { s += qr(m * subDim + j) * cw(j); j += 1 }
+        lut(m * kCodes + c) = s; c += 1
+      }
+      m += 1
+    }
+    val off = st.residual match {
+      case Some(cmap) =>
+        val cent = cmap.getOrElse(shard, throw new IllegalStateException(
+          s"no residual centroid for shard $shard"))
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += qv(j) * cent(j); j += 1 }
+        s
+      case None => 0.0
+    }
+    new ProbeState(qid, qv, sqrtNb, new TopKHeap(k), lut, kCodes, off)
+  }
+
+  /** The ADC pair loop for one corpus row against a replica list: M
+    * lookups + adds per candidate. Returns the number of pairs
+    * scored.
+    */
+  def offerAll(lst: java.util.ArrayList[ProbeState], id: Long,
+               codes: Array[Int], vn: Double, exSelf: Boolean): Long = {
+    var nPairs = 0L
+    var j = 0
+    val m = lst.size
+    while (j < m) {
+      val p = lst.get(j)
+      if (!(exSelf && id == p.qid)) {
+        val lut = p.lut
+        val kC = p.lutK
+        if (codes.length * kC != lut.length)
+          throw new IllegalArgumentException(
+            s"ADC codes/book mismatch: ${codes.length} codes vs " +
+              s"${lut.length / kC} subspaces (mixed-build store?)")
+        var s = p.off
+        var mi = 0
+        while (mi < codes.length) { s += lut(mi * kC + codes(mi)); mi += 1 }
+        val score = if (vn == 0.0 || p.sqrtNb == 0.0) 0.0
+          else s / (vn * p.sqrtNb)
+        p.heap.offer(score, id)
+        nPairs += 1L
+      }
+      j += 1
+    }
+    nPairs
+  }
+}
+
 case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
                              k: Int, excludeSelf: Boolean, metric: String,
                              adc: Option[ShardTopKJoin.AdcState],
@@ -338,51 +428,11 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
             if (!mAdc)
               new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk))
             else {
+              // rotate + LUT + residual offset once per replica
+              // (shared AdcKernel — one accumulation order everywhere)
               val shard = (if (adcState.packed) key / 65536L else key).toInt
-              val book = adcState.books.getOrElse(shard,
-                adcState.books.getOrElse(-1, throw new IllegalStateException(
-                  s"no ADC codebook for shard $shard")))
-              // rotate once per replica: ⟨q, Rᵀ·decode⟩ = ⟨R·q, decode⟩
-              val qr = adcState.rotation match {
-                case Some(rot) =>
-                  val out = new Array[Double](rot.length)
-                  var ri = 0
-                  while (ri < rot.length) {
-                    val row = rot(ri)
-                    var s = 0.0; var j = 0
-                    while (j < qv.length) { s += row(j) * qv(j); j += 1 }
-                    out(ri) = s; ri += 1
-                  }
-                  out
-                case None => qv
-              }
-              val mSub = book.length
-              val kCodes = book(0).length
-              val subDim = book(0)(0).length
-              val lut = new Array[Double](mSub * kCodes)
-              var m = 0
-              while (m < mSub) {
-                val bm = book(m)
-                var c = 0
-                while (c < kCodes) {
-                  val cw = bm(c)
-                  var s = 0.0; var j = 0
-                  while (j < subDim) { s += qr(m * subDim + j) * cw(j); j += 1 }
-                  lut(m * kCodes + c) = s; c += 1
-                }
-                m += 1
-              }
-              val off = adcState.residual match {
-                case Some(cmap) =>
-                  val cent = cmap.getOrElse(shard, throw new IllegalStateException(
-                    s"no residual centroid for shard $shard"))
-                  var s = 0.0; var j = 0
-                  while (j < qv.length) { s += qv(j) * cent(j); j += 1 }
-                  s
-                case None => 0.0
-              }
-              new ProbeState(r.getLong(0), qv, math.sqrt(nb), new TopKHeap(kk),
-                lut, kCodes, off)
+              AdcKernel.probeState(r.getLong(0), qv, math.sqrt(nb), shard,
+                adcState, kk)
             }
           var lst = byKey.get(key)
           if (lst == null) { lst = new java.util.ArrayList[ProbeState](4); byKey.put(key, lst) }
@@ -403,30 +453,8 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
             val lst = byKey.get(r.getLong(1))
             if (lst != null && mAdc) {
               // ADC pair loop: M lookups + adds per candidate
-              val id = r.getLong(0)
-              val codes = r.getArray(2).toIntArray()
-              val vn = r.getDouble(3)
-              var j = 0
-              val m = lst.size
-              while (j < m) {
-                val p = lst.get(j)
-                if (!(exSelf && id == p.qid)) {
-                  val lut = p.lut
-                  val kC = p.lutK
-                  if (codes.length * kC != lut.length)
-                    throw new IllegalArgumentException(
-                      s"ADC codes/book mismatch: ${codes.length} codes vs " +
-                        s"${lut.length / kC} subspaces (mixed-build store?)")
-                  var s = p.off
-                  var mi = 0
-                  while (mi < codes.length) { s += lut(mi * kC + codes(mi)); mi += 1 }
-                  val score = if (vn == 0.0 || p.sqrtNb == 0.0) 0.0
-                    else s / (vn * p.sqrtNb)
-                  p.heap.offer(score, id)
-                  nPairs += 1L
-                }
-                j += 1
-              }
+              nPairs += AdcKernel.offerAll(lst, r.getLong(0),
+                r.getArray(2).toIntArray(), r.getDouble(3), exSelf)
             } else if (lst != null) {
               val id = r.getLong(0)
               val v = r.getArray(2).toDoubleArray()

@@ -235,6 +235,45 @@ object Serving extends QueryModule {
     * construction. `kw` is the (query_id, doc_id, rank_kw) arm;
     * `assigned`/`queries` positional as in [[curveFrom]].
     */
+  /** The packed probe replicas shared by both fusion-recall frames:
+    * (query·64 + prank − 1, prank-th shard, qv).
+    */
+  private def packedProbes(queries: DataFrame,
+                           cents: Seq[(Int, Array[Double])], k: Int): DataFrame =
+    queries
+      .select(col("query_id").cast(LongType).as("query_id"),
+        posexplode(Centroids.nearestShards(col("qv"), cents, k))
+          .as(Seq("__p0", "shard")),
+        col("qv").cast("array<double>").as("qv"))
+      .select((col("query_id") * FUSION_PACK + col("__p0")).as("query_id"),
+        col("shard"), col("qv"))
+
+  /** RRF of per-depth arm ranks + page cut + overlap rollup vs the
+    * reference page — the depth-parameterized tail both fusion-recall
+    * frames share. `vtop`: (qid, nprobe, doc_id, rank_vec);
+    * `exactPage`: (qid, doc_id, __hit).
+    */
+  private def fusionRollup(kw: DataFrame, vtop: DataFrame,
+                           exactPage: DataFrame, k: Int, topK: Int,
+                           rrfK: Int, nQueries: Long): DataFrame = {
+    val kwD = kw
+      .select(col("query_id").cast(LongType).as("qid"), col("doc_id"),
+        col("rank_kw"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("nprobe"))
+    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
+    val pages = kwD.join(vtop, Seq("qid", "nprobe", "doc_id"), "full_outer")
+      .select(col("qid"), col("nprobe"), col("doc_id"), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid", "nprobe").orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nprobe"), col("doc_id"))
+    pages.join(exactPage, Seq("qid", "doc_id"), "left")
+      .groupBy("nprobe")
+      .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
+      .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
+  }
+
   private[vector] def fusionRecallFrame(kw: DataFrame, assigned: DataFrame,
                                         queries: DataFrame,
                                         cents: Seq[(Int, Array[Double])], k: Int,
@@ -245,13 +284,7 @@ object Serving extends QueryModule {
     val corpusK = assigned.select(col("vec_id").cast(LongType).as("vec_id"),
       col("shard").cast(LongType).as("shard"),
       col("embedding").cast("array<double>").as("embedding"))
-    val probes = queries
-      .select(col("query_id").cast(LongType).as("query_id"),
-        posexplode(Centroids.nearestShards(col("qv"), cents, k))
-          .as(Seq("__p0", "shard")),
-        col("qv").cast("array<double>").as("qv"))
-      .select((col("query_id") * FUSION_PACK + col("__p0")).as("query_id"),
-        col("shard"), col("qv"))
+    val probes = packedProbes(queries, cents, k)
     val cand = graft.plans.BroadcastTopKJoin.ranked(corpusK, probes,
         k = shortlist + 1, excludeSelf = false, idName = "doc_id", keyed = true)
       .select(expr(s"query_id div $FUSION_PACK").as("qid"),
@@ -267,6 +300,7 @@ object Serving extends QueryModule {
           .orderBy(desc("score"), asc("doc_id"))))
       .filter(col("rank_vec") <= shortlist)
       .select(col("qid"), col("nprobe"), col("doc_id"), col("rank_vec"))
+    // the full-depth page IS the exact reference — self-join the rollup
     val kwD = kw
       .select(col("query_id").cast(LongType).as("qid"), col("doc_id"),
         col("rank_kw"),
@@ -285,6 +319,85 @@ object Serving extends QueryModule {
       .groupBy("nprobe")
       .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
       .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
+  }
+
+  /** [[fusionRecallFrame]]'s COMPRESSED twin — the ADC-served page's
+    * recall, still in ONE corpus pass (round 13: the keyed broadcast
+    * exec's Adc metric makes the per-(query, prank) ADC shortlists a
+    * single codes-only scan; previously this mode paid numShards
+    * probe-bounded joins). Per depth p the served arm is: merge the
+    * prank ≤ p groups' approx-ranked candidates → top-`vecShortlist`
+    * by (approx desc, id asc) — the ADC truncation — → exact cosine
+    * re-rank (each distinct (query, doc) pair scored ONCE against the
+    * raw vectors; the pair set is ≤ nQueries·k·(vecShortlist+1)) →
+    * top-`shortlist` = the arm `searchJoin(compressed = true)` serves
+    * at that depth, reproduced bit-for-bit (spec-pinned against a
+    * literal per-depth searchJoin mirror). The reference page is the
+    * exact-arm full-depth page — the SAME reference the raw curve
+    * measures against, so compressed and raw curves are comparable.
+    */
+  private[vector] def fusionRecallFrameCompressed(
+      kw: DataFrame, assigned: DataFrame, coded: DataFrame,
+      queries: DataFrame, cents: Seq[(Int, Array[Double])], k: Int,
+      topK: Int, shortlist: Int, rrfK: Int, nQueries: Long,
+      adcState: graft.plans.ShardTopKJoin.AdcState,
+      vecShortlist: Int): DataFrame = {
+    require(k > 0 && k <= FUSION_PACK,
+      s"fusion recall packs prank into the replica id: numShards $k > $FUSION_PACK")
+    val codedK = coded.select(col("vec_id").cast(LongType).as("vec_id"),
+      col("shard").cast(LongType).as("shard"),
+      col("codes").cast("array<int>").as("codes"),
+      col("vnorm").cast("double").as("vnorm"))
+    val probes = packedProbes(queries, cents, k)
+    val cand = graft.plans.BroadcastTopKJoin.ranked(codedK, probes,
+        k = vecShortlist + 1, excludeSelf = false, idName = "doc_id",
+        keyed = true, metric = graft.plans.ShardTopKJoin.Metric.Adc,
+        adc = Some(adcState))
+      .select(expr(s"query_id div $FUSION_PACK").as("qid"),
+        (pmod(col("query_id"), lit(FUSION_PACK)) + 1).as("prank"),
+        col("doc_id"), col("score").as("approx"))
+      .filter(col("doc_id") =!= col("qid"))
+    val shortP = cand
+      .select(col("qid"), col("doc_id"), col("approx"),
+        explode(sequence(col("prank"), lit(k.toLong))).as("nprobe"))
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy("qid", "nprobe")
+          .orderBy(desc("approx"), asc("doc_id"))))
+      .filter(col("__ar") <= vecShortlist)
+      .select(col("qid"), col("nprobe"), col("doc_id"))
+    val rawVecs = assigned.select(col("vec_id").cast(LongType).as("doc_id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val qVecs = queries.select(col("query_id").cast(LongType).as("qid"),
+      col("qv").cast("array<double>").as("__q"))
+    val exactScores = shortP.select("qid", "doc_id").distinct()
+      .join(rawVecs, "doc_id")
+      .join(qVecs, "qid")
+      .select(col("qid"), col("doc_id"), cosineSim(col("__v"), col("__q")).as("score"))
+    val vtop = shortP.join(exactScores, Seq("qid", "doc_id"))
+      .withColumn("rank_vec", row_number().over(
+        Window.partitionBy("qid", "nprobe")
+          .orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank_vec") <= shortlist)
+      .select(col("qid"), col("nprobe"), col("doc_id"), col("rank_vec"))
+    // exact REFERENCE page: the exact arm at full depth, uncompressed
+    // — the unkeyed broadcast exec over the raw vectors
+    val exactVec = graft.plans.BroadcastTopKJoin.ranked(
+        rawVecs.select(col("doc_id"), col("__v")),
+        qVecs.select(col("qid"), col("__q")),
+        k = shortlist, excludeSelf = true, idName = "doc_id")
+      .select(col("query_id").as("qid"), col("doc_id"),
+        col("rank").cast("int").as("rank_vec"))
+    val kw0 = kw.select(col("query_id").cast(LongType).as("qid"),
+      col("doc_id"), col("rank_kw"))
+    val rrf0 = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
+      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
+    val exactPage = kw0.join(exactVec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), rrf0.as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("doc_id"), lit(1L).as("__hit"))
+    fusionRollup(kw, vtop, exactPage, k, topK, rrfK, nQueries)
   }
 
   /** Continuous hybrid serving — the streamed twin completing the

@@ -28,6 +28,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val recallDir = s"$path/recall_eval"
   private val rangeRecallDir = s"$path/range_recall_eval"
   private val fusionRecallDir = s"$path/fusion_recall_eval"
+  private val fusionQueriesDir = s"$path/fusion_recall_queries"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
     * and write every vector to its nearest-centroid shard partition.
@@ -1173,11 +1174,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * `compressed = true` measures the ADC-SERVED page instead
     * (shortlist truncation at `vecShortlist` on top of IVF misses,
     * exact re-rank included) against the SAME exact-arm reference —
-    * per-depth compressed shortlists are not derivable from one
-    * scoring pass, so this mode pays numShards probe-bounded
-    * searchJoin runs (offline-eval priced; the keyword arm pins
-    * once). A covering `vecShortlist` reproduces the raw curve
-    * exactly (spec-pinned).
+    * also ONE pass (codes-only, through the keyed broadcast exec's
+    * Adc metric): per-(query, prank) approx shortlists merge into
+    * each depth's ADC cut, distinct survivors re-rank exactly once.
+    * Spec-pinned two ways: a covering `vecShortlist` reproduces the
+    * raw curve exactly, and a TRUNCATING one matches a literal
+    * per-depth `searchJoin(compressed = true)` mirror.
     */
   def evalFusionRecall(idx: graft.text.TermIndex, queries: DataFrame,
                        topK: Int = 10, shortlist: Int = 50,
@@ -1205,42 +1207,31 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
             topK, shortlist, rrfK, nq)
         else {
           // the ADC-SERVED page's recall: shortlist truncation on top
-          // of IVF misses, against the same exact-arm reference page.
-          // The compressed arm's per-depth shortlists are not
-          // derivable from one scoring pass (each depth's ADC
-          // shortlist truncates BEFORE the exact re-rank), so this
-          // mode pays numShards probe-bounded searchJoin runs — an
-          // offline eval, priced like the vector curve's compressed
-          // flavor. The kw arm pins once; every arm run reuses it.
-          require(pqMeta().isDefined,
+          // of IVF misses, against the same exact-arm reference page —
+          // in ONE codes-only pass (the keyed broadcast exec's Adc
+          // metric, round 13; this previously paid numShards
+          // probe-bounded searchJoin runs). Per-depth arms are
+          // reproduced bit-for-bit vs a literal per-depth searchJoin
+          // (spec-pinned).
+          val meta = pqMeta().getOrElse(throw new IllegalStateException(
             "evalFusionRecall(compressed = true) needs a PQ-built store: " +
-              "build(pqSubspaces > 0)")
-          val kwPinned = kw.localCheckpoint(true)
-          try {
-            val qv = q.select("query_id", "qv")
-            def pageAt(p: Int, comp: Boolean): DataFrame =
-              Serving.fuseRrf(kwPinned,
-                  Serving.vecRanks(searchJoin(qv, topK = shortlist, nprobe = p,
-                    excludeSelf = true, compressed = comp,
-                    shortlist = vecShortlist)),
-                  topK, rrfK)
-                .select(col("query_id"), col("doc_id"))
-            val exact = pageAt(numShards, comp = false)
-              .withColumn("__hit", lit(1L)).localCheckpoint(true)
-            try {
-              (1 to numShards).map(p => pageAt(p, comp = true)
-                  .withColumn("nprobe", lit(p.toLong)))
-                .reduce(_ unionByName _)
-                .join(exact, Seq("query_id", "doc_id"), "left")
-                .groupBy("nprobe")
-                .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
-                .select(col("nprobe"),
-                  expr(s"__h div ${nq * topK}").as("recall_x1e4"))
-                .localCheckpoint(true)
-            } finally org.apache.spark.sql.graftshim.CheckpointInterop
-              .unpersistCheckpoint(exact)
-          } finally org.apache.spark.sql.graftshim.CheckpointInterop
-            .unpersistCheckpoint(kwPinned)
+              "build(pqSubspaces > 0)"))
+          val coded = spark.read.parquet(vecDir)
+            .select(col(idCol).cast(LongType).as("vec_id"),
+              col("shard").cast(LongType).as("shard"),
+              col("pq_codes").as("codes"), col("vnorm"))
+          val adcState = graft.plans.ShardTopKJoin.AdcState(
+            books = meta.books match {
+              case ProductQuantizer.GlobalBooks(m) => Map(-1 -> m.centroids)
+              case ps: ProductQuantizer.PerShardBooks =>
+                ps.models.map { case (s, m) => s -> m.centroids }
+            },
+            rotation = meta.rotation,
+            residual = if (!meta.residual) None
+              else Some(cents.map { case (s, c) => s -> c }.toMap))
+          Serving.fusionRecallFrameCompressed(kw, assigned, coded,
+            q.select("query_id", "qv"), cents.toSeq, numShards,
+            topK, shortlist, rrfK, nq, adcState, vecShortlist)
         }
       val fresh = curve
         .withColumn("n_queries", lit(nq))
@@ -1272,6 +1263,12 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           .localCheckpoint(true)
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(fusionRecallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+      // persist the query SAMPLE alongside the curve (sample-sized),
+      // so [[maintainCurves]] can re-measure a stale fusion curve
+      // without the caller re-supplying terms — last measurement's
+      // sample wins (one sample per store; re-measured tables reflect
+      // it)
+      q.coalesce(1).write.mode(SaveMode.Overwrite).parquet(fusionQueriesDir)
       spark.read.parquet(fusionRecallDir)
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(q)
   }
@@ -1330,6 +1327,133 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .agg(min("nprobe")).head()
       if (rows.isNullAt(0)) numShards else rows.getLong(0).toInt
     }
+  }
+
+  /** What [[maintainCurves]] did: per curve table, how many
+    * parameterizations it re-measured; `fusionSkipped` counts stale
+    * fusion parameterizations it could NOT re-measure (no TermIndex
+    * passed, or no persisted query sample).
+    */
+  final case class CurveMaintenance(recallRefreshed: Int, rangeRefreshed: Int,
+                                    fusionRefreshed: Int, fusionSkipped: Int) {
+    def refreshed: Int = recallRefreshed + rangeRefreshed + fusionRefreshed
+  }
+
+  /** The scheduled-maintenance verb for the TUNING artifacts — the
+    * curve-side counterpart of [[maintain]]: the three persisted
+    * curve tables ([[evalRecall]], [[evalRangeRecall]],
+    * [[evalFusionRecall]]) go stale independently (routing changed,
+    * > 20% row drift, and — fusion only — the text index's content
+    * stamp moved), and each `nprobeFor*` REFUSES a stale curve, so an
+    * operator otherwise re-runs evals by hand after every
+    * drift-repair. This reads each table's OWN provenance stamps and
+    * re-measures exactly the stale parameterizations, with the
+    * parameters the rows themselves carry (mode keys, sample sizes;
+    * the fusion query sample persists alongside its curve for this).
+    * Fresh parameterizations are untouched — a no-op call costs the
+    * stamp reads. Pass the store's paired TermIndex to cover the
+    * fusion table; without it, stale fusion parameterizations are
+    * counted in `fusionSkipped` rather than silently dropped.
+    */
+  def maintainCurves(idx: Option[graft.text.TermIndex] = None): CurveMaintenance = {
+    val cents = centroids()
+    val nowStamp = centStamp(cents)
+    val nowRows = spark.read.parquet(vecDir).count()
+    def drifted(mRows: Long): Boolean =
+      math.abs(nowRows - mRows) * 5L > math.max(nowRows, mRows)
+    def staleStore(mStamp: Long, mRows: Long): Boolean =
+      mStamp != nowStamp || drifted(mRows)
+    val hc = spark.sparkContext.hadoopConfiguration
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hc).exists(p)
+    }
+
+    var nRecall = 0
+    if (exists(recallDir)) {
+      val t = spark.read.parquet(recallDir)
+      // pre-stamp tables have unknowable provenance and pre-metric
+      // rows are cosine — same reading as nprobeFor's
+      if (t.columns.contains("cent_stamp")) {
+        val tm =
+          if (t.columns.contains("metric")) t
+          else t.withColumn("metric",
+            lit(graft.plans.ShardTopKJoin.Metric.Cosine))
+        val modes = tm.select("metric", "compressed", "shortlist", "top_k",
+            "n_queries", "cent_stamp", "n_rows").distinct().collect()
+        // a compressed re-measure also re-measures its raw twin (one
+        // exact-arm pass feeds both) — do compressed modes first and
+        // skip raw modes evalRecall already replaced
+        val (comp, rawm) = modes.partition(_.getAs[Boolean]("compressed"))
+        comp.foreach { m =>
+          if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+            evalRecall(m.getAs[Long]("n_queries").toInt,
+              m.getAs[Long]("top_k").toInt, compressed = true,
+              shortlist = m.getAs[Long]("shortlist").toInt,
+              metric = m.getAs[String]("metric"))
+            nRecall += 1
+          }
+        }
+        val coveredRaw = comp.map(m =>
+          (m.getAs[String]("metric"), m.getAs[Long]("top_k"),
+            m.getAs[Long]("n_queries"))).toSet
+        rawm.foreach { m =>
+          val key = (m.getAs[String]("metric"), m.getAs[Long]("top_k"),
+            m.getAs[Long]("n_queries"))
+          if (!coveredRaw.contains(key) &&
+              staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+            evalRecall(m.getAs[Long]("n_queries").toInt,
+              m.getAs[Long]("top_k").toInt,
+              metric = m.getAs[String]("metric"))
+            nRecall += 1
+          }
+        }
+      }
+    }
+
+    var nRange = 0
+    if (exists(rangeRecallDir)) {
+      val t = spark.read.parquet(rangeRecallDir)
+      if (t.columns.contains("cent_stamp")) {
+        t.select("min_score_x1e6", "n_queries", "cent_stamp", "n_rows")
+          .distinct().collect()
+          .foreach { m =>
+            if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+              evalRangeRecall(m.getAs[Long]("min_score_x1e6") / 1e6,
+                m.getAs[Long]("n_queries").toInt)
+              nRange += 1
+            }
+          }
+      }
+    }
+
+    var nFusion = 0
+    var nFusionSkipped = 0
+    if (exists(fusionRecallDir)) {
+      val t = spark.read.parquet(fusionRecallDir)
+      val sampleOk = exists(fusionQueriesDir)
+      t.select("top_k", "shortlist", "rrf_k", "compressed", "vec_shortlist",
+          "cent_stamp", "idx_stamp", "n_rows").distinct().collect()
+        .foreach { m =>
+          val idxMoved = idx.exists(_.contentStamp() != m.getAs[Long]("idx_stamp"))
+          if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows")) ||
+              idxMoved) {
+            (idx, sampleOk) match {
+              case (Some(i), true) =>
+                evalFusionRecall(i, spark.read.parquet(fusionQueriesDir),
+                  topK = m.getAs[Long]("top_k").toInt,
+                  shortlist = m.getAs[Long]("shortlist").toInt,
+                  rrfK = m.getAs[Long]("rrf_k").toInt,
+                  compressed = m.getAs[Boolean]("compressed"),
+                  vecShortlist = math.max(
+                    m.getAs[Long]("vec_shortlist").toInt, 1))
+                nFusion += 1
+              case _ => nFusionSkipped += 1
+            }
+          }
+        }
+    }
+    CurveMaintenance(nRecall, nRange, nFusion, nFusionSkipped)
   }
 
   /** Continuous ingest: route and append each micro-batch of a vector

@@ -163,7 +163,50 @@ class BroadcastTopKJoinSpec extends AnyFunSuite {
       excludeSelf = false, keyed = true).count() === 0)
   }
 
-  test("compressed metrics refuse — this exec is the exact arm only") {
+  test("keyed Adc mode == the shuffle exec's Adc, bit-identical (shared kernel)") {
+    // synthetic per-shard books + rotation + residual + zero norms —
+    // the full AdcState surface through the broadcast path
+    val n = 200; val shards = 4; val dim = 8; val M = 4; val K = 4
+    val subDim = dim / M
+    def book(s: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(M, K, subDim)((m, k, j) =>
+        math.sin(s * 13 + m * 7 + k * 3 + j).abs + 0.01)
+    val rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (j == dim - 1 - i) 1.0 else 0.0)
+    def cent(s: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.cos(s * 5 + j) * 0.5)
+    val c = (0 until n).map { i =>
+      (i.toLong, (i % shards).toLong,
+        Array.tabulate(M)(m => (i + m) % K),
+        if (i % 17 == 0) 0.0 else 1.0 + (i % 7) * 0.1)
+    }.toDF("id", "shard", "codes", "vnorm")
+      .select($"id", $"shard", $"codes".cast("array<int>").as("codes"), $"vnorm")
+    val p = (0 until n by 10).flatMap { i =>
+      val v = Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).abs + 0.01 * d)
+      Seq((i.toLong, (i % shards).toLong, v),
+        (i.toLong, ((i + 1) % shards).toLong, v))
+    }.toDF("query_id", "shard", "qv")
+      .select($"query_id", $"shard", $"qv".cast("array<double>").as("qv"))
+    val state = ShardTopKJoin.AdcState(
+      books = (0 until shards).map(s => s -> book(s)).toMap,
+      rotation = Some(rot),
+      residual = Some((0 until shards).map(s => s -> cent(s)).toMap))
+    val viaBroadcast = canon(BroadcastTopKJoin.ranked(c, p, k = 5,
+      excludeSelf = false, metric = ShardTopKJoin.Metric.Adc,
+      keyed = true, adc = Some(state)))
+    val viaShuffle = canon(ShardTopKJoin.ranked(c, p, k = 5,
+      excludeSelf = false, metric = ShardTopKJoin.Metric.Adc,
+      adc = Some(state)))
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast.nonEmpty && viaBroadcast.exists(_._4 != 0.0))
+    // unkeyed ADC refuses — the key IS the shard
+    intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
+      c.select($"id", $"codes".cast("array<double>")), p.select($"query_id", $"qv"),
+      k = 3, excludeSelf = false, metric = ShardTopKJoin.Metric.Adc,
+      adc = Some(state)))
+  }
+
+  test("compressed metrics refuse without state — DotOverNorm stays shuffle-only") {
     intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
       corpus(), probes(), k = 3, excludeSelf = false,
       metric = ShardTopKJoin.Metric.DotOverNorm))

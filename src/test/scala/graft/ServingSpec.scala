@@ -349,12 +349,102 @@ class ServingSpec extends AnyFunSuite {
       vs.nprobeForFusion(idx, 1.0))
     // an unmeasured compressed parameterization falls back to full probing
     assert(vs.nprobeForFusion(idx, 0.9, compressed = true, vecShortlist = 7) === 4)
-    // a TRUNCATING shortlist is a valid measurement (rows land, keyed)
+    // a TRUNCATING shortlist must still match a literal per-depth
+    // searchJoin(compressed = true) + RRF mirror — the one-pass
+    // packed-replica plan reproduces each depth's ADC cut + exact
+    // re-rank bit-for-bit, so the integer curves agree exactly
+    import org.apache.spark.sql.expressions.Window
+    val kwArm = idx.searchBatch(queries.select("query_id", "terms"), k = 50)
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .select("query_id", "doc_id", "rank_kw")
+    def mirrorPage(p: Int, comp: Boolean, vecShortlist: Int) = {
+      val arm = vs.searchJoin(queries.select("query_id", "qv"), topK = 50,
+        nprobe = p, excludeSelf = true, compressed = comp,
+        shortlist = vecShortlist)
+      val vecArm = arm.select(col("query_id"),
+        col(arm.columns(2)).as("doc_id"), col("rank").cast("int").as("rank_vec"))
+      kwArm.join(vecArm, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (col("rank_kw") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rank_vec") + 60), lit(0.0))).as("rrf"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id")
+    }
+    val mirrorExact = mirrorPage(4, comp = false, vecShortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mirrorCurve = (1 to 4).map { p =>
+      val page = mirrorPage(p, comp = true, vecShortlist = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (p.toLong, page.count(mirrorExact) * 10000L / (3L * 10L))
+    }
     val tight = vs.evalFusionRecall(idx, queries,
       compressed = true, vecShortlist = 10)
     val tightCurve = tight.filter(col("compressed") === true &&
         col("vec_shortlist") === 10L)
-      .orderBy("nprobe").collect().map(_.getAs[Long]("recall_x1e4")).toSeq
-    assert(tightCurve.size === 4)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_x1e4"))).toSeq
+    assert(tightCurve === mirrorCurve,
+      s"one-pass compressed curve $tightCurve != per-depth mirror $mirrorCurve")
+  }
+
+  test("maintainCurves re-measures exactly the stale tuning curves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curves").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embIn = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, s"$dir/vs", numShards = 4)
+    vs.build(embIn, iters = 3)
+    val idx = new graft.text.TermIndex(spark, s"$dir/ti")
+    idx.build(docs)
+    val queries = Seq(
+      (0L, Seq("vector", "merge", "scan")),
+      (1L, Seq("scan", "filter", "join"))).toDF("query_id", "terms")
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select("query_id", "terms", "qv")
+
+    // measure all three curve families
+    vs.evalRecall(nQueries = 16, topK = 5)
+    vs.evalRangeRecall(minScore = 0.25, nQueries = 16)
+    vs.evalFusionRecall(idx, queries)
+    // everything fresh: maintain is a no-op
+    val noop = vs.maintainCurves(Some(idx))
+    assert(noop.refreshed === 0 && noop.fusionSkipped === 0,
+      s"fresh curves must not re-measure, got $noop")
+
+    // routing change: ALL THREE families go stale, every nprobeFor*
+    // refuses, and one maintain call heals them
+    vs.refreshCentroids(sampleFraction = 1.0, iters = 2)
+    intercept[IllegalStateException](vs.nprobeFor(0.9, metric = "cosine"))
+    intercept[IllegalStateException](vs.nprobeForRange(0.25, 0.9))
+    intercept[IllegalStateException](vs.nprobeForFusion(idx, 0.9))
+    val healed = vs.maintainCurves(Some(idx))
+    assert(healed.recallRefreshed === 1 && healed.rangeRefreshed === 1 &&
+      healed.fusionRefreshed === 1 && healed.fusionSkipped === 0, s"got $healed")
+    vs.nprobeFor(0.9, metric = "cosine")
+    vs.nprobeForRange(0.25, 0.9)
+    vs.nprobeForFusion(idx, 0.9)
+
+    // text-index mutation: ONLY the fusion family is stale
+    idx.append(docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 200000L), "mc1")
+    val fusionOnly = vs.maintainCurves(Some(idx))
+    assert(fusionOnly.recallRefreshed === 0 && fusionOnly.rangeRefreshed === 0 &&
+      fusionOnly.fusionRefreshed === 1, s"got $fusionOnly")
+    vs.nprobeForFusion(idx, 0.9)
+
+    // without the TermIndex, a store-stale fusion curve is SKIPPED,
+    // not silently dropped — and the store families still heal
+    vs.refreshCentroids(sampleFraction = 1.0, iters = 1)
+    val noIdx = vs.maintainCurves(None)
+    assert(noIdx.recallRefreshed === 1 && noIdx.rangeRefreshed === 1 &&
+      noIdx.fusionRefreshed === 0 && noIdx.fusionSkipped === 1, s"got $noIdx")
+    intercept[IllegalStateException](vs.nprobeForFusion(idx, 0.9))
+    assert(vs.maintainCurves(Some(idx)).fusionRefreshed === 1)
+    vs.nprobeForFusion(idx, 0.9)
   }
 }
