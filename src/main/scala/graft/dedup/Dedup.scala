@@ -96,8 +96,53 @@ object Dedup extends QueryModule {
     * timings), after which the frame is no longer recomputable.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIters: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, idA, idB, maxIters)._1
+                          maxIters: Int = 50,
+                          maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIters, maxDriverEdges)._1
+
+  /** Threshold for the model-sized fast path: a RAW pair set at or
+    * under this count (an upper bound on the distinct edge set) is
+    * collected and labeled with a driver union-find (~32 MB of longs
+    * at the bound) instead of scheduled star rounds. Near-dup edge
+    * sets are DUP-VOLUME-sized, not corpus-sized — at a sane dup rate
+    * even a 100 TB corpus's cluster graph fits here, and the star
+    * rounds' per-round scheduling (4+ tiny shuffles + checkpoint +
+    * convergence count, times log n rounds) costs more than the data
+    * at any cluster size; below the bound even the node/edge DISTINCT
+    * shuffles fold into the collect. The distributed rounds remain
+    * the plan ABOVE the bound (a pathological everything-matches
+    * corpus), chosen from one count over the checkpointed pair
+    * projection — the same bounded-collect discipline as centroids
+    * and MMR shortlists.
+    */
+  private val DRIVER_CC_MAX_EDGES = 2000000L
+
+  /** Driver union-find with min-id roots — semantically identical to
+    * the star fixed point (cluster_id = min doc_id of the component).
+    */
+  private def unionFindLabels(edges: Array[(Long, Long)],
+                              nodes: Array[Long]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](nodes.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min id becomes the root, so roots ARE component minima
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    nodes.map(n => (n, find(n)))
+  }
 
   /** Large-star step: for every node u with neighborhood Γ(u) (both
     * orientations), emit (v, min(Γ(u) ∪ {u})) for each v ∈ Γ(u) with
@@ -131,18 +176,47 @@ object Dedup extends QueryModule {
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 50): (DataFrame, Int) = {
+      maxIters: Int = 50,
+      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): (DataFrame, Int) = {
+    // ids cast to LONG up front (both paths label as long; integral
+    // ids are the dedup pipeline's contract everywhere) and the raw
+    // pair projection checkpointed ONCE — the caller's candidate
+    // pipeline executes exactly once regardless of path
+    val pe = pairs
+      .select(col(idA).cast(org.apache.spark.sql.types.LongType).as("a"),
+        col(idB).cast(org.apache.spark.sql.types.LongType).as("b"))
+      .localCheckpoint(true)
+    val rawCount = pe.count()
+    if (rawCount <= maxDriverEdges) {
+      // model-sized fast path (see [[DRIVER_CC_MAX_EDGES]]): the raw
+      // pair volume bounds the distinct edge set from above, so the
+      // node/edge distincts, the star rounds, and their convergence
+      // counts all collapse into one collect + driver union-find.
+      // Rounds = 0 marks the path taken.
+      val raw = pe.collect().map(r => (r.getLong(0), r.getLong(1)))
+      CheckpointInterop.unpersistCheckpoint(pe)
+      val ns = raw.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+      val es = raw.iterator.filter(t => t._1 != t._2)
+        .map(t => if (t._1 > t._2) t else (t._2, t._1)).toArray.distinct
+      val sp = pairs.sparkSession
+      val rdd = sp.sparkContext.parallelize(
+        unionFindLabels(es, ns).toIndexedSeq,
+        math.max(1, ns.length / 250000 + 1))
+      import sp.implicits._
+      return (rdd.toDF("doc_id", "cluster_id").localCheckpoint(true), 0)
+    }
     // eager localCheckpoints truncate lineage: without them every round
     // NESTS the previous round's plan plus the caller's whole candidate
     // pipeline, and plan construction itself (AQE explain, optimizer)
     // blows up long before the data does — the standard posture for
     // iterative graph algorithms on DataFrames
-    val nodes = pairs.select(col(idA).as("doc_id"))
-      .unionByName(pairs.select(col(idB).as("doc_id")))
+    val nodes = pe.select(col("a").as("doc_id"))
+      .unionByName(pe.select(col("b").as("doc_id")))
       .distinct().localCheckpoint(true)
-    var edges = pairs
-      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+    var edges = pe
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    CheckpointInterop.unpersistCheckpoint(pe)
     var edgeCount = edges.count()
     var converged = false
     var it = 0

@@ -397,6 +397,43 @@ class TermIndex(spark: SparkSession, path: String,
       .select(col("doc_id"), round(col("score0"), 4).as("bm25"))
   }
 
+  /** The `n` most CHARACTERISTIC live terms of each given doc —
+    * ranked by tf·idf over the index's own statistics (df from live
+    * postings, N from the meta fold; ties term-asc, deterministic):
+    * query-by-example's keyword arm, and the default query sample
+    * [[graft.vector.VectorStore.fusionSampleFrom]] builds for
+    * fusion-recall bootstrap/maintenance. Cost: one postings scan
+    * joined to `ids` for the docs' own rows, one scan restricted to
+    * their candidate terms for df — offline-eval priced. Docs with no
+    * live postings (never indexed, or fully tombstoned) emit no row.
+    */
+  def topTerms(ids: DataFrame, n: Int = 3): DataFrame = {
+    require(n > 0, s"topTerms needs n > 0, got $n")
+    require(fs.exists(new Path(postDir)),
+      s"topTerms: index at $path not built — call build() first")
+    val want = ids.select(col("doc_id").cast(LongType).as("doc_id"))
+    val post = minusDeleted(BatchedTable.readIdx(spark, postDir, None), None)
+    val mine = post.join(broadcast(want), "doc_id")
+      .select("term", "doc_id", "tf")
+    val cand = mine.select("term").distinct()
+    val dfs = post.join(cand, "term")
+      .groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val meta = BatchedTable.readIdx(spark, metaDir, None)
+      .agg(sum("n_docs").cast(DoubleType).as("n"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    import org.apache.spark.sql.expressions.Window
+    mine.join(dfs, "term")
+      .crossJoin(broadcast(meta))
+      .withColumn("__sc", idf * col("tf"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("__sc"), asc("term"))))
+      .filter(col("__r") <= n)
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("__r"), col("term")))),
+        x => x.getField("term")).as("terms"))
+  }
+
   /** Exact-phrase / proximity probe over the positional postings:
     * docs containing the token sequence `phrase`, ranked by occurrence
     * count (desc, doc_id asc). The plan: one postings scan filtered

@@ -1329,6 +1329,30 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     }
   }
 
+  /** A store-derived fusion query sample — (query_id, terms, qv) for
+    * the `nQueries` lowest-id vectors ([[evalRecall]]'s deterministic
+    * sampling convention), each vector paired with its own doc's most
+    * characteristic terms from the paired text index
+    * ([[graft.text.TermIndex.topTerms]] — tf·idf, deterministic
+    * ties). Lets [[evalFusionRecall]] and
+    * [[maintainCurves]]`(bootstrapFusion = true)` measure a fusion
+    * curve without the caller hand-writing query terms. Ids present
+    * in the store but with no live postings (never indexed, or
+    * tombstoned) drop from the sample — fusion recall is a property
+    * of BOTH indexes, so only doubly-covered docs qualify as probes.
+    */
+  def fusionSampleFrom(idx: graft.text.TermIndex, nQueries: Int = 64,
+                       termsPerQuery: Int = 3): DataFrame = {
+    val qs = spark.read.parquet(vecDir)
+      .select(col(idCol).cast(LongType).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .orderBy("query_id").limit(nQueries)
+    idx.topTerms(qs.select(col("query_id").as("doc_id")), termsPerQuery)
+      .select(col("doc_id").as("query_id"), col("terms"))
+      .join(qs, "query_id")
+      .select("query_id", "terms", "qv")
+  }
+
   /** What [[maintainCurves]] did: per curve table, how many
     * parameterizations it re-measured; `fusionSkipped` counts stale
     * fusion parameterizations it could NOT re-measure (no TermIndex
@@ -1355,7 +1379,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * fusion table; without it, stale fusion parameterizations are
     * counted in `fusionSkipped` rather than silently dropped.
     */
-  def maintainCurves(idx: Option[graft.text.TermIndex] = None): CurveMaintenance = {
+  def maintainCurves(idx: Option[graft.text.TermIndex] = None,
+                     bootstrapFusion: Boolean = false): CurveMaintenance = {
     val cents = centroids()
     val nowStamp = centStamp(cents)
     val nowRows = spark.read.parquet(vecDir).count()
@@ -1429,7 +1454,18 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
 
     var nFusion = 0
     var nFusionSkipped = 0
-    if (exists(fusionRecallDir)) {
+    if (!exists(fusionRecallDir) && bootstrapFusion) {
+      // bootstrap (opt-in): a store that never measured a fusion
+      // curve gets one from its own docs — default parameters, the
+      // store-derived sample ([[fusionSampleFrom]])
+      idx match {
+        case Some(i) =>
+          evalFusionRecall(i, fusionSampleFrom(i))
+          nFusion += 1
+        case None => nFusionSkipped += 1
+      }
+    }
+    if (exists(fusionRecallDir) && nFusion == 0) {
       val t = spark.read.parquet(fusionRecallDir)
       val sampleOk = exists(fusionQueriesDir)
       t.select("top_k", "shortlist", "rrf_k", "compressed", "vec_shortlist",

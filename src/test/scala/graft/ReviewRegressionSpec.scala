@@ -103,13 +103,16 @@ class ReviewRegressionSpec extends AnyFunSuite {
     import spark.implicits._
     // a 6-node chain needs several star-contraction rounds: one
     // large-star/small-star alternation cannot canonicalize it
+    // maxDriverEdges = 0 forces the distributed star rounds — the
+    // failure contract under test is theirs (the driver union-find
+    // has no round budget to exhaust)
     val chain = (0 until 5).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
-      graft.dedup.Dedup.connectedComponents(chain, maxIters = 1)
+      graft.dedup.Dedup.connectedComponents(chain, maxIters = 1, maxDriverEdges = 0L)
     }
     assert(ex.getMessage.contains("converge"))
     // with enough rounds the same chain resolves to one component
-    val labels = graft.dedup.Dedup.connectedComponents(chain)
+    val labels = graft.dedup.Dedup.connectedComponents(chain, maxDriverEdges = 0L)
     assert(labels.select("cluster_id").distinct().count() === 1)
   }
 
@@ -121,12 +124,34 @@ class ReviewRegressionSpec extends AnyFunSuite {
     // point detection round), proving rounds track log n, not diameter
     val chain = (0 until 999).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val (labels, rounds) =
-      graft.dedup.Dedup.connectedComponentsWithRounds(chain, maxIters = 20)
+      graft.dedup.Dedup.connectedComponentsWithRounds(chain, maxIters = 20,
+        maxDriverEdges = 0L)
     assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
     val collected = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(collected.length === 1000)
     assert(collected.forall(_._2 == 0L), "every chain node must label to the min id")
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(labels)
+  }
+
+  test("driver union-find path labels identically to the distributed star rounds") {
+    import spark.implicits._
+    // a mixed fixture: two chains, a star, self-pairs, and singleton
+    // components via self-edges — every labeling edge case at once
+    val pairs = ((0 until 40).map(i => (i.toLong, (i + 1).toLong)) ++
+      (100 until 120).map(i => (120L, i.toLong)) ++
+      Seq((200L, 200L), (300L, 301L), (301L, 300L))).toDF("id_a", "id_b")
+    val (viaDriver, r0) =
+      graft.dedup.Dedup.connectedComponentsWithRounds(pairs)
+    assert(r0 === 0, "a tiny edge set must take the driver path")
+    val (viaStars, rN) =
+      graft.dedup.Dedup.connectedComponentsWithRounds(pairs, maxDriverEdges = 0L)
+    assert(rN > 0, "maxDriverEdges = 0 must force the star rounds")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canon(viaDriver) === canon(viaStars),
+      "both paths must produce identical (doc_id, cluster_id) labels")
+    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(viaDriver)
+    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(viaStars)
   }
 
   test("rebuilding a store without PQ invalidates the memoized codebook") {

@@ -390,6 +390,42 @@ class ServingSpec extends AnyFunSuite {
       s"one-pass compressed curve $tightCurve != per-depth mirror $mirrorCurve")
   }
 
+  test("fusionSampleFrom + bootstrap: a never-measured store gets a curve from its own docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fusboot").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embIn = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, s"$dir/vs", numShards = 4)
+    vs.build(embIn, iters = 3)
+    val idx = new graft.text.TermIndex(spark, s"$dir/ti")
+    idx.build(docs)
+
+    // the sample pairs each low-id vector with ITS OWN doc's most
+    // characteristic terms — every term must come from that doc's text
+    val sample = vs.fusionSampleFrom(idx, nQueries = 8, termsPerQuery = 3)
+    val rows = sample.collect()
+    assert(rows.nonEmpty && rows.forall(_.getSeq[String](1).size <= 3))
+    val texts = docs.filter(col("doc_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rows.foreach { r =>
+      val own = texts(r.getLong(0))
+      assert(r.getSeq[String](1).forall(own),
+        s"doc ${r.getLong(0)}: sampled terms must come from its own text")
+    }
+
+    // never measured: the tuner falls back to full probing; the
+    // opt-in bootstrap measures a curve from the store's own docs
+    assert(vs.nprobeForFusion(idx, 0.9) === 4)
+    assert(vs.maintainCurves(Some(idx)).fusionRefreshed === 0,
+      "without bootstrapFusion a missing curve stays missing")
+    val r1 = vs.maintainCurves(Some(idx), bootstrapFusion = true)
+    assert(r1.fusionRefreshed === 1 && r1.fusionSkipped === 0, s"got $r1")
+    assert(vs.nprobeForFusion(idx, 0.5) >= 1)
+    // measured now: a second bootstrap call is a no-op
+    assert(vs.maintainCurves(Some(idx), bootstrapFusion = true).refreshed === 0)
+  }
+
   test("maintainCurves re-measures exactly the stale tuning curves") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-curves").toString
