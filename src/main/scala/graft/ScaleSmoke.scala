@@ -933,6 +933,52 @@ object ScaleSmoke {
       "compact must not change served results")
     println("[scale] post-compact probe identical: true (asserted)")
 
+    // fusion-recall lifecycle at volume (round 13): BOTH maintained
+    // indexes over the one doc corpus — synthetic 64-d embeddings
+    // keyed by doc_id beside the compacted TermIndex above — then the
+    // one-pass packed-replica eval measures the page-level recall
+    // curve for every probe depth in one corpus scan (raw arm), the
+    // codes-native one-pass for the ADC-served page (compressed arm),
+    // and maintainCurves re-measures exactly what a routing change
+    // staled. The query sample derives from the store + index
+    // themselves (fusionSampleFrom — tf-idf terms via topTerms).
+    val fvDir = Files.createTempDirectory("graft-scale-fus").toString
+    val fvVecs = corpus.select(col("doc_id").as("id"),
+      array((0 until 64).map(i =>
+        (pmod(xxhash64(col("doc_id") * 64 + i, lit(3)), lit(1000)).cast("double")
+          / 500.0 - 1.0)): _*).as("vector"))
+    val fvs = new VectorStore(spark, fvDir, numShards = 16)
+    timed(s"fusion fixture: ivf+pq build (${nDoc + nDoc / 100} vectors, 16 shards)") {
+      fvs.build(fvVecs, iters = 3, pqSubspaces = 16, pqTrainFraction = 0.2)
+    }
+    val fSample = timed("fusionSampleFrom (64 queries, tf-idf terms from the shared TermIndex)") {
+      val s0 = fvs.fusionSampleFrom(tIdx, nQueries = 64).localCheckpoint(true)
+      require(s0.count() > 0, "fusion sample must cover doubly-indexed docs")
+      s0
+    }
+    timed("evalFusionRecall — RAW arm, ALL 16 depths in one corpus pass") {
+      fvs.evalFusionRecall(tIdx, fSample).count()
+    }
+    timed("evalFusionRecall — COMPRESSED arm (codes-native one-pass, shortlist 200)") {
+      fvs.evalFusionRecall(tIdx, fSample, compressed = true, vecShortlist = 200).count()
+    }
+    val fp9 = fvs.nprobeForFusion(tIdx, 0.9)
+    val fp9c = fvs.nprobeForFusion(tIdx, 0.9, compressed = true, vecShortlist = 200)
+    println(s"[scale] fusion tuner: nprobe@0.9 raw=$fp9 compressed=$fp9c (of 16)")
+    timed("maintainCurves no-op (stamp reads only)") {
+      val r = fvs.maintainCurves(Some(tIdx))
+      require(r.refreshed == 0 && r.fusionSkipped == 0,
+        s"fresh curves must not re-measure, got $r")
+    }
+    timed("centroid refresh + maintainCurves (re-measures BOTH stale fusion modes)") {
+      fvs.refreshCentroids(sampleFraction = 0.2, iters = 2)
+      val r = fvs.maintainCurves(Some(tIdx))
+      require(r.fusionRefreshed == 2,
+        s"both fusion parameterizations must re-measure, got $r")
+    }
+    println(s"[scale] fusion tuner after heal: nprobe@0.9 raw=${fvs.nprobeForFusion(tIdx, 0.9)}")
+    org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(fSample)
+
     // the composed training-mix assembly at 10x bench scale: topic
     // clustering + temperature quotas + in-topic DSIR selection +
     // token budget + shuffle + packing, one ledgered call — the
