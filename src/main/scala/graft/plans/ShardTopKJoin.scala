@@ -445,6 +445,28 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
         // beyond the iterator contract
         Iterator.empty
       } else {
+        // the probe side is partition-RESIDENT (vectors + heaps + any
+        // ADC LUTs live for the whole corpus pass). At sane serving
+        // shapes that is page-to-sample sized; a corpus-sized query
+        // frame at high nprobe×salt on few partitions can grow it to
+        // heap-pressure scale — warn loudly with the actionable knobs
+        // before an opaque executor OOM does it for us.
+        var probeBytes = 0L
+        var pi0 = 0
+        while (pi0 < all.size) {
+          val p = all.get(pi0)
+          probeBytes += 8L * p.qv.length + 8L * kk * 2 +
+            (if (p.lut != null) 8L * p.lut.length else 0L)
+          pi0 += 1
+        }
+        if (probeBytes > (1L << 28))
+          // a task-local slf4j logger: capturing the exec node's own
+          // Logging mixin would drag the plan into the closure
+          org.slf4j.LoggerFactory.getLogger("graft.plans.ShardTopKJoin")
+            .warn(s"partition holds ${all.size} probe replicas " +
+              f"(~${probeBytes / 1e9}%.1f GB resident) — raise shuffle " +
+              "partitions, lower nprobe/maxRowsPerTask salt, or split " +
+              "the query frame to bound per-partition probe state")
         var nPairs = 0L
         while (cIter.hasNext) {
           val r = cIter.next()

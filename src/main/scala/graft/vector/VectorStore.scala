@@ -1342,11 +1342,32 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * of BOTH indexes, so only doubly-covered docs qualify as probes.
     */
   def fusionSampleFrom(idx: graft.text.TermIndex, nQueries: Int = 64,
-                       termsPerQuery: Int = 3): DataFrame = {
-    val qs = spark.read.parquet(vecDir)
+                       termsPerQuery: Int = 3,
+                       stratified: Boolean = false): DataFrame = {
+    val base = spark.read.parquet(vecDir)
       .select(col(idCol).cast(LongType).as("query_id"),
+        col("shard").cast(LongType).as("__sh"),
         col(vecCol).cast("array<double>").as("qv"))
-      .orderBy("query_id").limit(nQueries)
+    // stratified = true spreads the sample across the store's OWN
+    // clustering (ceil(n/k) lowest ids per shard): a skewed corpus's
+    // curve then reflects every region's routing behavior instead of
+    // wherever the lowest ids happen to cluster — same determinism
+    // (lowest ids within each stratum)
+    val qs =
+      if (!stratified) base.orderBy("query_id").limit(nQueries)
+        .select("query_id", "qv")
+      else {
+        // per-shard lowest ids through the bounded heap (score =
+        // negated id; exact below 2^53 — any realistic id space), so
+        // the sample pass ships ≤ per rows per (shard, partition) —
+        // never a per-shard window sort of the corpus
+        val per = (nQueries + numShards - 1) / numShards
+        base.groupBy("__sh")
+          .agg(graft.expressions.TopKAgg.topK(
+            (-col("query_id")).cast("double"), col("query_id"), per).as("__t"))
+          .select(explode(col("__t.id")).as("query_id"))
+          .join(base.select("query_id", "qv"), "query_id")
+      }
     idx.topTerms(qs.select(col("query_id").as("doc_id")), termsPerQuery)
       .select(col("doc_id").as("query_id"), col("terms"))
       .join(qs, "query_id")

@@ -414,6 +414,18 @@ class ServingSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: sampled terms must come from its own text")
     }
 
+    // stratified sampling spreads probes across the store's OWN
+    // clustering: with ceil(8/4) = 2 per shard, all four shards are
+    // represented (the lowest-id default may cluster wherever ids do)
+    val strat = vs.fusionSampleFrom(idx, nQueries = 8, termsPerQuery = 2,
+      stratified = true)
+    val stratIds = strat.select("query_id").collect().map(_.getLong(0)).toSet
+    val shardOf = spark.read.parquet(s"$dir/vs/vectors")
+      .select(col("id").cast("long"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stratIds.map(shardOf).size === 4,
+      s"stratified sample must cover every shard, got shards ${stratIds.map(shardOf)}")
+
     // never measured: the tuner falls back to full probing; the
     // opt-in bootstrap measures a curve from the store's own docs
     assert(vs.nprobeForFusion(idx, 0.9) === 4)
