@@ -119,29 +119,40 @@ object Dedup extends QueryModule {
 
   /** Driver union-find with min-id roots — semantically identical to
     * the star fixed point (cluster_id = min doc_id of the component).
+    * Fully primitive: nodes arrive SORTED UNIQUE, ids map to indices
+    * by binary search, parents are an Int array (no boxed maps — at
+    * the 2M-edge bound the transient footprint is tens of MB, not
+    * hundreds). Duplicate and self edges are harmless (union is
+    * idempotent), so callers need not dedupe.
     */
   private def unionFindLabels(edges: Array[(Long, Long)],
-                              nodes: Array[Long]): Array[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long](nodes.length * 2)
-    def find(x0: Long): Long = {
-      var x = x0
-      var p = parent.getOrDefault(x, x)
+                              sortedNodes: Array[Long]): Array[(Long, Long)] = {
+    val parent = Array.tabulate(sortedNodes.length)(identity)
+    def find(i0: Int): Int = {
+      var x = i0
+      var p = parent(x)
       while (p != x) { // path halving
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp)
+        val gp = parent(p)
+        parent(x) = gp
         x = gp
-        p = parent.getOrDefault(x, x)
+        p = parent(x)
       }
       x
     }
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        // min id becomes the root, so roots ARE component minima
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+    var e = 0
+    while (e < edges.length) {
+      val a = edges(e)._1
+      val b = edges(e)._2
+      if (a != b) {
+        val ra = find(java.util.Arrays.binarySearch(sortedNodes, a))
+        val rb = find(java.util.Arrays.binarySearch(sortedNodes, b))
+        // sortedNodes ascending ⇒ lower index IS lower id: the min id
+        // becomes the root, so roots ARE component minima
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
+      e += 1
     }
-    nodes.map(n => (n, find(n)))
+    Array.tabulate(sortedNodes.length)(i => (sortedNodes(i), sortedNodes(find(i))))
   }
 
   /** Large-star step: for every node u with neighborhood Γ(u) (both
@@ -192,17 +203,29 @@ object Dedup extends QueryModule {
       // pair volume bounds the distinct edge set from above, so the
       // node/edge distincts, the star rounds, and their convergence
       // counts all collapse into one collect + driver union-find.
-      // Rounds = 0 marks the path taken.
-      val raw = pe.collect().map(r => (r.getLong(0), r.getLong(1)))
-      CheckpointInterop.unpersistCheckpoint(pe)
-      val ns = raw.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
-      val es = raw.iterator.filter(t => t._1 != t._2)
-        .map(t => if (t._1 > t._2) t else (t._2, t._1)).toArray.distinct
+      // Typed collect (no Row intermediates), primitive sort+unique
+      // for the node set, and no edge dedup at all (union is
+      // idempotent over duplicates). Rounds = 0 marks the path taken.
       val sp = pairs.sparkSession
-      val rdd = sp.sparkContext.parallelize(
-        unionFindLabels(es, ns).toIndexedSeq,
-        math.max(1, ns.length / 250000 + 1))
       import sp.implicits._
+      val raw = pe.as[(Long, Long)].collect()
+      CheckpointInterop.unpersistCheckpoint(pe)
+      val ns0 = new Array[Long](raw.length * 2)
+      var i = 0
+      while (i < raw.length) {
+        ns0(2 * i) = raw(i)._1; ns0(2 * i + 1) = raw(i)._2; i += 1
+      }
+      java.util.Arrays.sort(ns0)
+      var n = 0
+      i = 0
+      while (i < ns0.length) {
+        if (n == 0 || ns0(i) != ns0(n - 1)) { ns0(n) = ns0(i); n += 1 }
+        i += 1
+      }
+      val ns = java.util.Arrays.copyOf(ns0, n)
+      val rdd = sp.sparkContext.parallelize(
+        unionFindLabels(raw, ns).toIndexedSeq,
+        math.max(1, ns.length / 250000 + 1))
       return (rdd.toDF("doc_id", "cluster_id").localCheckpoint(true), 0)
     }
     // eager localCheckpoints truncate lineage: without them every round

@@ -131,17 +131,10 @@ object BroadcastTopKJoin {
              excludeSelf: Boolean, idName: String = "id",
              metric: String = ShardTopKJoin.Metric.Cosine,
              keyed: Boolean = false,
-             adc: Option[ShardTopKJoin.AdcState] = None): DataFrame = {
-    val part = partials(corpus, probes, k, excludeSelf, metric, keyed, adc)
-    val scoreOut =
-      if (metric == ShardTopKJoin.Metric.L2) (-col("__e.score")).as("score")
-      else col("__e.score").as("score")
-    part.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(col("score"), col("id"), k).as("__t"))
-      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), (col("__pos") + 1).cast(LongType).as("rank"),
-        col("__e.id").as(idName), scoreOut)
-  }
+             adc: Option[ShardTopKJoin.AdcState] = None): DataFrame =
+    ShardTopKJoin.rankedFrom(
+      partials(corpus, probes, k, excludeSelf, metric, keyed, adc),
+      k, metric, idName)
 }
 
 /** Logical node — opaque to the optimizer, children POSITIONAL:
@@ -251,50 +244,16 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
             val id = r.getLong(0)
             val cand =
               if (isKeyed) byKey.get(r.getLong(1)) else all
-            if (mAdc) {
-              if (cand != null)
+            if (cand != null) {
+              // shared kernels: one accumulation order across both
+              // fused execs (ExactKernel / AdcKernel)
+              if (mAdc)
                 nPairs += AdcKernel.offerAll(cand, id,
                   r.getArray(2).toIntArray(), r.getDouble(3), exSelf)
-            } else {
-            val v = if (cand == null) null else r.getArray(vecOrd).toDoubleArray()
-            val n = if (v == null) 0 else v.length
-            // cosine: squared norm once per corpus row — identical
-            // element order to VectorKernels.cosine
-            var na = 0.0
-            var preNorm = 0.0
-            if (mCos && cand != null) {
-              var i = 0
-              while (i < n) { val x = v(i); na += x * x; i += 1 }
-              preNorm = math.sqrt(na)
-            }
-            var j = 0
-            val m = if (cand == null) 0 else cand.size
-            while (j < m) {
-              val p = cand.get(j)
-              if (!(exSelf && id == p.qid)) {
-                val qv = p.qv
-                if (qv.length != n) throw new IllegalArgumentException(
-                  s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
-                    "(ragged embedding row?)")
-                var score = 0.0
-                if (mCos) {
-                  var dot = 0.0
-                  var t = 0
-                  while (t < n) { dot += v(t) * qv(t); t += 1 }
-                  score = if (na == 0.0 || p.sqrtNb == 0.0) 0.0
-                    else dot / (preNorm * p.sqrtNb)
-                } else {
-                  // L2, negated so the max-heap keeps the NEAREST
-                  var s = 0.0
-                  var t = 0
-                  while (t < n) { val d = v(t) - qv(t); s += d * d; t += 1 }
-                  score = -math.sqrt(s)
-                }
-                p.heap.offer(score, id)
-                nPairs += 1L
-              }
-              j += 1
-            }
+              else
+                nPairs += ExactKernel.offerAll(cand, id,
+                  r.getArray(vecOrd).toDoubleArray(), mCos,
+                  mDot = false, dotNorm = 0.0, exSelf)
             }
           }
         }

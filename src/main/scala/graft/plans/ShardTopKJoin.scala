@@ -200,8 +200,16 @@ object ShardTopKJoin {
       if (maxRowsPerTask > 0L)
         packSalted(corpus, probes, maxRowsPerTask, saltOn, precomputedSalts)
       else (corpus, probes)
-    val part = partials(c, p, k, excludeSelf, metric,
-      adc.map(_.copy(packed = maxRowsPerTask > 0L)))
+    rankedFrom(partials(c, p, k, excludeSelf, metric,
+      adc.map(_.copy(packed = maxRowsPerTask > 0L))), k, metric, idName)
+  }
+
+  /** The TopKAgg merge + rank projection shared by [[ranked]] and
+    * [[BroadcastTopKJoin.ranked]] — one tail so the two fused plans'
+    * rank/score emission cannot drift.
+    */
+  private[plans] def rankedFrom(part: DataFrame, k: Int, metric: String,
+                                idName: String): DataFrame = {
     val scoreOut =
       if (metric == Metric.L2) (-col("__e.score")).as("score")
       else col("__e.score").as("score")
@@ -287,6 +295,66 @@ private final class ProbeState(val qid: Long, val qv: Array[Double],
                                val lut: Array[Double] = null,
                                val lutK: Int = 0,
                                val off: Double = 0.0)
+
+/** The EXACT-metric pair loop shared by both fused execs — cosine
+  * (squared norm once per corpus row, element order identical to
+  * VectorKernels.cosine), the stored-norm dot (the compressed
+  * reconstruction shape; `dotNorm` is the corpus row's norm column),
+  * and negated L2. One implementation so the shuffle and broadcast
+  * plans' scores cannot drift by accumulation order.
+  */
+private object ExactKernel {
+  def offerAll(lst: java.util.ArrayList[ProbeState], id: Long,
+               v: Array[Double], mCos: Boolean, mDot: Boolean,
+               dotNorm: Double, exSelf: Boolean): Long = {
+    val n = v.length
+    var na = 0.0
+    var preNorm = 0.0
+    if (mCos) {
+      var i = 0
+      while (i < n) { val x = v(i); na += x * x; i += 1 }
+      preNorm = math.sqrt(na)
+    } else if (mDot) {
+      preNorm = dotNorm
+    }
+    var nPairs = 0L
+    var j = 0
+    val m = lst.size
+    while (j < m) {
+      val p = lst.get(j)
+      if (!(exSelf && id == p.qid)) {
+        val qv = p.qv
+        if (qv.length != n) throw new IllegalArgumentException(
+          s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
+            "(ragged embedding row?)")
+        var score = 0.0
+        if (mCos) {
+          var dot = 0.0
+          var t = 0
+          while (t < n) { dot += v(t) * qv(t); t += 1 }
+          score = if (na == 0.0 || p.sqrtNb == 0.0) 0.0
+            else dot / (preNorm * p.sqrtNb)
+        } else if (mDot) {
+          var dot = 0.0
+          var t = 0
+          while (t < n) { dot += v(t) * qv(t); t += 1 }
+          score = if (preNorm == 0.0 || p.sqrtNb == 0.0) 0.0
+            else dot / (preNorm * p.sqrtNb)
+        } else {
+          // L2, negated so the max-heap keeps the NEAREST
+          var s = 0.0
+          var t = 0
+          while (t < n) { val d = v(t) - qv(t); s += d * d; t += 1 }
+          score = -math.sqrt(s)
+        }
+        p.heap.offer(score, id)
+        nPairs += 1L
+      }
+      j += 1
+    }
+    nPairs
+  }
+}
 
 /** The ADC probe setup and pair loop shared by BOTH fused execs
   * (shuffle [[ShardTopKJoinExec]] and broadcast
@@ -478,56 +546,11 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
               nPairs += AdcKernel.offerAll(lst, r.getLong(0),
                 r.getArray(2).toIntArray(), r.getDouble(3), exSelf)
             } else if (lst != null) {
-              val id = r.getLong(0)
-              val v = r.getArray(2).toDoubleArray()
-              val n = v.length
-              // cosine: squared norm once per corpus row (identical
-              // element order to VectorKernels.cosine — hoisting can't
-              // change the accumulated value); dot_norm: the stored
-              // norm column IS the denominator's left factor
-              var na = 0.0
-              var preNorm = 0.0
-              if (mCos) {
-                var i = 0
-                while (i < n) { val x = v(i); na += x * x; i += 1 }
-                preNorm = math.sqrt(na)
-              } else if (mDot) {
-                preNorm = r.getDouble(3)
-              }
-              var j = 0
-              val m = lst.size
-              while (j < m) {
-                val p = lst.get(j)
-                if (!(exSelf && id == p.qid)) {
-                  val qv = p.qv
-                  if (qv.length != n) throw new IllegalArgumentException(
-                    s"vector kernel on mismatched dimensions: $n vs ${qv.length} " +
-                      "(ragged embedding row?)")
-                  var score = 0.0
-                  if (mCos) {
-                    var dot = 0.0
-                    var t = 0
-                    while (t < n) { dot += v(t) * qv(t); t += 1 }
-                    score = if (na == 0.0 || p.sqrtNb == 0.0) 0.0
-                      else dot / (preNorm * p.sqrtNb)
-                  } else if (mDot) {
-                    var dot = 0.0
-                    var t = 0
-                    while (t < n) { dot += v(t) * qv(t); t += 1 }
-                    score = if (preNorm == 0.0 || p.sqrtNb == 0.0) 0.0
-                      else dot / (preNorm * p.sqrtNb)
-                  } else {
-                    // L2, negated so the max-heap keeps the NEAREST
-                    var s = 0.0
-                    var t = 0
-                    while (t < n) { val d = v(t) - qv(t); s += d * d; t += 1 }
-                    score = -math.sqrt(s)
-                  }
-                  p.heap.offer(score, id)
-                  nPairs += 1L
-                }
-                j += 1
-              }
+              // exact metrics through the shared kernel (one
+              // accumulation order for both fused execs)
+              nPairs += ExactKernel.offerAll(lst, r.getLong(0),
+                r.getArray(2).toDoubleArray(), mCos, mDot,
+                if (mDot) r.getDouble(3) else 0.0, exSelf)
             }
           }
         }

@@ -157,15 +157,34 @@ object StreamingSearch {
                             shardCol: String = "shard", queryVecCol: String = "qv",
                             rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.vector.ProductQuantizer
+    // per-replica probe state on the SMALL side: the flat M·K LUT
+    // from the literal global book (rotated first for an OPQ store)
     val routed = queries
       .withColumn(shardCol,
         explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
-      // per-replica probe state, computed once on the SMALL side:
-      // the flat M·K LUT (rotated first for an OPQ store), |q|, and
-      // the residual-centroid offset ⟨q_raw, c_shard⟩ (raw space —
-      // rotation never touches it, same split as the exec's AdcState)
       .withColumn("__lut",
         ProductQuantizer.adcLutCol(col(queryVecCol), model, rotation))
+    adcScored(routed, corpus, model, residual, cents,
+      idCol, codesCol, normCol, shardCol, queryVecCol)
+  }
+
+  /** The join + score assembly shared by BOTH streamed ADC scorers
+    * (`routed` must already carry its `__lut` column — literal global
+    * book or per-shard joined book): |q| and the raw-space residual
+    * offset ⟨q_raw, c_shard⟩ compute once per replica (rotation never
+    * touches the offset — the exec AdcState's split), the corpus side
+    * reads (shard, id, codes, vnorm) only, and the per-pair score is
+    * `(off + Σ LUT) / (vnorm · |q|)` with zero-norm → 0.0 in the
+    * exec's accumulation order. ONE implementation so the two book
+    * modes cannot drift from each other or from the exec contract.
+    */
+  private def adcScored(routed: DataFrame, corpus: DataFrame,
+                        model: graft.vector.ProductQuantizer.Model,
+                        residual: Boolean, cents: Seq[(Int, Array[Double])],
+                        idCol: String, codesCol: String, normCol: String,
+                        shardCol: String, queryVecCol: String): DataFrame = {
+    import graft.vector.ProductQuantizer
+    val withState = routed
       .withColumn("__qn", vecNorm(col(queryVecCol)))
       .withColumn("__off",
         if (!residual) lit(0.0)
@@ -180,7 +199,7 @@ object StreamingSearch {
       col(idCol), col(codesCol), col(normCol))
     val approx = ProductQuantizer.adcDotFromLut(col(codesCol), col("__lut"),
       model, init = col("__off"))
-    routed.join(side, shardCol)
+    withState.join(side, shardCol)
       .withColumn("score",
         when(col(normCol) === 0.0 || col("__qn") === 0.0, lit(0.0))
           .otherwise(approx / (col(normCol) * col("__qn"))))
@@ -209,32 +228,18 @@ object StreamingSearch {
     import graft.vector.ProductQuantizer
     val someModel = books.models.head._2
     val cb = ProductQuantizer.codeBookFrame(corpus.sparkSession, books, shardCol)
+    // per-replica LUT from the broadcast-joined per-shard book; the
+    // scaffold below is the SAME adcScored assembly the global-book
+    // scorer uses
     val routed = queries
       .withColumn(shardCol,
         explode(Centroids.nearestShards(col(queryVecCol), cents, nprobe)))
       .join(broadcast(cb), shardCol)
       .withColumn("__lut", ProductQuantizer.adcLutFromBook(col(queryVecCol),
         col("__cbook"), someModel.subDim, rotation))
-      .withColumn("__qn", vecNorm(col(queryVecCol)))
-      .withColumn("__off",
-        if (!residual) lit(0.0)
-        else {
-          val ordered = cents.sortBy(_._1).map(_._2.toSeq).toSeq
-          aggregate(
-            zip_with(element_at(typedlit(ordered), col(shardCol).cast("int") + 1),
-              col(queryVecCol), _ * _),
-            lit(0.0), _ + _)
-        })
       .drop("__cbook")
-    val side = corpus.select(col(shardCol).cast("long").as(shardCol),
-      col(idCol), col(codesCol), col(normCol))
-    val approx = ProductQuantizer.adcDotFromLut(col(codesCol), col("__lut"),
-      someModel, init = col("__off"))
-    routed.join(side, shardCol)
-      .withColumn("score",
-        when(col(normCol) === 0.0 || col("__qn") === 0.0, lit(0.0))
-          .otherwise(approx / (col(normCol) * col("__qn"))))
-      .select(col("query_id"), col(idCol), col("score"))
+    adcScored(routed, corpus, someModel, residual, cents,
+      idCol, codesCol, normCol, shardCol, queryVecCol)
   }
 
   /** [[scoreIvfCompressed]] for a PER-SHARD-codebook corpus

@@ -249,12 +249,17 @@ object Serving extends QueryModule {
         col("shard"), col("qv"))
 
   /** RRF of per-depth arm ranks + page cut + overlap rollup vs the
-    * reference page — the depth-parameterized tail both fusion-recall
-    * frames share. `vtop`: (qid, nprobe, doc_id, rank_vec);
-    * `exactPage`: (qid, doc_id, __hit).
+    * reference page — the ONE depth-parameterized tail both
+    * fusion-recall frames share (the RRF formula, the (rrf desc, doc
+    * asc) page window, and the hit rollup live only here, so the raw
+    * and compressed curves cannot drift from each other). `vtop`:
+    * (qid, nprobe, doc_id, rank_vec); `exactPage`: (qid, doc_id,
+    * __hit), or None to reference this frame's OWN full-depth page
+    * (the raw curve's self-reference — exact by construction at
+    * nprobe = k).
     */
   private def fusionRollup(kw: DataFrame, vtop: DataFrame,
-                           exactPage: DataFrame, k: Int, topK: Int,
+                           exactPage: Option[DataFrame], k: Int, topK: Int,
                            rrfK: Int, nQueries: Long): DataFrame = {
     val kwD = kw
       .select(col("query_id").cast(LongType).as("qid"), col("doc_id"),
@@ -268,7 +273,10 @@ object Serving extends QueryModule {
         Window.partitionBy("qid", "nprobe").orderBy(desc("rrf"), asc("doc_id"))))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("nprobe"), col("doc_id"))
-    pages.join(exactPage, Seq("qid", "doc_id"), "left")
+    val ref = exactPage.getOrElse(
+      pages.filter(col("nprobe") === k.toLong)
+        .select(col("qid"), col("doc_id"), lit(1L).as("__hit")))
+    pages.join(ref, Seq("qid", "doc_id"), "left")
       .groupBy("nprobe")
       .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
       .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
@@ -300,25 +308,9 @@ object Serving extends QueryModule {
           .orderBy(desc("score"), asc("doc_id"))))
       .filter(col("rank_vec") <= shortlist)
       .select(col("qid"), col("nprobe"), col("doc_id"), col("rank_vec"))
-    // the full-depth page IS the exact reference — self-join the rollup
-    val kwD = kw
-      .select(col("query_id").cast(LongType).as("qid"), col("doc_id"),
-        col("rank_kw"),
-        explode(sequence(lit(1L), lit(k.toLong))).as("nprobe"))
-    val rrf = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
-      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
-    val pages = kwD.join(vtop, Seq("qid", "nprobe", "doc_id"), "full_outer")
-      .select(col("qid"), col("nprobe"), col("doc_id"), rrf.as("rrf"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid", "nprobe").orderBy(desc("rrf"), asc("doc_id"))))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("nprobe"), col("doc_id"))
-    val exact = pages.filter(col("nprobe") === k.toLong)
-      .select(col("qid"), col("doc_id"), lit(1L).as("__hit"))
-    pages.join(exact, Seq("qid", "doc_id"), "left")
-      .groupBy("nprobe")
-      .agg((sum(coalesce(col("__hit"), lit(0L))) * 10000L).as("__h"))
-      .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
+    // the full-depth page IS the exact reference — self-referencing
+    // rollup (exactPage = None)
+    fusionRollup(kw, vtop, None, k, topK, rrfK, nQueries)
   }
 
   /** [[fusionRecallFrame]]'s COMPRESSED twin — the ADC-served page's
@@ -380,24 +372,20 @@ object Serving extends QueryModule {
       .filter(col("rank_vec") <= shortlist)
       .select(col("qid"), col("nprobe"), col("doc_id"), col("rank_vec"))
     // exact REFERENCE page: the exact arm at full depth, uncompressed
-    // — the unkeyed broadcast exec over the raw vectors
+    // — the unkeyed broadcast exec over the raw vectors, fused
+    // through the SAME shared RRF as every served page (fuseRrf)
     val exactVec = graft.plans.BroadcastTopKJoin.ranked(
         rawVecs.select(col("doc_id"), col("__v")),
         qVecs.select(col("qid"), col("__q")),
         k = shortlist, excludeSelf = true, idName = "doc_id")
-      .select(col("query_id").as("qid"), col("doc_id"),
+      .select(col("query_id"), col("doc_id"),
         col("rank").cast("int").as("rank_vec"))
-    val kw0 = kw.select(col("query_id").cast(LongType).as("qid"),
-      col("doc_id"), col("rank_kw"))
-    val rrf0 = coalesce(lit(1.0) / (col("rank_kw") + rrfK), lit(0.0)) +
-      coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0))
-    val exactPage = kw0.join(exactVec, Seq("qid", "doc_id"), "full_outer")
-      .select(col("qid"), col("doc_id"), rrf0.as("rrf"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("rrf"), asc("doc_id"))))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("doc_id"), lit(1L).as("__hit"))
-    fusionRollup(kw, vtop, exactPage, k, topK, rrfK, nQueries)
+    val exactPage = fuseRrf(
+        kw.select(col("query_id").cast(LongType).as("query_id"),
+          col("doc_id"), col("rank_kw")),
+        exactVec, topK, rrfK)
+      .select(col("query_id").as("qid"), col("doc_id"), lit(1L).as("__hit"))
+    fusionRollup(kw, vtop, Some(exactPage), k, topK, rrfK, nQueries)
   }
 
   /** Continuous hybrid serving — the streamed twin completing the

@@ -23,8 +23,11 @@ object DevCcBench {
     }
 
     val docs = Tables.documents(spark, sfDir)
-    // JIT warmup
-    graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.001")).count()
+    // JIT warmup on the sibling smallest SF when present; skip
+    // quietly elsewhere (measurement still valid, pass 1 pays JIT)
+    val warm = new java.io.File(sfDir).toPath.resolveSibling("sf0.001").toString
+    if (new java.io.File(warm).isDirectory)
+      graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(spark, warm)).count()
 
     (1 to 3).foreach { pass =>
       val pairs = timed(s"pass$pass ngramJaccardPairs (candidate generation)") {
