@@ -432,12 +432,22 @@ object Dedup extends QueryModule {
     * handling live in exactly one place.
     */
   private def sizedCandidates(docs: DataFrame, maxDfFraction: Double,
-                              dfCapFloor: Long): DataFrame = {
+                              dfCapFloor: Long): DataFrame =
     // cache the exploded shingles (referenced by the df table AND the
-    // join side) and the capped rows (self-joined + sized): one explode
-    // pass total, not one per reference
-    val sh = shingles(docs).cache()
-    val shc = cappedShingles(sh, docs, maxDfFraction, dfCapFloor).cache()
+    // join side): one explode pass total, not one per reference
+    sizedCandidatesFrom(shingles(docs).cache(), docs, maxDfFraction, dfCapFloor)
+
+  /** [[sizedCandidates]] over a CALLER-built (cached) shingle frame —
+    * lets [[evalBandingRecall]] share one explode between its ground
+    * truth and its signatures. A disabled cap (dfCapFloor =
+    * Long.MaxValue) skips the df-count-and-keep join entirely: every
+    * shingle passes it by construction.
+    */
+  private def sizedCandidatesFrom(sh: DataFrame, docs: DataFrame,
+                                  maxDfFraction: Double,
+                                  dfCapFloor: Long): DataFrame = {
+    val shc = (if (dfCapFloor == Long.MaxValue) sh
+               else cappedShingles(sh, docs, maxDfFraction, dfCapFloor)).cache()
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -738,12 +748,29 @@ object Dedup extends QueryModule {
     * computed over the same capped shingle frames the Jaccard verify
     * uses, so candidate recall follows the published 16x8 s-curve).
     */
-  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
-    val rows = NumPerms / Bands
-    signatures(sh).select(col("doc_id"),
-      posexplode(array((0 until Bands).map(j =>
+  private[graft] def bandKeys(sh: DataFrame): DataFrame =
+    bandKeysFor(signatures(sh), Bands)
+
+  /** Band keys at an arbitrary banding of the 128 minhashes — `bands`
+    * slices of `128 / bands` rows each (so `bands` must divide 128).
+    * Takes the SIGNATURE frame (not the shingles) so
+    * [[evalBandingRecall]] shares one [[signatures]] pass across every
+    * banding it measures.
+    */
+  private[graft] def bandKeysFor(sigs: DataFrame, bands: Int): DataFrame = {
+    require(bands > 0 && NumPerms % bands == 0,
+      s"bands must divide $NumPerms, got $bands")
+    val rows = NumPerms / bands
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(j =>
         xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
   }
+
+  /** Theoretical LSH candidate recall of `bands` bands ×
+    * `128 / bands` rows at Jaccard exactly `t`: 1 − (1 − t^r)^b.
+    */
+  private[graft] def bandingTheoreticalRecall(bands: Int, t: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(t, (NumPerms / bands).toDouble), bands.toDouble)
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d))
@@ -751,9 +778,14 @@ object Dedup extends QueryModule {
   /** MinHash-LSH near-dup pairs (true Jaccard >= threshold, verified)
     * for any document DataFrame with (doc_id, text).
     *
-    * The 16x8 banding's s-curve is tuned for high thresholds: pairs
-    * below ~0.7 similarity are unlikely to collide in any band, so
-    * candidate recall degrades there — hence the floor.
+    * The default 16x8 banding's s-curve is tuned for high thresholds:
+    * pairs below ~0.7 similarity are unlikely to collide in any band,
+    * so candidate recall degrades there — hence the guard on the
+    * banding's THEORETICAL recall at the requested threshold. Lower
+    * thresholds are served by a wider `bands` split of the same 128
+    * signatures (64x2 covers ~0.5); pick one from the MEASURED curve
+    * ([[evalBandingRecall]] / [[bandingAtRecall]]) rather than the
+    * formula when the corpus is at hand.
     *
     * Band values are 64-bit slice hashes, so RANDOM collisions are
     * negligible — but a cluster of k identical (or near-identical)
@@ -766,12 +798,20 @@ object Dedup extends QueryModule {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
                    maxBucketFraction: Double = DefaultMaxDfFraction,
-                   bandCapFloor: Long = 100L): DataFrame = {
-    require(threshold >= 0.7,
-      s"banding (16 bands x 8 rows) loses recall below ~0.7; got $threshold")
+                   bandCapFloor: Long = 100L,
+                   bands: Int = Bands): DataFrame = {
+    // guard on the published s-curve itself, not a fixed threshold
+    // floor: the default 16x8 banding passes at >= ~0.73, and a caller
+    // serving a lower threshold can pick a wider banding from
+    // evalBandingRecall / bandingAtRecall (64x2 covers ~0.5)
+    val theo = bandingTheoreticalRecall(bands, threshold)
+    require(theo >= 0.6,
+      f"banding ($bands bands x ${NumPerms / bands} rows) has theoretical " +
+        f"candidate recall $theo%.2f at threshold $threshold — pick a wider " +
+        "banding (see evalBandingRecall / bandingAtRecall)")
     val sh = shingles(docs).cache()
-    val bands = bandKeys(sh)
-    val cand = bandedCandidates(bands, docs, maxBucketFraction, bandCapFloor)
+    val bandFrame = bandKeysFor(signatures(sh), bands)
+    val cand = bandedCandidates(bandFrame, docs, maxBucketFraction, bandCapFloor)
     // verify candidates with true shingle-set Jaccard
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("set"))
     val jac = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
@@ -782,6 +822,128 @@ object Dedup extends QueryModule {
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
+
+  // --- measured banding recall: the dedup-side tuning curve ----------
+  /** MEASURED LSH-banding recall/precision — the dedup counterpart of
+    * the vector side's `evalRecall` curves: for each candidate banding
+    * of the 128 minhashes, how many of the TRUE near-dup pairs
+    * (exact full-set Jaccard ≥ `threshold`, the dfCapFloor = MaxValue
+    * ground truth) the banded candidate generator actually surfaces on
+    * THIS corpus, and at what candidate volume. The theoretical
+    * s-curve 1 − (1 − t^r)^b rides along per row, but it only bounds
+    * recall AT the threshold — real corpora hold pairs well above it
+    * (where recall is better) and banding choice trades recall against
+    * candidate volume, so the measured row is what a caller should
+    * tune on ([[bandingAtRecall]] does).
+    *
+    * One [[signatures]] pass is shared across every banding (the
+    * bandings are SLICES of the same 128 sigs); per banding the cost
+    * is one posexplode + the banded-candidate equi-join + two counts —
+    * offline-eval priced, every join equi-keyed, nothing corpus².
+    * Ratios ship as correctly-rounded x1e4 BIGINTs of exact integer
+    * counts (the engine-stable convention). The ground-truth pass
+    * disables the df cap (truth must not inherit the candidate
+    * generator's own blind spot), which is exactly the pass the cap
+    * exists to bound — at corpus scale, hand this function a document
+    * SAMPLE (the `docs` argument is the knob, like `evalRecall`'s
+    * nQueries), not the corpus.
+    */
+  def evalBandingRecall(docs: DataFrame, threshold: Double = 0.8,
+                        bandings: Seq[Int] = Seq(8, 16, 32, 64),
+                        maxBucketFraction: Double = DefaultMaxDfFraction,
+                        bandCapFloor: Long = 100L): DataFrame = {
+    require(bandings.nonEmpty, "no bandings to evaluate")
+    val sh = shingles(docs).cache()
+    val sigs = signatures(sh).cache()
+    // ground truth: exact Jaccard over the FULL shingle sets (cap
+    // disabled), the pairs a perfect candidate generator would verify —
+    // sharing the signatures' explode pass
+    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+    val truth = sizedCandidatesFrom(sh, docs,
+        maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
+      .filter(jac >= threshold)
+      .select("id_a", "id_b").cache()
+    // every banding rides ONE candidate pipeline: band keys carry a
+    // `banding` tag and the bucket split / clique join / distinct /
+    // truth join all group on it — 4 bandings cost one joined shuffle
+    // chain, not 4 pipelines (the per-banding loop measured ~2x this
+    // plan at sf0.1, pure stage-count overhead)
+    val allBands = bandings.map(b =>
+        bandKeysFor(sigs, b).withColumn("banding", lit(b)))
+      .reduce(_ unionByName _)
+    val bKeys = Seq("banding", "band", "bv")
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cap = greatest(lit(bandCapFloor), ceil(col("n_docs") * maxBucketFraction))
+    // two consumers (the under-cap keep and the over-cap star split)
+    // — cache the bucket counts so the 600k-row groupBy runs once
+    val counted = allBands.groupBy(bKeys.map(col): _*).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+      .cache()
+    val bc = allBands.join(counted.filter(col("c") <= cap).select(bKeys.map(col): _*), bKeys)
+    val clique = bc.as("a").join(bc.as("b"),
+        bKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.banding").as("banding"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val bigRows = allBands.join(counted.filter(col("c") > cap).select(bKeys.map(col): _*), bKeys)
+    val reps = bigRows.groupBy(bKeys.map(col): _*).agg(min("doc_id").as("id_a"))
+    val star = bigRows.join(reps, bKeys)
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("banding"), col("id_a"), col("doc_id").as("id_b"))
+    // one pass over the candidates computes volume AND hits: truth
+    // pairs are unique, so the left join flags without duplicating
+    val cand = clique.unionByName(star).distinct()
+    val stats = cand
+      .join(truth.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy("banding").agg(count(lit(1)).as("n_cand"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hit"))
+    // base frame keeps zero-candidate bandings in the result (their
+    // groupBy rows vanish), and carries the driver-computed constants
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = bandings.map(b => (b, NumPerms / b,
+        math.round(bandingTheoreticalRecall(b, threshold) * 10000.0)))
+      .toDF("banding", "rows_per_band", "theo_recall_x1e4")
+    base
+      .join(stats, Seq("banding"), "left")
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(
+        col("banding").cast(LongType).as("bands"),
+        col("rows_per_band").cast(LongType).as("rows_per_band"),
+        col("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) * 10000.0 /
+            greatest(col("n_truth"), lit(1L)), 0)
+          .cast(LongType).as("recall_x1e4"),
+        round(coalesce(col("n_hit"), lit(0L)) * 10000.0 /
+            greatest(coalesce(col("n_cand"), lit(0L)), lit(1L)), 0)
+          .cast(LongType).as("precision_x1e4"),
+        col("theo_recall_x1e4"))
+  }
+
+  /** Pick a banding from the MEASURED curve: the fewest-candidate
+    * banding whose measured recall meets `target` (candidate volume is
+    * the verify cost), falling back to the highest-recall banding when
+    * none does. Driver-side rows: one per banding — model-sized, the
+    * bounded-collect discipline.
+    */
+  def bandingAtRecall(docs: DataFrame, threshold: Double = 0.8,
+                      target: Double = 0.95,
+                      bandings: Seq[Int] = Seq(8, 16, 32, 64)): (Int, Int) = {
+    val rows = evalBandingRecall(docs, threshold, bandings)
+      .select("bands", "n_cand", "recall_x1e4")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val meeting = rows.filter(_._3 >= math.round(target * 10000.0))
+    val pick =
+      if (meeting.nonEmpty) meeting.minBy(r => (r._2, r._1))._1
+      else rows.maxBy(r => (r._3, -r._2))._1
+    (pick, NumPerms / pick)
+  }
+
+  private def minhashEval(s: SparkSession, d: String): DataFrame =
+    evalBandingRecall(Tables.documents(s, d)).orderBy("bands")
 
   // --- SimHash (rows-only oracle; SimHashSpec) -----------------------
   /** 64-bit simhash over trigram shingles: per bit, +1 if the shingle
@@ -1387,6 +1549,7 @@ object Dedup extends QueryModule {
     "dedup_containment"   -> (containment _),
     "dedup_keep_best"     -> (keepBestQuery _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_minhash_eval"  -> (minhashEval _),
     "dedup_simhash"       -> (simhash _),
     "dedup_edit_distance" -> (editDistance _),
     "dedup_embedding"     -> (embedding _),

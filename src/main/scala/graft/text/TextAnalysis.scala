@@ -343,7 +343,21 @@ object TextAnalysis extends QueryModule {
     * one partial-aggregated groupBy — per-query cost rides document
     * frequency of the query's terms, never corpus².
     */
-  private def tfidfSim(s: SparkSession, d: String): DataFrame = {
+  private def tfidfSim(s: SparkSession, d: String): DataFrame =
+    tfidfCosineNeighbors(s, d, Seq(0L, 1L, 2L), k = 5)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), round(col("sim0"), 4).as("sim"))
+
+  /** The sparse-cosine KERNEL behind [[tfidfSim]] and the lexical arm
+    * of query-by-example ([[graft.vector.Serving]]'s
+    * `vdb_more_like_this`): per query doc, the top-`k` corpus docs by
+    * tf-idf cosine, emitted UNROUNDED as (q_id, rank, doc_id, sim0) so
+    * each caller applies its own display contract. One shared
+    * definition keeps the integer-weight determinism convention (see
+    * the scaladoc above) in exactly one place.
+    */
+  private[graft] def tfidfCosineNeighbors(s: SparkSession, d: String,
+                                          qIds: Seq[Long], k: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val words = docs.repartition(col("doc_id"))
@@ -361,7 +375,7 @@ object TextAnalysis extends QueryModule {
           .cast(LongType).as("w"))
       .cache()
     val norms = wts.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val qw = wts.filter(col("doc_id") < 3)
+    val qw = wts.filter(col("doc_id").isin(qIds: _*))
       .select(col("doc_id").as("q_id"), col("word"), col("w").as("wq"))
     val dots = wts.as("d")
       .join(broadcast(qw).as("q"),
@@ -375,13 +389,17 @@ object TextAnalysis extends QueryModule {
       .join(norms.select(col("doc_id"), col("n2").as("nd")), "doc_id")
       .withColumn("sim0", col("dot") / (sqrt(col("nq")) * sqrt(col("nd"))))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-        col("doc_id"), round(col("sim0"), 4).as("sim"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("sim0"))
   }
 
-  private val tfidfSimSql =
-    """WITH words AS (
+  /** The integer tf-idf weight CTE chain (words → tf → df → n → wts →
+    * norms) — ONE definition shared by [[tfidfSimSql]] and the
+    * `vdb_more_like_this` oracle's lexical arm (graft.vector.Serving),
+    * the keyword-side analogue of the shared bm25CtesFor.
+    */
+  private[graft] val tfidfWeightCtes =
+    """words AS (
       |  SELECT doc_id, w AS word FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
       |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
@@ -390,7 +408,10 @@ object TextAnalysis extends QueryModule {
       |  SELECT tf.doc_id, tf.word,
       |         CAST(ROUND(tf.tf * ln(n.n / df.df) * 10000.0) AS BIGINT) AS w
       |  FROM tf JOIN df USING (word) CROSS JOIN n),
-      |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1),
+      |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1)""".stripMargin
+
+  private val tfidfSimSql =
+    s"""WITH $tfidfWeightCtes,
       |dots AS (
       |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id, CAST(SUM(q.w * d.w) AS BIGINT) AS dot
       |  FROM wts q JOIN wts d ON q.word = d.word AND d.doc_id <> q.doc_id
@@ -405,6 +426,49 @@ object TextAnalysis extends QueryModule {
       |      JOIN norms nq ON nq.doc_id = dots.q_id
       |      JOIN norms nd ON nd.doc_id = dots.doc_id) z
       |WHERE rank <= 5""".stripMargin
+
+  // --- per-doc characteristic terms, served from the index -----------
+  /** Every document's 3 most characteristic terms SERVED from the
+    * shared flat TermIndex — `TermIndex.topTerms` (tf·idf over the
+    * index's own statistics: tf from the doc's live postings, df from
+    * live postings, N from the meta fold; BM25's idf shape
+    * ln(1 + (N − df + 0.5)/(df + 0.5)); ties term-asc) as a registered
+    * query. This is query-by-example's keyword-arm primitive and the
+    * fusion-recall bootstrap's query sample
+    * ([[graft.vector.VectorStore.fusionSampleFrom]]) — registering it
+    * pins the term derivation itself against the one-shot oracle, not
+    * just its downstream consumers. The terms column ships joined with
+    * single spaces (rank order) — an array column would hash
+    * engine-dependently. Cost: two postings scans (the doc's own rows,
+    * the candidate terms' df) — index-served, document text untouched.
+    * Reference anchor: none (its embed/search has no lexical
+    * explanation surface); this is the "why did these match" verb.
+    */
+  private def topTermsServed(s: SparkSession, d: String): DataFrame = {
+    val idx = servedIdx(s, d, positional = false)
+    idx.topTerms(Tables.documents(s, d).select("doc_id"), n = 3)
+      .select(col("doc_id"), concat_ws(" ", col("terms")).as("top_terms"))
+  }
+
+  /** One-shot replay of the index statistics: same space-split
+    * tokenization (every token kept), same idf, same (score desc,
+    * term asc) tiebreak — a green row proves the SERVED derivation
+    * equals the declarative one.
+    */
+  private val topTermsSql =
+    """WITH words AS (
+      |  SELECT doc_id, w AS word FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf DESC,
+      |                    tf.word ASC) AS r
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, string_agg(word, ' ' ORDER BY r) AS top_terms
+      |FROM ranked WHERE r <= 3 GROUP BY doc_id""".stripMargin
 
   // --- within-document repetition (Gopher-style quality signals) -----
   /** Repetition signals per document, the Gopher repetition filters
@@ -1135,6 +1199,7 @@ object TextAnalysis extends QueryModule {
     "text_word_freq"   -> (wordFreq _),
     "text_tfidf"       -> (tfidf _),
     "text_tfidf_sim"   -> (tfidfSim _),
+    "text_top_terms"   -> (topTermsServed _),
     "text_stats"       -> (stats _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -1164,6 +1229,7 @@ object TextAnalysis extends QueryModule {
     "text_word_freq"   -> wordFreqSql,
     "text_tfidf"       -> tfidfSql,
     "text_tfidf_sim"   -> tfidfSimSql,
+    "text_top_terms"   -> topTermsSql,
     "text_stats"       -> statsSql,
     "text_langid"      -> langidSql,
     "text_quality"     -> qualitySql,

@@ -688,6 +688,99 @@ object Serving extends QueryModule {
       s"SELECT * FROM (\n${hybridBatchSqlFor(qid, terms, Some("lang = 'en'"))}\n)"
     }.mkString("\nUNION ALL\n")
 
+  // --- query-by-example: "more like this" -----------------------------
+  /** Query-by-example — the "more like this" verb: given EXAMPLE
+    * DOCUMENTS (not a typed query), rank the corpus by fused lexical +
+    * semantic similarity to each example. The reference's clients
+    * compose this by hand as get(id) → search(vector)
+    * (storage_server.py:52-68 feeding compute_server.py:106-138) and
+    * lose the lexical half entirely; here it is one plan:
+    *
+    *  - lexical arm: sparse tf-idf cosine (classic MoreLikeThis) —
+    *    the shared [[graft.text.TextAnalysis.tfidfCosineNeighbors]]
+    *    kernel, top-SHORTLIST per example. Integer 1e4-quantized
+    *    weights make dots/norms order-independent (hash-stable); the
+    *    example docs' weight rows BROADCAST, so per-query cost rides
+    *    the examples' term df, never corpus².
+    *  - semantic arm: the size-conditional IVF arm ([[ivfBatchArm]],
+    *    nprobe = 2, self excluded) — page-sized example sets broadcast
+    *    against the unmoved corpus, join-scale sets ride the fused
+    *    ShardTopKJoin exec.
+    *  - RRF fuse (K = 60), top-10 per example.
+    *
+    * Both arms exclude the example itself BEFORE ranking. Emits
+    * rank_lex/rank_vec (0 = arm missed the doc) like the hybrid
+    * family; the oracle replays both arms through the SAME shared CTE
+    * definitions (tfidfWeightCtes + the IVF cent/assign chain).
+    */
+  private val mltQueryIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  private def moreLikeThis(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.text.TextAnalysis
+      .tfidfCosineNeighbors(s, d, mltQueryIds, k = SHORTLIST)
+      .select(col("q_id").as("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank_kw"))
+    val vec = ivfBatchArm(s, d, mltQueryIds, allowed = None)
+    fuseRrf(lex, vec, topK = 10, rrfK = RRF_K)
+      .withColumnRenamed("rank_kw", "rank_lex")
+  }
+
+  /** Per-example oracle: lexical shortlist from the shared tf-idf
+    * weight CTEs (selection on the unrounded cosine — integer dot and
+    * norms make it bit-identical), vector shortlist from the IVF
+    * cent/assign chain at nprobe = 2, RRF full-outer fuse.
+    */
+  private def mltSqlFor(qid: Long): String =
+    s"""WITH ${graft.text.TextAnalysis.tfidfWeightCtes},
+       |dots AS (
+       |  SELECT d.doc_id AS doc_id, CAST(SUM(q.w * d.w) AS BIGINT) AS dot
+       |  FROM wts q JOIN wts d ON q.word = d.word AND d.doc_id <> q.doc_id
+       |  WHERE q.doc_id = $qid
+       |  GROUP BY 1),
+       |lexsel AS (
+       |  SELECT dots.doc_id, dots.dot / (sqrt(nq.n2) * sqrt(nd.n2)) AS sim0
+       |  FROM dots
+       |  JOIN norms nq ON nq.doc_id = $qid
+       |  JOIN norms nd ON nd.doc_id = dots.doc_id
+       |  ORDER BY sim0 DESC, dots.doc_id LIMIT $SHORTLIST),
+       |lextop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim0 DESC, doc_id) AS rank_lex
+       |  FROM lexsel),
+       |${VectorQueries.centSql}, ${VectorQueries.assignSql},
+       |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = $qid),
+       |qsh AS (SELECT shard FROM (
+       |  SELECT c.shard, ROW_NUMBER() OVER (
+       |    ORDER BY list_distance(qv.v, c.c), c.shard) AS rn
+       |  FROM qv CROSS JOIN cent c) t WHERE rn <= 2),
+       |vsel AS (
+       |  SELECT b.vec_id AS doc_id,
+       |         list_cosine_similarity(b.embedding::DOUBLE[], qv.v) AS vscore
+       |  FROM qv CROSS JOIN qsh
+       |  JOIN assign a ON a.shard = qsh.shard
+       |  JOIN embeddings b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> $qid
+       |  ORDER BY vscore DESC, doc_id LIMIT $SHORTLIST),
+       |vtop AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
+       |  FROM vsel),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + k.rank_lex), 0) +
+       |         COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + v.rank_vec), 0) AS rrf,
+       |         COALESCE(k.rank_lex, 0) AS rank_lex,
+       |         COALESCE(v.rank_vec, 0) AS rank_vec
+       |  FROM lextop k FULL OUTER JOIN vtop v ON k.doc_id = v.doc_id)
+       |SELECT CAST($qid AS BIGINT) AS query_id,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
+       |       CAST(rank_vec AS BIGINT) AS rank_vec,
+       |       CAST(ROUND(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  private val moreLikeThisSql =
+    mltQueryIds.map(qid => s"SELECT * FROM (\n${mltSqlFor(qid)}\n)")
+      .mkString("\nUNION ALL\n")
+
   // --- three-arm hybrid: keyword + vector + phrase --------------------
   /** Three-arm RRF: score = Σ_arm w/(K + rank_arm), absent arm
     * contributes 0 — the full serving tier fused in one plan. The
@@ -1924,6 +2017,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_filtered" -> (hybridFiltered _),
     "vdb_hybrid_weighted" -> (hybridWeighted _),
     "vdb_hybrid_tri" -> (hybridTri _),
+    "vdb_more_like_this" -> (moreLikeThis _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_recall_l2"     -> (recallL2 _),
@@ -1943,6 +2037,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_filtered" -> hybridFilteredSql,
     "vdb_hybrid_weighted" -> hybridWeightedSql,
     "vdb_hybrid_tri" -> hybridTriSql,
+    "vdb_more_like_this" -> moreLikeThisSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql,
     "vdb_recall_l2"     -> recallL2Sql,

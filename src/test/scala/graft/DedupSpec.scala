@@ -289,4 +289,66 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
     assert(comp.size === 12)
   }
+
+  test("banding recall eval: coherent counts, nested-recall monotone, ratios recompute") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.dedup.Dedup.evalBandingRecall(docs)
+      .orderBy("bands").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L, 64L))
+    // truth denominator is the exact-Jaccard pair count on every row
+    // (caps are inert at this SF, so the registered exact query agrees)
+    val nTruth = pairs("dedup_ngram_jaccard").size.toLong
+    assert(nTruth > 0)
+    assert(rows.forall(_.getLong(2) === nTruth))
+    rows.foreach { r =>
+      val (truth, cand, hit) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hit <= truth && hit <= cand)
+      assert(r.getLong(5) === math.round(hit * 10000.0 / math.max(truth, 1L)))
+      assert(r.getLong(6) === math.round(hit * 10000.0 / math.max(cand, 1L)))
+    }
+    // aligned halvings nest: a collision in an 8-row band implies one in
+    // both its 4-row halves, so (pre-cap) candidates — and with them
+    // measured recall — can only grow as bands double
+    val recalls = rows.map(_.getLong(5)).toSeq
+    assert(recalls === recalls.sorted,
+      s"recall must be nondecreasing in bands, got $recalls")
+    // 16x8 is the published banding the minhash-LSH === exact spec rides
+    assert(rows(1).getLong(5) === 10000L,
+      "16x8 must recall every true pair on this corpus (minhash-LSH spec invariant)")
+  }
+
+  test("bandingAtRecall picks the cheapest banding meeting the target, falls back to max recall") {
+    val docs = Tables.documents(spark, sf)
+    val curve = graft.dedup.Dedup.evalBandingRecall(docs)
+      .select("bands", "n_cand", "recall_x1e4").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val (b, r) = graft.dedup.Dedup.bandingAtRecall(docs, target = 0.95)
+    assert(b * r === 128)
+    val picked = curve.find(_._1 == b).get
+    assert(picked._3 >= 9500L)
+    assert(curve.filter(_._3 >= 9500L).forall(_._2 >= picked._2),
+      "a cheaper banding met the target but was not picked")
+    // impossible target: fall back to the highest-recall banding
+    val (bMax, _) = graft.dedup.Dedup.bandingAtRecall(docs, target = 2.0)
+    assert(curve.find(_._1 == bMax).get._3 === curve.map(_._3).max)
+  }
+
+  test("minhashPairs banding knob: low thresholds refused on 16x8, served by 64x2") {
+    val docs = Tables.documents(spark, sf)
+    // 16x8's theoretical recall at 0.5 is ~0.008 — must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("bandingAtRecall"))
+    // 64x2 covers 0.5 (theoretical ~1.0) and the exact verify keeps the
+    // result equal to the declarative exact-Jaccard pairs
+    val mh = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5, bands = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh === exact)
+  }
 }

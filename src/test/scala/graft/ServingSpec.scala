@@ -495,4 +495,38 @@ class ServingSpec extends AnyFunSuite {
     assert(vs.maintainCurves(Some(idx)).fusionRefreshed === 1)
     vs.nprobeForFusion(idx, 0.9)
   }
+
+  test("more-like-this: self-free pages, rrf recomputes from arms, lexical arm is oracle-anchored") {
+    val out = SparkEntry.queries("vdb_more_like_this")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length === 10, s"query $qid page size")
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to 10L), "ranks dense 1..10")
+      // rrf strictly ordered by rank (ties broken by doc_id upstream,
+      // but the x1e6 value must be nonincreasing)
+      val rrfs = sorted.map(_.getLong(5)).toSeq
+      assert(rrfs === rrfs.sortBy(-_))
+      sorted.foreach { r =>
+        assert(r.getLong(2) !== qid, "the example itself must never rank")
+        val (rl, rv) = (r.getLong(3), r.getLong(4))
+        assert(rl > 0 || rv > 0, "a fused doc must come from at least one arm")
+        val expect = math.round(
+          ((if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+            (if (rv > 0) 1.0 / (60 + rv) else 0.0)) * 1e6)
+        assert(r.getLong(5) === expect, "rrf must recompute from the emitted ranks")
+      }
+    }
+    // the lexical arm is the text_tfidf_sim kernel: its top-5 per
+    // example must be exactly the oracle-proven query's rows
+    val lex = graft.text.TextAnalysis
+      .tfidfCosineNeighbors(spark, sf, Seq(0L, 1L, 2L), k = 5)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sim = SparkEntry.queries("text_tfidf_sim")(spark, sf)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSet
+    assert(lex === sim)
+  }
 }

@@ -622,4 +622,32 @@ class TermIndexSpec extends AnyFunSuite {
       s"index must rank the streamed tf=3 doc first, got $served")
     assert(topMap(idx.search(Seq("gamma"), k = 1)).map(_._1) === Seq(101L))
   }
+
+  test("text_top_terms: served derivation equals the one-shot tf-idf over raw text") {
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("text_top_terms")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // declarative one-shot: the index's own statistics recomputed from
+    // the raw table — same tokenizer (space split, every token kept),
+    // same idf shape, same (score desc, term asc) tiebreak
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfT = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("s"), asc("word"))
+    val expect = tf.join(dfT, "word")
+      .withColumn("s",
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) * col("tf"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 3)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("r"), col("word")))),
+        x => x.getField("word"))).as("top_terms"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === docs.count())
+    assert(out === expect)
+  }
 }
