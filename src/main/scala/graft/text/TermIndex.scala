@@ -438,6 +438,37 @@ class TermIndex(spark: SparkSession, path: String,
         x => x.getField("term")).as("terms"))
   }
 
+  /** Lexical "more like this" SERVED from the postings: rank live docs
+    * by sparse tf-idf cosine against each example doc — the classic
+    * MoreLikeThis, with tf/df/N read from the maintained index instead
+    * of re-tokenizing any text. The weight formula is EXACTLY the
+    * one-shot kernel's (w = round(tf · ln(N/df) · 1e4), integer dots
+    * and norms), so served and one-shot rank on bit-identical integers
+    * — MltSpec pins row equality against the oracle-proven
+    * text_tfidf_sim / vdb_more_like_this lexical arm. Examples are
+    * page-shaped (a user's "find docs like these"), so `ids` is a
+    * literal list; their weight rows broadcast and per-query cost
+    * rides the examples' term df. Emits (query_id, doc_id, rank, sim0
+    * UNROUNDED) — [[graft.vector.Serving.mltJoin]] fuses it with the
+    * vector store's arm.
+    */
+  def moreLikeThis(ids: Seq[Long], k: Int = 10): DataFrame = {
+    require(ids.nonEmpty, "no example ids")
+    require(fs.exists(new Path(postDir)),
+      s"moreLikeThis: index at $path not built — call build() first")
+    val post = minusDeleted(BatchedTable.readIdx(spark, postDir, None), None)
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val meta = BatchedTable.readIdx(spark, metaDir, None)
+      .agg(sum("n_docs").cast(DoubleType).as("n"))
+    val wts = post.join(dfs, "term").crossJoin(broadcast(meta))
+      .select(col("doc_id"), col("term").as("word"),
+        round(col("tf") * log(col("n") / col("df")) * 10000.0, 0)
+          .cast(LongType).as("w"))
+      .cache()
+    TextAnalysis.cosineNeighborsFromWeights(wts, col("doc_id").isin(ids: _*), k)
+      .select(col("q_id").as("query_id"), col("rank"), col("doc_id"), col("sim0"))
+  }
+
   /** Exact-phrase / proximity probe over the positional postings:
     * docs containing the token sequence `phrase`, ranked by occurrence
     * count (desc, doc_id asc). The plan: one postings scan filtered

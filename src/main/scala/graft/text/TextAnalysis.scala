@@ -374,8 +374,23 @@ object TextAnalysis extends QueryModule {
         round(col("tf") * log(col("__n_docs") / col("df")) * 10000.0, 0)
           .cast(LongType).as("w"))
       .cache()
+    cosineNeighborsFromWeights(wts, col("doc_id").isin(qIds: _*), k)
+  }
+
+  /** The ranking half of the sparse-cosine kernel, over an ALREADY
+    * BUILT (cached) integer weight frame (doc_id, word, w) — shared by
+    * the raw-text path above and the POSTINGS-served path
+    * ([[graft.text.TermIndex.moreLikeThis]]: same weight formula
+    * computed from the maintained index's tf/df/N, so served and
+    * one-shot rank on bit-identical integers). `isQuery` selects the
+    * example docs' weight rows (broadcast — per-query cost rides the
+    * examples' term df, never corpus²).
+    */
+  private[graft] def cosineNeighborsFromWeights(wts: DataFrame,
+                                                isQuery: org.apache.spark.sql.Column,
+                                                k: Int): DataFrame = {
     val norms = wts.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val qw = wts.filter(col("doc_id").isin(qIds: _*))
+    val qw = wts.filter(isQuery)
       .select(col("doc_id").as("q_id"), col("word"), col("w").as("wq"))
     val dots = wts.as("d")
       .join(broadcast(qw).as("q"),

@@ -430,6 +430,75 @@ object Serving extends QueryModule {
       .start()
   }
 
+  /** Query-by-example served from BOTH maintained indexes — the
+    * store-verb form of the registered `vdb_more_like_this`: lexical
+    * arm from the TermIndex's postings
+    * ([[graft.text.TermIndex.moreLikeThis]] — tf/df/N read from the
+    * index, weight-for-weight the one-shot kernel), vector arm from
+    * the store's fused searchJoin (the examples' vectors read from the
+    * store itself via [[VectorStore.vectorsOf]] — the reference's
+    * get-then-search composition, self excluded), RRF fuse. Mode
+    * passthrough matches [[hybridJoin]]: salting and the compressed
+    * ADC arm reach searchJoin unchanged. Examples are page-shaped, so
+    * `ids` is a literal list (their postings rows broadcast; the
+    * vector probe rides the size-conditional join exactly like any
+    * searchJoin batch).
+    */
+  def mltJoin(idx: graft.text.TermIndex, store: VectorStore,
+              ids: Seq[Long], topK: Int = 10, shortlist: Int = 50,
+              nprobe: Int = 2, rrfK: Int = RRF_K,
+              maxRowsPerTask: Long = 0L,
+              compressed: Boolean = false,
+              vecShortlist: Int = 100): DataFrame =
+    mltJoinWith(idx, ids, topK, shortlist, rrfK,
+      q => store.searchJoin(q, topK = shortlist, nprobe = nprobe,
+        excludeSelf = true, maxRowsPerTask = maxRowsPerTask,
+        compressed = compressed, shortlist = vecShortlist),
+      store.vectorsOf(ids))
+
+  private def mltJoinWith(idx: graft.text.TermIndex, ids: Seq[Long],
+                          topK: Int, shortlist: Int, rrfK: Int,
+                          vecArm: DataFrame => DataFrame,
+                          probes: DataFrame): DataFrame = {
+    val lex = idx.moreLikeThis(ids, k = shortlist)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank_kw"))
+    fuseRrf(lex, vecRanks(vecArm(probes)), topK, rrfK)
+      .withColumnRenamed("rank_kw", "rank_lex")
+  }
+
+  /** The streamed twin of [[mltJoin]]: a stream of example doc ids
+    * (single `query_id` column), each micro-batch served against the
+    * SAME resolved store state ([[VectorStore.searchJoinServing]] pins
+    * centroids/PQ meta/salts once at stream start, like
+    * [[serveHybridStream]]). A micro-batch's ids collect driver-side —
+    * page-shaped by the verb's nature, the bounded-collect discipline.
+    */
+  def serveMltStream(idx: graft.text.TermIndex, store: VectorStore,
+                     ids: DataFrame, outDir: String, checkpoint: String,
+                     topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2,
+                     rrfK: Int = RRF_K,
+                     maxRowsPerTask: Long = 0L,
+                     compressed: Boolean = false,
+                     vecShortlist: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val vecArm = store.searchJoinServing(topK = shortlist, nprobe = nprobe,
+      allowed = None, excludeSelf = true,
+      maxRowsPerTask = maxRowsPerTask, compressed = compressed,
+      shortlist = vecShortlist)
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val page = batch.select(col("query_id").cast(LongType))
+          .collect().map(_.getLong(0)).toSeq
+        if (page.nonEmpty)
+          mltJoinWith(idx, page, topK, shortlist, rrfK, vecArm,
+              store.vectorsOf(page))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
+  }
+
   /** RRF fusion of per-query (doc, rank) shortlists — shared by
     * [[hybridJoin]] and the registered `vdb_hybrid_batch`.
     */

@@ -380,6 +380,21 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   def get(id: Any): DataFrame =
     spark.read.parquet(vecDir).filter(col(idCol) === lit(id))
 
+  /** Batched [[get]] reshaped to the probe contract: the (query_id,
+    * qv) frame for a literal list of stored ids — query-by-example's
+    * vector side ([[graft.vector.Serving.mltJoin]]) reads the examples
+    * from the store itself, exactly the get-then-search composition
+    * the reference's clients loop by hand. The id predicate pushes to
+    * parquet row-group stats like [[get]]'s; missing ids emit no row.
+    */
+  def vectorsOf(ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "no ids")
+    spark.read.parquet(vecDir)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+  }
+
   /** Per-shard id inventory (reference /list_ids). */
   def listIds(): DataFrame =
     spark.read.parquet(vecDir)
