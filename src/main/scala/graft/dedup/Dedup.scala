@@ -443,7 +443,7 @@ object Dedup extends QueryModule {
     * Long.MaxValue) skips the df-count-and-keep join entirely: every
     * shingle passes it by construction.
     */
-  private def sizedCandidatesFrom(sh: DataFrame, docs: DataFrame,
+  private[dedup] def sizedCandidatesFrom(sh: DataFrame, docs: DataFrame,
                                   maxDfFraction: Double,
                                   dfCapFloor: Long): DataFrame = {
     val shc = (if (dfCapFloor == Long.MaxValue) sh
@@ -766,6 +766,13 @@ object Dedup extends QueryModule {
         xxhash64(slice(col("sigs"), j * rows + 1, rows))): _*)).as(Seq("band", "bv")))
   }
 
+  /** [[bandKeysFor]] from a shingle frame at an explicit banding — the
+    * [[graft.dedup.ShingleIndex]]'s band-key writer once its banding
+    * becomes a tunable (`reband`).
+    */
+  private[dedup] def bandKeysAt(sh: DataFrame, bands: Int): DataFrame =
+    bandKeysFor(signatures(sh), bands)
+
   /** Theoretical LSH candidate recall of `bands` bands ×
     * `128 / bands` rows at Jaccard exactly `t`: 1 − (1 − t^r)^b.
     */
@@ -854,7 +861,6 @@ object Dedup extends QueryModule {
                         bandCapFloor: Long = 100L): DataFrame = {
     require(bandings.nonEmpty, "no bandings to evaluate")
     val sh = shingles(docs).cache()
-    val sigs = signatures(sh).cache()
     // ground truth: exact Jaccard over the FULL shingle sets (cap
     // disabled), the pairs a perfect candidate generator would verify —
     // sharing the signatures' explode pass
@@ -863,6 +869,24 @@ object Dedup extends QueryModule {
         maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
       .filter(jac >= threshold)
       .select("id_a", "id_b").cache()
+    bandingCurve(sh, truth,
+      docs.agg(countDistinct(col("doc_id")).as("n_docs")),
+      threshold, bandings, maxBucketFraction, bandCapFloor)
+  }
+
+  /** The measured-curve KERNEL over a caller-built (cached) shingle
+    * frame and truth pair set — shared by [[evalBandingRecall]] (raw
+    * docs, cap-disabled truth) and
+    * [[graft.dedup.ShingleIndex.evalBanding]] (the index's own stored
+    * capped shingles and ITS exact-Jaccard universe — measure the
+    * generator you serve, against the verify you run).
+    */
+  private[dedup] def bandingCurve(sh: DataFrame, truth: DataFrame,
+                                  nDocs: DataFrame,
+                                  threshold: Double, bandings: Seq[Int],
+                                  maxBucketFraction: Double,
+                                  bandCapFloor: Long): DataFrame = {
+    val sigs = signatures(sh).cache()
     // every banding rides ONE candidate pipeline: band keys carry a
     // `banding` tag and the bucket split / clique join / distinct /
     // truth join all group on it — 4 bandings cost one joined shuffle
@@ -872,7 +896,6 @@ object Dedup extends QueryModule {
         bandKeysFor(sigs, b).withColumn("banding", lit(b)))
       .reduce(_ unionByName _)
     val bKeys = Seq("banding", "band", "bv")
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val cap = greatest(lit(bandCapFloor), ceil(col("n_docs") * maxBucketFraction))
     // two consumers (the under-cap keep and the over-cap star split)
     // — cache the bucket counts so the 600k-row groupBy runs once
@@ -899,7 +922,7 @@ object Dedup extends QueryModule {
         coalesce(sum("__hit"), lit(0L)).as("n_hit"))
     // base frame keeps zero-candidate bandings in the result (their
     // groupBy rows vanish), and carries the driver-computed constants
-    val spark = docs.sparkSession
+    val spark = sh.sparkSession
     import spark.implicits._
     val base = bandings.map(b => (b, NumPerms / b,
         math.round(bandingTheoreticalRecall(b, threshold) * 10000.0)))
@@ -925,20 +948,37 @@ object Dedup extends QueryModule {
   /** Pick a banding from the MEASURED curve: the fewest-candidate
     * banding whose measured recall meets `target` (candidate volume is
     * the verify cost), falling back to the highest-recall banding when
-    * none does. Driver-side rows: one per banding — model-sized, the
-    * bounded-collect discipline.
+    * none does. Only SERVABLE bandings qualify — those passing
+    * [[minhashPairs]]' theoretical-recall guard at this threshold: the
+    * guard is the serving contract (a measured recall is corpus-
+    * specific and rots as the corpus drifts; the s-curve floor does
+    * not), so the tuner picks within it. Driver-side rows: one per
+    * banding — model-sized, the bounded-collect discipline.
     */
   def bandingAtRecall(docs: DataFrame, threshold: Double = 0.8,
                       target: Double = 0.95,
                       bandings: Seq[Int] = Seq(8, 16, 32, 64)): (Int, Int) = {
     val rows = evalBandingRecall(docs, threshold, bandings)
-      .select("bands", "n_cand", "recall_x1e4")
+      .select("bands", "n_cand", "recall_x1e4", "theo_recall_x1e4")
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
-    val meeting = rows.filter(_._3 >= math.round(target * 10000.0))
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+    pickBanding(rows, threshold, target)
+  }
+
+  /** The shared tuner cut: servable rows only (theo ≥ 0.6 — the
+    * serving guard), cheapest meeting `target`, else highest measured
+    * recall. Rows are (bands, n_cand, recall_x1e4, theo_x1e4).
+    */
+  private[dedup] def pickBanding(rows: Array[(Int, Long, Long, Long)],
+                                 threshold: Double, target: Double): (Int, Int) = {
+    val servable = rows.filter(_._4 >= 6000L)
+    require(servable.nonEmpty,
+      s"no evaluated banding passes the serving guard (theoretical recall " +
+        s">= 0.6) at threshold $threshold — widen the banding set")
+    val meeting = servable.filter(_._3 >= math.round(target * 10000.0))
     val pick =
       if (meeting.nonEmpty) meeting.minBy(r => (r._2, r._1))._1
-      else rows.maxBy(r => (r._3, -r._2))._1
+      else servable.maxBy(r => (r._3, -r._2))._1
     (pick, NumPerms / pick)
   }
 

@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.DoubleType
   *  - `meta/`   (n_docs, n_shingles)  one row per batch; corpus counts
   *                            fold from these (negative [[delete]]
   *                            deltas net out in the same sum)
-  *  - `bands/`  (doc_id, band, bv)  16 MinHash band keys per doc — the
+  *  - `bands/`  (doc_id, band, bv)  MinHash band keys per doc — the
   *                            candidate-generation table
-  *                            `judge(bandCandidates = true)` probes
+  *                            `judge(bandCandidates = true)` probes;
+  *                            16×8 by default, retuned by [[reband]]
+  *                            (banding recorded in `bandingcfg/`, the
+  *                            measured curve in `bandcurve/`)
   *  - `del/`    (doc_id)      tombstones: docs [[delete]]d but not yet
   *                            physically reclaimed; row-set reads
   *                            anti-join them, [[compact]] applies and
@@ -89,6 +92,11 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   private[dedup] val bandDir = s"$path/bands"
   private val delDir = s"$path/del"
   private val dirs = Seq(fpDir, shDir, szDir, dfDir, metaDir, bandDir, delDir)
+  // banding config + measured curve live OUTSIDE `dirs`: they are
+  // plain overwrite-parquet artifacts, not BatchedTable batch sets —
+  // recap's fold/rewrite recovery must never touch them
+  private[dedup] val cfgDir = s"$path/bandingcfg"
+  private[dedup] val curveDir = s"$path/bandcurve"
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -161,6 +169,9 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     // clear tmps too: a crashed fold's tmp would otherwise be
     // "recovered" into the fresh index by the first write
     dirs.foreach(d => graft.sources.BatchedTable.clearTable(fs, d))
+    // a rebuild resets the banding to the default and invalidates any
+    // measured curve (it described the previous corpus)
+    Seq(cfgDir, curveDir).foreach(d => fs.delete(new Path(d), true))
     val sh = Dedup.shinglesOf(corpus).cache()
     writeBatch(sh.groupBy("s").agg(count(lit(1)).as("df")), dfDir, "base")
     val n = corpus.select("doc_id").distinct().count()
@@ -214,7 +225,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     writeBatch(capped, shDir, label)
     writeBatch(capped.groupBy("doc_id").agg(count(lit(1)).as("n")), szDir, label)
     writeBatch(fpOf(batch), fpDir, label)
-    writeBatch(Dedup.bandKeys(capped), bandDir, label)
+    writeBatch(Dedup.bandKeysAt(capped, currentBanding()), bandDir, label)
     // meta last: it describes a fully-written batch directory set
     writeMeta(label, nBatch, capped.count())
     sh.unpersist()
@@ -425,13 +436,145 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
         graft.sources.BatchedTable.rewriteBatch(fs, szDir, b,
           recapped.groupBy("doc_id").agg(count(lit(1)).as("n")))
         graft.sources.BatchedTable.rewriteBatch(fs, bandDir, b,
-          Dedup.bandKeys(recapped))
+          Dedup.bandKeysAt(recapped, currentBanding()))
         val m = spark.read.parquet(s"$metaDir/batch=$b")
         graft.sources.BatchedTable.rewriteBatch(fs, metaDir, b,
           m.select(col("n_docs"), (col("n_shingles") - liveB).as("n_shingles")))
       }
       perBatch.map(_._2).sum
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hot)
+  }
+
+  // --- tunable banding: measure, pick, reband -------------------------
+
+  /** The banding the bands/ table currently holds (bands ×
+    * 128/bands rows of the MinHash signatures). Default 16×8 — the
+    * published high-threshold banding — until [[reband]] changes it.
+    */
+  def currentBanding(): Int =
+    if (!fs.exists(new Path(cfgDir))) Dedup.Bands
+    else spark.read.parquet(cfgDir).head().getInt(0)
+
+  /** (live docs, live shingle rows) from the meta fold — the
+    * provenance stamp the measured banding curve carries. Append and
+    * delete both move it ([[delete]] writes negative deltas);
+    * [[reband]] does NOT (the curve measures candidate generation per
+    * banding on the same corpus, valid across rebandings).
+    */
+  private def metaStamp(): (Long, Long) = {
+    requireDir(metaDir, "meta/ table")
+    val r = readIdx(metaDir, None)
+      .agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("n_shingles"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** MEASURED banding recall over the index's OWN universe: candidate
+    * recall/precision per banding of the live stored shingles, against
+    * the exact capped-shingle Jaccard ground truth [[judge]] verifies
+    * with — measure the generator you serve, against the verify you
+    * run (the [[Dedup.evalBandingRecall]] kernel; raw-text truth would
+    * grade the index on pairs its insert-time cap removed from its
+    * similarity universe by design). Offline-eval priced: one stored-
+    * shingle scan feeds signatures AND truth.
+    */
+  def evalBanding(threshold: Double = 0.8,
+                  bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    requireDir(shDir, "sh/ table")
+    val sh = minusDeleted(readIdx(shDir, None), None)
+      .select("doc_id", "s").cache()
+    val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+    val truth = Dedup.sizedCandidatesFrom(sh, sh,
+        maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
+      .filter(jac >= threshold)
+      .select("id_a", "id_b").cache()
+    Dedup.bandingCurve(sh, truth,
+      sh.agg(countDistinct(col("doc_id")).as("n_docs")),
+      threshold, bandings, maxDfFraction, dfCapFloor)
+  }
+
+  /** Measure and PERSIST the banding curve for `threshold` with the
+    * current corpus stamp — merge-don't-clobber: other thresholds'
+    * rows survive with their own stamps. Returns the rows written.
+    */
+  def measureBanding(threshold: Double = 0.8,
+                     bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val (nD, nS) = metaStamp()
+    val fresh = evalBanding(threshold, bandings)
+      .withColumn("threshold", lit(threshold))
+      .withColumn("stamp_docs", lit(nD))
+      .withColumn("stamp_shingles", lit(nS))
+    val all =
+      if (!fs.exists(new Path(curveDir))) fresh
+      else spark.read.parquet(curveDir)
+        .filter(col("threshold") =!= threshold)
+        .unionByName(fresh)
+    // model-sized rows: localCheckpoint breaks the self-read lineage
+    // before the overwrite clears the directory being read
+    val pinned = all.localCheckpoint(true)
+    try pinned.write.mode(SaveMode.Overwrite).parquet(curveDir)
+    finally org.apache.spark.sql.graftshim.CheckpointInterop
+      .unpersistCheckpoint(pinned)
+    spark.read.parquet(curveDir).filter(col("threshold") === threshold)
+  }
+
+  /** Pick a banding from the PERSISTED measured curve: the shared
+    * tuner cut ([[Dedup.pickBanding]] — servable rows only, cheapest
+    * meeting `target`, else highest measured recall), refusing loudly
+    * when no curve was measured for `threshold` or the corpus moved
+    * since — the `nprobeFor` discipline on the dedup side. Apply the
+    * pick with [[reband]].
+    */
+  def bandingFor(threshold: Double = 0.8, target: Double = 0.95): (Int, Int) = {
+    require(fs.exists(new Path(curveDir)), s"no measured banding curve at " +
+      s"$curveDir — run measureBanding($threshold) first")
+    val rows = spark.read.parquet(curveDir)
+      .filter(col("threshold") === threshold)
+      .select("bands", "n_cand", "recall_x1e4", "theo_recall_x1e4",
+        "stamp_docs", "stamp_shingles")
+      .collect()
+    require(rows.nonEmpty,
+      s"no banding curve measured for threshold $threshold — run " +
+        s"measureBanding($threshold)")
+    val (nD, nS) = metaStamp()
+    rows.foreach { r =>
+      if (r.getLong(4) != nD || r.getLong(5) != nS)
+        throw new IllegalStateException(
+          s"banding curve for threshold $threshold is STALE (measured at " +
+            s"${r.getLong(4)} docs/${r.getLong(5)} shingle rows, index now " +
+            s"$nD/$nS) — run measureBanding($threshold) again")
+    }
+    Dedup.pickBanding(
+      rows.map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3))),
+      threshold, target)
+  }
+
+  /** Rewrite the bands/ table at a new banding — every batch
+    * partition's keys recomputed from its STORED shingles (no text
+    * touched), then the config recorded so [[append]]/[[recap]] write
+    * future batches at the same banding and [[judge]] probes with
+    * matching keys. Maintenance verb, single-writer like
+    * [[compact]]/[[recap]]; idempotent — a crash mid-rewrite leaves
+    * some batches' keys at the old banding (those batches simply stop
+    * colliding with probes, candidates lost not corrupted) and a
+    * re-run heals them all. The config is written FIRST so the re-run
+    * (and any interleaved append) already targets the new banding.
+    */
+  def reband(bands: Int): Long = {
+    require(bands > 0 && Dedup.NumPerms % bands == 0,
+      s"bands must divide ${Dedup.NumPerms}, got $bands")
+    requireDir(shDir, "sh/ table")
+    requireDir(bandDir, "bands/ table")
+    import spark.implicits._
+    Seq(bands).toDF("bands").write.mode(SaveMode.Overwrite).parquet(cfgDir)
+    val batches = fs.listStatus(new Path(shDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch="))
+    batches.foreach { b =>
+      graft.sources.BatchedTable.rewriteBatch(fs, bandDir, b,
+        Dedup.bandKeysAt(spark.read.parquet(s"$shDir/batch=$b"), bands))
+    }
+    batches.size.toLong
   }
 
   /** Verdict per batch doc — 'exact' (fingerprint already indexed),
@@ -471,6 +614,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     */
   private def liveView(excludeLabel: Option[String]): ShingleIndex.CorpusView =
     new ShingleIndex.CorpusView {
+      def banding: Int = currentBanding()
       def nDocs: Long = ShingleIndex.this.nDocs(excludeLabel)
       def fps: DataFrame =
         minusDeleted(readIdx(fpDir, excludeLabel), excludeLabel).select("fp")
@@ -490,8 +634,17 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   private[dedup] def judgeCore(view: ShingleIndex.CorpusView, batch: DataFrame,
                                threshold: Double,
                                bandCandidates: Boolean): (DataFrame, Seq[DataFrame]) = {
-    if (bandCandidates) require(threshold >= 0.7,
-      s"banded candidates (16 bands x 8 rows) lose recall below ~0.7; got $threshold")
+    if (bandCandidates) {
+      // guard on the banding's own s-curve, not a fixed floor: a
+      // rebanded index (see reband/bandingFor) legitimately serves
+      // thresholds the default 16x8 cannot
+      val theo = Dedup.bandingTheoreticalRecall(view.banding, threshold)
+      require(theo >= 0.6,
+        f"banded candidates (${view.banding} bands x " +
+          f"${Dedup.NumPerms / view.banding} rows) have theoretical recall " +
+          f"$theo%.2f at threshold $threshold — reband() to a wider banding " +
+          "(pick one with measureBanding/bandingFor)")
+    }
     val bsh = Dedup.shinglesOf(batch).cache()
     val bIds = batch.select("doc_id")
     val exactDup = fpOf(batch)
@@ -537,7 +690,8 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     val oldSh =
       if (!bandCandidates) view.sh
       else {
-        val batchBands = Dedup.bandKeys(bCapped).select(col("band"), col("bv"))
+        val batchBands = Dedup.bandKeysAt(bCapped, view.banding)
+          .select(col("band"), col("bv"))
         val candOld = view.bands
           .join(broadcast(batchBands), Seq("band", "bv"), "left_semi")
           .select(col("doc_id")).distinct()
@@ -734,6 +888,7 @@ object ShingleIndex {
     * consumer joins them back against the batch's own shingles).
     */
   private[dedup] trait CorpusView {
+    def banding: Int                         // bands/ table's banding
     def nDocs: Long
     def fps: DataFrame                       // (fp)
     def sh: DataFrame                        // (doc_id, s)

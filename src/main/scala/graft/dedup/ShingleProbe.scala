@@ -63,6 +63,11 @@ final class ShingleProbe private[dedup](idx: ShingleIndex,
                          sizes: DataFrame, bands: Option[DataFrame],
                          df: DataFrame)
 
+  // the index's banding, resolved ONCE like every other corpus-side
+  // input: a reband() mid-stream is a layout mutation — resolve a
+  // fresh probe for it (the stream-restart contract)
+  private val bandingResolved: Int = idx.currentBanding()
+
   private var base: Option[Leg] = None
   private var folded: Option[Leg] = None
   private val foldedLabels = mutable.Set.empty[String]
@@ -84,6 +89,7 @@ final class ShingleProbe private[dedup](idx: ShingleIndex,
     val legs = base.toSeq ++ folded.toSeq ++
       deltas.collect { case (l, d) if l != label => d }
     val view = new ShingleIndex.CorpusView {
+      def banding: Int = bandingResolved
       def nDocs: Long = legs.map(_.nDocs).sum
       def fps: DataFrame = legs.map(_.fps).reduce(_ union _)
       def sh: DataFrame = legs.map(_.sh).reduce(_ union _)

@@ -317,18 +317,23 @@ class DedupSpec extends AnyFunSuite {
       "16x8 must recall every true pair on this corpus (minhash-LSH spec invariant)")
   }
 
-  test("bandingAtRecall picks the cheapest banding meeting the target, falls back to max recall") {
+  test("bandingAtRecall picks the cheapest SERVABLE banding meeting the target, falls back to max recall") {
     val docs = Tables.documents(spark, sf)
+    // the servable set mirrors the serving guard: theoretical recall
+    // >= 0.6 at the threshold (measured recall is corpus-specific; the
+    // s-curve floor is the contract minhashPairs/judge enforce)
     val curve = graft.dedup.Dedup.evalBandingRecall(docs)
-      .select("bands", "n_cand", "recall_x1e4").collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      .select("bands", "n_cand", "recall_x1e4", "theo_recall_x1e4").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._4 >= 6000L)
+    assert(curve.nonEmpty)
     val (b, r) = graft.dedup.Dedup.bandingAtRecall(docs, target = 0.95)
     assert(b * r === 128)
     val picked = curve.find(_._1 == b).get
     assert(picked._3 >= 9500L)
     assert(curve.filter(_._3 >= 9500L).forall(_._2 >= picked._2),
-      "a cheaper banding met the target but was not picked")
-    // impossible target: fall back to the highest-recall banding
+      "a cheaper servable banding met the target but was not picked")
+    // impossible target: fall back to the highest-recall servable banding
     val (bMax, _) = graft.dedup.Dedup.bandingAtRecall(docs, target = 2.0)
     assert(curve.find(_._1 == bMax).get._3 === curve.map(_._3).max)
   }

@@ -685,4 +685,77 @@ class ShingleIndexSpec extends AnyFunSuite {
       === Array(101L, 201L),
       "the resolved-probe gate must drop the corpus dup and the cross-batch near-dup")
   }
+
+  test("banding lifecycle: measured curve persists with stamps, reband serves lower thresholds") {
+    import spark.implicits._
+    // (1,5): J ~ 0.9 — the high-threshold pair; (3,4): J ~ 0.75 — a
+    // moderate pair only a wide banding can serve at threshold 0.5
+    val corpus = Seq(
+      (1L, w("a", 40)),
+      (2L, w("b", 40)),
+      (3L, w("m", 20) + " z1 z2 z3"),
+      (4L, w("m", 20) + " y1 y2 y3"),
+      (5L, w("a", 40) + " delta")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx-band").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    assert(idx.currentBanding() === 16)
+
+    // measure + persist + pick at the published threshold
+    val curve = idx.measureBanding(threshold = 0.8)
+    assert(curve.count() === 4)
+    val (b0, r0) = idx.bandingFor(0.8, target = 0.95)
+    assert(b0 * r0 === 128)
+    assert(curve.filter(col("bands") === b0)
+      .select("recall_x1e4").head().getLong(0) >= 9500L,
+      "the pick must meet the target on the measured column")
+
+    // no curve measured for another threshold → loud refusal
+    intercept[IllegalArgumentException](idx.bandingFor(0.5))
+
+    // corpus moved → stale refusal; re-measure heals
+    idx.append(Seq((100L, w("q", 40))).toDF("doc_id", "text"), "bb1")
+    intercept[IllegalStateException](idx.bandingFor(0.8))
+    idx.measureBanding(threshold = 0.8)
+    idx.bandingFor(0.8)
+
+    // threshold 0.5 on the default 16x8: the banded judge refuses
+    val probe = Seq((500L, w("m", 20) + " v1 v2 v3")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      idx.judge(probe, threshold = 0.5, bandCandidates = true))
+
+    // measure at 0.5, pick (servable ⇒ wider than 16), reband, serve
+    idx.measureBanding(threshold = 0.5)
+    val (b1, _) = idx.bandingFor(0.5, target = 0.9)
+    assert(b1 > 16, s"servable bandings at 0.5 are 32/64, got $b1")
+    assert(idx.reband(b1) === 2L, "base + bb1 batch partitions rewritten")
+    assert(idx.currentBanding() === b1)
+    val v = idx.judge(probe, threshold = 0.5, bandCandidates = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v === Map(500L -> "near"),
+      "the rebanded index must surface the moderate-similarity match")
+
+    // high-threshold banded verdicts are unchanged by the reband
+    val nearBatch = Seq((600L, w("a", 40) + " gamma")).toDF("doc_id", "text")
+    assert(idx.judge(nearBatch, bandCandidates = true)
+      .head().getString(1) === "near")
+
+    // appends after reband write band keys at the new banding
+    idx.append(probe, "bb2")
+    assert(spark.read.parquet(s"$dir/bands/batch=bb2")
+      .select(countDistinct(col("band"))).head().getLong(0) === b1.toLong)
+
+    // reband is idempotent: a re-run rewrites the same keys
+    val before = spark.read.parquet(s"$dir/bands").orderBy("doc_id", "band")
+      .collect().map(_.toSeq)
+    idx.reband(b1)
+    val after = spark.read.parquet(s"$dir/bands").orderBy("doc_id", "band")
+      .collect().map(_.toSeq)
+    assert(before.toSeq === after.toSeq)
+
+    // a REBUILD resets banding to the default and drops the curve
+    idx.build(corpus)
+    assert(idx.currentBanding() === 16)
+    intercept[IllegalArgumentException](idx.bandingFor(0.8))
+  }
 }
