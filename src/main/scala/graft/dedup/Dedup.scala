@@ -965,13 +965,16 @@ object Dedup extends QueryModule {
     pickBanding(rows, threshold, target)
   }
 
-  /** The shared tuner cut: servable rows only (theo ≥ 0.6 — the
-    * serving guard), cheapest meeting `target`, else highest measured
-    * recall. Rows are (bands, n_cand, recall_x1e4, theo_x1e4).
+  /** The shared tuner cut: servable rows only (the serving guard's
+    * UNROUNDED theoretical-recall floor, recomputed from bands +
+    * threshold so the cut can never disagree with minhashPairs/judge
+    * on a rounding boundary), cheapest meeting `target`, else highest
+    * measured recall. Rows are (bands, n_cand, recall_x1e4, theo_x1e4).
     */
   private[dedup] def pickBanding(rows: Array[(Int, Long, Long, Long)],
                                  threshold: Double, target: Double): (Int, Int) = {
-    val servable = rows.filter(_._4 >= 6000L)
+    val servable = rows.filter(r =>
+      bandingTheoreticalRecall(r._1, threshold) >= 0.6)
     require(servable.nonEmpty,
       s"no evaluated banding passes the serving guard (theoretical recall " +
         s">= 0.6) at threshold $threshold — widen the banding set")

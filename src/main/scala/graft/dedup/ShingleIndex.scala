@@ -421,6 +421,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
           Seq("doc_id"), "left")
         case None => hotRows.withColumn("__t", lit(null).cast("int"))
       }
+      val bandingNow = currentBanding()
       val perBatch = marked
         .groupBy(col("batch").cast("string").as("b"))
         .agg(count(lit(1)).as("n"),
@@ -436,7 +437,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
         graft.sources.BatchedTable.rewriteBatch(fs, szDir, b,
           recapped.groupBy("doc_id").agg(count(lit(1)).as("n")))
         graft.sources.BatchedTable.rewriteBatch(fs, bandDir, b,
-          Dedup.bandKeysAt(recapped, currentBanding()))
+          Dedup.bandKeysAt(recapped, bandingNow))
         val m = spark.read.parquet(s"$metaDir/batch=$b")
         graft.sources.BatchedTable.rewriteBatch(fs, metaDir, b,
           m.select(col("n_docs"), (col("n_shingles") - liveB).as("n_shingles")))
@@ -477,6 +478,14 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     * grade the index on pairs its insert-time cap removed from its
     * similarity universe by design). Offline-eval priced: one stored-
     * shingle scan feeds signatures AND truth.
+    *
+    * The eval's band-bucket cap ([[Dedup.evalBandingRecall]]'s
+    * defaults) bounds the MEASUREMENT's own corpus×corpus pair join —
+    * it is not part of judge's generator (whose quadratic is
+    * batch-bounded by construction, no bucket cap), so on a corpus
+    * with a mega-cluster the measured recall is CONSERVATIVE: the
+    * star-degraded buckets under-count pairs the batch-bounded judge
+    * would still surface.
     */
   def evalBanding(threshold: Double = 0.8,
                   bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
@@ -490,7 +499,8 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
       .select("id_a", "id_b").cache()
     Dedup.bandingCurve(sh, truth,
       sh.agg(countDistinct(col("doc_id")).as("n_docs")),
-      threshold, bandings, maxDfFraction, dfCapFloor)
+      threshold, bandings,
+      maxBucketFraction = Dedup.DefaultMaxDfFraction, bandCapFloor = 100L)
   }
 
   /** Measure and PERSIST the banding curve for `threshold` with the

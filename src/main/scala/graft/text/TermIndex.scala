@@ -407,13 +407,18 @@ class TermIndex(spark: SparkSession, path: String,
     * postings pass for df — offline-eval priced. Docs with no
     * live postings (never indexed, or fully tombstoned) emit no row.
     */
-  def topTerms(ids: DataFrame, n: Int = 3): DataFrame = {
+  def topTerms(ids: DataFrame, n: Int = 3,
+               broadcastIds: Boolean = true): DataFrame = {
     require(n > 0, s"topTerms needs n > 0, got $n")
     require(fs.exists(new Path(postDir)),
       s"topTerms: index at $path not built — call build() first")
+    // page/sample-shaped callers broadcast their id list into the
+    // postings scan; a CORPUS-WIDE caller (the registered
+    // text_top_terms) must pass broadcastIds = false — broadcasting
+    // every live doc_id is the bounded-broadcast discipline violated
     val want = ids.select(col("doc_id").cast(LongType).as("doc_id"))
     val post = minusDeleted(BatchedTable.readIdx(spark, postDir, None), None)
-    val mine = post.join(broadcast(want), "doc_id")
+    val mine = post.join(if (broadcastIds) broadcast(want) else want, "doc_id")
       .select("term", "doc_id", "tf")
     // df over ALL live terms in one partial-aggregated pass — a
     // candidate-term semi-join would shuffle the same postings scan a
@@ -452,7 +457,18 @@ class TermIndex(spark: SparkSession, path: String,
     * UNROUNDED) — [[graft.vector.Serving.mltJoin]] fuses it with the
     * vector store's arm.
     */
-  def moreLikeThis(ids: Seq[Long], k: Int = 10): DataFrame = {
+  def moreLikeThis(ids: Seq[Long], k: Int = 10): DataFrame =
+    moreLikeThisFrame(ids, k)._1
+
+  /** [[moreLikeThis]] plus the weight-table cache it builds — a
+    * STREAMING caller (`Serving.serveMltStream`) must unpersist the
+    * cache after consuming each micro-batch, or one corpus-sized
+    * cached frame accumulates per batch for the stream's lifetime.
+    * One-shot callers follow the session-cache convention (Bench's
+    * clearCache between timings releases it).
+    */
+  private[graft] def moreLikeThisFrame(ids: Seq[Long],
+                                       k: Int): (DataFrame, Seq[DataFrame]) = {
     require(ids.nonEmpty, "no example ids")
     require(fs.exists(new Path(postDir)),
       s"moreLikeThis: index at $path not built — call build() first")
@@ -465,8 +481,9 @@ class TermIndex(spark: SparkSession, path: String,
         round(col("tf") * log(col("n") / col("df")) * 10000.0, 0)
           .cast(LongType).as("w"))
       .cache()
-    TextAnalysis.cosineNeighborsFromWeights(wts, col("doc_id").isin(ids: _*), k)
-      .select(col("q_id").as("query_id"), col("rank"), col("doc_id"), col("sim0"))
+    (TextAnalysis.cosineNeighborsFromWeights(wts, col("doc_id").isin(ids: _*), k)
+      .select(col("q_id").as("query_id"), col("rank"), col("doc_id"), col("sim0")),
+      Seq(wts))
   }
 
   /** Exact-phrase / proximity probe over the positional postings:

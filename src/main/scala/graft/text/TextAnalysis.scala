@@ -454,14 +454,18 @@ object TextAnalysis extends QueryModule {
     * pins the term derivation itself against the one-shot oracle, not
     * just its downstream consumers. The terms column ships joined with
     * single spaces (rank order) — an array column would hash
-    * engine-dependently. Cost: two postings scans (the doc's own rows,
-    * the candidate terms' df) — index-served, document text untouched.
+    * engine-dependently. Cost: one postings scan for the docs' own
+    * rows plus one partial-aggregated postings pass for df —
+    * index-served, document text untouched. The id frame is
+    * CORPUS-SIZED here, so the scan joins it unbroadcast
+    * (broadcastIds = false — page-shaped probes keep their broadcast).
     * Reference anchor: none (its embed/search has no lexical
     * explanation surface); this is the "why did these match" verb.
     */
   private def topTermsServed(s: SparkSession, d: String): DataFrame = {
     val idx = servedIdx(s, d, positional = false)
-    idx.topTerms(Tables.documents(s, d).select("doc_id"), n = 3)
+    idx.topTerms(Tables.documents(s, d).select("doc_id"), n = 3,
+        broadcastIds = false)
       .select(col("doc_id"), concat_ws(" ", col("terms")).as("top_terms"))
   }
 

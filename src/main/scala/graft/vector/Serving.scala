@@ -450,29 +450,37 @@ object Serving extends QueryModule {
               maxRowsPerTask: Long = 0L,
               compressed: Boolean = false,
               vecShortlist: Int = 100): DataFrame =
+    // one-shot: the lexical weight cache follows the session-cache
+    // convention (Bench's clearCache releases it); the STREAM twin
+    // below must release per batch instead
     mltJoinWith(idx, ids, topK, shortlist, rrfK,
       q => store.searchJoin(q, topK = shortlist, nprobe = nprobe,
         excludeSelf = true, maxRowsPerTask = maxRowsPerTask,
         compressed = compressed, shortlist = vecShortlist),
-      store.vectorsOf(ids))
+      store.vectorsOf(ids))._1
 
   private def mltJoinWith(idx: graft.text.TermIndex, ids: Seq[Long],
                           topK: Int, shortlist: Int, rrfK: Int,
                           vecArm: DataFrame => DataFrame,
-                          probes: DataFrame): DataFrame = {
-    val lex = idx.moreLikeThis(ids, k = shortlist)
-      .select(col("query_id"), col("doc_id"),
-        col("rank").cast("int").as("rank_kw"))
-    fuseRrf(lex, vecRanks(vecArm(probes)), topK, rrfK)
-      .withColumnRenamed("rank_kw", "rank_lex")
+                          probes: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val (lexRaw, caches) = idx.moreLikeThisFrame(ids, k = shortlist)
+    val lex = lexRaw.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("rank_kw"))
+    (fuseRrf(lex, vecRanks(vecArm(probes)), topK, rrfK)
+      .withColumnRenamed("rank_kw", "rank_lex"), caches)
   }
 
   /** The streamed twin of [[mltJoin]]: a stream of example doc ids
-    * (single `query_id` column), each micro-batch served against the
-    * SAME resolved store state ([[VectorStore.searchJoinServing]] pins
-    * centroids/PQ meta/salts once at stream start, like
-    * [[serveHybridStream]]). A micro-batch's ids collect driver-side —
-    * page-shaped by the verb's nature, the bounded-collect discipline.
+    * (single `query_id` column), the ROUTING state resolved once at
+    * stream start ([[VectorStore.searchJoinServing]] pins centroids/PQ
+    * meta/salts, like [[serveHybridStream]]); the example VECTORS and
+    * the index's postings resolve live per batch — examples ingested
+    * mid-stream become queryable, and a store/index mutation
+    * mid-stream follows the single-writer maintenance contract. A
+    * micro-batch's ids collect driver-side — page-shaped by the verb's
+    * nature, the bounded-collect discipline — and the lexical arm's
+    * weight cache is released after every batch (a leaked cache per
+    * micro-batch would grow storage for the stream's lifetime).
     */
   def serveMltStream(idx: graft.text.TermIndex, store: VectorStore,
                      ids: DataFrame, outDir: String, checkpoint: String,
@@ -491,10 +499,12 @@ object Serving extends QueryModule {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val page = batch.select(col("query_id").cast(LongType))
           .collect().map(_.getLong(0)).toSeq
-        if (page.nonEmpty)
-          mltJoinWith(idx, page, topK, shortlist, rrfK, vecArm,
-              store.vectorsOf(page))
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        if (page.nonEmpty) {
+          val (res, caches) = mltJoinWith(idx, page, topK, shortlist, rrfK,
+            vecArm, store.vectorsOf(page))
+          try res.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+          finally caches.foreach(_.unpersist())
+        }
       }
       .start()
   }
