@@ -871,7 +871,7 @@ object Dedup extends QueryModule {
       .select("id_a", "id_b").cache()
     bandingCurve(sh, truth,
       docs.agg(countDistinct(col("doc_id")).as("n_docs")),
-      threshold, bandings, maxBucketFraction, bandCapFloor)
+      threshold, bandings, maxBucketFraction, bandCapFloor)._1
   }
 
   /** The measured-curve KERNEL over a caller-built (cached) shingle
@@ -879,13 +879,18 @@ object Dedup extends QueryModule {
     * docs, cap-disabled truth) and
     * [[graft.dedup.ShingleIndex.evalBanding]] (the index's own stored
     * capped shingles and ITS exact-Jaccard universe — measure the
-    * generator you serve, against the verify you run).
+    * generator you serve, against the verify you run). Returns the
+    * curve plus ITS OWN internal caches (signatures + bucket counts) —
+    * one-shot callers follow the session-cache convention, a REPEATED
+    * maintenance caller (ShingleIndex.measureBanding) must unpersist
+    * them (plus its sh/truth) once the result is pinned, or each
+    * maintenance call leaks cached frames for the session's lifetime.
     */
   private[dedup] def bandingCurve(sh: DataFrame, truth: DataFrame,
                                   nDocs: DataFrame,
                                   threshold: Double, bandings: Seq[Int],
                                   maxBucketFraction: Double,
-                                  bandCapFloor: Long): DataFrame = {
+                                  bandCapFloor: Long): (DataFrame, Seq[DataFrame]) = {
     val sigs = signatures(sh).cache()
     // every banding rides ONE candidate pipeline: band keys carry a
     // `banding` tag and the bucket split / clique join / distinct /
@@ -927,7 +932,7 @@ object Dedup extends QueryModule {
     val base = bandings.map(b => (b, NumPerms / b,
         math.round(bandingTheoreticalRecall(b, threshold) * 10000.0)))
       .toDF("banding", "rows_per_band", "theo_recall_x1e4")
-    base
+    val curve = base
       .join(stats, Seq("banding"), "left")
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .select(
@@ -943,6 +948,7 @@ object Dedup extends QueryModule {
             greatest(coalesce(col("n_cand"), lit(0L)), lit(1L)), 0)
           .cast(LongType).as("precision_x1e4"),
         col("theo_recall_x1e4"))
+    (curve, Seq(sigs, counted))
   }
 
   /** Pick a banding from the MEASURED curve: the fewest-candidate

@@ -488,7 +488,15 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     * would still surface.
     */
   def evalBanding(threshold: Double = 0.8,
-                  bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+                  bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+    evalBandingFrames(threshold, bandings)._1
+
+  /** [[evalBanding]] plus its caches (shingles, truth, and the curve
+    * kernel's own) — [[measureBanding]] releases them once the rows
+    * are pinned; one-shot callers follow the session-cache convention.
+    */
+  private def evalBandingFrames(threshold: Double,
+                                bandings: Seq[Int]): (DataFrame, Seq[DataFrame]) = {
     requireDir(shDir, "sh/ table")
     val sh = minusDeleted(readIdx(shDir, None), None)
       .select("doc_id", "s").cache()
@@ -497,10 +505,11 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
         maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
       .filter(jac >= threshold)
       .select("id_a", "id_b").cache()
-    Dedup.bandingCurve(sh, truth,
+    val (curve, kernelCaches) = Dedup.bandingCurve(sh, truth,
       sh.agg(countDistinct(col("doc_id")).as("n_docs")),
       threshold, bandings,
       maxBucketFraction = Dedup.DefaultMaxDfFraction, bandCapFloor = 100L)
+    (curve, kernelCaches ++ Seq(sh, truth))
   }
 
   /** Measure and PERSIST the banding curve for `threshold` with the
@@ -510,7 +519,8 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   def measureBanding(threshold: Double = 0.8,
                      bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     val (nD, nS) = metaStamp()
-    val fresh = evalBanding(threshold, bandings)
+    val (curve, caches) = evalBandingFrames(threshold, bandings)
+    val fresh = curve
       .withColumn("threshold", lit(threshold))
       .withColumn("stamp_docs", lit(nD))
       .withColumn("stamp_shingles", lit(nS))
@@ -520,11 +530,15 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
         .filter(col("threshold") =!= threshold)
         .unionByName(fresh)
     // model-sized rows: localCheckpoint breaks the self-read lineage
-    // before the overwrite clears the directory being read
+    // before the overwrite clears the directory being read — and once
+    // pinned, the measurement's caches release (a repeated maintenance
+    // verb must not leak one cached corpus frame set per call)
     val pinned = all.localCheckpoint(true)
     try pinned.write.mode(SaveMode.Overwrite).parquet(curveDir)
-    finally org.apache.spark.sql.graftshim.CheckpointInterop
-      .unpersistCheckpoint(pinned)
+    finally {
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(pinned)
+      caches.foreach(_.unpersist())
+    }
     spark.read.parquet(curveDir).filter(col("threshold") === threshold)
   }
 
