@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.{QueryModule, Tables}
+import graft.embed.HashEmbedder
 import graft.expressions.TopKAgg
 import graft.expressions.VectorExpressions._
 
@@ -859,6 +860,177 @@ object Serving extends QueryModule {
   private val moreLikeThisSql =
     mltQueryIds.map(qid => s"SELECT * FROM (\n${mltSqlFor(qid)}\n)")
       .mkString("\nUNION ALL\n")
+
+  // --- multi-vector retrieval: per-chunk max-sim ----------------------
+  /** Multi-vector ("late interaction" family) retrieval — the long-
+    * document shape single-vector knn dilutes away: every document is
+    * CHUNKED (the `doc_chunk` window arithmetic: 32-token windows
+    * every 24 tokens, so no boundary-straddling passage is lost), each
+    * chunk hash-embedded, and a document scores as the MAX cosine over
+    * its chunks against the query vector — best-matching-passage
+    * ranking with the winning chunk emitted as provenance (`best_chunk`
+    * is the passage a RAG caller would actually retrieve). The
+    * reference embeds whole documents only (embed.py) — its long-doc
+    * recall decays with document length; this is the standard fix,
+    * re-expressed declaratively.
+    *
+    * Determinism: chunk and query vectors are the hash embedder's
+    * components QUANTIZED to 1e4 integers (the text_tfidf_sim
+    * convention), so dots and norms are order-independent integer
+    * sums; `sim0 = dot / (sqrt(nc)·sqrt(nq))` is correctly-rounded
+    * IEEE on identical integers — bit-equal in both engines. The
+    * per-(query, doc) argmax rides min-of-struct
+    * ((−sim, chunk_id) — max sim, lowest winning chunk), never a
+    * window sort over all chunk scores.
+    *
+    * Scale shape: the chunk-component pass is one explode + one
+    * partial-aggregated groupBy (≤ 64 rows per chunk on the shuffle —
+    * the embed_hash build the pipeline already pays, chunk-grained);
+    * the page-sized query components BROADCAST into a dim equi-join
+    * (each corpus row meets ≤ |queries| rows, map-side); the max-agg
+    * shuffles ≤ one row per (query, doc, chunk) partial. Nothing
+    * corpus² anywhere.
+    */
+  private val maxsimQueryIds = Seq(0L, 1L, 2L)
+  private val MAXSIM_SIZE = 32
+  private val MAXSIM_STRIDE = 24
+
+  /** 1e4-quantized hash-embedding components (idCols…, dim, w). */
+  private def hashComponents(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    val ids = idCols.map(col)
+    val byKey = Window.partitionBy(ids: _*)
+    df.select(ids :+ explode(split(col("text"), " ")).as("__w"): _*)
+      .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10)
+        .cast(LongType))
+      .withColumn("dim", (col("__h") % HashEmbedder.Dim).cast(LongType))
+      .withColumn("__s", when(expr(s"(__h div ${HashEmbedder.Dim}) % 2") === 0,
+        1.0).otherwise(-1.0))
+      .groupBy(ids :+ col("dim"): _*)
+      .agg(sum("__s").as("__raw"))
+      .withColumn("__nrm", sqrt(sum(col("__raw") * col("__raw")).over(byKey)))
+      .select(ids :+ col("dim") :+
+        round(when(col("__nrm") === 0, 0.0)
+            .otherwise(col("__raw") / col("__nrm")) * 10000.0, 0)
+          .cast(LongType).as("w"): _*)
+  }
+
+  private def knnMaxsim(s: SparkSession, d: String): DataFrame =
+    maxsimFrame(graft.Tables.documents(s, d), maxsimQueryIds)
+
+  /** The [[knnMaxsim]] kernel over any (doc_id, text) frame — exposed
+    * for MaxsimSpec's fixture-based semantic pins (buried-passage
+    * recovery, alternative-plan argmax parity).
+    */
+  private[graft] def maxsimFrame(docs: DataFrame, qIds: Seq[Long]): DataFrame = {
+    // doc_chunk's window arithmetic, text retained for embedding
+    val nChunks = lit(1L) + floor(
+      (greatest(col("__nw") - MAXSIM_SIZE, lit(0L)) + (MAXSIM_STRIDE - 1)) /
+        MAXSIM_STRIDE)
+    val chunks = docs.select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .withColumn("__nw", size(col("__ws")).cast(LongType))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("__ws"),
+          (col("chunk_id") * MAXSIM_STRIDE + 1).cast("int"),
+          lit(MAXSIM_SIZE))).as("text"))
+    val cComp = hashComponents(chunks, Seq("doc_id", "chunk_id"))
+    val cNorm = cComp.groupBy("doc_id", "chunk_id")
+      .agg(sum(col("w") * col("w")).as("nc"))
+    val qComp = hashComponents(
+        docs.filter(col("doc_id").isin(qIds: _*)), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("dim"), col("w").as("wq"))
+    val qNorm = qComp.groupBy("query_id").agg(sum(col("wq") * col("wq")).as("nq"))
+    val dots = cComp
+      .join(broadcast(qComp), cComp("dim") === qComp("dim") &&
+        col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "chunk_id")
+      .agg(sum(col("w") * col("wq")).as("dot"))
+    val sims = dots
+      .join(cNorm, Seq("doc_id", "chunk_id"))
+      .join(broadcast(qNorm), Seq("query_id"))
+      .withColumn("sim0", col("dot") / (sqrt(col("nc")) * sqrt(col("nq"))))
+    val best = sims.groupBy("query_id", "doc_id")
+      .agg(min(struct((-col("sim0")).as("ns"), col("chunk_id").as("c"))).as("b"))
+      .select(col("query_id"), col("doc_id"),
+        (-col("b.ns")).as("score0"), col("b.c").as("best_chunk"))
+    best
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("score0"), asc("doc_id"))).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("best_chunk").cast(LongType).as("best_chunk"),
+        round(col("score0"), 4).as("maxsim"))
+  }
+
+  /** Per-dim integer components CTE chain shared by both sides of the
+    * maxsim oracle (the hash embedder's md5 trick + the 1e4
+    * quantization).
+    */
+  private def maxsimSql: String = {
+    val dim = HashEmbedder.Dim
+    val qids = maxsimQueryIds.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_id,
+       |         array_to_string(list_slice(ws, i * $MAXSIM_STRIDE + 1,
+       |           i * $MAXSIM_STRIDE + $MAXSIM_SIZE), ' ') AS ctext
+       |  FROM t, UNNEST(generate_series(0,
+       |    (GREATEST(nw - $MAXSIM_SIZE, 0) + ${MAXSIM_STRIDE - 1}) // $MAXSIM_STRIDE)) AS g(i)),
+       |cwx AS (
+       |  SELECT doc_id, chunk_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+       |  FROM ch, UNNEST(string_split(ctext, ' ')) AS t2(w)),
+       |cc AS (
+       |  SELECT doc_id, chunk_id, h % $dim AS dim,
+       |         SUM(CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS raw
+       |  FROM cwx GROUP BY 1, 2, 3),
+       |cv AS (
+       |  SELECT doc_id, chunk_id, dim,
+       |         CAST(ROUND((CASE WHEN nrm = 0 THEN 0.0 ELSE raw / nrm END) * 10000.0) AS BIGINT) AS w
+       |  FROM (SELECT *, sqrt(SUM(raw * raw) OVER (PARTITION BY doc_id, chunk_id)) AS nrm
+       |        FROM cc) z),
+       |cn AS (SELECT doc_id, chunk_id, SUM(w * w) AS nc FROM cv GROUP BY 1, 2),
+       |qwx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t3(w)
+       |  WHERE doc_id IN ($qids)),
+       |qc AS (
+       |  SELECT doc_id, h % $dim AS dim,
+       |         SUM(CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS raw
+       |  FROM qwx GROUP BY 1, 2),
+       |qv AS (
+       |  SELECT doc_id AS query_id, dim,
+       |         CAST(ROUND((CASE WHEN nrm = 0 THEN 0.0 ELSE raw / nrm END) * 10000.0) AS BIGINT) AS wq
+       |  FROM (SELECT *, sqrt(SUM(raw * raw) OVER (PARTITION BY doc_id)) AS nrm
+       |        FROM qc) z),
+       |qn AS (SELECT query_id, SUM(wq * wq) AS nq FROM qv GROUP BY 1),
+       |dots AS (
+       |  SELECT qv.query_id, cv.doc_id, cv.chunk_id, SUM(cv.w * qv.wq) AS dot
+       |  FROM cv JOIN qv ON cv.dim = qv.dim AND cv.doc_id <> qv.query_id
+       |  GROUP BY 1, 2, 3),
+       |sims AS (
+       |  SELECT dots.query_id, dots.doc_id, dots.chunk_id,
+       |         dots.dot / (sqrt(cn.nc) * sqrt(qn.nq)) AS sim0
+       |  FROM dots
+       |  JOIN cn ON cn.doc_id = dots.doc_id AND cn.chunk_id = dots.chunk_id
+       |  JOIN qn ON qn.query_id = dots.query_id),
+       |best AS (
+       |  SELECT query_id, doc_id, sim0 AS score0, chunk_id AS best_chunk
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+       |          ORDER BY sim0 DESC, chunk_id) AS rn
+       |        FROM sims) y
+       |  WHERE rn = 1)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       CAST(best_chunk AS BIGINT) AS best_chunk,
+       |       ROUND(score0, 4) AS maxsim
+       |FROM (SELECT query_id, doc_id, score0, best_chunk,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score0 DESC, doc_id) AS rank
+       |      FROM best) q
+       |WHERE rank <= 10""".stripMargin
+  }
 
   // --- three-arm hybrid: keyword + vector + phrase --------------------
   /** Three-arm RRF: score = Σ_arm w/(K + rank_arm), absent arm
@@ -2097,6 +2269,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_weighted" -> (hybridWeighted _),
     "vdb_hybrid_tri" -> (hybridTri _),
     "vdb_more_like_this" -> (moreLikeThis _),
+    "vdb_knn_maxsim" -> (knnMaxsim _),
     "vdb_recall_eval"   -> (recallEval _),
     "vdb_recall_curve"  -> (recallCurve _),
     "vdb_recall_l2"     -> (recallL2 _),
@@ -2117,6 +2290,7 @@ object Serving extends QueryModule {
     "vdb_hybrid_weighted" -> hybridWeightedSql,
     "vdb_hybrid_tri" -> hybridTriSql,
     "vdb_more_like_this" -> moreLikeThisSql,
+    "vdb_knn_maxsim" -> maxsimSql,
     "vdb_recall_eval"   -> recallEvalSql,
     "vdb_recall_curve"  -> recallCurveSql,
     "vdb_recall_l2"     -> recallL2Sql,

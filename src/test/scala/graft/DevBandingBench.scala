@@ -13,8 +13,9 @@ object DevBandingBench {
     val spark = GraftSession.builder("dev-banding-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("text_top_terms", "vdb_more_like_this", "dedup_minhash_eval",
-      "text_tfidf_sim", "vdb_hybrid_batch", "dedup_minhash_lsh", "dedup_ngram_jaccard")
+    val names = Seq("vdb_knn_maxsim", "text_top_terms", "vdb_more_like_this",
+      "dedup_minhash_eval", "text_tfidf_sim", "vdb_hybrid_batch",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard")
     for (_ <- 1 to 2) {
       names.foreach { n =>
         SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
