@@ -851,27 +851,74 @@ object Dedup extends QueryModule {
     * counts (the engine-stable convention). The ground-truth pass
     * disables the df cap (truth must not inherit the candidate
     * generator's own blind spot), which is exactly the pass the cap
-    * exists to bound — at corpus scale, hand this function a document
-    * SAMPLE (the `docs` argument is the knob, like `evalRecall`'s
-    * nQueries), not the corpus.
+    * exists to bound — so at corpus scale, MEASURE ON A SAMPLE:
+    * `sampleDocs > 0` restricts the eval to the `sampleDocs`
+    * lowest-md5(doc_id) documents (the [[graft.pipeline.PipelineOps]]
+    * sampling discipline — deterministic, corpus-order-independent,
+    * and a superset-stable prefix as the corpus grows), and the truth
+    * pass REFUSES loudly (`truthDfBound`) when an uncapped shingle in
+    * the measured universe is shared by enough documents that the
+    * ground-truth clique join would go quadratic — the eval fails
+    * with instructions instead of silently becoming the one
+    * cartesian-class scan in the suite.
     */
   def evalBandingRecall(docs: DataFrame, threshold: Double = 0.8,
                         bandings: Seq[Int] = Seq(8, 16, 32, 64),
                         maxBucketFraction: Double = DefaultMaxDfFraction,
-                        bandCapFloor: Long = 100L): DataFrame = {
+                        bandCapFloor: Long = 100L,
+                        sampleDocs: Int = 0,
+                        truthDfBound: Long = DefaultTruthDfBound): DataFrame = {
     require(bandings.nonEmpty, "no bandings to evaluate")
-    val sh = shingles(docs).cache()
+    val measured = mdSample(docs, sampleDocs)
+    val sh = shingles(measured).cache()
+    guardTruthDf(sh, truthDfBound)
     // ground truth: exact Jaccard over the FULL shingle sets (cap
     // disabled), the pairs a perfect candidate generator would verify —
     // sharing the signatures' explode pass
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
-    val truth = sizedCandidatesFrom(sh, docs,
+    val truth = sizedCandidatesFrom(sh, measured,
         maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
       .filter(jac >= threshold)
       .select("id_a", "id_b").cache()
     bandingCurve(sh, truth,
-      docs.agg(countDistinct(col("doc_id")).as("n_docs")),
+      measured.agg(countDistinct(col("doc_id")).as("n_docs")),
       threshold, bandings, maxBucketFraction, bandCapFloor)._1
+  }
+
+  /** Ceiling on any single shingle's document frequency inside a
+    * cap-DISABLED ground-truth pass: a shingle shared by n docs makes
+    * the truth self-join emit n·(n−1)/2 pairs, so 2000 bounds the
+    * worst clique at ~2M pairs — eval-priced, never corpus².
+    */
+  val DefaultTruthDfBound = 2000L
+
+  /** The `sampleDocs` lowest-md5(doc_id) documents (52-bit md5 prefix,
+    * doc_id tiebreak) — the measurement verbs' deterministic sample.
+    * `sampleDocs <= 0` or a corpus already within the bound passes
+    * through unchanged (sort-limit is a distributed partial top-k, so
+    * the pass-through costs one bounded heap scan, not a global sort).
+    */
+  private[dedup] def mdSample(docs: DataFrame, sampleDocs: Int): DataFrame =
+    if (sampleDocs <= 0) docs
+    else docs.orderBy(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast(LongType),
+      col("doc_id")).limit(sampleDocs)
+
+  /** LOUD refusal when the cap-disabled truth universe holds a shingle
+    * hot enough to blow the ground-truth clique join up quadratically
+    * (the exact failure mode the serving-side df cap exists to bound —
+    * ground truth cannot use the cap, so it must refuse instead).
+    */
+  private[dedup] def guardTruthDf(sh: DataFrame, truthDfBound: Long): Unit = {
+    val hottest = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(coalesce(max("df"), lit(0L))).head().getLong(0)
+    if (hottest > truthDfBound) throw new IllegalStateException(
+      s"banding eval refused: a shingle in the measured universe is shared " +
+        s"by $hottest documents (> truthDfBound=$truthDfBound), so the " +
+        s"cap-disabled ground-truth join would generate ~${hottest * hottest / 2} " +
+        "pairs from that clique alone — measure on a smaller sample " +
+        "(sampleDocs) or raise truthDfBound if the cost is intended")
   }
 
   /** The measured-curve KERNEL over a caller-built (cached) shingle
@@ -963,8 +1010,10 @@ object Dedup extends QueryModule {
     */
   def bandingAtRecall(docs: DataFrame, threshold: Double = 0.8,
                       target: Double = 0.95,
-                      bandings: Seq[Int] = Seq(8, 16, 32, 64)): (Int, Int) = {
-    val rows = evalBandingRecall(docs, threshold, bandings)
+                      bandings: Seq[Int] = Seq(8, 16, 32, 64),
+                      sampleDocs: Int = 0): (Int, Int) = {
+    val rows = evalBandingRecall(docs, threshold, bandings,
+        sampleDocs = sampleDocs)
       .select("bands", "n_cand", "recall_x1e4", "theo_recall_x1e4")
       .collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -991,8 +1040,16 @@ object Dedup extends QueryModule {
     (pick, NumPerms / pick)
   }
 
+  /** Registered banding-curve query, measured on the deterministic
+    * 2000-doc lowest-md5 sample: test SFs (≤ sample) measure the full
+    * corpus bit-for-bit (DedupSpec pins sample == full there), while
+    * at scale the eval's cap-disabled truth pass is bounded by the
+    * sample instead of going quadratic with the corpus's hottest
+    * boilerplate shingle.
+    */
   private def minhashEval(s: SparkSession, d: String): DataFrame =
-    evalBandingRecall(Tables.documents(s, d)).orderBy("bands")
+    evalBandingRecall(Tables.documents(s, d), sampleDocs = 2000)
+      .orderBy("bands")
 
   // --- SimHash (rows-only oracle; SimHashSpec) -----------------------
   /** 64-bit simhash over trigram shingles: per bit, +1 if the shingle

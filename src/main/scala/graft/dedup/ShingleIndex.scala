@@ -451,10 +451,26 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   /** The banding the bands/ table currently holds (bands ×
     * 128/bands rows of the MinHash signatures). Default 16×8 — the
     * published high-threshold banding — until [[reband]] changes it.
+    * A crashed config swap is healed first; a config that is still
+    * absent or unreadable re-derives from the bands/ table itself
+    * (band ∈ 0..b−1 → max+1) — the bands table is the ground truth
+    * the config merely caches, and defaulting to 16 against a
+    * rebanded table would silently stop probe keys matching.
     */
-  def currentBanding(): Int =
-    if (!fs.exists(new Path(cfgDir))) Dedup.Bands
-    else spark.read.parquet(cfgDir).head().getInt(0)
+  def currentBanding(): Int = {
+    graft.sources.BatchedTable.recoverDirSwap(fs, cfgDir)
+    if (!fs.exists(new Path(cfgDir))) derivedBanding()
+    else
+      try spark.read.parquet(cfgDir).head().getInt(0)
+      catch { case scala.util.control.NonFatal(_) => derivedBanding() }
+  }
+
+  private def derivedBanding(): Int =
+    if (!fs.exists(new Path(bandDir))) Dedup.Bands
+    else {
+      val m = readIdx(bandDir, None).agg(max(col("band"))).head()
+      if (m.isNullAt(0)) Dedup.Bands else m.getInt(0) + 1
+    }
 
   /** (live docs, live shingle rows) from the meta fold — the
     * provenance stamp the measured banding curve carries. Append and
@@ -486,20 +502,33 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     * with a mega-cluster the measured recall is CONSERVATIVE: the
     * star-degraded buckets under-count pairs the batch-bounded judge
     * would still surface.
+    *
+    * `sampleDocs > 0` measures on the `sampleDocs` lowest-md5(doc_id)
+    * live documents (the [[Dedup.evalBandingRecall]] sampling
+    * discipline), and the cap-disabled truth pass refuses loudly when
+    * a stored shingle in the measured universe is hot enough to make
+    * the ground-truth clique join quadratic
+    * ([[Dedup.DefaultTruthDfBound]]) — at corpus scale the eval is
+    * sample-priced, never corpus².
     */
   def evalBanding(threshold: Double = 0.8,
-                  bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
-    evalBandingFrames(threshold, bandings)._1
+                  bandings: Seq[Int] = Seq(8, 16, 32, 64),
+                  sampleDocs: Int = 0): DataFrame =
+    evalBandingFrames(threshold, bandings, sampleDocs)._1
 
   /** [[evalBanding]] plus its caches (shingles, truth, and the curve
     * kernel's own) — [[measureBanding]] releases them once the rows
     * are pinned; one-shot callers follow the session-cache convention.
     */
-  private def evalBandingFrames(threshold: Double,
-                                bandings: Seq[Int]): (DataFrame, Seq[DataFrame]) = {
+  private def evalBandingFrames(threshold: Double, bandings: Seq[Int],
+                                sampleDocs: Int): (DataFrame, Seq[DataFrame]) = {
     requireDir(shDir, "sh/ table")
-    val sh = minusDeleted(readIdx(shDir, None), None)
-      .select("doc_id", "s").cache()
+    val live = minusDeleted(readIdx(shDir, None), None).select("doc_id", "s")
+    val sh = (if (sampleDocs <= 0) live
+              else live.join(
+                Dedup.mdSample(live.select("doc_id").distinct(), sampleDocs),
+                Seq("doc_id"), "left_semi")).cache()
+    Dedup.guardTruthDf(sh, Dedup.DefaultTruthDfBound)
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     val truth = Dedup.sizedCandidatesFrom(sh, sh,
         maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
@@ -515,20 +544,26 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   /** Measure and PERSIST the banding curve for `threshold` with the
     * current corpus stamp — merge-don't-clobber: other thresholds'
     * rows survive with their own stamps. Returns the rows written.
+    * `sampleDocs` bounds the measurement ([[evalBanding]]); the rows
+    * record it (`sample_docs`, 0 = full) alongside the corpus stamp.
     */
   def measureBanding(threshold: Double = 0.8,
-                     bandings: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+                     bandings: Seq[Int] = Seq(8, 16, 32, 64),
+                     sampleDocs: Int = 0): DataFrame = {
     val (nD, nS) = metaStamp()
-    val (curve, caches) = evalBandingFrames(threshold, bandings)
+    val (curve, caches) = evalBandingFrames(threshold, bandings, sampleDocs)
     val fresh = curve
       .withColumn("threshold", lit(threshold))
       .withColumn("stamp_docs", lit(nD))
       .withColumn("stamp_shingles", lit(nS))
+      .withColumn("sample_docs", lit(sampleDocs.toLong))
     val all =
       if (!fs.exists(new Path(curveDir))) fresh
       else spark.read.parquet(curveDir)
         .filter(col("threshold") =!= threshold)
-        .unionByName(fresh)
+        // pre-sample_docs curve dirs lack the column; their rows keep
+        // their stamps with a null sample marker
+        .unionByName(fresh, allowMissingColumns = true)
     // model-sized rows: localCheckpoint breaks the self-read lineage
     // before the overwrite clears the directory being read — and once
     // pinned, the measurement's caches release (a repeated maintenance
@@ -540,6 +575,36 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
       caches.foreach(_.unpersist())
     }
     spark.read.parquet(curveDir).filter(col("threshold") === threshold)
+  }
+
+  /** Re-measure every persisted banding curve whose corpus stamp no
+    * longer matches the live meta fold — the curve-side maintenance
+    * verb that pairs with [[bandingFor]]'s staleness refusal, the
+    * [[graft.vector.VectorStore.maintainCurves]] discipline on the
+    * dedup side. Each stale threshold re-measures with the bandings,
+    * and sample size, its own rows recorded (legacy rows without a
+    * sample marker re-measure full). Returns the number of thresholds
+    * re-measured; fresh curves cost only the stamp read.
+    */
+  def maintainBanding(): Int = {
+    if (!fs.exists(new Path(curveDir))) return 0
+    val (nD, nS) = metaStamp()
+    val t = spark.read.parquet(curveDir)
+    val ts =
+      if (t.columns.contains("sample_docs")) t
+      else t.withColumn("sample_docs", lit(0L))
+    val stale = ts.select("threshold", "stamp_docs", "stamp_shingles",
+        "sample_docs").distinct().collect()
+      .filter(r => r.getLong(1) != nD || r.getLong(2) != nS)
+      .map(r => (r.getDouble(0),
+        if (r.isNullAt(3)) 0 else r.getLong(3).toInt))
+      .distinct
+    stale.foreach { case (thr, sample) =>
+      val bandings = ts.filter(col("threshold") === thr)
+        .select("bands").collect().map(_.getLong(0).toInt).sorted.toSeq
+      measureBanding(thr, bandings, sample)
+    }
+    stale.length
   }
 
   /** Pick a banding from the PERSISTED measured curve: the shared
@@ -582,7 +647,11 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     * some batches' keys at the old banding (those batches simply stop
     * colliding with probes, candidates lost not corrupted) and a
     * re-run heals them all. The config is written FIRST so the re-run
-    * (and any interleaved append) already targets the new banding.
+    * (and any interleaved append) already targets the new banding —
+    * via the tmp-then-rename swap ([[graft.sources.BatchedTable.swapDir]]),
+    * so a crash mid-config-write leaves either the old config or the
+    * new one, never an absent/partial directory (which would make
+    * [[currentBanding]] disagree with the bands/ table).
     */
   def reband(bands: Int): Long = {
     require(bands > 0 && Dedup.NumPerms % bands == 0,
@@ -590,7 +659,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     requireDir(shDir, "sh/ table")
     requireDir(bandDir, "bands/ table")
     import spark.implicits._
-    Seq(bands).toDF("bands").write.mode(SaveMode.Overwrite).parquet(cfgDir)
+    graft.sources.BatchedTable.swapDir(fs, cfgDir, Seq(bands).toDF("bands"))
     val batches = fs.listStatus(new Path(shDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch="))

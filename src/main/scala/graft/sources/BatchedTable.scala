@@ -177,4 +177,63 @@ private[graft] object BatchedTable {
       s"compact: rename $tmp -> $dir failed; all data is in $tmp, " +
         "re-running compact() recovers")
   }
+
+  private def dirTmpFor(dir: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, s"_${p.getName}__swap_tmp")
+  }
+
+  private def dirOldFor(dir: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, s"_${p.getName}__swap_old")
+  }
+
+  /** Replace a whole (small, config-sized) parquet directory with the
+    * [[rewriteBatch]] crash discipline at directory granularity: the
+    * fresh copy is durable in a hidden tmp sibling BEFORE the live
+    * directory is touched, then the swap is two O(1) renames (live
+    * slides out to a hidden old sibling, tmp slides in). A plain
+    * SaveMode.Overwrite deletes-then-writes, so a crash in that window
+    * leaves the directory absent or holding only `_temporary` — for a
+    * config table that silently changes reader behavior. Crash
+    * anywhere here is healed by [[recoverDirSwap]], which readers call
+    * first. `fresh` must not read from the live directory.
+    */
+  def swapDir(fs: FileSystem, dir: String, fresh: DataFrame): Unit = {
+    recoverDirSwap(fs, dir)
+    val (tmp, old, live) = (dirTmpFor(dir), dirOldFor(dir), new Path(dir))
+    Seq(tmp, old).foreach(d =>
+      if (fs.exists(d) && !fs.delete(d, true)) throw new IllegalStateException(
+        s"swapDir: could not clear stale $d; live directory untouched"))
+    fresh.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(live) && !fs.rename(live, old)) throw new IllegalStateException(
+      s"swapDir: rename $live -> $old failed; originals intact, fresh copy at $tmp")
+    if (!fs.rename(tmp, live)) throw new IllegalStateException(
+      s"swapDir: rename $tmp -> $live failed; recoverDirSwap finishes the swap")
+    if (fs.exists(old) && !fs.delete(old, true)) throw new IllegalStateException(
+      s"swapDir: could not clear $old after swap; recoverDirSwap clears it")
+  }
+
+  /** Heal a crashed [[swapDir]]: live present → tmp/old are debris
+    * (pre-swap tmp writes are only complete once live was renamed out,
+    * so while live stands the tmp may be partial — drop both); live
+    * missing + tmp present → the crash hit between the two renames and
+    * tmp holds the complete fresh copy — rename it in; live missing +
+    * only old present (defensive; no crash ordering produces it) →
+    * restore the originals.
+    */
+  def recoverDirSwap(fs: FileSystem, dir: String): Unit = {
+    val (tmp, old, live) = (dirTmpFor(dir), dirOldFor(dir), new Path(dir))
+    def drop(d: Path): Unit =
+      if (fs.exists(d) && !fs.delete(d, true)) throw new IllegalStateException(
+        s"swap recovery: could not clear $d")
+    if (fs.exists(live)) { drop(tmp); drop(old) }
+    else if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, live)) throw new IllegalStateException(
+        s"swap recovery: rename $tmp -> $live failed")
+      drop(old)
+    } else if (fs.exists(old) && !fs.rename(old, live))
+      throw new IllegalStateException(
+        s"swap recovery: rename $old -> $live failed")
+  }
 }

@@ -307,14 +307,53 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(6) === math.round(hit * 10000.0 / math.max(cand, 1L)))
     }
     // aligned halvings nest: a collision in an 8-row band implies one in
-    // both its 4-row halves, so (pre-cap) candidates — and with them
-    // measured recall — can only grow as bands double
-    val recalls = rows.map(_.getLong(5)).toSeq
+    // both its 4-row halves, so PRE-CAP candidates — and with them
+    // measured recall — can only grow as bands double. The property
+    // holds pre-cap only (a wider banding's bigger buckets can cross
+    // the bucket cap and legally degrade to star candidates), so the
+    // monotonicity run disables the cap to match the property under test
+    val uncapped = graft.dedup.Dedup.evalBandingRecall(docs,
+        maxBucketFraction = 1.0, bandCapFloor = Long.MaxValue)
+      .orderBy("bands").collect()
+    val recalls = uncapped.map(_.getLong(5)).toSeq
     assert(recalls === recalls.sorted,
-      s"recall must be nondecreasing in bands, got $recalls")
+      s"pre-cap recall must be nondecreasing in bands, got $recalls")
     // 16x8 is the published banding the minhash-LSH === exact spec rides
     assert(rows(1).getLong(5) === 10000L,
       "16x8 must recall every true pair on this corpus (minhash-LSH spec invariant)")
+  }
+
+  test("banding eval sample: sample==full on test corpora, tuner pick identical, hot-shingle truth refused") {
+    val docs = Tables.documents(spark, sf)
+    val full = graft.dedup.Dedup.evalBandingRecall(docs)
+      .orderBy("bands").collect().map(_.toSeq)
+    // the registered query's sample (2000) covers every test corpus, so
+    // the measured curve is bit-for-bit the full-corpus curve
+    val sampled = graft.dedup.Dedup.evalBandingRecall(docs, sampleDocs = 2000)
+      .orderBy("bands").collect().map(_.toSeq)
+    assert(sampled.toSeq === full.toSeq)
+    // the sample is lowest-md5, not input-order: a reshuffled corpus
+    // measures the identical curve even under a GENUINE sub-sample
+    val half = docs.count().toInt / 2
+    val a = graft.dedup.Dedup.evalBandingRecall(docs, sampleDocs = half)
+      .orderBy("bands").collect().map(_.toSeq)
+    val b = graft.dedup.Dedup.evalBandingRecall(
+        docs.orderBy(desc("text")), sampleDocs = half)
+      .orderBy("bands").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // and the tuner picks the same banding from the half-sample curve
+    assert(graft.dedup.Dedup.bandingAtRecall(docs, target = 0.95) ===
+      graft.dedup.Dedup.bandingAtRecall(docs, target = 0.95, sampleDocs = half))
+    // cap-disabled ground truth REFUSES a hot shingle instead of going
+    // quadratic: 6 docs sharing one trigram, bound set below that
+    import spark.implicits._
+    val hot = (1L to 6L).map(i => (i, s"shared trigram here unique$i"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.evalBandingRecall(hot, truthDfBound = 5L)
+    }
+    assert(ex.getMessage.contains("truthDfBound"))
+    assert(ex.getMessage.contains("sampleDocs"))
   }
 
   test("bandingAtRecall picks the cheapest SERVABLE banding meeting the target, falls back to max recall") {

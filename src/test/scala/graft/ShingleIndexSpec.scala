@@ -758,4 +758,47 @@ class ShingleIndexSpec extends AnyFunSuite {
     assert(idx.currentBanding() === 16)
     intercept[IllegalArgumentException](idx.bandingFor(0.8))
   }
+
+  test("banding config crash windows: derive from bands/, heal a crashed swap") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, w("a", 40)), (2L, w("b", 40)), (3L, w("c", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx-cfgcrash").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    idx.measureBanding(threshold = 0.5)
+    val (b1, _) = idx.bandingFor(0.5, target = 0.9)
+    assert(b1 > 16)
+    idx.reband(b1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cfg = new org.apache.hadoop.fs.Path(s"$dir/bandingcfg")
+
+    // config directory lost entirely: the banding re-derives from the
+    // bands/ table (max band + 1), NOT the default 16 — probe keys
+    // keep matching the rebanded table
+    assert(fs.delete(cfg, true))
+    assert(idx.currentBanding() === b1)
+
+    // config present but unreadable (only _temporary debris left by a
+    // crashed plain overwrite): same derivation instead of a throw
+    assert(fs.delete(cfg, true) || !fs.exists(cfg))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(cfg, "_temporary"))
+    assert(idx.currentBanding() === b1)
+    assert(fs.delete(cfg, true))
+
+    // crashed swap (live renamed out, tmp not yet renamed in): the
+    // hidden tmp holds the complete fresh config — the next read
+    // finishes the swap and serves the new value
+    val tmp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "_bandingcfg__swap_tmp")
+    Seq(64).toDF("bands").write.parquet(tmp.toString)
+    assert(idx.currentBanding() === 64)
+    assert(fs.exists(cfg) && !fs.exists(tmp),
+      "recovery must rename the tmp in, leaving a clean live config")
+
+    // and with a healthy config, the config wins over derivation
+    idx.reband(b1)
+    assert(idx.currentBanding() === b1)
+  }
 }
