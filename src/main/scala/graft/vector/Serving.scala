@@ -914,15 +914,42 @@ object Serving extends QueryModule {
           .cast(LongType).as("w"): _*)
   }
 
+  /** Registered form — serves from the PERSISTED chunk-component
+    * artifact ([[ServedMaxsim]]): the corpus-side chunk + explode +
+    * embed pass (the expensive, corpus-scale half of max-sim) is paid
+    * once per corpus state and reread from parquet after, the
+    * ServedQuant train-once/serve-many treatment. Components are
+    * exact 1e4-quantized integers, so served results are bit-identical
+    * to the one-shot plan (MaxsimSpec pins it).
+    */
   private def knnMaxsim(s: SparkSession, d: String): DataFrame =
-    maxsimFrame(graft.Tables.documents(s, d), maxsimQueryIds)
+    maxsimJoin(s, d, maxsimQueryIds)
+
+  /** Max-sim retrieval verb over dataset `d`'s documents, served from
+    * the stamped chunk artifact: `ids` are example documents (query =
+    * the document's own text), result pages are (query_id, rank,
+    * doc_id, best_chunk, maxsim) — the more_like_this shape at
+    * best-matching-passage granularity.
+    */
+  def maxsimJoin(s: SparkSession, d: String, ids: Seq[Long],
+                 topK: Int = 10): DataFrame =
+    maxsimFrom(ServedMaxsim.servedChunks(s, d),
+      graft.Tables.documents(s, d), ids, topK)
 
   /** The [[knnMaxsim]] kernel over any (doc_id, text) frame — exposed
     * for MaxsimSpec's fixture-based semantic pins (buried-passage
-    * recovery, alternative-plan argmax parity).
+    * recovery, alternative-plan argmax parity). One-shot: chunk
+    * components are built inline, not served.
     */
-  private[graft] def maxsimFrame(docs: DataFrame, qIds: Seq[Long]): DataFrame = {
-    // doc_chunk's window arithmetic, text retained for embedding
+  private[graft] def maxsimFrame(docs: DataFrame, qIds: Seq[Long]): DataFrame =
+    maxsimFrom(chunkComponents(docs), docs, qIds, topK = 10)
+
+  /** Corpus-side half of max-sim: every document chunked (doc_chunk's
+    * window arithmetic — 32-token windows every 24) and each chunk
+    * reduced to its 1e4-quantized hash-embedding components
+    * (doc_id, chunk_id, dim, w) — the frame [[ServedMaxsim]] persists.
+    */
+  private[graft] def chunkComponents(docs: DataFrame): DataFrame = {
     val nChunks = lit(1L) + floor(
       (greatest(col("__nw") - MAXSIM_SIZE, lit(0L)) + (MAXSIM_STRIDE - 1)) /
         MAXSIM_STRIDE)
@@ -933,11 +960,20 @@ object Serving extends QueryModule {
         concat_ws(" ", slice(col("__ws"),
           (col("chunk_id") * MAXSIM_STRIDE + 1).cast("int"),
           lit(MAXSIM_SIZE))).as("text"))
-    val cComp = hashComponents(chunks, Seq("doc_id", "chunk_id"))
+    hashComponents(chunks, Seq("doc_id", "chunk_id"))
+  }
+
+  /** Scoring half of max-sim over a caller-supplied chunk-component
+    * frame (inline or served — identical integers either way): page-
+    * sized query components broadcast into the dim equi-join, per-
+    * (query, doc) argmax via min-of-struct, top-`topK` page per query.
+    */
+  private[graft] def maxsimFrom(cComp: DataFrame, queryDocs: DataFrame,
+                                qIds: Seq[Long], topK: Int): DataFrame = {
     val cNorm = cComp.groupBy("doc_id", "chunk_id")
       .agg(sum(col("w") * col("w")).as("nc"))
     val qComp = hashComponents(
-        docs.filter(col("doc_id").isin(qIds: _*)), Seq("doc_id"))
+        queryDocs.filter(col("doc_id").isin(qIds: _*)), Seq("doc_id"))
       .select(col("doc_id").as("query_id"), col("dim"), col("w").as("wq"))
     val qNorm = qComp.groupBy("query_id").agg(sum(col("wq") * col("wq")).as("nq"))
     val dots = cComp
@@ -956,10 +992,34 @@ object Serving extends QueryModule {
     best
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(desc("score0"), asc("doc_id"))).cast(LongType))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("best_chunk").cast(LongType).as("best_chunk"),
         round(col("score0"), 4).as("maxsim"))
+  }
+
+  /** The streamed twin of [[maxsimJoin]]: a stream of example doc ids
+    * (single `query_id` column); the chunk ARTIFACT resolves once at
+    * stream start (freshness checked against the corpus then — the
+    * single-writer maintenance contract covers mid-stream corpus
+    * mutation, like [[serveHybridStream]]'s pinned routing state),
+    * query texts resolve live per batch. Micro-batch ids collect
+    * driver-side — page-shaped, the bounded-collect discipline.
+    */
+  def serveMaxsimStream(s: SparkSession, d: String, ids: DataFrame,
+                        outDir: String, checkpoint: String, topK: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cComp = ServedMaxsim.servedChunks(s, d)
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val page = batch.select(col("query_id").cast(LongType))
+          .collect().map(_.getLong(0)).toSeq
+        if (page.nonEmpty)
+          maxsimFrom(cComp, graft.Tables.documents(s, d), page, topK)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .start()
   }
 
   /** Per-dim integer components CTE chain shared by both sides of the
@@ -1858,7 +1918,7 @@ object Serving extends QueryModule {
                                   graft.plans.ShardTopKJoin.Metric.Cosine)
       : DataFrame =
     curveFromHits(exactHits(assigned, queries, topK, metric), assigned, queries,
-      cents, k, topK, nQueries)
+      cents, k, denom = nQueries * topK)
 
   /** The L2 recall curve — [[recallCurve]]'s probe-rank trick against
     * EUCLIDEAN ground truth (round 13: completes the metric surface
@@ -2041,11 +2101,14 @@ object Serving extends QueryModule {
 
   /** Probe-rank rollup of [[exactHits]] output into the raw-path
     * recall curve (see [[curveFrom]]'s Scaladoc for the trick).
+    * `denom` is the truth-set size — nQueries·topK on a whole corpus;
+    * the ACTUAL hit count on a filtered slice (a slice smaller than
+    * topK+1 yields fewer than topK truths per query).
     */
   private[vector] def curveFromHits(hits: DataFrame, assigned: DataFrame,
                                     queries: DataFrame,
                                     cents: Seq[(Int, Array[Double])], k: Int,
-                                    topK: Int, nQueries: Long): DataFrame =
+                                    denom: Long): DataFrame =
     hits
       .join(assigned.select("vec_id", "shard"), "vec_id")
       .join(broadcast(queries), "query_id")
@@ -2055,7 +2118,7 @@ object Serving extends QueryModule {
       .groupBy("nprobe")
       .agg((sum(when(col("prank") <= col("nprobe"), 1L).otherwise(0L)) * 10000L)
         .as("__h"))
-      .select(col("nprobe"), expr(s"__h div ${nQueries * topK}").as("recall_x1e4"))
+      .select(col("nprobe"), expr(s"__h div ${math.max(denom, 1L)}").as("recall_x1e4"))
 
   private val recallCurveSql =
     s"""WITH ${VectorQueries.centSql}, ${VectorQueries.assignSql},

@@ -61,4 +61,76 @@ class MaxsimSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(again === got)
   }
+
+  test("registered query serves from the chunk artifact, bit-identical to the inline plan") {
+    val docs = Tables.documents(spark, sf)
+    val inline = graft.vector.Serving.maxsimFrame(docs, Seq(0L, 1L, 2L))
+      .collect().map(_.toSeq).toSet
+    val served = SparkEntry.queries("vdb_knn_maxsim")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === inline,
+      "serving from persisted integer components must be bit-identical")
+  }
+
+  test("chunk artifact staleness: rebuild on in-place edit, no rewrite while fresh") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-maxsim-art").toString
+    val dataDir = s"$base/docs"
+    val artDir = s"$base/art"
+    val query = w("q", 20)
+    val mk = (midText: String) => Seq(
+      (0L, query),
+      (1L, w("j", 24) + " " + midText),
+      (2L, w("z", 40))).toDF("doc_id", "text")
+    mk(query).write.parquet(dataDir)
+    def docs = spark.read.parquet(dataDir)
+    def serveOnce() = {
+      graft.vector.ServedMaxsim.invalidateServed()
+      graft.vector.Serving.maxsimFrom(
+          graft.vector.ServedMaxsim.servedChunksOf(spark, artDir, docs),
+          docs, Seq(0L), topK = 10)
+        .collect().map(_.toSeq).toSet
+    }
+    val first = serveOnce()
+    assert(first === graft.vector.Serving.maxsimFrame(docs, Seq(0L))
+      .collect().map(_.toSeq).toSet)
+    def chunkFiles() = new java.io.File(s"$artDir/chunks").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val files0 = chunkFiles()
+    // fresh stamp (even across the per-JVM memo): no rewrite
+    assert(serveOnce() === first)
+    assert(chunkFiles() === files0, "a fresh artifact must not be rewritten")
+    // in-place edit — same row count, text changed: the (doc_id, text)
+    // hash stamp moves, the artifact rebuilds, the buried passage is gone
+    mk(w("other", 20)).write.mode("overwrite").parquet(dataDir)
+    val after = serveOnce()
+    assert(chunkFiles() !== files0, "a stale artifact must rebuild")
+    assert(after === graft.vector.Serving.maxsimFrame(docs, Seq(0L))
+      .collect().map(_.toSeq).toSet)
+    val doc1 = after.find(_(2) == 1L).map(_(4).asInstanceOf[Double])
+    assert(doc1.forall(_ < 1.0),
+      "after the edit, doc 1 no longer holds the verbatim passage")
+  }
+
+  test("streamed maxsim pages equal the one-shot verb") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-maxsim-out")
+      .toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-maxsim-ck").toString
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.vector.Serving.serveMaxsimStream(spark, sf,
+      input.toDF().toDF("query_id"), outDir, ckpt)
+    try {
+      input.addData(0L, 1L)
+      q.processAllAvailable()
+      input.addData(2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    assert(streamed === graft.vector.Serving.maxsimJoin(spark, sf, Seq(0L, 1L, 2L))
+      .collect().map(_.toSeq).toSet,
+      "streamed pages must equal the one-shot join")
+  }
 }
