@@ -28,6 +28,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val recallDir = s"$path/recall_eval"
   private val rangeRecallDir = s"$path/range_recall_eval"
   private val fusionRecallDir = s"$path/fusion_recall_eval"
+  private val sliceIdsDir = s"$path/recall_slice_ids"
   private val fusionQueriesDir = s"$path/fusion_recall_queries"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
@@ -356,6 +357,34 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     scala.util.hashing.MurmurHash3.orderedHash(
       cents.map { case (s, c) => (s, c.toSeq) }.toSeq).toLong
 
+  /** Content stamp of a filtered-serving `allowed` id set — 0 for
+    * whole-corpus measurements, else a nonzero combine of (count,
+    * order-independent per-id hash sum): the slice's identity. Curve
+    * rows persist it ([[evalRecall]]/[[evalRangeRecall]] with
+    * `allowed`) and the tuners compare it against the caller's live
+    * set ([[nprobeFor]]/[[nprobeForRange]]) — a drifted slice refuses
+    * loudly instead of tuning on another slice's geometry.
+    */
+  private def sliceStamp(allowed: Option[DataFrame]): Long = allowed match {
+    case None => 0L
+    case Some(ids) =>
+      val r = ids.agg(count(lit(1)),
+        coalesce(sum(hash(col(ids.columns.head).cast(LongType))
+          .cast(LongType)), lit(0L))).head()
+      val s = r.getLong(0) * 1000003L ^ r.getLong(1)
+      if (s == 0L) 1L else s
+  }
+
+  /** The slice's corpus restriction for a TRUTH pass — the same
+    * filter-then-search semantics [[searchJoin]]'s `allowed` applies
+    * at serving time, over a frame keyed by `vec_id`.
+    */
+  private def restrictSlice(frame: DataFrame,
+                            allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(frame)(ids => frame.join(
+      ids.select(col(ids.columns.head).cast(LongType).as("vec_id")),
+      Seq("vec_id"), "left_semi"))
+
   /** Route new vectors to their nearest shard and append (reference
     * /store, one HTTP call per vector there — one distributed append
     * here).
@@ -672,10 +701,21 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * persist keyed by (metric, compressed, shortlist) and merge
     * without clobbering other modes; compressed + L2 is refused —
     * there is no compressed L2 path to measure.
+    *
+    * `allowed` (round 14): measure the FILTERED-SLICE curve — ground
+    * truth restricted to the allowed ids exactly as
+    * `searchJoin(allowed)` restricts serving, so a tenant serving a
+    * 5% slice tunes nprobe on measured slice geometry instead of
+    * whole-corpus curves (a selective slice concentrates differently
+    * across shards). Slice rows persist keyed by the allowed set's
+    * CONTENT stamp (`allowed_stamp`; 0 = whole-corpus), one slice per
+    * mode, and the id set rides along for [[maintainCurves]];
+    * [[nprobeFor]]`(allowed = ...)` refuses a drifted slice loudly.
     */
   def evalRecall(nQueries: Int = 64, topK: Int = 10, compressed: Boolean = false,
                  shortlist: Int = 100,
-                 metric: String = graft.plans.ShardTopKJoin.Metric.Cosine)
+                 metric: String = graft.plans.ShardTopKJoin.Metric.Cosine,
+                 allowed: Option[DataFrame] = None)
       : DataFrame = {
     require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
         graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
@@ -707,15 +747,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .orderBy("query_id").limit(nQueries)
     val nq = queries.count()
+    // the slice's identity + its truth universe: with `allowed` the
+    // ground truth is the exact top-k AMONG ALLOWED ROWS (serving's
+    // filter-then-search semantics), measured against the same routing
+    // — the geometry a tenant's filtered queries actually see. The
+    // query sample stays store-wide (probes need not be slice members).
+    val aStamp = sliceStamp(allowed)
+    val truthStore = restrictSlice(store, allowed)
     // ONE exact-arm pass feeds both curves: the raw-IVF curve reads
     // each hit's probe rank; the compressed curve additionally asks
     // whether the hit survives the ADC shortlist at each depth. The
     // hits frame is tiny (nQueries x topK) — checkpointed so the two
     // rollups don't re-run the corpus-scoring pass.
-    val hits = Serving.exactHits(store, queries, topK, metric).localCheckpoint(true)
+    val hits = Serving.exactHits(truthStore, queries, topK, metric)
+      .localCheckpoint(true)
     try {
+      // whole-corpus denominator nq·topK is exact (the corpus always
+      // holds topK non-self rows); a slice may not — count its truths
+      val denom = if (allowed.isEmpty) nq * topK else hits.count()
       val rawCurve = Serving
-        .curveFromHits(hits, store, queries, cents, numShards, topK, nq)
+        .curveFromHits(hits, truthStore, queries, cents, numShards, denom)
         .withColumn("compressed", lit(false))
         .withColumn("shortlist", lit(0L))
       val curve =
@@ -724,7 +775,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           val meta = pqMeta().getOrElse(throw new IllegalStateException(
             "evalRecall(compressed = true) needs a PQ-built store: build(pqSubspaces > 0)"))
           rawCurve.unionByName(
-            compressedCurve(hits, queries, cents, topK, shortlist, nq, meta)
+            compressedCurve(hits, queries, cents, topK, shortlist, denom, meta,
+                allowed)
               .withColumn("compressed", lit(true))
               .withColumn("shortlist", lit(shortlist.toLong)))
         }
@@ -740,8 +792,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .withColumn("top_k", lit(topK.toLong))
         .withColumn("cent_stamp", lit(centStamp(cents)))
         .withColumn("n_rows", lit(store.count()))
+        .withColumn("allowed_stamp", lit(aStamp))
         .select("nprobe", "recall_x1e4", "n_queries", "top_k", "compressed",
-          "shortlist", "metric", "cent_stamp", "n_rows")
+          "shortlist", "metric", "cent_stamp", "n_rows", "allowed_stamp")
       // MERGE with the persisted table, don't clobber it: a raw-only
       // re-measurement would otherwise erase a previously measured
       // compressed curve (and vice versa), and searchAtRecall for the
@@ -760,6 +813,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val newKeys: Seq[(Boolean, Long)] =
         (false, 0L) +: (if (compressed) Seq((true, shortlist.toLong)) else Nil)
+      // slice replacement policy: the store keeps ONE filtered-slice
+      // curve per mode — a slice measurement replaces any slice rows
+      // of the mode (a drifted slice's stale rows must not accumulate
+      // as permanent garbage under content-derived stamps); a whole-
+      // corpus measurement touches only whole-corpus (stamp 0) rows.
+      val sliceCond =
+        if (aStamp == 0L) col("allowed_stamp") === 0L
+        else col("allowed_stamp") =!= 0L
       val all =
         if (!rfs.exists(rp)) fresh.localCheckpoint(true)
         else {
@@ -778,22 +839,33 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
             // column — every pre-metric measurement was cosine, so
             // stamp its rows as such and merge normally (superseding
             // would clobber a measured compressed curve on an L2
-            // re-measurement, against the merge discipline above)
+            // re-measurement, against the merge discipline above).
+            // Pre-slice tables (no allowed_stamp) are all whole-corpus.
             val withMetric =
               if (existing.columns.contains("metric")) existing
               else existing.withColumn("metric",
                 lit(graft.plans.ShardTopKJoin.Metric.Cosine))
-            fresh.unionByName(withMetric.filter(
-              !newKeys.map(k =>
+            val withSlice =
+              if (withMetric.columns.contains("allowed_stamp")) withMetric
+              else withMetric.withColumn("allowed_stamp", lit(0L))
+            fresh.unionByName(withSlice.filter(
+              !(newKeys.map(k =>
                 col("metric") === metric &&
                 col("compressed") === k._1 && col("shortlist") === k._2)
-                .reduce(_ || _) &&
+                .reduce(_ || _) && sliceCond) &&
               col("top_k") === topK.toLong && col("n_queries") === nq))
               .localCheckpoint(true)
           }
         }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(recallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+      // persist the slice's id set alongside (slice-sized, distributed
+      // write): maintainCurves re-measures stale slice modes from it
+      // without the tenant re-supplying ids — last slice wins, the
+      // one-slice-per-store convention above. Pinned first: the
+      // maintenance path's `ids` READS this very directory, and an
+      // unpinned overwrite would delete the files under its own scan.
+      allowed.foreach(ids => writeSliceIds(ids))
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hits)
     spark.read.parquet(recallDir)
   }
@@ -822,12 +894,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   private def compressedCurve(hits: DataFrame, queries: DataFrame,
                               cents: Array[(Int, Array[Double])], topK: Int,
-                              shortlist: Int, nq: Long, meta: PqMeta): DataFrame = {
+                              shortlist: Int, denom: Long, meta: PqMeta,
+                              allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = numShards
-    val codes = spark.read.parquet(vecDir)
+    // a slice restricts the ADC candidate universe the same way
+    // compressed serving with `allowed` does: filter before scoring
+    val codes = restrictSlice(spark.read.parquet(vecDir)
       .select(col(idCol).cast(LongType).as("vec_id"),
-        col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm"))
+        col("shard").cast(LongType).as("shard"), col("pq_codes"), col("vnorm")),
+      allowed)
     val (frame, recon) = withRecon(codes, meta, cents)
     val q = queries.withColumn("qn", vecNorm(col("qv")))
     val scored = frame.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -865,7 +941,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     spark.range(1, k + 1).toDF("nprobe")
       .join(found, Seq("nprobe"), "left")
       .select(col("nprobe"),
-        expr(s"coalesce(__h, 0L) div ${nq * topK}").as("recall_x1e4"))
+        expr(s"coalesce(__h, 0L) div ${math.max(denom, 1L)}").as("recall_x1e4"))
   }
 
   /** (frame ready for scoring, raw-space reconstruction column) for a
@@ -939,7 +1015,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       } else {
         val nowStamp = centStamp(centroids())
         lazy val nowRows = spark.read.parquet(vecDir).count()
-        t.select("n_queries", "top_k", "compressed", "shortlist",
+        // slice rows (allowed_stamp != 0) are maintainCurves' job — it
+        // holds the persisted slice ids; re-measuring whole-corpus here
+        // would not heal them, only loop on their stale stamps
+        val ts =
+          if (t.columns.contains("allowed_stamp"))
+            t.filter(col("allowed_stamp") === 0L)
+          else t
+        ts.select("n_queries", "top_k", "compressed", "shortlist",
             "cent_stamp", "n_rows").distinct().collect()
           .filter { r =>
             r.getLong(4) != nowStamp ||
@@ -993,10 +1076,18 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * path passes `checkFresh = false` against a curve it refreshes on
     * its own maintenance schedule. Pre-stamp tables (legacy) skip the
     * check — their provenance is unknowable; re-measure.
+    *
+    * `allowed` (round 14): tune a FILTERED serving path on its own
+    * measured slice curve (`evalRecall(allowed = ...)` first). An
+    * unmeasured slice falls back to full probing (exact, never wrong);
+    * a slice whose content stamp no longer matches the persisted rows
+    * — the allowed set drifted since measurement — REFUSES loudly,
+    * the cent-stamp discipline applied to the filter.
     */
   def nprobeFor(target: Double, compressed: Boolean = false,
                 shortlist: Int = 0, checkFresh: Boolean = true,
-                metric: String = graft.plans.ShardTopKJoin.Metric.Cosine): Int = {
+                metric: String = graft.plans.ShardTopKJoin.Metric.Cosine,
+                allowed: Option[DataFrame] = None): Int = {
     val wantCos = metric == graft.plans.ShardTopKJoin.Metric.Cosine
     val p = new org.apache.hadoop.fs.Path(recallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) numShards
@@ -1007,7 +1098,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // tables (compressed column, no metric column) are cosine too —
       // an unmeasured mode falls through to full probing below, which
       // is exact, never a silently wrong tune
-      val mode =
+      val modeAll =
         if (!t.columns.contains("compressed")) {
           if (compressed || !wantCos) t.limit(0) else t
         } else {
@@ -1019,6 +1110,26 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           if (compressed)
             m0.filter(col("compressed") && col("shortlist") === shortlist.toLong)
           else m0.filter(!col("compressed"))
+        }
+      // slice keying: a filtered caller tunes ONLY on a curve measured
+      // for ITS slice (whole-corpus geometry over- or under-probes a
+      // selective slice); pre-slice tables are all whole-corpus rows
+      val withSlice =
+        if (modeAll.columns.contains("allowed_stamp")) modeAll
+        else modeAll.withColumn("allowed_stamp", lit(0L))
+      val aStamp = sliceStamp(allowed)
+      val mode =
+        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
+        else {
+          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
+          val head = sliceRows.select("allowed_stamp").limit(1).collect()
+          if (head.nonEmpty && head(0).getLong(0) != aStamp)
+            throw new IllegalStateException(
+              "filtered-slice recall curve was measured for a DIFFERENT " +
+                "allowed set (the slice drifted, or another tenant's slice " +
+                "holds the mode) — re-run evalRecall(allowed = ...) for this " +
+                "slice, or tune without `allowed` to use whole-corpus geometry")
+          sliceRows
         }
       if (checkFresh && t.columns.contains("cent_stamp")) {
         // one measurement run per mode key (replaced wholesale by
@@ -1078,7 +1189,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * the merge-don't-clobber discipline mirror [[evalRecall]];
     * [[nprobeForRange]] refuses a stale curve the same way.
     */
-  def evalRangeRecall(minScore: Double, nQueries: Int = 64): DataFrame = {
+  def evalRangeRecall(minScore: Double, nQueries: Int = 64,
+                      allowed: Option[DataFrame] = None): DataFrame = {
     val cents = centroids()
     val store = spark.read.parquet(vecDir)
       .select(col(idCol).cast(LongType).as("vec_id"),
@@ -1089,25 +1201,54 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .orderBy("query_id").limit(nQueries)
     val nq = queries.count()
     val tauKey = math.round(minScore * 1e6)
-    val fresh = Serving.rangeCurveFrom(store, queries, cents.toSeq, numShards,
-        minScore)
+    // slice semantics mirror evalRecall's: τ-truth restricted to the
+    // allowed ids (rangeJoin(allowed)'s filter-then-search), curve
+    // rows keyed by the slice's content stamp, one slice per τ
+    val aStamp = sliceStamp(allowed)
+    val fresh = Serving.rangeCurveFrom(restrictSlice(store, allowed), queries,
+        cents.toSeq, numShards, minScore)
       .withColumn("n_queries", lit(nq))
       .withColumn("min_score_x1e6", lit(tauKey))
       .withColumn("cent_stamp", lit(centStamp(cents)))
       .withColumn("n_rows", lit(store.count()))
+      .withColumn("allowed_stamp", lit(aStamp))
       .select("nprobe", "recall_x1e4", "n_matches", "n_queries",
-        "min_score_x1e6", "cent_stamp", "n_rows")
+        "min_score_x1e6", "cent_stamp", "n_rows", "allowed_stamp")
+    val sliceCond =
+      if (aStamp == 0L) col("allowed_stamp") === 0L
+      else col("allowed_stamp") =!= 0L
     val rp = new org.apache.hadoop.fs.Path(rangeRecallDir)
     val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
       if (!rfs.exists(rp)) fresh.localCheckpoint(true)
-      else fresh.unionByName(
-        spark.read.parquet(rangeRecallDir).filter(
-          col("min_score_x1e6") =!= tauKey && col("n_queries") === nq))
-        .localCheckpoint(true)
+      else {
+        val existing = spark.read.parquet(rangeRecallDir)
+        val withSlice =
+          if (existing.columns.contains("allowed_stamp")) existing
+          else existing.withColumn("allowed_stamp", lit(0L))
+        fresh.unionByName(withSlice.filter(
+          !(col("min_score_x1e6") === tauKey && sliceCond) &&
+            col("n_queries") === nq))
+          .localCheckpoint(true)
+      }
     try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(rangeRecallDir)
     finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+    allowed.foreach(ids => writeSliceIds(ids))
     spark.read.parquet(rangeRecallDir)
+  }
+
+  /** Persist a measured slice's id set for curve maintenance — pinned
+    * (localCheckpoint) before the overwrite because the maintenance
+    * path re-measures FROM this directory: an unpinned overwrite
+    * would delete the parquet files its own input scan still reads.
+    */
+  private def writeSliceIds(ids: DataFrame): Unit = {
+    val pinned = ids
+      .select(col(ids.columns.head).cast(LongType).as("vec_id"))
+      .localCheckpoint(true)
+    try pinned.write.mode(SaveMode.Overwrite).parquet(sliceIdsDir)
+    finally org.apache.spark.sql.graftshim.CheckpointInterop
+      .unpersistCheckpoint(pinned)
   }
 
   /** Cheapest probe depth whose MEASURED radius recall at `minScore`
@@ -1117,13 +1258,30 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * `checkFresh = false`.
     */
   def nprobeForRange(minScore: Double, target: Double,
-                     checkFresh: Boolean = true): Int = {
+                     checkFresh: Boolean = true,
+                     allowed: Option[DataFrame] = None): Int = {
     val p = new org.apache.hadoop.fs.Path(rangeRecallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       numShards
     else {
-      val curve = spark.read.parquet(rangeRecallDir)
+      val tau = spark.read.parquet(rangeRecallDir)
         .filter(col("min_score_x1e6") === math.round(minScore * 1e6))
+      val withSlice =
+        if (tau.columns.contains("allowed_stamp")) tau
+        else tau.withColumn("allowed_stamp", lit(0L))
+      val aStamp = sliceStamp(allowed)
+      val curve =
+        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
+        else {
+          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
+          val head = sliceRows.select("allowed_stamp").limit(1).collect()
+          if (head.nonEmpty && head(0).getLong(0) != aStamp)
+            throw new IllegalStateException(
+              "filtered-slice range-recall curve was measured for a DIFFERENT " +
+                "allowed set (the slice drifted) — re-run " +
+                "evalRangeRecall(allowed = ...) for this slice")
+          sliceRows
+        }
       if (checkFresh) {
         val head = curve.select("cent_stamp", "n_rows").limit(1).collect()
         if (head.nonEmpty) {
@@ -1149,8 +1307,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   }
 
   /** [[rangeJoin]] with nprobe chosen from the persisted radius curve
-    * — the cheapest depth whose measured τ-recall meets
-    * `targetRecall` on this index's own data distribution.
+    * — the cheapest depth whose measured τ-recall meets `targetRecall`
+    * — and, when `allowed` is set, from the SLICE's own measured curve
+    * (`evalRangeRecall(allowed)` first): the filtered serving path
+    * tunes on the geometry it serves (round 14 — previously the tune
+    * consulted the whole-corpus curve while serving the slice).
     */
   def rangeJoinAtRecall(queries: DataFrame, minScore: Double,
                         targetRecall: Double = 0.95,
@@ -1161,7 +1322,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                         margin: Double = 0.05,
                         checkFresh: Boolean = true): DataFrame =
     rangeJoin(queries, minScore,
-      nprobe = nprobeForRange(minScore, targetRecall, checkFresh),
+      nprobe = nprobeForRange(minScore, targetRecall, checkFresh, allowed),
       allowed = allowed, excludeSelf = excludeSelf,
       maxRowsPerTask = maxRowsPerTask, compressed = compressed,
       margin = margin)
@@ -1430,6 +1591,24 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       p.getFileSystem(hc).exists(p)
     }
 
+    // slice curves re-measure from the id set evalRecall/evalRangeRecall
+    // persisted alongside them; a legacy slice row with no persisted ids
+    // is unrecoverable here (left in place — its nprobeFor refuses on
+    // the stale stamp loudly, never a silent mis-tune). Pinned eagerly:
+    // each slice re-measure OVERWRITES the ids directory this frame
+    // reads, so an unpinned lazy read would lose its files mid-pass.
+    var sliceIdsCache: Option[DataFrame] = None
+    def sliceIds: Option[DataFrame] = {
+      if (sliceIdsCache.isEmpty && exists(sliceIdsDir))
+        sliceIdsCache = Some(spark.read.parquet(sliceIdsDir).localCheckpoint(true))
+      sliceIdsCache
+    }
+    def sliceArg(m: org.apache.spark.sql.Row): (Boolean, Option[DataFrame]) = {
+      val isSlice = m.getAs[Long]("allowed_stamp") != 0L
+      (isSlice, if (isSlice) sliceIds else None)
+    }
+    try {
+
     var nRecall = 0
     if (exists(recallDir)) {
       val t = spark.read.parquet(recallDir)
@@ -1440,32 +1619,41 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           if (t.columns.contains("metric")) t
           else t.withColumn("metric",
             lit(graft.plans.ShardTopKJoin.Metric.Cosine))
-        val modes = tm.select("metric", "compressed", "shortlist", "top_k",
-            "n_queries", "cent_stamp", "n_rows").distinct().collect()
+        val ts =
+          if (tm.columns.contains("allowed_stamp")) tm
+          else tm.withColumn("allowed_stamp", lit(0L))
+        val modes = ts.select("metric", "compressed", "shortlist", "top_k",
+            "n_queries", "cent_stamp", "n_rows", "allowed_stamp")
+          .distinct().collect()
         // a compressed re-measure also re-measures its raw twin (one
         // exact-arm pass feeds both) — do compressed modes first and
         // skip raw modes evalRecall already replaced
         val (comp, rawm) = modes.partition(_.getAs[Boolean]("compressed"))
         comp.foreach { m =>
-          if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+          val (isSlice, a) = sliceArg(m)
+          if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows")) &&
+              (!isSlice || a.isDefined)) {
             evalRecall(m.getAs[Long]("n_queries").toInt,
               m.getAs[Long]("top_k").toInt, compressed = true,
               shortlist = m.getAs[Long]("shortlist").toInt,
-              metric = m.getAs[String]("metric"))
+              metric = m.getAs[String]("metric"), allowed = a)
             nRecall += 1
           }
         }
         val coveredRaw = comp.map(m =>
           (m.getAs[String]("metric"), m.getAs[Long]("top_k"),
-            m.getAs[Long]("n_queries"))).toSet
+            m.getAs[Long]("n_queries"), m.getAs[Long]("allowed_stamp") != 0L))
+          .toSet
         rawm.foreach { m =>
           val key = (m.getAs[String]("metric"), m.getAs[Long]("top_k"),
-            m.getAs[Long]("n_queries"))
+            m.getAs[Long]("n_queries"), m.getAs[Long]("allowed_stamp") != 0L)
+          val (isSlice, a) = sliceArg(m)
           if (!coveredRaw.contains(key) &&
-              staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+              staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows")) &&
+              (!isSlice || a.isDefined)) {
             evalRecall(m.getAs[Long]("n_queries").toInt,
               m.getAs[Long]("top_k").toInt,
-              metric = m.getAs[String]("metric"))
+              metric = m.getAs[String]("metric"), allowed = a)
             nRecall += 1
           }
         }
@@ -1476,12 +1664,18 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     if (exists(rangeRecallDir)) {
       val t = spark.read.parquet(rangeRecallDir)
       if (t.columns.contains("cent_stamp")) {
-        t.select("min_score_x1e6", "n_queries", "cent_stamp", "n_rows")
+        val ts =
+          if (t.columns.contains("allowed_stamp")) t
+          else t.withColumn("allowed_stamp", lit(0L))
+        ts.select("min_score_x1e6", "n_queries", "cent_stamp", "n_rows",
+            "allowed_stamp")
           .distinct().collect()
           .foreach { m =>
-            if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))) {
+            val (isSlice, a) = sliceArg(m)
+            if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows")) &&
+                (!isSlice || a.isDefined)) {
               evalRangeRecall(m.getAs[Long]("min_score_x1e6") / 1e6,
-                m.getAs[Long]("n_queries").toInt)
+                m.getAs[Long]("n_queries").toInt, allowed = a)
               nRange += 1
             }
           }
@@ -1526,6 +1720,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         }
     }
     CurveMaintenance(nRecall, nRange, nFusion, nFusionSkipped)
+    } finally sliceIdsCache.foreach(
+      org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint)
   }
 
   /** Continuous ingest: route and append each micro-batch of a vector

@@ -823,6 +823,105 @@ class VectorSpec extends AnyFunSuite {
       s"requested recall 0.95 -> measured ${hit.toDouble / tot} at nprobe=$p")
   }
 
+  test("filtered-slice recall curve: slice tunes differently, drift refuses, maintenance heals") {
+    // the 4-cluster fixture again, but the ALLOWED slice is one
+    // cluster's members: for the store-wide query sample (all four
+    // clusters) the slice's true neighbors concentrate in the ~2
+    // shards holding cluster 0 — which are NOT most queries' nearest
+    // shards — so the slice's measured curve needs deeper probing
+    // than the whole corpus's. Tuning a filtered path on the corpus
+    // curve would under-probe; exactly what round 14 fixes.
+    val corpus = spark.range(0, 2000, 1, 8).select(col("id"),
+      array((0 until 64).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 16, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-recall-slice").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3)
+    val slice = corpus.filter(pmod(col("id"), lit(4)) === 0).select("id")
+
+    // corpus curve only: an UNMEASURED slice falls back to full probe
+    vs.evalRecall(nQueries = 48, topK = 10)
+    val pCorpus = vs.nprobeFor(0.95)
+    assert(pCorpus < 8)
+    assert(vs.nprobeFor(0.95, allowed = Some(slice)) === 8,
+      "unmeasured slice must fall back to full probing")
+
+    // measured slice curve: keyed by content stamp, tunes deeper than
+    // the corpus curve on this geometry
+    val t = vs.evalRecall(nQueries = 48, topK = 10, allowed = Some(slice))
+    val stamps = t.select("allowed_stamp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stamps.size === 2 && stamps.contains(0L),
+      s"rows must key whole-corpus (0) and slice stamps, got $stamps")
+    val pSlice = vs.nprobeFor(0.95, allowed = Some(slice))
+    assert(pSlice > pCorpus,
+      s"slice truths concentrate off the query's nearest shards — " +
+        s"expected deeper probe than corpus ($pCorpus), got $pSlice")
+    // the corpus tune is untouched by the slice measurement
+    assert(vs.nprobeFor(0.95) === pCorpus)
+
+    // a re-measured corpus curve KEEPS the slice rows (merge policy)
+    vs.evalRecall(nQueries = 48, topK = 10)
+    assert(vs.nprobeFor(0.95, allowed = Some(slice)) === pSlice)
+
+    // slice drift: same mode, different allowed set -> loud refusal
+    val drifted = corpus.filter(pmod(col("id"), lit(4)) === 0)
+      .filter(col("id") =!= 0).select("id")
+    val ex = intercept[IllegalStateException] {
+      vs.nprobeFor(0.95, allowed = Some(drifted))
+    }
+    assert(ex.getMessage.contains("DIFFERENT"))
+
+    // staleness + healing: new routing stales BOTH curves; one
+    // maintainCurves() re-measures the slice from its persisted ids
+    vs.build(corpus, iters = 2)
+    intercept[IllegalStateException] { vs.nprobeFor(0.95, allowed = Some(slice)) }
+    val m = vs.maintainCurves()
+    assert(m.recallRefreshed >= 2,
+      s"corpus AND slice modes must re-measure, got ${m.recallRefreshed}")
+    assert(vs.nprobeFor(0.95, allowed = Some(slice)) >= 1, "healed slice serves")
+    assert(vs.nprobeFor(0.95) >= 1, "healed corpus curve serves")
+  }
+
+  test("filtered-slice radius curve: slice-keyed rows, drift refusal, rangeJoinAtRecall tunes on the slice") {
+    val corpus = spark.range(0, 800, 1, 8).select(col("id"),
+      array((0 until 32).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 8, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-range-slice").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3)
+    val slice = corpus.filter(pmod(col("id"), lit(4)) === 0).select("id")
+    val tau = 0.9
+
+    vs.evalRangeRecall(minScore = tau, nQueries = 32)
+    val pCorpus = vs.nprobeForRange(tau, target = 0.95)
+    assert(vs.nprobeForRange(tau, target = 0.95, allowed = Some(slice)) === 8,
+      "unmeasured slice falls back to full probe")
+    vs.evalRangeRecall(minScore = tau, nQueries = 32, allowed = Some(slice))
+    val pSlice = vs.nprobeForRange(tau, target = 0.95, allowed = Some(slice))
+    assert(pSlice >= 1 && pSlice <= 8)
+    // corpus rows survive the slice measurement and vice versa
+    assert(vs.nprobeForRange(tau, target = 0.95) === pCorpus)
+    // τ ≥ 0.9 within one axis cluster: truths are same-cluster docs, so
+    // the slice's τ-curve exists and serves the filtered join
+    val q = corpus.filter(col("id") < 4)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    val served = vs.rangeJoinAtRecall(q, minScore = tau, targetRecall = 0.95,
+      allowed = Some(slice), excludeSelf = true)
+    assert(served.filter(pmod(col("id"), lit(4)) =!= 0).isEmpty,
+      "filtered serving returns slice members only")
+    // drifted slice refuses
+    val drifted = slice.filter(col("id") =!= 0)
+    val ex = intercept[IllegalStateException] {
+      vs.nprobeForRange(tau, target = 0.95, allowed = Some(drifted))
+    }
+    assert(ex.getMessage.contains("DIFFERENT"))
+  }
+
   test("evalRecall merges modes: a raw re-measurement keeps the compressed curve") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
