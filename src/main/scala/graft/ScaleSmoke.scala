@@ -1013,6 +1013,34 @@ object ScaleSmoke {
     println(s"[scale] fusion tuner after heal: nprobe@0.9 raw=${fvs.nprobeForFusion(tIdx, 0.9)}")
     org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(fSample)
 
+    // ONE maintenance verb across every family at volume (round 14):
+    // stale the store's curves with another routing refresh; the
+    // shingle index's banding curve is ALREADY stale (the corpus moved
+    // well past its measureBanding stamp — rb appends, probe-leg
+    // batches, the fold); the term index sits under its fold bound.
+    // One maintainAll call heals exactly what is stale: the fusion
+    // curves re-measure, the banding curve re-measures, the healthy
+    // store is NOT retrained, the folded indexes do NOT re-fold.
+    timed("maintainAll — one verb heals stale fusion curves + stale banding curve") {
+      fvs.refreshCentroids(sampleFraction = 0.2, iters = 3)
+      val r = graft.Maintenance.maintainAll(store = Some(fvs),
+        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64)
+      require(r.curvesRefreshed >= 1,
+        s"the routing change must re-measure the fusion curves, got $r")
+      require(r.bandingRemeasured == 1,
+        s"the stale banding curve must re-measure, got $r")
+      require(!r.storeMaintained && !r.termFolded && !r.shingleFolded,
+        s"healthy/folded families must be untouched, got $r")
+    }
+    require(shIdx.bandingFor(0.8, target = 0.95)._1 >= 1 &&
+        fvs.nprobeForFusion(tIdx, 0.9) >= 1,
+      "healed banding + fusion tuners must serve without a staleness refusal")
+    timed("maintainAll no-op tick (health/stamp reads only)") {
+      val r2 = graft.Maintenance.maintainAll(store = Some(fvs),
+        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64)
+      require(!r2.anythingRepaired, s"fresh families must be untouched: $r2")
+    }
+
     // the composed training-mix assembly at 10x bench scale: topic
     // clustering + temperature quotas + in-topic DSIR selection +
     // token budget + shuffle + packing, one ledgered call — the

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One [[Maintenance.maintainAll]] call heals every stale artifact
+  * family at once — a routing change (stale recall curve), an index
+  * append past the fold bound, and a stale banding curve — each
+  * through its own health signal, the round-14 one-verb contract.
+  */
+class MaintainAllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+
+  private def w(prefix: String, n: Int) =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("one call heals routing-staled curves, folds an over-batched index, re-measures a stale banding curve") {
+    import spark.implicits._
+
+    // --- vector store with a measured recall curve
+    val corpus = spark.range(0, 800, 1, 8).select(col("id"),
+      array((0 until 32).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 8, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val vsDir = Files.createTempDirectory("graft-mall-vs").toString
+    val vs = new graft.vector.VectorStore(spark, vsDir, numShards = 8)
+    vs.build(corpus, iters = 3)
+    vs.evalRecall(nQueries = 16, topK = 5)
+    assert(vs.nprobeFor(0.9) >= 1)
+
+    // --- term index one append over the fold bound
+    val docs = (1L to 20L).map(i => (i, w(s"t${i}_", 30))).toDF("doc_id", "text")
+    val tiDir = Files.createTempDirectory("graft-mall-ti").toString
+    val ti = new graft.text.TermIndex(spark, tiDir)
+    ti.build(docs)
+    ti.append(Seq((100L, w("x", 30))).toDF("doc_id", "text"), "b1")
+    ti.append(Seq((101L, w("y", 30))).toDF("doc_id", "text"), "b2")
+
+    // --- shingle index with a measured banding curve, then an append
+    // that moves the corpus stamp (bandingFor refuses until re-measured)
+    val shDir = Files.createTempDirectory("graft-mall-sh").toString
+    val sh = new graft.dedup.ShingleIndex(spark, shDir)
+    sh.build(docs)
+    sh.measureBanding(threshold = 0.8)
+    sh.bandingFor(0.8)
+    sh.append(Seq((200L, w("z", 30))).toDF("doc_id", "text"), "sb1")
+    intercept[IllegalStateException](sh.bandingFor(0.8))
+
+    // --- routing change stales the recall curve
+    vs.build(corpus, iters = 2)
+    intercept[IllegalStateException](vs.nprobeFor(0.9))
+
+    // --- ONE call
+    val r = Maintenance.maintainAll(
+      store = Some(vs), termIdx = Some(ti), shingleIdx = Some(sh),
+      maxBatches = 1)
+
+    assert(r.curvesRefreshed >= 1, "the routing-staled recall curve re-measures")
+    assert(vs.nprobeFor(0.9) >= 1, "healed curve serves")
+    assert(r.termFolded, "the over-batched text index folds")
+    assert(r.bandingRemeasured === 1, "the stale banding curve re-measures")
+    assert(sh.bandingFor(0.8)._1 * sh.bandingFor(0.8)._2 === 128,
+      "healed banding curve serves the tuner")
+    // the store itself was NOT retrained: a rebuild leaves zero drift,
+    // and a healthy store must not be touched by a maintenance tick
+    assert(!r.storeMaintained && r.vectorsRerouted === 0L)
+    assert(r.anythingRepaired)
+
+    // a second tick is a no-op across every family
+    val r2 = Maintenance.maintainAll(
+      store = Some(vs), termIdx = Some(ti), shingleIdx = Some(sh),
+      maxBatches = 256)
+    assert(!r2.anythingRepaired, s"fresh families must be untouched: $r2")
+  }
+}
