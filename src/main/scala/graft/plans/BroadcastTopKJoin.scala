@@ -38,8 +38,13 @@ import graft.expressions.TopKHeap
   * (cosine: identical accumulation to
   * [[graft.expressions.VectorKernels.cosine]]; L2: heap on the negated
   * distance, [[ranked]] re-negates) — so results are BIT-IDENTICAL to
-  * the declarative plan, spec-pinned. The compressed metrics
-  * (dot_norm, adc) are shard-join shapes and are refused here.
+  * the declarative plan, spec-pinned. Metric support (the require()
+  * guards below are the source of truth): cosine and l2 in both keyed
+  * and unkeyed modes; adc in KEYED mode only (the replica's key is the
+  * shard its lookup table and residual offset resolve from — the
+  * one-pass compressed fusion recall rides it); dot_norm is a
+  * shard-join shape and is refused here; salt-packing never applies
+  * (broadcast probes replicate, they don't shuffle).
   *
   * Reference anchor: compute_server.py:106-138's exact scan is the
   * per-query form; this is the batched ground-truth pass

@@ -69,6 +69,15 @@ import graft.expressions.TopKHeap
   */
 object ShardTopKJoin {
 
+  /** Count of probe-residency warnings fired (the > 256 MB
+    * per-partition probe-state guard below) — a LOCAL-MODE test hook:
+    * tasks share the driver JVM there, so a smoke can assert the
+    * warning fires on a pathological shape and stays silent on a sane
+    * one. On a real cluster it counts per-executor (diagnostic only).
+    */
+  private[graft] val residencyWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Scoring mode — see the class doc for the exact formulas. */
   object Metric {
     val Cosine = "cosine"
@@ -527,7 +536,8 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
             (if (p.lut != null) 8L * p.lut.length else 0L)
           pi0 += 1
         }
-        if (probeBytes > (1L << 28))
+        if (probeBytes > (1L << 28)) {
+          ShardTopKJoin.residencyWarnings.incrementAndGet()
           // a task-local slf4j logger: capturing the exec node's own
           // Logging mixin would drag the plan into the closure
           org.slf4j.LoggerFactory.getLogger("graft.plans.ShardTopKJoin")
@@ -535,6 +545,7 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
               f"(~${probeBytes / 1e9}%.1f GB resident) — raise shuffle " +
               "partitions, lower nprobe/maxRowsPerTask salt, or split " +
               "the query frame to bound per-partition probe state")
+        }
         var nPairs = 0L
         while (cIter.hasNext) {
           val r = cIter.next()

