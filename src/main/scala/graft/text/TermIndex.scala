@@ -68,9 +68,22 @@ import graft.sources.BatchedTable
   *                   CONSTANT across every instance writing one path:
   *                   mixed batches would leave null positions that
   *                   silently undercount phrases.
+  * @param analyzer   optional index-time + probe-time normalization
+  *                   ([[TermIndex.Analyzer]]): lowercase fold and a
+  *                   stopword list, applied identically to document
+  *                   tokens (postings, dl, positions — positions
+  *                   number the KEPT tokens, the classic positional-
+  *                   index stopping semantics) and to every probe's
+  *                   terms — a real search deployment's first
+  *                   mismatch class (case, stopwords) handled in ONE
+  *                   place, and SQL-replayable (lower() + NOT IN) so
+  *                   the oracle can score the same normalization.
+  *                   Like `positional`, must be CONSTANT across every
+  *                   instance writing or probing one path.
   */
 class TermIndex(spark: SparkSession, path: String,
-                positional: Boolean = true) {
+                positional: Boolean = true,
+                analyzer: Option[TermIndex.Analyzer] = None) {
   private val postDir = s"$path/post"
   private val metaDir = s"$path/meta"
   private val delDir = s"$path/del"
@@ -94,8 +107,36 @@ class TermIndex(spark: SparkSession, path: String,
     * BM25 probes never pay: they don't reference the column, so
     * parquet column pruning leaves it on disk).
     */
+  /** The index's tokenization as a column expression — `text_bm25`'s
+    * plain space split, with the analyzer's lowercase fold and
+    * stopword filter applied when configured. ONE definition feeds
+    * postings, dl, and the meta sum_dl, so the BM25 statistics can
+    * never disagree with the tokens they describe.
+    */
+  private def analyzedTokens(text: Column): Column = {
+    val raw = split(text, " ")
+    analyzer.fold(raw) { a =>
+      val low = if (a.lowercase) transform(raw, w => lower(w)) else raw
+      if (a.stopwords.isEmpty) low
+      else filter(low, w => !w.isin(a.stopwords: _*))
+    }
+  }
+
+  /** The probe-side twin of [[analyzedTokens]]: normalize a caller's
+    * query terms exactly as the index normalized document tokens
+    * (order preserved, post-fold duplicates collapsed to the first
+    * occurrence — a duplicate would double-count the term).
+    */
+  private def analyzeTerms(terms: Seq[String]): Seq[String] =
+    analyzer.fold(terms) { a =>
+      val low =
+        if (a.lowercase) terms.map(_.toLowerCase(java.util.Locale.ROOT))
+        else terms
+      low.filterNot(a.stopwords.toSet).distinct
+    }
+
   private def postingsOf(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = analyzedTokens(col("text"))
     val base =
       if (positional)
         docs.select(col("doc_id"), size(ws).cast(LongType).as("dl"),
@@ -120,7 +161,8 @@ class TermIndex(spark: SparkSession, path: String,
     BatchedTable.writeBatch(postingsOf(docs), postDir, label)
     // meta last: it describes a fully-written batch
     val m = docs.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L)).as("sum_dl"))
+      coalesce(sum(size(analyzedTokens(col("text"))).cast(LongType)), lit(0L))
+        .as("sum_dl"))
     BatchedTable.writeBatch(m, metaDir, label)
   }
 
@@ -357,11 +399,14 @@ class TermIndex(spark: SparkSession, path: String,
     * statistics — see [[restrictTo]]; the pad universe (when both are
     * passed) intersects it, so 0.0-padding never leaks disallowed ids.
     */
-  def search(terms: Seq[String], k: Int = 10,
+  def search(rawTerms: Seq[String], k: Int = 10,
              excludeLabel: Option[String] = None,
              padFrom: Option[DataFrame] = None,
              allowed: Option[DataFrame] = None): DataFrame = {
-    require(terms.nonEmpty, "empty term list")
+    val terms = analyzeTerms(rawTerms)
+    require(terms.nonEmpty,
+      if (rawTerms.isEmpty) "empty term list"
+      else s"every query term was removed by the analyzer: ${rawTerms.mkString(", ")}")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms would double-count: ${terms.mkString(", ")}")
     val (post, meta, dfs) = probe(terms, excludeLabel)
@@ -517,12 +562,21 @@ class TermIndex(spark: SparkSession, path: String,
     * acceptable because slop probes are interactive-query-shaped; an
     * exact probe never pays it.
     */
-  def searchPhrase(phrase: Seq[String], k: Int = 10,
+  def searchPhrase(rawPhrase: Seq[String], k: Int = 10,
                    excludeLabel: Option[String] = None,
                    slop: Int = 0,
                    allowed: Option[DataFrame] = None): DataFrame = {
+    // the analyzer folds case and DROPS stopword slots — positions
+    // number the index's KEPT tokens, so the shortened phrase is
+    // exactly what an analyzed index stored for the original text
+    val phrase = analyzer.fold(rawPhrase) { a =>
+      val low =
+        if (a.lowercase) rawPhrase.map(_.toLowerCase(java.util.Locale.ROOT))
+        else rawPhrase
+      low.filterNot(a.stopwords.toSet)
+    }
     require(phrase.size >= 2,
-      "a phrase needs >= 2 terms — rank single terms with search()")
+      "a phrase needs >= 2 terms (after analysis) — rank single terms with search()")
     require(slop >= 0, s"slop must be >= 0, got $slop")
     // `allowed` is [[restrictTo]]'s filter-then-rank; phrase ranking
     // carries no collection statistics, so restricting the postings
@@ -743,11 +797,23 @@ class TermIndex(spark: SparkSession, path: String,
     * empty micro-batches, and distinguishing them must not cost its
     * own isEmpty job on top of the probe's term collect.
     */
-  private def searchBatchOpt(queries: DataFrame, k: Int,
+  private def searchBatchOpt(rawQueries: DataFrame, k: Int,
                              excludeLabel: Option[String],
                              allowed: Option[DataFrame] = None): Option[DataFrame] = {
-    require(queries.columns.toSeq == Seq("query_id", "terms"),
-      s"queries must be (query_id, terms), got ${queries.columns.mkString(", ")}")
+    require(rawQueries.columns.toSeq == Seq("query_id", "terms"),
+      s"queries must be (query_id, terms), got ${rawQueries.columns.mkString(", ")}")
+    // analyzer-normalize each row's terms in-plan (fold case, drop
+    // stopwords, collapse post-fold duplicates keeping first position)
+    // — [[analyzeTerms]]'s expression twin; identity when unconfigured
+    val queries = analyzer.fold(rawQueries) { a =>
+      val low =
+        if (a.lowercase) transform(col("terms"), w => lower(w)) else col("terms")
+      val kept =
+        if (a.stopwords.isEmpty) low
+        else filter(low, w => !w.isin(a.stopwords: _*))
+      rawQueries.select(col("query_id"), array_distinct(kept).as("terms"))
+        .filter(size(col("terms")) > 0)
+    }
     // ONE driver job validates AND collects the term universe: each
     // exploded term rides its query's duplicate flag, folded per term
     // — under serveStream this is the only scheduled job before the
@@ -939,4 +1005,25 @@ class TermIndex(spark: SparkSession, path: String,
     if (fold) compact(keepLabel)
     fold
   }
+}
+
+object TermIndex {
+  /** Index-time + probe-time token normalization (see the class
+    * Scaladoc's `analyzer` note): `lowercase` folds every token via
+    * `lower()` (SQL-replayable), `stopwords` drops the listed tokens
+    * AFTER folding (so list entries should be lowercase when
+    * `lowercase` is on). The whole analysis is expressible as
+    * `list_filter(list_transform(...), NOT IN ...)` in ANSI/DuckDB
+    * SQL, which is what keeps analyzed indexes oracle-checkable.
+    */
+  final case class Analyzer(lowercase: Boolean = true,
+                            stopwords: Seq[String] = Nil)
+
+  /** A small English stopword list for the analyzed BM25 surface —
+    * deliberately tiny and FROZEN (it participates in index layout:
+    * changing it is a rebuild, like `positional`).
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are",
+    "was", "on", "for", "with", "as", "at", "by", "it", "this", "that")
 }

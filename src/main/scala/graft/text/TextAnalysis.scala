@@ -845,6 +845,68 @@ object TextAnalysis extends QueryModule {
     idx
   }
 
+  // --- analyzed BM25: case folding + stopword removal (round 14) -----
+  /** The analyzed serving surface: a production index wants lowercase
+    * + stopword normalization (the first mismatch class a real search
+    * caller hits — "Table" vs "table", "the" flooding dl), and the
+    * whitespace convention is kept ONLY because the oracle replays it.
+    * This index applies [[TermIndex.Analyzer]] at build AND probe, and
+    * the oracle replays the identical normalization in SQL
+    * (`list_filter(list_transform(..., lower), NOT IN stoplist)`), so
+    * the hash-exact parity contract extends to analyzed scoring: same
+    * analyzed tokens, same dl (stopwords excluded), same float
+    * association. Probe terms arrive UN-normalized ("Table", "the",
+    * "MERGE") — the index folds and drops them itself.
+    */
+  private val bm25AnalyzedProbe = Seq("Table", "the", "Hash", "MERGE")
+  private[graft] val bm25Analyzer = graft.text.TermIndex.Analyzer(
+    lowercase = true, stopwords = graft.text.TermIndex.EnglishStopwords)
+
+  private[graft] def servedAnalyzedIdx(s: SparkSession, d: String): TermIndex = {
+    val dir = termIdxDir(d, "-anl-v" + idxLayoutVersion)
+    val idx = new TermIndex(s, dir, positional = false,
+      analyzer = Some(bm25Analyzer))
+    if (servedIdxFresh.contains(dir)) return idx
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // same freshness discipline as [[servedIdx]], with the ANALYZED
+    // token count as the content probe (the analyzed index's meta
+    // sum_dl counts kept tokens, so the live side must too)
+    val liveToks = filter(
+      transform(split(col("text"), " "), w => lower(w)),
+      w => !w.isin(bm25Analyzer.stopwords: _*))
+    val fresh = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      scala.util.Try {
+        val m = s.read.parquet(s"$dir/meta")
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("sum_dl"), lit(0L))).head()
+        val live = Tables.documents(s, d)
+          .agg(count(lit(1)),
+            coalesce(sum(size(liveToks).cast(LongType)), lit(0L))).head()
+        m.getLong(0) == live.getLong(0) && m.getLong(1) == live.getLong(1)
+      }.getOrElse(false)
+    if (!fresh) idx.build(Tables.documents(s, d).select("doc_id", "text"))
+    servedIdxFresh.add(dir)
+    idx
+  }
+
+  private def bm25Analyzed(s: SparkSession, d: String): DataFrame =
+    servedAnalyzedIdx(s, d).search(bm25AnalyzedProbe, k = 10,
+      padFrom = Some(Tables.documents(s, d).select("doc_id")))
+
+  /** The analyzed oracle: the SAME normalization as a SQL token
+    * expression, and the probe terms pre-analyzed the way the index
+    * analyzes them (fold, drop stopwords, first-occurrence dedup).
+    */
+  private def bm25AnalyzedSql: String = {
+    val stops = bm25Analyzer.stopwords.map(w => s"'$w'").mkString(", ")
+    val tokensSql = "list_filter(list_transform(string_split(text, ' '), " +
+      s"x -> lower(x)), x -> x NOT IN ($stops))"
+    val analyzedTerms = bm25AnalyzedProbe.map(_.toLowerCase(java.util.Locale.ROOT))
+      .filterNot(bm25Analyzer.stopwords.toSet).distinct
+    bm25SqlFor(analyzedTerms, "WITH", tokensSql = tokensSql)
+  }
+
   private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
     // pure-BM25 probes: serve the positions-free shared index
     val idx = servedIdx(s, d, positional = false)
@@ -912,9 +974,11 @@ object TextAnalysis extends QueryModule {
     * served BM25 (the single definition keeping the SQL formula in
     * lockstep with the index's `contribCol`).
     */
-  private[graft] def bm25CtesFor(terms: Seq[String]): (String, String) = {
+  private[graft] def bm25CtesFor(terms: Seq[String],
+                                 tokensSql: String =
+                                   "string_split(text, ' ')"): (String, String) = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
-      s"    CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+      s"    CAST(len(list_filter($tokensSql, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
     val dfs = terms.indices.map(i =>
       s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n")
@@ -923,7 +987,7 @@ object TextAnalysis extends QueryModule {
         s"(tf$i + $bmK1 * ((1.0 - $bmB) + $bmB * dl / (sdl / n)))").mkString("\n      + ")
     val ctes =
       s"""d AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS dl,
          |$tfs
          |  FROM documents),
          |c AS (
@@ -935,8 +999,10 @@ object TextAnalysis extends QueryModule {
 
   private def bm25SqlFor(terms: Seq[String], prefix: String,
                          matchedOnly: Boolean = false,
-                         allowedSql: Option[String] = None): String = {
-    val (ctes, score) = bm25CtesFor(terms)
+                         allowedSql: Option[String] = None,
+                         tokensSql: String =
+                           "string_split(text, ' ')"): String = {
+    val (ctes, score) = bm25CtesFor(terms, tokensSql)
     val conds = (if (matchedOnly) Seq("score0 > 0") else Nil) ++
       allowedSql.map(p => s"doc_id IN (SELECT doc_id FROM documents WHERE $p)")
     val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "\n")
@@ -1207,6 +1273,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket_approx" -> (pplBucketApprox _),
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
+    "text_bm25_analyzed" -> (bm25Analyzed _),
     "text_bm25_filtered" -> (bm25Filtered _),
     "text_bm25_batch"  -> (bm25Batch _),
     "text_phrase_indexed" -> (phraseIndexed _),
@@ -1237,6 +1304,7 @@ object TextAnalysis extends QueryModule {
     "text_ppl_bucket"  -> pplBucketSql,
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
+    "text_bm25_analyzed" -> bm25AnalyzedSql,
     "text_bm25_filtered" -> bm25FilteredSql,
     "text_bm25_batch"  -> bm25BatchSql,
     "text_phrase_indexed" -> phraseIndexedSql,

@@ -650,4 +650,59 @@ class TermIndexSpec extends AnyFunSuite {
     assert(out.size === docs.count())
     assert(out === expect)
   }
+
+  test("analyzer: analyzed index == plain index over pre-normalized text, probes fold and drop") {
+    import spark.implicits._
+    val stops = graft.text.TermIndex.EnglishStopwords
+    val anl = graft.text.TermIndex.Analyzer(lowercase = true, stopwords = stops)
+    val docs = Seq(
+      (1L, "The Table scan And the Hash merge table"),
+      (2L, "a Hash join of the MERGE phase"),
+      (3L, "stream window batch dedup"),
+      (4L, "Table TABLE table the")).toDF("doc_id", "text")
+    // ground truth: normalize the TEXT up front, index it plain
+    val norm = udf((t: String) => t.split(" ")
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .filterNot(stops.toSet).mkString(" "))
+    val plainDir = Files.createTempDirectory("graft-anl-plain").toString
+    val plain = new graft.text.TermIndex(spark, plainDir)
+    plain.build(docs.select(col("doc_id"), norm(col("text")).as("text")))
+    val anlDir = Files.createTempDirectory("graft-anl-idx").toString
+    val idx = new graft.text.TermIndex(spark, anlDir, analyzer = Some(anl))
+    idx.build(docs)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // BM25: raw mixed-case + stopword probe == plain search of the
+    // pre-analyzed terms on the pre-normalized corpus, bit-identical
+    // (same postings, same dl, same float association)
+    assert(rows(idx.search(Seq("Table", "the", "MERGE"))) ===
+      rows(plain.search(Seq("table", "merge"))))
+    // post-fold duplicates collapse instead of double-counting
+    assert(rows(idx.search(Seq("Table", "TABLE", "table"))) ===
+      rows(plain.search(Seq("table"))))
+    // every term analyzed away -> loud refusal, not an empty scan
+    val ex = intercept[IllegalArgumentException](idx.search(Seq("the", "a")))
+    assert(ex.getMessage.contains("analyzer"))
+    // batch probe: in-plan normalization matches the loop; a query of
+    // pure stopwords drops from the batch rather than scoring nothing
+    val batch = Seq((0L, Seq("Table", "the", "MERGE")),
+      (1L, Seq("the", "of")), (2L, Seq("STREAM", "dedup"))).toDF("query_id", "terms")
+    val got = idx.searchBatch(batch, k = 5)
+    assert(rows(got.filter(col("query_id") === 0L).drop("query_id")) ===
+      rows(plain.search(Seq("table", "merge"), k = 5)))
+    assert(got.filter(col("query_id") === 1L).isEmpty)
+    assert(rows(got.filter(col("query_id") === 2L).drop("query_id")) ===
+      rows(plain.search(Seq("stream", "dedup"), k = 5)))
+    // phrase: stopword slots drop, positions number KEPT tokens — the
+    // analyzed phrase matches across an elided stopword
+    assert(rows(idx.searchPhrase(Seq("Hash", "join", "of", "the", "MERGE"))) ===
+      rows(plain.searchPhrase(Seq("hash", "join", "merge"))))
+    assert(idx.searchPhrase(Seq("Hash", "join", "of", "the", "MERGE"))
+      .filter(col("doc_id") === 2L).head().getLong(1) === 1L)
+    // meta sum_dl counts ANALYZED tokens (BM25 stats match the tokens)
+    val dl = idx.health().select("sum_dl").head().getLong(0)
+    val dlPlain = plain.health().select("sum_dl").head().getLong(0)
+    assert(dl === dlPlain)
+  }
 }
