@@ -1362,7 +1362,8 @@ object Serving extends QueryModule {
                             checkFresh: Boolean = true): FusionServing =
     fusionServing(idx, store, topK, shortlist,
       nprobe = store.nprobeForFusion(idx, targetRecall, topK, shortlist, rrfK,
-        checkFresh, compressed = compressed, vecShortlist = vecShortlist),
+        checkFresh, compressed = compressed, vecShortlist = vecShortlist,
+        allowed = allowed),
       rrfK = rrfK, allowed = allowed, excludeSelf = excludeSelf,
       maxRowsPerTask = maxRowsPerTask, compressed = compressed,
       vecShortlist = vecShortlist)

@@ -1361,12 +1361,21 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                        topK: Int = 10, shortlist: Int = 50,
                        rrfK: Int = 60,
                        compressed: Boolean = false,
-                       vecShortlist: Int = 100): DataFrame = {
+                       vecShortlist: Int = 100,
+                       allowed: Option[DataFrame] = None): DataFrame = {
     val cents = centroids()
-    val assigned = spark.read.parquet(vecDir)
+    // slice semantics (round 14): BOTH arms restricted exactly as
+    // `Serving.fusionServing(allowed)` restricts serving — the keyword
+    // arm filter-then-ranks through the index, the vector arm's corpus
+    // (raw and coded) semi-joins before scoring — and the exact-arm
+    // reference page is the filtered full-depth page, so the measured
+    // curve is the slice's own page geometry. Rows key by the allowed
+    // set's content stamp, the evalRecall discipline.
+    val aStamp = sliceStamp(allowed)
+    val assigned = restrictSlice(spark.read.parquet(vecDir)
       .select(col(idCol).cast(LongType).as("vec_id"),
         col("shard").cast(LongType).as("shard"),
-        col(vecCol).cast("array<double>").as("embedding"))
+        col(vecCol).cast("array<double>").as("embedding")), allowed)
     val q = queries
       .select(col("query_id").cast(LongType).as("query_id"),
         col("terms"), col("qv").cast("array<double>").as("qv"))
@@ -1374,7 +1383,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     try {
       val nq = q.count()
       require(nq > 0, "evalFusionRecall needs a non-empty query sample")
-      val kw = Serving.kwRanks(idx, q, shortlist, allowed = None)
+      val kw = Serving.kwRanks(idx, q, shortlist,
+        allowed = allowed.map(ids =>
+          ids.select(col(ids.columns.head).cast(LongType).as("doc_id"))))
       val curve =
         if (!compressed)
           // ONE map-only pass for every depth (packed-replica trick)
@@ -1392,10 +1403,10 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           val meta = pqMeta().getOrElse(throw new IllegalStateException(
             "evalFusionRecall(compressed = true) needs a PQ-built store: " +
               "build(pqSubspaces > 0)"))
-          val coded = spark.read.parquet(vecDir)
+          val coded = restrictSlice(spark.read.parquet(vecDir)
             .select(col(idCol).cast(LongType).as("vec_id"),
               col("shard").cast(LongType).as("shard"),
-              col("pq_codes").as("codes"), col("vnorm"))
+              col("pq_codes").as("codes"), col("vnorm")), allowed)
           val adcState = graft.plans.ShardTopKJoin.AdcState(
             books = meta.books match {
               case ProductQuantizer.GlobalBooks(m) => Map(-1 -> m.centroids)
@@ -1419,26 +1430,39 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           lit(if (compressed) vecShortlist.toLong else 0L))
         .withColumn("cent_stamp", lit(centStamp(cents)))
         .withColumn("idx_stamp", lit(idx.contentStamp()))
-        .withColumn("n_rows", lit(assigned.count()))
+        // n_rows stamps the UNFILTERED store (row-count drift is a
+        // store-level signal; the slice's identity is allowed_stamp)
+        .withColumn("n_rows", lit(spark.read.parquet(vecDir).count()))
+        .withColumn("allowed_stamp", lit(aStamp))
         .select("nprobe", "recall_x1e4", "n_queries", "top_k", "shortlist",
           "rrf_k", "compressed", "vec_shortlist", "cent_stamp", "idx_stamp",
-          "n_rows")
+          "n_rows", "allowed_stamp")
+      val sliceCond =
+        if (aStamp == 0L) col("allowed_stamp") === 0L
+        else col("allowed_stamp") =!= 0L
       val rp = new org.apache.hadoop.fs.Path(fusionRecallDir)
       val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val all =
         if (!rfs.exists(rp)) fresh.localCheckpoint(true)
-        else fresh.unionByName(
-          spark.read.parquet(fusionRecallDir).filter(
+        else {
+          val existing = spark.read.parquet(fusionRecallDir)
+          val withSlice =
+            if (existing.columns.contains("allowed_stamp")) existing
+            else existing.withColumn("allowed_stamp", lit(0L))
+          fresh.unionByName(withSlice.filter(
             !(col("top_k") === topK.toLong &&
               col("shortlist") === shortlist.toLong &&
               col("rrf_k") === rrfK.toLong &&
               col("compressed") === compressed &&
               col("vec_shortlist") ===
-                (if (compressed) vecShortlist.toLong else 0L)) &&
+                (if (compressed) vecShortlist.toLong else 0L) &&
+              sliceCond) &&
             col("n_queries") === nq))
           .localCheckpoint(true)
+        }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(fusionRecallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
+      allowed.foreach(ids => writeSliceIds(ids))
       // persist the query SAMPLE alongside the curve (sample-sized),
       // so [[maintainCurves]] can re-measure a stale fusion curve
       // without the caller re-supplying terms — last measurement's
@@ -1455,24 +1479,44 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     * exact; a stale curve REFUSES loudly: the store's routing moved,
     * the corpus drifted > 20%, or the TEXT index's content stamp
     * changed (the keyword arm's ranks — half the page — are as much a
-    * provenance input as the shards).
+    * provenance input as the shards). `allowed` (round 14) tunes a
+    * filtered fusion path on its own measured slice curve
+    * ([[evalFusionRecall]]`(allowed)` first), refusing a drifted
+    * slice — [[nprobeFor]]'s slice contract at the page level.
     */
   def nprobeForFusion(idx: graft.text.TermIndex, target: Double,
                       topK: Int = 10, shortlist: Int = 50, rrfK: Int = 60,
                       checkFresh: Boolean = true,
                       compressed: Boolean = false,
-                      vecShortlist: Int = 100): Int = {
+                      vecShortlist: Int = 100,
+                      allowed: Option[DataFrame] = None): Int = {
     val p = new org.apache.hadoop.fs.Path(fusionRecallDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       numShards
     else {
-      val curve = spark.read.parquet(fusionRecallDir)
+      val mode = spark.read.parquet(fusionRecallDir)
         .filter(col("top_k") === topK.toLong &&
           col("shortlist") === shortlist.toLong &&
           col("rrf_k") === rrfK.toLong &&
           col("compressed") === compressed &&
           col("vec_shortlist") ===
             (if (compressed) vecShortlist.toLong else 0L))
+      val withSlice =
+        if (mode.columns.contains("allowed_stamp")) mode
+        else mode.withColumn("allowed_stamp", lit(0L))
+      val aStamp = sliceStamp(allowed)
+      val curve =
+        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
+        else {
+          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
+          val head = sliceRows.select("allowed_stamp").limit(1).collect()
+          if (head.nonEmpty && head(0).getLong(0) != aStamp)
+            throw new IllegalStateException(
+              "filtered-slice fusion-recall curve was measured for a DIFFERENT " +
+                "allowed set (the slice drifted) — re-run " +
+                "evalFusionRecall(allowed = ...) for this slice")
+          sliceRows
+        }
       if (checkFresh) {
         val head = curve.select("cent_stamp", "idx_stamp", "n_rows")
           .limit(1).collect()
@@ -1697,22 +1741,32 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     }
     if (exists(fusionRecallDir) && nFusion == 0) {
       val t = spark.read.parquet(fusionRecallDir)
+      val ts =
+        if (t.columns.contains("allowed_stamp")) t
+        else t.withColumn("allowed_stamp", lit(0L))
       val sampleOk = exists(fusionQueriesDir)
-      t.select("top_k", "shortlist", "rrf_k", "compressed", "vec_shortlist",
-          "cent_stamp", "idx_stamp", "n_rows").distinct().collect()
+      ts.select("top_k", "shortlist", "rrf_k", "compressed", "vec_shortlist",
+          "cent_stamp", "idx_stamp", "n_rows", "allowed_stamp")
+        .distinct().collect()
         .foreach { m =>
           val idxMoved = idx.exists(_.contentStamp() != m.getAs[Long]("idx_stamp"))
-          if (staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows")) ||
-              idxMoved) {
-            (idx, sampleOk) match {
-              case (Some(i), true) =>
+          val (isSlice, a) = sliceArg(m)
+          // slice rows stamp the UNFILTERED store count too (the
+          // slice's identity is allowed_stamp), so one staleStore
+          // covers both
+          val stale =
+            staleStore(m.getAs[Long]("cent_stamp"), m.getAs[Long]("n_rows"))
+          if (stale || idxMoved) {
+            (idx, sampleOk, !isSlice || a.isDefined) match {
+              case (Some(i), true, true) =>
                 evalFusionRecall(i, spark.read.parquet(fusionQueriesDir),
                   topK = m.getAs[Long]("top_k").toInt,
                   shortlist = m.getAs[Long]("shortlist").toInt,
                   rrfK = m.getAs[Long]("rrf_k").toInt,
                   compressed = m.getAs[Boolean]("compressed"),
                   vecShortlist = math.max(
-                    m.getAs[Long]("vec_shortlist").toInt, 1))
+                    m.getAs[Long]("vec_shortlist").toInt, 1),
+                  allowed = a)
                 nFusion += 1
               case _ => nFusionSkipped += 1
             }

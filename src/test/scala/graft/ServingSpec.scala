@@ -309,6 +309,66 @@ class ServingSpec extends AnyFunSuite {
     assert(exVs.getMessage.contains("routing centroids"))
   }
 
+  test("filtered-slice fusion curve: slice-keyed rows, drift refusal, maintenance heals from persisted ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fusrec-s").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embIn = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val vs = new graft.vector.VectorStore(spark, s"$dir/vs", numShards = 4)
+    vs.build(embIn, iters = 3)
+    val idx = new graft.text.TermIndex(spark, s"$dir/ti")
+    idx.build(docs)
+    val queries = Seq(
+      (0L, Seq("vector", "merge", "scan")),
+      (1L, Seq("scan", "filter", "join")),
+      (2L, Seq("table", "stream"))).toDF("query_id", "terms")
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select("query_id", "terms", "qv")
+    val slice = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(2)) === 0).select(col("vec_id").as("id"))
+
+    vs.evalFusionRecall(idx, queries)
+    val pCorpus = vs.nprobeForFusion(idx, 0.95)
+    // unmeasured slice: full probe fallback, never another slice's tune
+    assert(vs.nprobeForFusion(idx, 0.95, allowed = Some(slice)) === 4)
+
+    val t = vs.evalFusionRecall(idx, queries, allowed = Some(slice))
+    val stamps = t.select("allowed_stamp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stamps.size === 2 && stamps.contains(0L),
+      s"slice and corpus rows must coexist mode-keyed, got $stamps")
+    val sliceCurve = t.filter(col("allowed_stamp") =!= 0L)
+      .orderBy("nprobe").collect().map(_.getAs[Long]("recall_x1e4"))
+    assert(sliceCurve.last === 10000L,
+      "full probing IS the slice's exact page — recall 1 by construction")
+    val pSlice = vs.nprobeForFusion(idx, 0.95, allowed = Some(slice))
+    assert(pSlice >= 1 && pSlice <= 4)
+    // the corpus tune is untouched by the slice measurement
+    assert(vs.nprobeForFusion(idx, 0.95) === pCorpus)
+
+    // drifted slice -> loud refusal
+    val drifted = slice.filter(col("id") =!= slice.head().getLong(0))
+    val ex = intercept[IllegalStateException] {
+      vs.nprobeForFusion(idx, 0.95, allowed = Some(drifted))
+    }
+    assert(ex.getMessage.contains("DIFFERENT"))
+
+    // routing change stales BOTH; maintainCurves heals the slice mode
+    // from its persisted ids + query sample without the caller
+    vs.refreshCentroids(sampleFraction = 1.0, iters = 2)
+    intercept[IllegalStateException] {
+      vs.nprobeForFusion(idx, 0.95, allowed = Some(slice))
+    }
+    val m = vs.maintainCurves(Some(idx))
+    assert(m.fusionRefreshed >= 2 && m.fusionSkipped === 0,
+      s"corpus AND slice fusion modes must re-measure, got $m")
+    assert(vs.nprobeForFusion(idx, 0.95, allowed = Some(slice)) >= 1,
+      "healed slice fusion curve serves")
+    assert(vs.nprobeForFusion(idx, 0.95) >= 1, "healed corpus curve serves")
+  }
+
   test("compressed fusion recall: covering shortlist reproduces the raw curve, modes merge") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fusrec-c").toString
