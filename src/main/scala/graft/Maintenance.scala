@@ -48,7 +48,12 @@ object Maintenance {
     *    drift ≥ `storeDriftX1e6` triggers
     *    [[graft.vector.VectorStore.maintain]] (retrain + re-route +
     *    compact). Drift below the gate leaves routing untouched — a
-    *    maintenance tick must not retrain a healthy store.
+    *    maintenance tick must not retrain a healthy store. The gate is
+    *    CORPUS-RELATIVE: set it above the residual drift a sampled
+    *    Lloyd refresh leaves on YOUR data (weak-structure corpora park
+    *    ~0.1 L2 from the full-population means and would re-train
+    *    every tick under a tighter gate; read `health()` once after a
+    *    deliberate `maintain()` to calibrate).
     *  - curves: [[graft.vector.VectorStore.maintainCurves]] always
     *    runs (it is itself stamp-gated per mode; a fresh store costs
     *    the stamp reads). Runs AFTER the store repair so a routing

@@ -1021,10 +1021,19 @@ object ScaleSmoke {
     // One maintainAll call heals exactly what is stale: the fusion
     // curves re-measure, the banding curve re-measures, the healthy
     // store is NOT retrained, the folded indexes do NOT re-fold.
+    // the drift gate is corpus-relative: this fixture's hash-derived
+    // vectors have weak cluster structure, so a SAMPLED Lloyd refresh
+    // legitimately parks ~0.10 L2 from the full-population shard means
+    // (measured 0.104 here) — a 0.1 default gate would re-train every
+    // tick without converging. Gate at 0.2 so "healthy" means "as good
+    // as a retrain gets on this data"; the spec's strongly-clustered
+    // fixture exercises the tight-gate path.
+    val driftGate = 200000L
     timed("maintainAll — one verb heals stale fusion curves + stale banding curve") {
       fvs.refreshCentroids(sampleFraction = 0.2, iters = 3)
       val r = graft.Maintenance.maintainAll(store = Some(fvs),
-        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64)
+        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64,
+        storeDriftX1e6 = driftGate)
       require(r.curvesRefreshed >= 1,
         s"the routing change must re-measure the fusion curves, got $r")
       require(r.bandingRemeasured == 1,
@@ -1037,7 +1046,8 @@ object ScaleSmoke {
       "healed banding + fusion tuners must serve without a staleness refusal")
     timed("maintainAll no-op tick (health/stamp reads only)") {
       val r2 = graft.Maintenance.maintainAll(store = Some(fvs),
-        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64)
+        termIdx = Some(tIdx), shingleIdx = Some(shIdx), maxBatches = 64,
+        storeDriftX1e6 = driftGate)
       require(!r2.anythingRepaired, s"fresh families must be untouched: $r2")
     }
 
