@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * measured banding curves) — each gated on its own health signal or
   * stamps. [[Maintenance.maintainAll]] reads those signals and runs
   * exactly the repairs they ask for, in dependency order: the store's
-  * routing repair runs FIRST (it stales the recall curves), curve
-  * maintenance right after (it heals what the repair staled), and the
-  * text/shingle folds last (independent of both).
+  * routing repair runs FIRST (it stales the recall curves), the
+  * text-index fold second (it moves the content stamp that is fusion-
+  * curve provenance), curve maintenance after BOTH (healing whatever
+  * they staled in the same tick), and the shingle-side folds +
+  * banding re-measure last (no curve depends on the shingle layout).
   *
   * Reference anchor: the /set_centroids lifecycle
   * (reference compute_server.py + cluster.py) is manual, per-surface
@@ -54,14 +56,16 @@ object Maintenance {
     *    ~0.1 L2 from the full-population means and would re-train
     *    every tick under a tighter gate; read `health()` once after a
     *    deliberate `maintain()` to calibrate).
-    *  - curves: [[graft.vector.VectorStore.maintainCurves]] always
-    *    runs (it is itself stamp-gated per mode; a fresh store costs
-    *    the stamp reads). Runs AFTER the store repair so a routing
-    *    change heals in the same call. Pass `termIdx` to cover the
-    *    fusion curve, [[graft.vector.VectorStore.maintainCurves]]'s
-    *    contract.
     *  - text index: [[graft.text.TermIndex.maintain]] with the given
     *    fold bounds (internally gated on batch/tombstone counts).
+    *    Runs BEFORE curve maintenance — a fold moves the content
+    *    stamp the fusion curve is keyed on.
+    *  - curves: [[graft.vector.VectorStore.maintainCurves]] always
+    *    runs (it is itself stamp-gated per mode; a fresh store costs
+    *    the stamp reads). Runs AFTER the store repair and the text
+    *    fold so both heal in the same call. Pass `termIdx` to cover
+    *    the fusion curve,
+    *    [[graft.vector.VectorStore.maintainCurves]]'s contract.
     *  - shingle index: [[graft.dedup.ShingleIndex.maintain]]
     *    (recap/fold, internally gated) then
     *    [[graft.dedup.ShingleIndex.maintainBanding]] (stamp-gated).
@@ -76,19 +80,28 @@ object Maintenance {
                   storeDriftX1e6: Long = 100000L,
                   maxBatches: Int = 256,
                   maxTombstones: Long = Long.MaxValue,
-                  maxHotShingles: Long = 0L): Report = {
+                  maxHotShingles: Long = 0L,
+                  bandingTruthDfBound: Long =
+                    graft.dedup.Dedup.DefaultTruthDfBound): Report = {
     // 1. store routing, gated on measured drift (health() is one
     // partial-aggregated scan; the gate keeps a healthy tick cheap)
     val drift = store.map(_.health()
       .agg(coalesce(max(col("drift_x1e6")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
     val repaired = store.filter(_ => drift >= storeDriftX1e6).map(_.maintain())
-    // 2. curves heal whatever the repair (or external drift) staled
-    val curves = store.map(_.maintainCurves(idx = termIdx))
-    // 3. independent index folds
+    // 2. the TERM-INDEX fold runs BEFORE curve maintenance: a fold
+    // changes the index's content stamp (batch directories), which is
+    // fusion-curve provenance — folding after would re-stale the curve
+    // this very tick just healed
     val termFolded = termIdx.exists(_.maintain(maxBatches, maxTombstones))
+    // 3. curves heal whatever the repair/fold (or external drift) staled
+    val curves = store.map(_.maintainCurves(idx = termIdx))
+    // 4. shingle-side folds + banding re-measure (no curve depends on
+    // the shingle layout, so order is free; banding runs after the
+    // fold so its re-measure reads the folded tables once)
     val sh = shingleIdx.map(_.maintain(maxBatches, maxHotShingles))
-    val banding = shingleIdx.map(_.maintainBanding()).getOrElse(0)
+    val banding = shingleIdx.map(_.maintainBanding(bandingTruthDfBound))
+      .getOrElse(0)
     Report(
       storeMaintained = repaired.isDefined,
       storeMaxDriftX1e6 = drift,

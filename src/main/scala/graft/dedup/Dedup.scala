@@ -1011,9 +1011,10 @@ object Dedup extends QueryModule {
   def bandingAtRecall(docs: DataFrame, threshold: Double = 0.8,
                       target: Double = 0.95,
                       bandings: Seq[Int] = Seq(8, 16, 32, 64),
-                      sampleDocs: Int = 0): (Int, Int) = {
+                      sampleDocs: Int = 0,
+                      truthDfBound: Long = DefaultTruthDfBound): (Int, Int) = {
     val rows = evalBandingRecall(docs, threshold, bandings,
-        sampleDocs = sampleDocs)
+        sampleDocs = sampleDocs, truthDfBound = truthDfBound)
       .select("bands", "n_cand", "recall_x1e4", "theo_recall_x1e4")
       .collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -513,22 +513,24 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     */
   def evalBanding(threshold: Double = 0.8,
                   bandings: Seq[Int] = Seq(8, 16, 32, 64),
-                  sampleDocs: Int = 0): DataFrame =
-    evalBandingFrames(threshold, bandings, sampleDocs)._1
+                  sampleDocs: Int = 0,
+                  truthDfBound: Long = Dedup.DefaultTruthDfBound): DataFrame =
+    evalBandingFrames(threshold, bandings, sampleDocs, truthDfBound)._1
 
   /** [[evalBanding]] plus its caches (shingles, truth, and the curve
     * kernel's own) — [[measureBanding]] releases them once the rows
     * are pinned; one-shot callers follow the session-cache convention.
     */
   private def evalBandingFrames(threshold: Double, bandings: Seq[Int],
-                                sampleDocs: Int): (DataFrame, Seq[DataFrame]) = {
+                                sampleDocs: Int,
+                                truthDfBound: Long): (DataFrame, Seq[DataFrame]) = {
     requireDir(shDir, "sh/ table")
     val live = minusDeleted(readIdx(shDir, None), None).select("doc_id", "s")
     val sh = (if (sampleDocs <= 0) live
               else live.join(
                 Dedup.mdSample(live.select("doc_id").distinct(), sampleDocs),
                 Seq("doc_id"), "left_semi")).cache()
-    Dedup.guardTruthDf(sh, Dedup.DefaultTruthDfBound)
+    Dedup.guardTruthDf(sh, truthDfBound)
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
     val truth = Dedup.sizedCandidatesFrom(sh, sh,
         maxDfFraction = 1.0, dfCapFloor = Long.MaxValue)
@@ -549,9 +551,11 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     */
   def measureBanding(threshold: Double = 0.8,
                      bandings: Seq[Int] = Seq(8, 16, 32, 64),
-                     sampleDocs: Int = 0): DataFrame = {
+                     sampleDocs: Int = 0,
+                     truthDfBound: Long = Dedup.DefaultTruthDfBound): DataFrame = {
     val (nD, nS) = metaStamp()
-    val (curve, caches) = evalBandingFrames(threshold, bandings, sampleDocs)
+    val (curve, caches) =
+      evalBandingFrames(threshold, bandings, sampleDocs, truthDfBound)
     val fresh = curve
       .withColumn("threshold", lit(threshold))
       .withColumn("stamp_docs", lit(nD))
@@ -586,7 +590,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     * sample marker re-measure full). Returns the number of thresholds
     * re-measured; fresh curves cost only the stamp read.
     */
-  def maintainBanding(): Int = {
+  def maintainBanding(truthDfBound: Long = Dedup.DefaultTruthDfBound): Int = {
     if (!fs.exists(new Path(curveDir))) return 0
     val (nD, nS) = metaStamp()
     val t = spark.read.parquet(curveDir)
@@ -602,7 +606,7 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
     stale.foreach { case (thr, sample) =>
       val bandings = ts.filter(col("threshold") === thr)
         .select("bands").collect().map(_.getLong(0).toInt).sorted.toSeq
-      measureBanding(thr, bandings, sample)
+      measureBanding(thr, bandings, sample, truthDfBound)
     }
     stale.length
   }

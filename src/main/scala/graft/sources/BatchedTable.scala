@@ -217,10 +217,14 @@ private[graft] object BatchedTable {
   /** Heal a crashed [[swapDir]]: live present → tmp/old are debris
     * (pre-swap tmp writes are only complete once live was renamed out,
     * so while live stands the tmp may be partial — drop both); live
-    * missing + tmp present → the crash hit between the two renames and
-    * tmp holds the complete fresh copy — rename it in; live missing +
-    * only old present (defensive; no crash ordering produces it) →
-    * restore the originals.
+    * missing + COMPLETE tmp (its `_SUCCESS` marker exists — live may
+    * be missing either because it never existed, first-ever swap, or
+    * because the crash hit between the two renames) → rename the tmp
+    * in; live missing + INCOMPLETE tmp → the crash hit mid-write on a
+    * first-ever swap — the tmp is partial debris, never promote it
+    * (drop it, and restore `old` if one exists); live missing + only
+    * old present (defensive; no crash ordering produces it) → restore
+    * the originals.
     */
   def recoverDirSwap(fs: FileSystem, dir: String): Unit = {
     val (tmp, old, live) = (dirTmpFor(dir), dirOldFor(dir), new Path(dir))
@@ -228,12 +232,18 @@ private[graft] object BatchedTable {
       if (fs.exists(d) && !fs.delete(d, true)) throw new IllegalStateException(
         s"swap recovery: could not clear $d")
     if (fs.exists(live)) { drop(tmp); drop(old) }
-    else if (fs.exists(tmp)) {
-      if (!fs.rename(tmp, live)) throw new IllegalStateException(
-        s"swap recovery: rename $tmp -> $live failed")
-      drop(old)
-    } else if (fs.exists(old) && !fs.rename(old, live))
-      throw new IllegalStateException(
-        s"swap recovery: rename $old -> $live failed")
+    else {
+      val tmpComplete = fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))
+      if (tmpComplete) {
+        if (!fs.rename(tmp, live)) throw new IllegalStateException(
+          s"swap recovery: rename $tmp -> $live failed")
+        drop(old)
+      } else {
+        drop(tmp)
+        if (fs.exists(old) && !fs.rename(old, live))
+          throw new IllegalStateException(
+            s"swap recovery: rename $old -> $live failed")
+      }
+    }
   }
 }

@@ -115,11 +115,7 @@ class TermIndex(spark: SparkSession, path: String,
     */
   private def analyzedTokens(text: Column): Column = {
     val raw = split(text, " ")
-    analyzer.fold(raw) { a =>
-      val low = if (a.lowercase) transform(raw, w => lower(w)) else raw
-      if (a.stopwords.isEmpty) low
-      else filter(low, w => !w.isin(a.stopwords: _*))
-    }
+    analyzer.fold(raw)(_.tokensCol(raw))
   }
 
   /** The probe-side twin of [[analyzedTokens]]: normalize a caller's
@@ -644,7 +640,7 @@ class TermIndex(spark: SparkSession, path: String,
   /** [[searchPhraseBatch]] tolerating an EMPTY query frame (None) —
     * [[servePhraseStream]]'s fast path, mirroring `searchBatchOpt`.
     */
-  private def searchPhraseBatchOpt(queries: DataFrame, k: Int,
+  private def searchPhraseBatchOpt(rawQueries: DataFrame, k: Int,
                                    excludeLabel: Option[String],
                                    slop: Int,
                                    allowed: Option[DataFrame] = None): Option[DataFrame] = {
@@ -652,9 +648,16 @@ class TermIndex(spark: SparkSession, path: String,
     // parameter row-by-row (a serving tier mixes exact and proximity
     // queries in one micro-batch) — the two knobs are mutually
     // exclusive to keep the semantics unambiguous
-    val hasSlopCol = queries.columns.toSeq == Seq("query_id", "phrase", "slop")
-    require(hasSlopCol || queries.columns.toSeq == Seq("query_id", "phrase"),
-      s"queries must be (query_id, phrase[, slop]), got ${queries.columns.mkString(", ")}")
+    val hasSlopCol = rawQueries.columns.toSeq == Seq("query_id", "phrase", "slop")
+    require(hasSlopCol || rawQueries.columns.toSeq == Seq("query_id", "phrase"),
+      s"queries must be (query_id, phrase[, slop]), got ${rawQueries.columns.mkString(", ")}")
+    // analyzer-normalize each phrase in-plan — searchPhrase's fold +
+    // stopword-slot drop (duplicates KEPT: phrases repeat words), so a
+    // batched/streamed probe matches the analyzed postings exactly
+    // like the single-phrase verb; a phrase analyzed below 2 slots
+    // trips the existing short-phrase refusal
+    val queries = analyzer.fold(rawQueries)(a =>
+      rawQueries.withColumn("phrase", a.tokensCol(col("phrase"))))
     require(slop >= 0, s"slop must be >= 0, got $slop")
     require(!hasSlopCol || slop == 0,
       "pass slop per query (column) OR batch-wide (parameter), not both")
@@ -806,12 +809,8 @@ class TermIndex(spark: SparkSession, path: String,
     // stopwords, collapse post-fold duplicates keeping first position)
     // — [[analyzeTerms]]'s expression twin; identity when unconfigured
     val queries = analyzer.fold(rawQueries) { a =>
-      val low =
-        if (a.lowercase) transform(col("terms"), w => lower(w)) else col("terms")
-      val kept =
-        if (a.stopwords.isEmpty) low
-        else filter(low, w => !w.isin(a.stopwords: _*))
-      rawQueries.select(col("query_id"), array_distinct(kept).as("terms"))
+      rawQueries.select(col("query_id"),
+          array_distinct(a.tokensCol(col("terms"))).as("terms"))
         .filter(size(col("terms")) > 0)
     }
     // ONE driver job validates AND collects the term universe: each
@@ -1017,7 +1016,19 @@ object TermIndex {
     * SQL, which is what keeps analyzed indexes oracle-checkable.
     */
   final case class Analyzer(lowercase: Boolean = true,
-                            stopwords: Seq[String] = Nil)
+                            stopwords: Seq[String] = Nil) {
+    /** The analysis as ONE column expression over a token array —
+      * every consumer (postings/dl/meta at build, batch probes
+      * in-plan, the served-index freshness probe) derives from this
+      * single definition, so a future analysis change cannot
+      * desynchronize the index's statistics from its probes.
+      */
+    def tokensCol(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val low = if (lowercase) transform(tokens, w => lower(w)) else tokens
+      if (stopwords.isEmpty) low
+      else filter(low, w => !w.isin(stopwords: _*))
+    }
+  }
 
   /** A small English stopword list for the analyzed BM25 surface —
     * deliberately tiny and FROZEN (it participates in index layout:

@@ -871,10 +871,9 @@ object TextAnalysis extends QueryModule {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     // same freshness discipline as [[servedIdx]], with the ANALYZED
     // token count as the content probe (the analyzed index's meta
-    // sum_dl counts kept tokens, so the live side must too)
-    val liveToks = filter(
-      transform(split(col("text"), " "), w => lower(w)),
-      w => !w.isin(bm25Analyzer.stopwords: _*))
+    // sum_dl counts kept tokens, so the live side must too — via the
+    // Analyzer's ONE shared expression, so it cannot drift)
+    val liveToks = bm25Analyzer.tokensCol(split(col("text"), " "))
     val fresh = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
       scala.util.Try {
         val m = s.read.parquet(s"$dir/meta")

@@ -385,6 +385,44 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       ids.select(col(ids.columns.head).cast(LongType).as("vec_id")),
       Seq("vec_id"), "left_semi"))
 
+  /** Backfill `allowed_stamp` on curve tables persisted before the
+    * slice extension — their rows are all whole-corpus measurements.
+    */
+  private def withSliceStampCol(df: DataFrame): DataFrame =
+    if (df.columns.contains("allowed_stamp")) df
+    else df.withColumn("allowed_stamp", lit(0L))
+
+  /** The tuner-side slice cut, shared by all three `nprobeFor*`
+    * verbs: whole-corpus rows for an unfiltered caller; a slice
+    * caller gets the mode's slice rows, REFUSING loudly when they
+    * were measured for a different allowed set (the slice drifted, or
+    * another tenant's slice holds the mode — one slice per mode).
+    */
+  private def sliceRowsFor(mode: DataFrame, aStamp: Long,
+                           family: String): DataFrame = {
+    val t = withSliceStampCol(mode)
+    if (aStamp == 0L) t.filter(col("allowed_stamp") === 0L)
+    else {
+      val rows = t.filter(col("allowed_stamp") =!= 0L)
+      val head = rows.select("allowed_stamp").limit(1).collect()
+      if (head.nonEmpty && head(0).getLong(0) != aStamp)
+        throw new IllegalStateException(
+          s"filtered-slice $family curve was measured for a DIFFERENT " +
+            "allowed set (the slice drifted, or another slice holds the " +
+            s"mode) — re-run the $family eval with allowed = this slice")
+      rows
+    }
+  }
+
+  /** Merge-side replacement cut for the measuring evals: a slice
+    * measurement replaces any slice rows of its mode (stale slices
+    * must not accumulate under content-derived stamps), a whole-corpus
+    * measurement touches only whole-corpus rows.
+    */
+  private def sliceCondFor(aStamp: Long): org.apache.spark.sql.Column =
+    if (aStamp == 0L) col("allowed_stamp") === 0L
+    else col("allowed_stamp") =!= 0L
+
   /** Route new vectors to their nearest shard and append (reference
     * /store, one HTTP call per vector there — one distributed append
     * here).
@@ -813,14 +851,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val newKeys: Seq[(Boolean, Long)] =
         (false, 0L) +: (if (compressed) Seq((true, shortlist.toLong)) else Nil)
-      // slice replacement policy: the store keeps ONE filtered-slice
-      // curve per mode — a slice measurement replaces any slice rows
-      // of the mode (a drifted slice's stale rows must not accumulate
-      // as permanent garbage under content-derived stamps); a whole-
-      // corpus measurement touches only whole-corpus (stamp 0) rows.
-      val sliceCond =
-        if (aStamp == 0L) col("allowed_stamp") === 0L
-        else col("allowed_stamp") =!= 0L
+      // one filtered-slice curve per mode — see sliceCondFor
+      val sliceCond = sliceCondFor(aStamp)
       val all =
         if (!rfs.exists(rp)) fresh.localCheckpoint(true)
         else {
@@ -845,9 +877,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
               if (existing.columns.contains("metric")) existing
               else existing.withColumn("metric",
                 lit(graft.plans.ShardTopKJoin.Metric.Cosine))
-            val withSlice =
-              if (withMetric.columns.contains("allowed_stamp")) withMetric
-              else withMetric.withColumn("allowed_stamp", lit(0L))
+            val withSlice = withSliceStampCol(withMetric)
             fresh.unionByName(withSlice.filter(
               !(newKeys.map(k =>
                 col("metric") === metric &&
@@ -865,7 +895,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       // one-slice-per-store convention above. Pinned first: the
       // maintenance path's `ids` READS this very directory, and an
       // unpinned overwrite would delete the files under its own scan.
-      allowed.foreach(ids => writeSliceIds(ids))
+      allowed.foreach(ids => writeSliceIds(ids, aStamp))
     } finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(hits)
     spark.read.parquet(recallDir)
   }
@@ -1113,24 +1143,8 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         }
       // slice keying: a filtered caller tunes ONLY on a curve measured
       // for ITS slice (whole-corpus geometry over- or under-probes a
-      // selective slice); pre-slice tables are all whole-corpus rows
-      val withSlice =
-        if (modeAll.columns.contains("allowed_stamp")) modeAll
-        else modeAll.withColumn("allowed_stamp", lit(0L))
-      val aStamp = sliceStamp(allowed)
-      val mode =
-        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
-        else {
-          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
-          val head = sliceRows.select("allowed_stamp").limit(1).collect()
-          if (head.nonEmpty && head(0).getLong(0) != aStamp)
-            throw new IllegalStateException(
-              "filtered-slice recall curve was measured for a DIFFERENT " +
-                "allowed set (the slice drifted, or another tenant's slice " +
-                "holds the mode) — re-run evalRecall(allowed = ...) for this " +
-                "slice, or tune without `allowed` to use whole-corpus geometry")
-          sliceRows
-        }
+      // selective slice); drifted slices refuse loudly (sliceRowsFor)
+      val mode = sliceRowsFor(modeAll, sliceStamp(allowed), "recall")
       if (checkFresh && t.columns.contains("cent_stamp")) {
         // one measurement run per mode key (replaced wholesale by
         // evalRecall), so any row carries the mode's provenance
@@ -1214,18 +1228,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       .withColumn("allowed_stamp", lit(aStamp))
       .select("nprobe", "recall_x1e4", "n_matches", "n_queries",
         "min_score_x1e6", "cent_stamp", "n_rows", "allowed_stamp")
-    val sliceCond =
-      if (aStamp == 0L) col("allowed_stamp") === 0L
-      else col("allowed_stamp") =!= 0L
+    val sliceCond = sliceCondFor(aStamp)
     val rp = new org.apache.hadoop.fs.Path(rangeRecallDir)
     val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
       if (!rfs.exists(rp)) fresh.localCheckpoint(true)
       else {
         val existing = spark.read.parquet(rangeRecallDir)
-        val withSlice =
-          if (existing.columns.contains("allowed_stamp")) existing
-          else existing.withColumn("allowed_stamp", lit(0L))
+        val withSlice = withSliceStampCol(existing)
         fresh.unionByName(withSlice.filter(
           !(col("min_score_x1e6") === tauKey && sliceCond) &&
             col("n_queries") === nq))
@@ -1233,20 +1243,27 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       }
     try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(rangeRecallDir)
     finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
-    allowed.foreach(ids => writeSliceIds(ids))
+    allowed.foreach(ids => writeSliceIds(ids, aStamp))
     spark.read.parquet(rangeRecallDir)
   }
 
-  /** Persist a measured slice's id set for curve maintenance — pinned
-    * (localCheckpoint) before the overwrite because the maintenance
-    * path re-measures FROM this directory: an unpinned overwrite
-    * would delete the parquet files its own input scan still reads.
+  /** Persist a measured slice's id set for curve maintenance, KEYED
+    * BY ITS CONTENT STAMP (`<dir>/stamp=<allowed_stamp>`): the three
+    * curve families and their modes may each hold a DIFFERENT slice,
+    * and maintenance must re-measure each stale slice row with the
+    * ids it was measured with — a single shared id set would silently
+    * re-measure (and re-key) one family's slice with another's. Writes
+    * are idempotent per stamp (content-derived); superseded stamps'
+    * directories linger as bounded garbage until an operator clears
+    * them. Pinned (localCheckpoint) before the overwrite because the
+    * maintenance path re-measures FROM this very directory.
     */
-  private def writeSliceIds(ids: DataFrame): Unit = {
+  private def writeSliceIds(ids: DataFrame, aStamp: Long): Unit = {
     val pinned = ids
       .select(col(ids.columns.head).cast(LongType).as("vec_id"))
       .localCheckpoint(true)
-    try pinned.write.mode(SaveMode.Overwrite).parquet(sliceIdsDir)
+    try pinned.write.mode(SaveMode.Overwrite)
+      .parquet(s"$sliceIdsDir/stamp=$aStamp")
     finally org.apache.spark.sql.graftshim.CheckpointInterop
       .unpersistCheckpoint(pinned)
   }
@@ -1266,22 +1283,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     else {
       val tau = spark.read.parquet(rangeRecallDir)
         .filter(col("min_score_x1e6") === math.round(minScore * 1e6))
-      val withSlice =
-        if (tau.columns.contains("allowed_stamp")) tau
-        else tau.withColumn("allowed_stamp", lit(0L))
-      val aStamp = sliceStamp(allowed)
-      val curve =
-        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
-        else {
-          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
-          val head = sliceRows.select("allowed_stamp").limit(1).collect()
-          if (head.nonEmpty && head(0).getLong(0) != aStamp)
-            throw new IllegalStateException(
-              "filtered-slice range-recall curve was measured for a DIFFERENT " +
-                "allowed set (the slice drifted) — re-run " +
-                "evalRangeRecall(allowed = ...) for this slice")
-          sliceRows
-        }
+      val curve = sliceRowsFor(tau, sliceStamp(allowed), "range-recall")
       if (checkFresh) {
         val head = curve.select("cent_stamp", "n_rows").limit(1).collect()
         if (head.nonEmpty) {
@@ -1437,18 +1439,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         .select("nprobe", "recall_x1e4", "n_queries", "top_k", "shortlist",
           "rrf_k", "compressed", "vec_shortlist", "cent_stamp", "idx_stamp",
           "n_rows", "allowed_stamp")
-      val sliceCond =
-        if (aStamp == 0L) col("allowed_stamp") === 0L
-        else col("allowed_stamp") =!= 0L
+      val sliceCond = sliceCondFor(aStamp)
       val rp = new org.apache.hadoop.fs.Path(fusionRecallDir)
       val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val all =
         if (!rfs.exists(rp)) fresh.localCheckpoint(true)
         else {
           val existing = spark.read.parquet(fusionRecallDir)
-          val withSlice =
-            if (existing.columns.contains("allowed_stamp")) existing
-            else existing.withColumn("allowed_stamp", lit(0L))
+          val withSlice = withSliceStampCol(existing)
           fresh.unionByName(withSlice.filter(
             !(col("top_k") === topK.toLong &&
               col("shortlist") === shortlist.toLong &&
@@ -1462,7 +1460,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         }
       try all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(fusionRecallDir)
       finally org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(all)
-      allowed.foreach(ids => writeSliceIds(ids))
+      allowed.foreach(ids => writeSliceIds(ids, aStamp))
       // persist the query SAMPLE alongside the curve (sample-sized),
       // so [[maintainCurves]] can re-measure a stale fusion curve
       // without the caller re-supplying terms — last measurement's
@@ -1501,22 +1499,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           col("compressed") === compressed &&
           col("vec_shortlist") ===
             (if (compressed) vecShortlist.toLong else 0L))
-      val withSlice =
-        if (mode.columns.contains("allowed_stamp")) mode
-        else mode.withColumn("allowed_stamp", lit(0L))
-      val aStamp = sliceStamp(allowed)
-      val curve =
-        if (aStamp == 0L) withSlice.filter(col("allowed_stamp") === 0L)
-        else {
-          val sliceRows = withSlice.filter(col("allowed_stamp") =!= 0L)
-          val head = sliceRows.select("allowed_stamp").limit(1).collect()
-          if (head.nonEmpty && head(0).getLong(0) != aStamp)
-            throw new IllegalStateException(
-              "filtered-slice fusion-recall curve was measured for a DIFFERENT " +
-                "allowed set (the slice drifted) — re-run " +
-                "evalFusionRecall(allowed = ...) for this slice")
-          sliceRows
-        }
+      val curve = sliceRowsFor(mode, sliceStamp(allowed), "fusion-recall")
       if (checkFresh) {
         val head = curve.select("cent_stamp", "idx_stamp", "n_rows")
           .limit(1).collect()
@@ -1635,21 +1618,25 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       p.getFileSystem(hc).exists(p)
     }
 
-    // slice curves re-measure from the id set evalRecall/evalRangeRecall
-    // persisted alongside them; a legacy slice row with no persisted ids
-    // is unrecoverable here (left in place — its nprobeFor refuses on
-    // the stale stamp loudly, never a silent mis-tune). Pinned eagerly:
-    // each slice re-measure OVERWRITES the ids directory this frame
-    // reads, so an unpinned lazy read would lose its files mid-pass.
-    var sliceIdsCache: Option[DataFrame] = None
-    def sliceIds: Option[DataFrame] = {
-      if (sliceIdsCache.isEmpty && exists(sliceIdsDir))
-        sliceIdsCache = Some(spark.read.parquet(sliceIdsDir).localCheckpoint(true))
-      sliceIdsCache
-    }
+    // slice curves re-measure from the id set the evals persisted
+    // alongside them, keyed by the row's OWN allowed_stamp (each
+    // family/mode may hold a different slice); a slice row whose ids
+    // were never persisted is unrecoverable here (left in place — its
+    // nprobeFor refuses on the stale stamp loudly, never a silent
+    // mis-tune). Pinned eagerly: a slice re-measure OVERWRITES the
+    // stamp directory this frame reads, so an unpinned lazy read would
+    // lose its files mid-pass.
+    val sliceIdsCache =
+      scala.collection.mutable.Map.empty[Long, Option[DataFrame]]
+    def sliceIdsFor(stamp: Long): Option[DataFrame] =
+      sliceIdsCache.getOrElseUpdate(stamp, {
+        val d = s"$sliceIdsDir/stamp=$stamp"
+        if (exists(d)) Some(spark.read.parquet(d).localCheckpoint(true))
+        else None
+      })
     def sliceArg(m: org.apache.spark.sql.Row): (Boolean, Option[DataFrame]) = {
-      val isSlice = m.getAs[Long]("allowed_stamp") != 0L
-      (isSlice, if (isSlice) sliceIds else None)
+      val st = m.getAs[Long]("allowed_stamp")
+      (st != 0L, if (st != 0L) sliceIdsFor(st) else None)
     }
     try {
 
@@ -1663,9 +1650,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
           if (t.columns.contains("metric")) t
           else t.withColumn("metric",
             lit(graft.plans.ShardTopKJoin.Metric.Cosine))
-        val ts =
-          if (tm.columns.contains("allowed_stamp")) tm
-          else tm.withColumn("allowed_stamp", lit(0L))
+        val ts = withSliceStampCol(tm)
         val modes = ts.select("metric", "compressed", "shortlist", "top_k",
             "n_queries", "cent_stamp", "n_rows", "allowed_stamp")
           .distinct().collect()
@@ -1708,9 +1693,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     if (exists(rangeRecallDir)) {
       val t = spark.read.parquet(rangeRecallDir)
       if (t.columns.contains("cent_stamp")) {
-        val ts =
-          if (t.columns.contains("allowed_stamp")) t
-          else t.withColumn("allowed_stamp", lit(0L))
+        val ts = withSliceStampCol(t)
         ts.select("min_score_x1e6", "n_queries", "cent_stamp", "n_rows",
             "allowed_stamp")
           .distinct().collect()
@@ -1741,9 +1724,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     }
     if (exists(fusionRecallDir) && nFusion == 0) {
       val t = spark.read.parquet(fusionRecallDir)
-      val ts =
-        if (t.columns.contains("allowed_stamp")) t
-        else t.withColumn("allowed_stamp", lit(0L))
+      val ts = withSliceStampCol(t)
       val sampleOk = exists(fusionQueriesDir)
       ts.select("top_k", "shortlist", "rrf_k", "compressed", "vec_shortlist",
           "cent_stamp", "idx_stamp", "n_rows", "allowed_stamp")
@@ -1774,7 +1755,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
         }
     }
     CurveMaintenance(nRecall, nRange, nFusion, nFusionSkipped)
-    } finally sliceIdsCache.foreach(
+    } finally sliceIdsCache.values.flatten.foreach(
       org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint)
   }
 

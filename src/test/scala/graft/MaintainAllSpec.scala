@@ -76,4 +76,38 @@ class MaintainAllSpec extends AnyFunSuite {
       maxBatches = 256)
     assert(!r2.anythingRepaired, s"fresh families must be untouched: $r2")
   }
+
+  test("the term-index fold runs BEFORE curve maintenance: one tick leaves the fusion curve fresh") {
+    import spark.implicits._
+    // a measured fusion curve + a term index one append over the fold
+    // bound: the fold moves the index's content stamp (fusion-curve
+    // provenance), so folding AFTER maintainCurves would re-stale the
+    // curve the same tick healed (review regression) — the tick must
+    // end with nprobeForFusion serving and the next tick a no-op
+    val docs = (1L to 30L).map(i => (i, w(s"d${i}_", 25))).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("graft-mall-ord").toString
+    val vs = new graft.vector.VectorStore(spark, s"$base/vs", numShards = 4)
+    vs.build(graft.embed.HashEmbedder.embed(docs)
+      .select(col("doc_id").as("id"), col("embedding").as("vector")), iters = 2)
+    val ti = new graft.text.TermIndex(spark, s"$base/ti")
+    ti.build(docs)
+    val sample = vs.fusionSampleFrom(ti, nQueries = 8)
+    vs.evalFusionRecall(ti, sample)
+    assert(vs.nprobeForFusion(ti, 0.9) >= 1)
+    ti.append(Seq((100L, w("x", 25))).toDF("doc_id", "text"), "b1")
+    ti.append(Seq((101L, w("y", 25))).toDF("doc_id", "text"), "b2")
+    // the appends already staled the curve; ONE tick must fold AND
+    // leave a healed, fold-stamped curve behind
+    // hash-embedding vectors have weak cluster structure (residual
+    // drift ~0.37 after any sampled retrain) — gate the store out so
+    // the test isolates the fold-vs-curves ordering
+    val r = Maintenance.maintainAll(store = Some(vs), termIdx = Some(ti),
+      maxBatches = 1, storeDriftX1e6 = 1000000L)
+    assert(r.termFolded && r.curvesRefreshed >= 1, s"got $r")
+    assert(vs.nprobeForFusion(ti, 0.9) >= 1,
+      "the tick's curve heal must survive its own fold")
+    val r2 = Maintenance.maintainAll(store = Some(vs), termIdx = Some(ti),
+      maxBatches = 256, storeDriftX1e6 = 1000000L)
+    assert(!r2.anythingRepaired, s"second tick must be a no-op: $r2")
+  }
 }

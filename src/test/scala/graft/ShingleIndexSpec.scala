@@ -797,6 +797,17 @@ class ShingleIndexSpec extends AnyFunSuite {
     assert(fs.exists(cfg) && !fs.exists(tmp),
       "recovery must rename the tmp in, leaving a clean live config")
 
+    // PARTIAL tmp with live missing (a first-ever swap crashed
+    // mid-write — no _SUCCESS marker): recovery must NOT promote the
+    // debris; the banding re-derives from bands/ (review regression)
+    assert(fs.delete(cfg, true))
+    fs.mkdirs(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "part-00000.parquet")).close()
+    assert(idx.currentBanding() === b1,
+      "a partial tmp must not be promoted to live config")
+    assert(!fs.exists(tmp), "partial tmp debris is dropped")
+    assert(!fs.exists(cfg), "no live config is invented from debris")
+
     // and with a healthy config, the config wins over derivation
     idx.reband(b1)
     assert(idx.currentBanding() === b1)

@@ -700,6 +700,18 @@ class TermIndexSpec extends AnyFunSuite {
       rows(plain.searchPhrase(Seq("hash", "join", "merge"))))
     assert(idx.searchPhrase(Seq("Hash", "join", "of", "the", "MERGE"))
       .filter(col("doc_id") === 2L).head().getLong(1) === 1L)
+    // BATCHED phrase probes analyze in-plan exactly like the single
+    // verb (review regression: the batch path used to skip the
+    // analyzer and silently match nothing on raw-cased terms)
+    val phraseBatch = Seq(
+      (0L, Seq("Hash", "join", "of", "the", "MERGE")),
+      (1L, Seq("The", "Table", "scan"))).toDF("query_id", "phrase")
+    val gotPh = idx.searchPhraseBatch(phraseBatch, k = 5)
+    assert(rows(gotPh.filter(col("query_id") === 0L).drop("query_id")) ===
+      rows(plain.searchPhrase(Seq("hash", "join", "merge"), k = 5)))
+    assert(rows(gotPh.filter(col("query_id") === 1L).drop("query_id")) ===
+      rows(plain.searchPhrase(Seq("table", "scan"), k = 5)))
+    assert(gotPh.count() > 0, "analyzed batch phrases must match")
     // meta sum_dl counts ANALYZED tokens (BM25 stats match the tokens)
     val dl = idx.health().select("sum_dl").head().getLong(0)
     val dlPlain = plain.health().select("sum_dl").head().getLong(0)

@@ -922,6 +922,42 @@ class VectorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("DIFFERENT"))
   }
 
+  test("two families hold DIFFERENT slices: maintenance heals each from its own persisted ids") {
+    // recall curve measured on slice A, radius curve on slice B; a
+    // routing change stales both; one maintainCurves must re-measure
+    // each with ITS OWN id set (review regression: a single shared id
+    // directory re-measured one family's slice with the other's ids,
+    // re-keying the curve so the original slice refused forever)
+    val corpus = spark.range(0, 800, 1, 8).select(col("id"),
+      array((0 until 32).map { d =>
+        when(pmod(col("id"), lit(4)) === d / 8, 5.0).otherwise(0.0) +
+          (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) * 0.003
+      }: _*).as("vector"))
+    val dir = Files.createTempDirectory("graft-two-slices").toString
+    val vs = new VectorStore(spark, dir, numShards = 8)
+    vs.build(corpus, iters = 3)
+    val sliceA = corpus.filter(pmod(col("id"), lit(4)) === 0).select("id")
+    val sliceB = corpus.filter(pmod(col("id"), lit(4)) === 1).select("id")
+    vs.evalRecall(nQueries = 16, topK = 5, allowed = Some(sliceA))
+    vs.evalRangeRecall(minScore = 0.9, nQueries = 16, allowed = Some(sliceB))
+    assert(vs.nprobeFor(0.9, allowed = Some(sliceA)) >= 1)
+    assert(vs.nprobeForRange(0.9, target = 0.9, allowed = Some(sliceB)) >= 1)
+    // routing change stales both families' slice curves
+    vs.build(corpus, iters = 2)
+    intercept[IllegalStateException](vs.nprobeFor(0.9, allowed = Some(sliceA)))
+    val m = vs.maintainCurves()
+    assert(m.recallRefreshed >= 1 && m.rangeRefreshed >= 1, s"got $m")
+    // each family healed with ITS slice: tuning with the original
+    // slices serves; tuning with the OTHER family's slice refuses
+    assert(vs.nprobeFor(0.9, allowed = Some(sliceA)) >= 1,
+      "recall slice A must heal with A's ids")
+    assert(vs.nprobeForRange(0.9, target = 0.9, allowed = Some(sliceB)) >= 1,
+      "range slice B must heal with B's ids")
+    intercept[IllegalStateException](vs.nprobeFor(0.9, allowed = Some(sliceB)))
+    intercept[IllegalStateException](
+      vs.nprobeForRange(0.9, target = 0.9, allowed = Some(sliceA)))
+  }
+
   test("evalRecall merges modes: a raw re-measurement keeps the compressed curve") {
     val corpus = spark.range(0, 512, 1, 8).select(col("id"),
       array((0 until 64).map(d =>
