@@ -51,11 +51,14 @@ object Maintenance {
     *    [[graft.vector.VectorStore.maintain]] (retrain + re-route +
     *    compact). Drift below the gate leaves routing untouched — a
     *    maintenance tick must not retrain a healthy store. The gate is
-    *    CORPUS-RELATIVE: set it above the residual drift a sampled
-    *    Lloyd refresh leaves on YOUR data (weak-structure corpora park
-    *    ~0.1 L2 from the full-population means and would re-train
-    *    every tick under a tighter gate; read `health()` once after a
-    *    deliberate `maintain()` to calibrate).
+    *    CORPUS-RELATIVE and SELF-CALIBRATING: every `maintain()`
+    *    records the residual drift a fresh repair leaves (the
+    *    corpus's noise floor — weak-structure corpora park ~0.1 L2
+    *    from the full-population means even right after a retrain),
+    *    and the effective gate is max(`storeDriftX1e6`, 2× that
+    *    baseline), so the first repair teaches the gate what
+    *    "healthy" means on this data and subsequent ticks stop
+    *    re-training a store that cannot get better.
     *  - text index: [[graft.text.TermIndex.maintain]] with the given
     *    fold bounds (internally gated on batch/tombstone counts).
     *    Runs BEFORE curve maintenance — a fold moves the content
@@ -84,11 +87,18 @@ object Maintenance {
                   bandingTruthDfBound: Long =
                     graft.dedup.Dedup.DefaultTruthDfBound): Report = {
     // 1. store routing, gated on measured drift (health() is one
-    // partial-aggregated scan; the gate keeps a healthy tick cheap)
+    // partial-aggregated scan; the gate keeps a healthy tick cheap).
+    // SELF-CALIBRATING: once a maintain() has recorded the residual
+    // drift a fresh repair leaves on this data (the corpus's noise
+    // floor), the effective gate is at least 2x that baseline — a
+    // weak-structure corpus whose floor sits above the caller's gate
+    // no longer re-trains every tick without converging.
     val drift = store.map(_.health()
       .agg(coalesce(max(col("drift_x1e6")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
-    val repaired = store.filter(_ => drift >= storeDriftX1e6).map(_.maintain())
+    val gate = store.flatMap(_.driftBaseline())
+      .map(b => math.max(storeDriftX1e6, 2L * b)).getOrElse(storeDriftX1e6)
+    val repaired = store.filter(_ => drift >= gate).map(_.maintain())
     // 2. the TERM-INDEX fold runs BEFORE curve maintenance: a fold
     // changes the index's content stamp (batch directories), which is
     // fusion-curve provenance — folding after would re-stale the curve

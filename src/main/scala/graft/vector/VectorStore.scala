@@ -29,6 +29,7 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private val rangeRecallDir = s"$path/range_recall_eval"
   private val fusionRecallDir = s"$path/fusion_recall_eval"
   private val sliceIdsDir = s"$path/recall_slice_ids"
+  private val driftBaselineDir = s"$path/drift_baseline"
   private val fusionQueriesDir = s"$path/fusion_recall_queries"
 
   /** KMeans the corpus (reference test.py:41-48), persist centroids,
@@ -672,7 +673,31 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val (touched, moved) = refreshCentroids(sampleFraction, iters)
     val report = graft.sources.Compact.compactPartitions(
       spark, vecDir, targetFileBytes, sortCols = Seq(idCol))
+    // record the RESIDUAL drift a fresh repair leaves on THIS data —
+    // the store's own "as good as it gets" baseline. Weak-structure
+    // corpora park well off their shard means even right after a
+    // sampled retrain, so an absolute drift gate either re-trains
+    // every maintenance tick or never fires; a gate calibrated off
+    // this baseline (Maintenance.maintainAll reads it) separates
+    // real drift from the corpus's noise floor. One extra health scan
+    // inside an already-heavy offline verb.
+    val residual = health()
+      .agg(coalesce(max(col("drift_x1e6")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    Seq(residual).toDF("drift_x1e6").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(driftBaselineDir)
     Maintenance(touched, moved, report)
+  }
+
+  /** The residual drift recorded by the last [[maintain]] (None before
+    * the first) — the baseline [[graft.Maintenance.maintainAll]]'s
+    * drift gate self-calibrates from.
+    */
+  def driftBaseline(): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(driftBaselineDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else scala.util.Try(
+      spark.read.parquet(driftBaselineDir).head().getLong(0)).toOption
   }
 
   /** One-scan health probe: per shard, the population, the load

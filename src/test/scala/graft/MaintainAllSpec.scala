@@ -110,4 +110,28 @@ class MaintainAllSpec extends AnyFunSuite {
       maxBatches = 256, storeDriftX1e6 = 1000000L)
     assert(!r2.anythingRepaired, s"second tick must be a no-op: $r2")
   }
+
+  test("the drift gate self-calibrates: one repair teaches the noise floor, ticks stop oscillating") {
+    import spark.implicits._
+    // hash-embedding vectors: weak cluster structure, so even a fresh
+    // repair leaves residual drift (~0.3 L2) ABOVE the 0.1 default
+    // gate — without calibration every tick would retrain forever
+    // 30 docs x 25 hash-words / 4 shards: the ordering test's exact
+    // shape, whose post-build drift measures ~0.37 (40 docs converge
+    // to zero drift in 2 iters — the floor is fixture-sensitive)
+    val docs = (1L to 30L).map(i => (i, w(s"d${i}_", 25))).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("graft-mall-gate").toString
+    val vs = new graft.vector.VectorStore(spark, s"$base/vs", numShards = 4)
+    vs.build(graft.embed.HashEmbedder.embed(docs)
+      .select(col("doc_id").as("id"), col("embedding").as("vector")), iters = 2)
+    assert(vs.driftBaseline().isEmpty, "no baseline before the first maintain")
+    val r1 = Maintenance.maintainAll(store = Some(vs))
+    assert(r1.storeMaintained,
+      s"a floor above the default gate must trigger the first repair: $r1")
+    assert(vs.driftBaseline().exists(_ > 0L),
+      "the repair records its residual drift as the baseline")
+    val r2 = Maintenance.maintainAll(store = Some(vs))
+    assert(!r2.storeMaintained,
+      s"the calibrated gate (2x baseline) must stop the oscillation: $r2")
+  }
 }
