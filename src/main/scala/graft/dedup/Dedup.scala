@@ -97,8 +97,10 @@ object Dedup extends QueryModule {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 50,
-                          maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame =
-    connectedComponentsWithRounds(pairs, idA, idB, maxIters, maxDriverEdges)._1
+                          maxDriverEdges: Long = DRIVER_CC_MAX_EDGES,
+                          knownRawCount: Option[Long] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIters, maxDriverEdges,
+      knownRawCount)._1
 
   /** Threshold for the model-sized fast path: a RAW pair set at or
     * under this count (an upper bound on the distinct edge set) is
@@ -188,7 +190,8 @@ object Dedup extends QueryModule {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 50,
-      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): (DataFrame, Int) = {
+      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES,
+      knownRawCount: Option[Long] = None): (DataFrame, Int) = {
     // ids cast to LONG up front (both paths label as long; integral
     // ids are the dedup pipeline's contract everywhere) and the raw
     // pair projection checkpointed ONCE — the caller's candidate
@@ -197,7 +200,10 @@ object Dedup extends QueryModule {
       .select(col(idA).cast(org.apache.spark.sql.types.LongType).as("a"),
         col(idB).cast(org.apache.spark.sql.types.LongType).as("b"))
       .localCheckpoint(true)
-    val rawCount = pe.count()
+    // a caller that already knows the pair cardinality (ServedPairs'
+    // artifact meta) spares the extra count action — the bound check
+    // needs only a count that equals or upper-bounds the frame's rows
+    val rawCount = knownRawCount.getOrElse(pe.count())
     if (rawCount <= maxDriverEdges) {
       // model-sized fast path (see [[DRIVER_CC_MAX_EDGES]]): the raw
       // pair volume bounds the distinct edge set from above, so the
@@ -286,8 +292,14 @@ object Dedup extends QueryModule {
     (labels, it)
   }
 
-  private def clusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
+  // registered consumers serve the corpus-stamped pair artifact
+  // ([[ServedPairs]]): candidate generation runs once per corpus
+  // state, not once per query, and the clusters path reads its edge
+  // cardinality from the artifact meta instead of a count() action
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val (p, n) = ServedPairs.pairsWithCount(s, d)
+    connectedComponents(p, knownRawCount = Some(n))
+  }
 
   // --- survivor selection: keep the best doc per cluster -------------
   /** The decision step a dedup pass exists for: for every near-dup
@@ -301,8 +313,14 @@ object Dedup extends QueryModule {
     * against the scored scan, broadcastable whenever the dup rate is
     * sane.
     */
-  def keepBest(docs: DataFrame): DataFrame = {
-    val labels = connectedComponents(ngramJaccardPairs(docs))
+  def keepBest(docs: DataFrame): DataFrame =
+    keepBestLabeled(docs, connectedComponents(ngramJaccardPairs(docs)))
+
+  /** [[keepBest]] over caller-supplied cluster labels — the served
+    * route ([[ServedPairs]]) and the one-shot route share everything
+    * after pair generation.
+    */
+  private[graft] def keepBestLabeled(docs: DataFrame, labels: DataFrame): DataFrame = {
     val scored = graft.text.TextAnalysis.qualityScores(docs)
       .select(col("doc_id"), col("quality_bp"))
     labels.join(scored, "doc_id")
@@ -314,8 +332,11 @@ object Dedup extends QueryModule {
         (-col("best.nq")).as("kept_quality_bp"), col("n_members"))
   }
 
-  private def keepBestQuery(s: SparkSession, d: String): DataFrame =
-    keepBest(Tables.documents(s, d))
+  private def keepBestQuery(s: SparkSession, d: String): DataFrame = {
+    val (p, n) = ServedPairs.pairsWithCount(s, d)
+    keepBestLabeled(Tables.documents(s, d),
+      connectedComponents(p, knownRawCount = Some(n)))
+  }
 
   private lazy val keepBestSql =
     s"""WITH labels AS (SELECT * FROM ($clustersSql) z),
@@ -431,7 +452,7 @@ object Dedup extends QueryModule {
     * from these counts, so cap semantics / cache policy / skew
     * handling live in exactly one place.
     */
-  private def sizedCandidates(docs: DataFrame, maxDfFraction: Double,
+  private[dedup] def sizedCandidates(docs: DataFrame, maxDfFraction: Double,
                               dfCapFloor: Long): DataFrame =
     // cache the exploded shingles (referenced by the df table AND the
     // join side): one explode pass total, not one per reference
@@ -458,18 +479,27 @@ object Dedup extends QueryModule {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
   }
 
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
-                        maxDfFraction: Double = DefaultMaxDfFraction,
-                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+  /** The Jaccard projection over a sized-candidate frame (id_a, id_b,
+    * i, na, nb) — pure integer arithmetic, so applying it to candidates
+    * recomputed inline or re-read from [[ServedPairs]]' parquet
+    * artifact is bit-identical by construction. ONE definition for
+    * both paths, so the served route can never drift from the
+    * one-shot route.
+    */
+  private[graft] def jaccardOf(cands: DataFrame, threshold: Double): DataFrame = {
     val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
-    sizedCandidates(docs, maxDfFraction, dfCapFloor)
-      .filter(jac >= threshold)
+    cands.filter(jac >= threshold)
       // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
       .select(col("id_a"), col("id_b"), (round(jac * 10000.0, 0) / 10000.0).as("jaccard"))
   }
 
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        maxDfFraction: Double = DefaultMaxDfFraction,
+                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame =
+    jaccardOf(sizedCandidates(docs, maxDfFraction, dfCapFloor), threshold)
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, d))
+    ServedPairs.pairs(s, d)
 
   // --- shingle containment: asymmetric near-dup ----------------------
   /** Containment pairs: C(A⊂B) = |A∩B| / |A| over the capped shingle
@@ -491,8 +521,14 @@ object Dedup extends QueryModule {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
                        maxDfFraction: Double = DefaultMaxDfFraction,
                        dfCapFloor: Long = DefaultDfCapFloor): DataFrame =
+    containmentOf(sizedCandidates(docs, maxDfFraction, dfCapFloor), threshold)
+
+  /** Rounded [[containmentRawOf]] — the display projection shared by
+    * the one-shot and [[ServedPairs]]-served routes.
+    */
+  private[graft] def containmentOf(cands: DataFrame, threshold: Double): DataFrame =
     // engine-stable 4-dp rounding for an integer ratio (see SURVEY §4)
-    containmentPairsRaw(docs, threshold, maxDfFraction, dfCapFloor)
+    containmentRawOf(cands, threshold)
       .select(col("id_a"), col("id_b"),
         (round(col("__c_a_in_b") * 10000.0, 0) / 10000.0).as("c_a_in_b"),
         (round(col("__c_b_in_a") * 10000.0, 0) / 10000.0).as("c_b_in_a"))
@@ -505,17 +541,23 @@ object Dedup extends QueryModule {
     */
   private[graft] def containmentPairsRaw(docs: DataFrame, threshold: Double,
                                          maxDfFraction: Double = DefaultMaxDfFraction,
-                                         dfCapFloor: Long = DefaultDfCapFloor): DataFrame = {
+                                         dfCapFloor: Long = DefaultDfCapFloor): DataFrame =
+    containmentRawOf(sizedCandidates(docs, maxDfFraction, dfCapFloor), threshold)
+
+  /** Containment projection over a sized-candidate frame — see
+    * [[jaccardOf]] for the shared-definition rationale.
+    */
+  private[graft] def containmentRawOf(cands: DataFrame, threshold: Double): DataFrame = {
     val cAinB = col("i").cast(DoubleType) / col("na")
     val cBinA = col("i").cast(DoubleType) / col("nb")
-    sizedCandidates(docs, maxDfFraction, dfCapFloor)
+    cands
       .filter(greatest(cAinB, cBinA) >= threshold)
       .select(col("id_a"), col("id_b"),
         cAinB.as("__c_a_in_b"), cBinA.as("__c_b_in_a"))
   }
 
   private def containment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(Tables.documents(s, d))
+    containmentOf(ServedPairs.candidates(s, d), 0.9)
 
   // --- cross-source duplication matrix -------------------------------
   /** Provenance overlap: which sources duplicate each other. Every
@@ -532,9 +574,15 @@ object Dedup extends QueryModule {
     * against a (doc_id, source) projection of the scan; the rollup is
     * one hash aggregate on a low-cardinality key.
     */
-  def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    crossSourceFrom(docs, ngramJaccardPairs(docs, threshold))
+
+  /** [[crossSourceMatrix]] over caller-supplied verified pairs — the
+    * [[ServedPairs]]-served route's entry point.
+    */
+  private[graft] def crossSourceFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(docs, threshold)
+    pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
       .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
@@ -543,7 +591,7 @@ object Dedup extends QueryModule {
   }
 
   private def crossSource(s: SparkSession, d: String): DataFrame =
-    crossSourceMatrix(Tables.documents(s, d))
+    crossSourceFrom(Tables.documents(s, d), ServedPairs.pairs(s, d))
 
   // lazy: interpolates candSqlCtes/jaccardPairsSelectSql, which are
   // declared later in the object (same pattern as keepBestSql)
@@ -638,8 +686,45 @@ object Dedup extends QueryModule {
     incrementalVerdictsCached(u, col("__new"), threshold)
   }
 
+  /** [[incrementalVerdicts]] derived from an already-verified pair
+    * frame instead of a fresh shingle pass — the [[ServedPairs]]
+    * route. Exact by construction: the artifact's candidate universe
+    * is capped over the WHOLE corpus (old ∪ new — the same universe
+    * [[incrementalVerdicts]] builds), and its pairs at the threshold
+    * are a superset of the new×old pairs the one-shot plan joins, so
+    * filtering to mixed-flag pairs recovers the identical near set.
+    * The extra work is two pairs-volume equi-joins against a
+    * (doc_id, flag) projection — nothing corpus-sized.
+    */
+  private[graft] def incrementalVerdictsFromPairs(
+      docs: DataFrame, isNew: org.apache.spark.sql.Column,
+      pairs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"), isNew.as("__is_new"),
+      md5(col("text")).as("__fp"))
+    val newIds = ids.filter(col("__is_new"))
+    val oldIds = ids.filter(!col("__is_new"))
+    val exactDup = newIds
+      .join(oldIds.select(col("__fp")).distinct(), Seq("__fp"), "left_semi")
+      .select(col("doc_id")).withColumn("__exact", lit(1L))
+    val flags = ids.select(col("doc_id"), col("__is_new"))
+    val nearDup = pairs
+      .join(flags.select(col("doc_id").as("id_a"), col("__is_new").as("__na")), "id_a")
+      .join(flags.select(col("doc_id").as("id_b"), col("__is_new").as("__nb")), "id_b")
+      .filter(col("__na") =!= col("__nb"))
+      .select(when(col("__na"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .distinct().withColumn("__near", lit(1L))
+    newIds.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact").isNotNull, "exact")
+          .when(col("__near").isNotNull, "near")
+          .otherwise("keep").as("verdict"))
+  }
+
   private def incremental(s: SparkSession, d: String): DataFrame =
-    incrementalVerdicts(Tables.documents(s, d), col("doc_id") % 5 === 0)
+    incrementalVerdictsFromPairs(Tables.documents(s, d),
+      col("doc_id") % 5 === 0, ServedPairs.pairs(s, d))
 
   private lazy val incrementalSql =
     s"""$candSqlCtes,

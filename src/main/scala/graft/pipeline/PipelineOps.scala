@@ -538,14 +538,23 @@ object PipelineOps extends QueryModule {
     * candidate generation costs more than the pairs themselves.
     */
   def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
-    graft.dedup.Dedup.ngramJaccardPairs(docs)
+    splitLeakageFrom(graft.dedup.Dedup.ngramJaccardPairs(docs), trainPct, valPct)
+
+  /** [[splitLeakage]] over caller-supplied verified pairs — the
+    * [[graft.dedup.ServedPairs]]-served route: the split is a pure
+    * function of the id, so everything after pair generation is a
+    * projection.
+    */
+  private[graft] def splitLeakageFrom(pairs: DataFrame, trainPct: Int,
+                                      valPct: Int): DataFrame =
+    pairs
       .select(col("id_a"), col("id_b"), col("jaccard"),
         splitOf(col("id_a"), trainPct, valPct).as("split_a"),
         splitOf(col("id_b"), trainPct, valPct).as("split_b"))
       .withColumn("is_leak", col("split_a") =!= col("split_b"))
 
   private def leakageQuery(s: SparkSession, d: String): DataFrame =
-    splitLeakage(Tables.documents(s, d))
+    splitLeakageFrom(graft.dedup.ServedPairs.pairs(s, d), 90, 5)
 
   // pairs come from Dedup's shared SELECT, splits from the shared
   // CASE — this oracle holds no similarity or hash logic of its own
