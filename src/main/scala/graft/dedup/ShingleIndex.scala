@@ -468,8 +468,30 @@ class ShingleIndex(private[dedup] val spark: SparkSession, path: String,
   private def derivedBanding(): Int =
     if (!fs.exists(new Path(bandDir))) Dedup.Bands
     else {
-      val m = readIdx(bandDir, None).agg(max(col("band"))).head()
-      if (m.isNullAt(0)) Dedup.Bands else m.getInt(0) + 1
+      // derive from the MOST RECENTLY WRITTEN batch only, not a
+      // max(band) over all batches: after a downward reband (32→16)
+      // whose per-batch heal is incomplete, stale old-banding batches
+      // would make the global max return the OLD larger value, keying
+      // probes at 32 against batches already rewritten to 16 —
+      // candidates silently lost. The newest batch dir carries the
+      // banding the crashed reband was converging the table TO
+      // (reband rewrites batch dirs in place, so the last write is
+      // always at the target banding).
+      val batches = fs.listStatus(new Path(bandDir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      if (batches.isEmpty) Dedup.Bands
+      else {
+        val latest = batches
+          .maxBy(st => (st.getModificationTime, st.getPath.getName)).getPath
+        val m = spark.read.parquet(latest.toString)
+          .agg(max(col("band"))).head()
+        if (m.isNullAt(0)) {
+          // empty newest batch (all rows tombstoned out at rewrite):
+          // fall back to the previous global derivation
+          val g = readIdx(bandDir, None).agg(max(col("band"))).head()
+          if (g.isNullAt(0)) Dedup.Bands else g.getInt(0) + 1
+        } else m.getInt(0) + 1
+      }
     }
 
   /** (live docs, live shingle rows) from the meta fold — the

@@ -654,10 +654,23 @@ class TermIndex(spark: SparkSession, path: String,
     // analyzer-normalize each phrase in-plan — searchPhrase's fold +
     // stopword-slot drop (duplicates KEPT: phrases repeat words), so a
     // batched/streamed probe matches the analyzed postings exactly
-    // like the single-phrase verb; a phrase analyzed below 2 slots
-    // trips the existing short-phrase refusal
-    val queries = analyzer.fold(rawQueries)(a =>
-      rawQueries.withColumn("phrase", a.tokensCol(col("phrase"))))
+    // like the single-phrase verb. A RAW phrase under 2 terms still
+    // trips the loud short-phrase refusal (caller bug), but a raw-
+    // valid phrase that ANALYZES below 2 slots (pure stopwords — 'of
+    // the') drops SILENTLY, mirroring searchBatchOpt's size>0 drop:
+    // under servePhraseStream one innocuous user phrase must not
+    // abort the whole streaming query, and a sub-2-slot phrase has no
+    // phrase semantics left to serve.
+    val queries = analyzer.fold(rawQueries) { a =>
+      val an = rawQueries
+        .withColumn("__rawlen", coalesce(size(col("phrase")), lit(0)))
+        .withColumn("phrase", a.tokensCol(col("phrase")))
+      // raw-short rows are KEPT here so they still reach the loud
+      // refusal below (their analyzed size stays < 2 — the analyzer
+      // never grows a phrase)
+      an.filter(col("__rawlen") < 2 || size(col("phrase")) >= 2)
+        .drop("__rawlen")
+    }
     require(slop >= 0, s"slop must be >= 0, got $slop")
     require(!hasSlopCol || slop == 0,
       "pass slop per query (column) OR batch-wide (parameter), not both")

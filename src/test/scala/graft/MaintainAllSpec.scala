@@ -133,5 +133,19 @@ class MaintainAllSpec extends AnyFunSuite {
     val r2 = Maintenance.maintainAll(store = Some(vs))
     assert(!r2.storeMaintained,
       s"the calibrated gate (2x baseline) must stop the oscillation: $r2")
+
+    // the baseline write is tmp-swap, not delete-then-write: simulate
+    // the crash window (live renamed out, fresh copy parked) — the
+    // next read must recover the baseline instead of reverting the
+    // gate to the uncalibrated default
+    val baseline = vs.driftBaseline().get
+    val live = new org.apache.hadoop.fs.Path(s"$base/vs/drift_baseline")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      live.getParent, s"_${live.getName}__swap_old")
+    assert(fs.rename(live, old), "simulated crash: live parked in old/")
+    assert(vs.driftBaseline() === Some(baseline),
+      "a crashed swap must not lose the calibration")
+    assert(fs.exists(live) && !fs.exists(old), "recovery restores the live dir")
   }
 }

@@ -812,4 +812,37 @@ class ShingleIndexSpec extends AnyFunSuite {
     idx.reband(b1)
     assert(idx.currentBanding() === b1)
   }
+
+  test("derivedBanding keys off the most recently written batch, not a global max") {
+    import spark.implicits._
+    // the double-failure scenario: a DOWNWARD reband's per-batch heal
+    // crashed partway AND the config is lost. Stale batches still hold
+    // the old wider banding, so a max(band)+1 over ALL batches would
+    // return the OLD value and probes would key against batches
+    // already rewritten to the new one — the newest write is the
+    // banding the reband was converging the table to.
+    val corpus = Seq(
+      (1L, w("a", 40)), (2L, w("b", 40)), (3L, w("c", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shidx-derive").toString
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(corpus)
+    idx.append(Seq((10L, w("d", 40)), (11L, w("e", 40))).toDF("doc_id", "text"), "b2")
+    idx.measureBanding(threshold = 0.5)
+    val (b1, _) = idx.bandingFor(0.5, target = 0.9)
+    assert(b1 > 16)
+    idx.reband(b1) // both batches now at b1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the incomplete 'reband down to 16': ONE batch rewritten
+    // (becomes the newest write), the other left at b1, config lost
+    val b2dir = s"$dir/bands/batch=b2"
+    val rewritten = spark.read.parquet(b2dir)
+      .withColumn("band", col("band") % 16)
+      .localCheckpoint(true)
+    Thread.sleep(20) // ensure a strictly newer mtime than batch=base
+    rewritten.write.mode("overwrite").parquet(b2dir)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bandingcfg"), true))
+    assert(idx.currentBanding() === 16,
+      s"must derive from the newest batch (16), not the stale global max ($b1)")
+  }
 }

@@ -717,4 +717,31 @@ class TermIndexSpec extends AnyFunSuite {
     val dlPlain = plain.health().select("sum_dl").head().getLong(0)
     assert(dl === dlPlain)
   }
+
+  test("analyzer: a pure-stopword phrase drops from the batch; raw-short still refuses") {
+    import spark.implicits._
+    val anl = graft.text.TermIndex.Analyzer(
+      lowercase = true, stopwords = graft.text.TermIndex.EnglishStopwords)
+    val docs = Seq(
+      (1L, "hash join merge phase"),
+      (2L, "stream window batch dedup")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-anl-stopphrase").toString
+    val idx = new TermIndex(spark, dir, analyzer = Some(anl))
+    idx.build(docs)
+    // one innocuous all-stopword phrase ('of the' analyzes to 0
+    // slots) must NOT abort the batch — it drops silently, mirroring
+    // searchBatch's treatment, so a streamed tick survives user input
+    val batch = Seq(
+      (0L, Seq("of", "the")),
+      (1L, Seq("hash", "join"))).toDF("query_id", "phrase")
+    val got = idx.searchPhraseBatch(batch, k = 5)
+    assert(got.filter(col("query_id") === 0L).isEmpty,
+      "an analyzed-away phrase contributes no rows")
+    assert(got.filter(col("query_id") === 1L).count() > 0,
+      "the surviving phrase still serves")
+    // a RAW phrase under 2 terms is a caller bug — loud refusal as ever
+    val ex = intercept[IllegalArgumentException](idx.searchPhraseBatch(
+      Seq((0L, Seq("hash"))).toDF("query_id", "phrase")))
+    assert(ex.getMessage.contains(">= 2 terms"))
+  }
 }
