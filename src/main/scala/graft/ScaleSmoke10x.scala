@@ -135,6 +135,51 @@ object ScaleSmoke10x {
     println(s"[scale10x] residency warning fired $fired time(s) on the " +
       "pathological shape, 0 on sane legs — guard verified")
 
+    // --- maintenance lifecycle at volume (round 15, VERDICT ask 5) ---
+    // the 1M smoke proves these verbs correct; this measures the
+    // REWRITE AMPLIFICATION an operator actually budgets at 10M rows:
+    // each verb reports the shard directories it rewrote, and the wall
+    // time is dominated by rewriting exactly those directories.
+    val n0 = spark.read.parquet(s"$dir/store/vectors").count()
+    val upBatch = spark.range(nVec - 100000, nVec + 50000, 1, 16)
+      .select(col("id"),
+        array((0 until 64).map(i => rand(seed = 6000 + i) - 0.5): _*).as("vector"))
+    val upTouched = timed(s"upsert 150k (100k replace + 50k insert) into $nVec") {
+      vs.upsert(upBatch)
+    }
+    println(s"[scale10x] upsert touched ${upTouched.length}/32 shards — a " +
+      "randomly-routed 1.5% batch reaches every shard (IVF routing is " +
+      "content-addressed); amplification is bounded by batch SPREAD, not size")
+    val n1 = spark.read.parquet(s"$dir/store/vectors").count()
+    require(n1 == n0 + 50000, s"upsert count drift: $n0 -> $n1")
+
+    val delIds: Seq[Any] = (0 until 1000).map(i => (nVec + i).toLong)
+    val delTouched = timed("delete 1k ids") { vs.delete(delIds) }
+    println(s"[scale10x] delete touched ${delTouched.length}/32 shards")
+    require(spark.read.parquet(s"$dir/store/vectors").count() == n1 - 1000,
+      "delete count drift")
+
+    val (rcTouched, rcMoved) = timed("refreshCentroids(sample 5%, 2 iters)") {
+      vs.refreshCentroids(sampleFraction = 0.05, iters = 2)
+    }
+    println(s"[scale10x] refreshCentroids re-routed $rcMoved vectors across " +
+      s"${rcTouched.length} shards")
+
+    timed("maintain() — retrain + compact + drift baseline") {
+      vs.maintain(sampleFraction = 0.05, iters = 2)
+    }
+    require(vs.driftBaseline().isDefined,
+      "maintain must persist the calibrated drift baseline")
+
+    // the calibrated gate: an immediate maintainAll tick must NOT
+    // re-repair a just-maintained store (the oscillation the baseline
+    // exists to stop) — and the decision itself is one health() scan
+    val tick = timed("maintainAll tick on the just-maintained store") {
+      Maintenance.maintainAll(store = Some(vs))
+    }
+    require(!tick.storeMaintained,
+      s"a fresh maintain must gate the next tick's re-repair: $tick")
+
     println("[scale10x] OK")
     spark.stop()
   }

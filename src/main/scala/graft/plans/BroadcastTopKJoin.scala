@@ -83,8 +83,9 @@ object BroadcastTopKJoin {
     require(k > 0, s"k must be positive, got $k")
     require(metric == ShardTopKJoin.Metric.Cosine ||
         metric == ShardTopKJoin.Metric.L2 ||
+        metric == ShardTopKJoin.Metric.Ip ||
         metric == ShardTopKJoin.Metric.Adc,
-      s"broadcast top-k metric must be cosine, l2, or adc, got '$metric'")
+      s"broadcast top-k metric must be cosine, l2, ip, or adc, got '$metric'")
     val wantAdc = metric == ShardTopKJoin.Metric.Adc
     require(wantAdc == adc.isDefined,
       "Metric.Adc requires an AdcState (and only Metric.Adc takes one)")
@@ -196,6 +197,7 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
     val isKeyed = keyed
     val vecOrd = if (isKeyed) 2 else 1
     val mCos = metric == ShardTopKJoin.Metric.Cosine
+    val mIp = metric == ShardTopKJoin.Metric.Ip
     val mAdc = metric == ShardTopKJoin.Metric.Adc
     val adcState = adc.orNull
     val outRows = longMetric("numOutputRows")
@@ -258,7 +260,7 @@ case class BroadcastTopKJoinExec(left: SparkPlan, right: SparkPlan,
               else
                 nPairs += ExactKernel.offerAll(cand, id,
                   r.getArray(vecOrd).toDoubleArray(), mCos,
-                  mDot = false, dotNorm = 0.0, exSelf)
+                  mDot = false, dotNorm = 0.0, exSelf, mIp)
             }
           }
         }

@@ -78,13 +78,20 @@ object ShardTopKJoin {
   private[graft] val residencyWarnings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Scoring mode — see the class doc for the exact formulas. */
+  /** Scoring mode — see the class doc for the exact formulas.
+    * [[Metric.Ip]] (round 15) is the plain inner product — the MIPS
+    * metric a trained-embedding recommender serves (unnormalized
+    * dot, higher = better, no zero guard needed: a zero vector's dot
+    * is naturally 0). Exactly [[graft.expressions.VectorKernels.dot]]
+    * / DuckDB's `list_inner_product`.
+    */
   object Metric {
     val Cosine = "cosine"
     val DotOverNorm = "dot_norm"
     val L2 = "l2"
+    val Ip = "ip"
     val Adc = "adc"
-    val all: Set[String] = Set(Cosine, DotOverNorm, L2, Adc)
+    val all: Set[String] = Set(Cosine, DotOverNorm, L2, Ip, Adc)
   }
 
   /** Driver-resolved ADC serving state for [[Metric.Adc]] — the
@@ -315,7 +322,8 @@ private final class ProbeState(val qid: Long, val qv: Array[Double],
 private object ExactKernel {
   def offerAll(lst: java.util.ArrayList[ProbeState], id: Long,
                v: Array[Double], mCos: Boolean, mDot: Boolean,
-               dotNorm: Double, exSelf: Boolean): Long = {
+               dotNorm: Double, exSelf: Boolean,
+               mIp: Boolean = false): Long = {
     val n = v.length
     var na = 0.0
     var preNorm = 0.0
@@ -349,6 +357,14 @@ private object ExactKernel {
           while (t < n) { dot += v(t) * qv(t); t += 1 }
           score = if (preNorm == 0.0 || p.sqrtNb == 0.0) 0.0
             else dot / (preNorm * p.sqrtNb)
+        } else if (mIp) {
+          // plain inner product (MIPS): same element-sequential
+          // accumulation as VectorKernels.dot — no normalization,
+          // no guard
+          var dot = 0.0
+          var t = 0
+          while (t < n) { dot += v(t) * qv(t); t += 1 }
+          score = dot
         } else {
           // L2, negated so the max-heap keeps the NEAREST
           var s = 0.0
@@ -482,6 +498,7 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
     val exSelf = excludeSelf
     val mCos = metric == ShardTopKJoin.Metric.Cosine
     val mDot = metric == ShardTopKJoin.Metric.DotOverNorm
+    val mIp = metric == ShardTopKJoin.Metric.Ip
     val mAdc = metric == ShardTopKJoin.Metric.Adc
     val adcState = adc.orNull
     val outRows = longMetric("numOutputRows")
@@ -561,7 +578,7 @@ case class ShardTopKJoinExec(left: SparkPlan, right: SparkPlan,
               // accumulation order for both fused execs)
               nPairs += ExactKernel.offerAll(lst, r.getLong(0),
                 r.getArray(2).toDoubleArray(), mCos, mDot,
-                if (mDot) r.getDouble(3) else 0.0, exSelf)
+                if (mDot) r.getDouble(3) else 0.0, exSelf, mIp)
             }
           }
         }

@@ -862,9 +862,11 @@ object TextAnalysis extends QueryModule {
   private[graft] val bm25Analyzer = graft.text.TermIndex.Analyzer(
     lowercase = true, stopwords = graft.text.TermIndex.EnglishStopwords)
 
-  private[graft] def servedAnalyzedIdx(s: SparkSession, d: String): TermIndex = {
-    val dir = termIdxDir(d, "-anl-v" + idxLayoutVersion)
-    val idx = new TermIndex(s, dir, positional = false,
+  private[graft] def servedAnalyzedIdx(s: SparkSession, d: String,
+                                       positional: Boolean = false): TermIndex = {
+    val dir = termIdxDir(d,
+      (if (positional) "-anlpos-v" else "-anl-v") + idxLayoutVersion)
+    val idx = new TermIndex(s, dir, positional = positional,
       analyzer = Some(bm25Analyzer))
     if (servedIdxFresh.contains(dir)) return idx
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -897,14 +899,9 @@ object TextAnalysis extends QueryModule {
     * expression, and the probe terms pre-analyzed the way the index
     * analyzes them (fold, drop stopwords, first-occurrence dedup).
     */
-  private def bm25AnalyzedSql: String = {
-    val stops = bm25Analyzer.stopwords.map(w => s"'$w'").mkString(", ")
-    val tokensSql = "list_filter(list_transform(string_split(text, ' '), " +
-      s"x -> lower(x)), x -> x NOT IN ($stops))"
-    val analyzedTerms = bm25AnalyzedProbe.map(_.toLowerCase(java.util.Locale.ROOT))
-      .filterNot(bm25Analyzer.stopwords.toSet).distinct
-    bm25SqlFor(analyzedTerms, "WITH", tokensSql = tokensSql)
-  }
+  private def bm25AnalyzedSql: String =
+    bm25SqlFor(analyzedProbeTerms(bm25AnalyzedProbe), "WITH",
+      tokensSql = analyzedTokensSql)
 
   private def bm25Indexed(s: SparkSession, d: String): DataFrame = {
     // pure-BM25 probes: serve the positions-free shared index
@@ -1054,7 +1051,9 @@ object TextAnalysis extends QueryModule {
     */
   private[graft] def phraseSqlFor(terms: Seq[String], slop: Int,
                                   allowedSql: Option[String] = None,
-                                  limit: Int = 10): String = {
+                                  limit: Int = 10,
+                                  wsSql: String = "string_split(text, ' ')")
+      : String = {
     val conds = terms.zipWithIndex.map { case (t, j) =>
       if (j == 0) s"ws[i] = '$t'"
       else if (slop == 0) s"i + $j <= len(ws) AND ws[i + $j] = '$t'"
@@ -1065,7 +1064,7 @@ object TextAnalysis extends QueryModule {
     // collection statistics, so filtering the source table is the
     // whole semantics (unlike the BM25 oracle's global-stat CTEs)
     val src = allowedSql.fold("documents")(p => s"documents WHERE $p")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |c AS (SELECT doc_id,
        |        CAST(len(list_filter(range(1, len(ws) + 1), i -> $conds)) AS BIGINT)
        |          AS n_occurrences
@@ -1117,6 +1116,55 @@ object TextAnalysis extends QueryModule {
     * UNION ALLed — a green row proves the batch plan's map-indexed
     * counting equals the per-phrase joined-frames projection.
     */
+  // --- ANALYZED phrase search (round 15) ------------------------------
+  /** Phrase search over the ANALYZED positional index — the analyzer
+    * folds case and drops stopword slots at build AND probe, so
+    * positions number KEPT tokens and the phrase matches ACROSS elided
+    * stopwords: the raw probe ("Merge", "the", "JOIN") analyzes to
+    * ("merge", "join") and matches "merge the join" / "merge a join" /
+    * "merge join" alike — the quoted-query behavior every production
+    * analyzed index (Lucene with a stop filter) exhibits, which the
+    * un-analyzed `text_phrase_indexed` cannot. The oracle replays the
+    * identical normalization as the token-array expression inside the
+    * window enumeration (kept-token positions, analyzed probe terms),
+    * so a green row pins the renumbering contract end-to-end.
+    */
+  private val phraseAnalyzedProbe = Seq("Merge", "the", "JOIN")
+
+  /** The probe as the analyzer rewrites it — lowercase fold + stopword
+    * drop, duplicates and order kept (Analyzer.tokensCol's semantics,
+    * mirrored driver-side for the oracle's literal terms).
+    */
+  private def analyzedSlots(raw: Seq[String]): Seq[String] =
+    raw.map(_.toLowerCase(java.util.Locale.ROOT))
+      .filterNot(bm25Analyzer.stopwords.toSet)
+
+  /** BM25-probe analysis for an oracle's literal terms: fold + drop +
+    * FIRST-OCCURRENCE dedup (what `search`/`searchBatch` do to raw
+    * probe terms under the analyzer — phrases keep duplicates,
+    * keyword probes collapse them).
+    */
+  private[graft] def analyzedProbeTerms(raw: Seq[String]): Seq[String] =
+    analyzedSlots(raw).distinct
+
+  /** The analyzer's normalization as a DuckDB token-array expression —
+    * the oracle-side twin of [[bm25Analyzer]].tokensCol, shared by
+    * every analyzed oracle so the SQL replay cannot drift.
+    */
+  private[graft] def analyzedTokensSql: String = {
+    val stops = bm25Analyzer.stopwords.map(w => s"'$w'").mkString(", ")
+    "list_filter(list_transform(string_split(text, ' '), " +
+      s"x -> lower(x)), x -> x NOT IN ($stops))"
+  }
+
+  private def phraseAnalyzed(s: SparkSession, d: String): DataFrame =
+    servedAnalyzedIdx(s, d, positional = true)
+      .searchPhrase(phraseAnalyzedProbe, k = 10)
+
+  private def phraseAnalyzedSql: String =
+    phraseSqlFor(analyzedSlots(phraseAnalyzedProbe), slop = 0,
+      wsSql = analyzedTokensSql)
+
   private val phraseBatchQueries: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("merge", "join"),
     1L -> Seq("table", "hash"),
@@ -1277,6 +1325,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25_batch"  -> (bm25Batch _),
     "text_phrase_indexed" -> (phraseIndexed _),
     "text_phrase_filtered" -> (phraseFiltered _),
+    "text_phrase_analyzed" -> (phraseAnalyzed _),
     "text_phrase_slop" -> (phraseSlop _),
     "text_phrase_batch" -> (phraseBatch _),
     "text_phrase_mixed" -> (phraseMixed _),
@@ -1308,6 +1357,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25_batch"  -> bm25BatchSql,
     "text_phrase_indexed" -> phraseIndexedSql,
     "text_phrase_filtered" -> phraseFilteredSql,
+    "text_phrase_analyzed" -> phraseAnalyzedSql,
     "text_phrase_slop" -> phraseSlopSql,
     "text_phrase_batch" -> phraseBatchSql,
     "text_phrase_mixed" -> phraseMixedSql,

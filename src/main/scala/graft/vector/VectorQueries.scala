@@ -233,6 +233,31 @@ object VectorQueries extends QueryModule {
       |ORDER BY list_distance(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) ASC, b.vec_id
       |LIMIT 10""".stripMargin
 
+  // --- knn under inner product (MIPS metric variant) -----------------
+  /** Dot-product top-k — the third standard vector-DB metric (what a
+    * trained-embedding recommender serves; cosine is
+    * compute_server.py:32-37, L2 is :29-30 — the reference has no IP
+    * but every production store does). Unnormalized, higher = better;
+    * DuckDB `list_inner_product` matches VectorKernels.dot at the
+    * 4-dp rounding contract.
+    */
+  private def knnIp(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    emb(s, d).filter(col("vec_id") =!= QUERY_ID)
+      .withColumn("score0", dotProduct(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(desc("score0"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("score0"), 4).as("score"))
+  }
+
+  private val knnIpSql =
+    """SELECT b.vec_id,
+      |  ROUND(list_inner_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4) AS score
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+      |WHERE a.vec_id = 0
+      |ORDER BY list_inner_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC, b.vec_id
+      |LIMIT 10""".stripMargin
+
   // --- filtered knn: metadata predicate + vector search --------------
   /** The filtered-ANN pattern every vector DB needs: the label
     * predicate is pushed to the parquet scan, THEN cosine ranks the
@@ -391,6 +416,7 @@ object VectorQueries extends QueryModule {
     "vdb_list_ids"       -> (listIds _),
     "vdb_knn_exact"      -> (knnExact _),
     "vdb_knn_l2"         -> (knnL2 _),
+    "vdb_knn_ip"         -> (knnIp _),
     "vdb_knn_filtered"   -> (knnFiltered _),
     "vdb_knn_ivf"        -> (knnIvf _),
     "vdb_knn_batch"      -> (knnBatch _),
@@ -407,6 +433,7 @@ object VectorQueries extends QueryModule {
     "vdb_list_ids"     -> listIdsSql,
     "vdb_knn_exact"    -> knnExactSql,
     "vdb_knn_l2"       -> knnL2Sql,
+    "vdb_knn_ip"       -> knnIpSql,
     "vdb_knn_filtered" -> knnFilteredSql,
     "vdb_knn_ivf"      -> knnIvfSql,
     "vdb_knn_batch"    -> knnBatchSql,

@@ -369,9 +369,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
   private def sliceStamp(allowed: Option[DataFrame]): Long = allowed match {
     case None => 0L
     case Some(ids) =>
-      val r = ids.agg(count(lit(1)),
-        coalesce(sum(hash(col(ids.columns.head).cast(LongType))
-          .cast(LongType)), lit(0L))).head()
+      // stamp the SET, not the frame: restrictSlice's left_semi join
+      // dedups the allowed frame, so two frames with the same
+      // effective slice but different duplicate multiplicity must
+      // stamp identically — a tenant filter that emits duplicate ids
+      // would otherwise hit a spurious slice-drift refusal against a
+      // curve measured from the deduped equivalent
+      val r = ids.select(col(ids.columns.head).cast(LongType).as("__id"))
+        .distinct()
+        .agg(count(lit(1)),
+          coalesce(sum(hash(col("__id")).cast(LongType)), lit(0L))).head()
       val s = r.getLong(0) * 1000003L ^ r.getLong(1)
       if (s == 0L) 1L else s
   }
@@ -684,8 +691,16 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val residual = health()
       .agg(coalesce(max(col("drift_x1e6")), lit(0L))).head().getLong(0)
     import spark.implicits._
-    Seq(residual).toDF("drift_x1e6").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(driftBaselineDir)
+    // tmp-swap, not plain Overwrite: a crash inside delete-then-write
+    // would lose the baseline and silently revert maintainAll's gate
+    // to the uncalibrated default until the next successful maintain —
+    // exactly the window swapDir exists to close, and this is the
+    // config-sized table it targets
+    val bp = new org.apache.hadoop.fs.Path(driftBaselineDir)
+    graft.sources.BatchedTable.swapDir(
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      driftBaselineDir,
+      Seq(residual).toDF("drift_x1e6").coalesce(1))
     Maintenance(touched, moved, report)
   }
 
@@ -695,7 +710,11 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     */
   def driftBaseline(): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(driftBaselineDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish a crashed swap first: the baseline may be parked in the
+    // swap's old/ staging dir with the live path momentarily absent
+    graft.sources.BatchedTable.recoverDirSwap(fs, driftBaselineDir)
+    if (!fs.exists(p)) None
     else scala.util.Try(
       spark.read.parquet(driftBaselineDir).head().getLong(0)).toOption
   }
@@ -781,12 +800,13 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                  allowed: Option[DataFrame] = None)
       : DataFrame = {
     require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
-        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
-      s"evalRecall metric must be cosine or l2, got '$metric'")
+        graft.plans.ShardTopKJoin.Metric.L2,
+        graft.plans.ShardTopKJoin.Metric.Ip).contains(metric),
+      s"evalRecall metric must be cosine, l2, or ip, got '$metric'")
     require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
       "evalRecall(compressed = true) is cosine-only: the ADC state " +
-        "approximates dot/cosine — there is no compressed L2 serving path " +
-        "to measure (searchJoin refuses the combination too)")
+        "approximates dot/cosine — there is no compressed L2/IP serving " +
+        "path to measure (searchJoin refuses the combination too)")
     val cents = centroids()
     val raw = spark.read.parquet(vecDir)
     // the exact arm's bounded-heap aggregate (TopKAgg) carries Long
@@ -1868,12 +1888,13 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     // the metric contract checks fire at STREAM START, not inside the
     // first micro-batch (searchJoinResolved would repeat them per tick)
     require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
-        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
-      s"serving metric must be cosine or l2, got '$metric'")
+        graft.plans.ShardTopKJoin.Metric.L2,
+        graft.plans.ShardTopKJoin.Metric.Ip).contains(metric),
+      s"serving metric must be cosine, l2, or ip, got '$metric'")
     require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
       "compressed serving is cosine-only: the ADC state approximates " +
-        "dot/cosine — an L2 shortlist through it would rank on the wrong " +
-        "geometry")
+        "dot/cosine — an L2/IP shortlist through it would rank on the " +
+        "wrong geometry")
     val (cents, meta, allowedPinned, salts) =
       resolveServingState(allowed, maxRowsPerTask, compressed)
     batch => searchJoinResolved(batch, topK, nprobe, allowedPinned, excludeSelf,
@@ -1926,12 +1947,14 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
                   metric: String =
                     graft.plans.ShardTopKJoin.Metric.Cosine): DataFrame = {
     val isL2 = metric == graft.plans.ShardTopKJoin.Metric.L2
+    val isIp = metric == graft.plans.ShardTopKJoin.Metric.Ip
     require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
-        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
-      s"search metric must be cosine or l2, got '$metric'")
-    require(!compressed || !isL2,
+        graft.plans.ShardTopKJoin.Metric.L2,
+        graft.plans.ShardTopKJoin.Metric.Ip).contains(metric),
+      s"search metric must be cosine, l2, or ip, got '$metric'")
+    require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
       "search(compressed = true) is cosine-only: the ADC state approximates " +
-        "dot/cosine — an L2 shortlist through it would rank on the wrong " +
+        "dot/cosine — an L2/IP shortlist through it would rank on the wrong " +
         "geometry (searchJoin's contract)")
     val cents = centroids()
     val probe = Centroids.nearestShardsOf(q, cents, nprobe).map(_.toLong)
@@ -1943,6 +1966,9 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
     val ranked =
       if (!compressed) probed.withColumn("score",
         if (isL2) l2Dist(col(vecCol), typedlit(q.toSeq))
+        else if (isIp)
+          graft.expressions.VectorExpressions.dotProduct(
+            col(vecCol), typedlit(q.toSeq))
         else cosineSim(col(vecCol), typedlit(q.toSeq)))
       else {
         val PqMeta(books, residual, rotation) = pqMeta().getOrElse(
@@ -2058,12 +2084,13 @@ final class VectorStore(spark: SparkSession, path: String, numShards: Int = 4,
       s"queries must be (query_id, qv), got ${queries.columns.mkString(", ")}")
     require(nprobe >= 1 && nprobe <= numShards, s"nprobe out of range: $nprobe")
     require(Seq(graft.plans.ShardTopKJoin.Metric.Cosine,
-        graft.plans.ShardTopKJoin.Metric.L2).contains(metric),
-      s"searchJoin metric must be cosine or l2, got '$metric'")
+        graft.plans.ShardTopKJoin.Metric.L2,
+        graft.plans.ShardTopKJoin.Metric.Ip).contains(metric),
+      s"searchJoin metric must be cosine, l2, or ip, got '$metric'")
     require(!compressed || metric == graft.plans.ShardTopKJoin.Metric.Cosine,
       "searchJoin(compressed = true) is cosine-only: the ADC state " +
-        "approximates dot/cosine — an L2 shortlist through it would rank " +
-        "on the wrong geometry")
+        "approximates dot/cosine — an L2/IP shortlist through it would " +
+        "rank on the wrong geometry")
     val raw = spark.read.parquet(vecDir)
     require(Seq[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,

@@ -140,6 +140,40 @@ class ShardTopKJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("Ip metric == declarative dotProduct + heap; salted path invariant") {
+    import graft.expressions.VectorExpressions.dotProduct
+    val exp = {
+      val j = corpus().join(probes(), Seq("shard"))
+        .filter($"id" =!= $"query_id")
+        .withColumn("s", dotProduct($"vec", $"qv"))
+        .groupBy("query_id")
+        .agg(graft.expressions.TopKAgg.topK($"s", $"id", 4).as("t"))
+        .select($"query_id", posexplode($"t").as(Seq("pos", "e")))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"e.id".as("id"), $"e.score".as("score"))
+      j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val got = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true, metric = ShardTopKJoin.Metric.Ip))
+    assert(got === exp)
+    // rank descends the (unnormalized) score
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank === byRank.sorted.reverse, "Ip rank must descend the score")
+    }
+    // salt packing is result-invariant under ip too
+    val salted = canon(ShardTopKJoin.ranked(corpus(), probes(), k = 4,
+      excludeSelf = true, maxRowsPerTask = 17L,
+      metric = ShardTopKJoin.Metric.Ip))
+    assert(salted === exp)
+    // broadcast exec shares the kernel: keyed broadcast == shuffle exec
+    val bc = canon(graft.plans.BroadcastTopKJoin.ranked(
+      corpus(), probes(), k = 4, excludeSelf = true, keyed = true,
+      metric = ShardTopKJoin.Metric.Ip))
+    assert(bc === exp)
+  }
+
   test("DotOverNorm metric == the declarative compressed __approx column") {
     import graft.expressions.VectorExpressions.{dotProduct, vecNorm}
     // corpus carries a STORED norm that is deliberately NOT the norm

@@ -866,6 +866,12 @@ class VectorSpec extends AnyFunSuite {
     vs.evalRecall(nQueries = 48, topK = 10)
     assert(vs.nprobeFor(0.95, allowed = Some(slice)) === pSlice)
 
+    // duplicate multiplicity is NOT slice identity: restrictSlice's
+    // left_semi join dedups the allowed frame, so a tenant filter
+    // that emits duplicate ids names the SAME effective slice and
+    // must serve the measured curve — not trip the drift refusal
+    assert(vs.nprobeFor(0.95, allowed = Some(slice.unionByName(slice))) === pSlice)
+
     // slice drift: same mode, different allowed set -> loud refusal
     val drifted = corpus.filter(pmod(col("id"), lit(4)) === 0)
       .filter(col("id") =!= 0).select("id")
@@ -1154,6 +1160,61 @@ class VectorSpec extends AnyFunSuite {
         metric = graft.plans.ShardTopKJoin.Metric.L2)
     }
     assert(ex.getMessage.contains("cosine-only"))
+  }
+
+  test("searchJoin metric=ip: MIPS top-k equals a driver mirror; search agrees; compressed+ip refuses") {
+    val corpus = spark.range(0, 256, 1, 8).select(col("id"),
+      array((0 until 16).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(101)).cast("double") - 50.0) / 50.0): _*)
+        .as("vector"))
+    val dir = Files.createTempDirectory("graft-sjip").toString
+    val vs = new VectorStore(spark, dir, numShards = 4)
+    vs.build(corpus, iters = 2)
+    val queries = corpus.filter(col("id") < 6)
+      .select(col("id").as("query_id"), col("vector").cast("array<double>").as("qv"))
+    val got = vs.searchJoin(queries, topK = 4, nprobe = 4, excludeSelf = true,
+        metric = graft.plans.ShardTopKJoin.Metric.Ip)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9).toLong))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // full-probe inner-product mirror on collected vectors
+    val vecs = corpus.select(col("id"), col("vector").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def ip(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val want = vecs.filter(_._1 < 6).toSeq.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (id, ip(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).zipWithIndex
+        .map { case ((id, s), i) =>
+          (qid, i + 1L, id, math.rint(s * 1e9).toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got === want, "Ip join must rank by descending dot, ties id asc")
+    // single-query form agrees with the join's page for one query
+    val qv2 = vecs.find(_._1 == 2L).get._2
+    val single = vs.search(qv2, topK = 4, nprobe = 4,
+        metric = graft.plans.ShardTopKJoin.Metric.Ip)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9).toLong))
+      .toSeq
+    // search does NOT exclude self — mirror over all vectors
+    val wantSingle = vecs.map { case (id, v) => (id, ip(v, qv2)) }.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(4)
+      .map { case (id, s) => (id, math.rint(s * 1e9).toLong) }
+    assert(single === wantSingle)
+    val ex = intercept[IllegalArgumentException] {
+      vs.searchJoin(queries, topK = 4, compressed = true,
+        metric = graft.plans.ShardTopKJoin.Metric.Ip)
+    }
+    assert(ex.getMessage.contains("cosine-only"))
+    // measured IP recall curve: full probing recovers everything, and
+    // the tuned depth serves searchAtRecall without touching the
+    // cosine/L2 curves
+    vs.evalRecall(nQueries = 6, topK = 4,
+      metric = graft.plans.ShardTopKJoin.Metric.Ip)
+    val p = vs.nprobeFor(1.0, metric = graft.plans.ShardTopKJoin.Metric.Ip)
+    assert(p >= 1 && p <= 4)
   }
 
   test("compressed searchJoin: code-scan shortlist + exact re-rank equals the raw join") {
