@@ -13,6 +13,58 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a scan across cores BEFORE heavy per-row work when the source
+    * layout cannot: the test parquet ships one row group per table, so
+    * the scan is a single input split and every narrow operator above
+    * it (explodes, per-doc scoring, decimal partial aggregation) runs
+    * on ONE core while the other 31 idle (guide §2.5: "input skew: one
+    * huge unsplittable file … otherwise repartition immediately after
+    * the read"). GATED on the actual scan parallelism vs the
+    * cluster's, so on a real multi-file corpus this is the identity —
+    * an unconditional repartition here would add a full-table shuffle
+    * exactly where the scan is already parallel, which is the wrong
+    * 100 TB plan for aggregation-shaped queries whose partial
+    * aggregates otherwise run before any exchange.
+    *
+    * Keyed repartition (hash on a high-cardinality column, no
+    * round-robin) keeps row placement deterministic without the local
+    * sort `repartition(n)` pays (SPARK-23207), and consumers keep the
+    * repo's order-independence conventions (integer/decimal sums,
+    * tie-broken windows), so results are partitioning-invariant.
+    */
+  private[graft] def fanned(df: DataFrame,
+                            key: org.apache.spark.sql.Column): DataFrame = {
+    val s = df.sparkSession
+    val p = s.sparkContext.defaultParallelism
+    // Scan-parallelism estimate from the FILE INDEX ONLY — deliberately
+    // not df.rdd.getNumPartitions: materializing the RDD plans the
+    // whole query AND fires a QueryExecutionListener event per call
+    // (Spark 4 emits "rdd" actions), which broke the pipeline
+    // accounting specs and costs a full planning pass. The estimate
+    // replicates FilePartition.maxSplitBytes' sizing (min(maxPartition,
+    // max(openCost, total/minPartitionNum))) over the relation's
+    // sizeInBytes — identical asymptotics: ~1 split for a small
+    // single-file table (fan), thousands at corpus scale (identity).
+    val conf = s.sessionState.conf
+    val est = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val bytes = h.location.sizeInBytes
+            val nFiles = math.max(h.location.inputFiles.length, 1)
+            val maxSplit = math.max(conf.filesOpenCostInBytes,
+              math.min(conf.filesMaxPartitionBytes, bytes / math.max(p, 1)))
+            math.min(nFiles * 32L, // openCost packs ≥ this many per split
+              math.max(1L, (bytes + maxSplit - 1) / maxSplit))
+          case _ => Long.MaxValue
+        }
+    }
+    // no file relation (in-memory/checkpointed input): keep the
+    // pre-gate behavior and fan — such frames are test fixtures or
+    // already-bounded intermediates, never a 100 TB scan
+    if (est.isEmpty || est.sum < p) df.repartition(p, key) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

@@ -41,7 +41,10 @@ object Analytics extends QueryModule {
 
   // --- q1: pricing summary (filter + groupBy agg) --------------------
   private def q1(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d)
+    // single-row-group input: fan the scan before the decimal partial
+    // aggregation (guide §2.5); the shipdate filter still pushes below
+    // the exchange to the parquet scan (PushedFilters unchanged)
+    Tables.fanned(Tables.lineitem(s, d), col("l_orderkey"))
       .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -337,6 +340,8 @@ object Analytics extends QueryModule {
   // --- approx distinct: the 100 TB path (rows-only oracle; spec
   //     asserts HLL error < 5% vs exact) -----------------------------
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // NOT fanned: the HLL partial agg is too cheap to pay the exchange
+    // (measured 0.49 -> 0.67 s with the fan, r15)
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
@@ -390,7 +395,7 @@ object Analytics extends QueryModule {
 
   // --- cube: all grouping-set combinations ---------------------------
   private def qCube(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    Tables.fanned(Tables.orders(s, d), col("o_orderkey")) // §2.5
       .cube("o_orderstatus", "o_orderpriority")
       .agg(sumMoney2(col("o_totalprice")).as("sum_price"),
         count(lit(1)).as("n_orders"))
@@ -439,7 +444,8 @@ object Analytics extends QueryModule {
 
   // --- rollup: revenue by returnflag with subtotal rows --------------
   private def qRollup(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // fan before Expand×3 + decimal partial agg (single-split input)
+    Tables.fanned(Tables.lineitem(s, d), col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(sumMoney2(col("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("n_rows"))
@@ -500,6 +506,8 @@ object Analytics extends QueryModule {
 
   // --- exact interpolated percentiles per event type -----------------
   private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    // NOT fanned: the percentile buffers ship whole either way; the
+    // exchange cost +0.09 s (bench A/B r15)
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -529,6 +537,8 @@ object Analytics extends QueryModule {
 
   // --- data-quality profile of the events table ----------------------
   private def qProfile(s: SparkSession, d: String): DataFrame =
+    // NOT fanned: countDistinct's expand already shuffles; the extra
+    // exchange cost +0.15 s (bench A/B r15)
     Tables.events(s, d).agg(
       count(lit(1)).as("n_rows"),
       countDistinct("event_id").as("n_distinct_ids"),
@@ -741,7 +751,11 @@ object Analytics extends QueryModule {
   private def qCorrelation(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+    // the five decimal-moment partial sums are the whole query's cost
+    // and ran on ONE core against the single-row-group test file —
+    // fan the scan first (guide §2.5; gated no-op on real layouts)
+    val agg = Tables.fanned(Tables.lineitem(s, d), col("l_orderkey"))
+      .groupBy("l_returnflag").agg(
       count(lit(1)).cast(DoubleType).as("n"),
       sum(dec2(x)).cast(DoubleType).as("sx"),
       sum(dec2(y)).cast(DoubleType).as("sy"),

@@ -47,7 +47,11 @@ object Dedup extends QueryModule {
     // every element_at — 3x per shingle (measured ~2x on this kernel
     // at sf0.1, round 12)
     val ws = col("__ws")
-    docs.repartition(col("doc_id"))
+    // Tables.fanned pins the partition count: a bare repartition(col)
+    // leaves the count to AQE, which coalesces the ~sub-MB test-scale
+    // shuffle to ONE partition by byte size — serializing the
+    // CPU-heavy explode above it (measured 1-task stages, r15)
+    Tables.fanned(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"),
         explode(when(size(ws) >= 3,
@@ -362,6 +366,9 @@ object Dedup extends QueryModule {
     // __ws materialized before the lambda — see shingles()
     val ws = col("__ws")
     val nFull = floor(size(ws) / chunkWords).cast("int")
+    // bare keyed repartition ON PURPOSE: the chunk-hash explode is
+    // cheap enough that AQE's byte-sized width beats a pinned 32
+    // (bench A/B r15: pinning cost +0.18 s)
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"),
@@ -902,7 +909,24 @@ object Dedup extends QueryModule {
         f"candidate recall $theo%.2f at threshold $threshold — pick a wider " +
         "banding (see evalBandingRecall / bandingAtRecall)")
     val sh = shingles(docs).cache()
-    val bandFrame = bandKeysFor(signatures(sh), bands)
+    // The signature pass (128 MinHashAgg perms over every shingle) is
+    // this operator's dominant cost and the band frame is referenced
+    // THREE times downstream (bucket counts, the under-cap join side,
+    // the over-cap star side) — each reference is its own job subtree
+    // and several launch concurrently as broadcast builds, so an
+    // un-cached signature pass ran 3-4x (profiled 20.7 s of task time
+    // for a ~6 s computation at sf0.1, r15). An EAGER localCheckpoint
+    // materializes the doc-sized signature table (n_docs x 128 longs —
+    // the artifact a maintained index persists anyway, see
+    // ShingleIndex) exactly once before the consumers race it; chosen
+    // over .cache() because checkpoint blocks skip the columnar cache
+    // build and cannot be raced (the same change cut dedup_simhash
+    // 1.7 s -> 1.2 s). Blocks are doc-count-bounded and live until the
+    // session's next clearCache-equivalent; the final frame holds
+    // several references to this leaf, so per-call release would be
+    // unsafe (see CheckpointInterop's multi-leaf contract).
+    val sigs = signatures(sh).localCheckpoint(true)
+    val bandFrame = bandKeysFor(sigs, bands)
     val cand = bandedCandidates(bandFrame, docs, maxBucketFraction, bandCapFloor)
     // verify candidates with true shingle-set Jaccard
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("set"))
@@ -1029,9 +1053,15 @@ object Dedup extends QueryModule {
     // truth join all group on it — 4 bandings cost one joined shuffle
     // chain, not 4 pipelines (the per-banding loop measured ~2x this
     // plan at sf0.1, pure stage-count overhead)
+    // allBands is referenced by the bucket-count aggregate AND both
+    // join sides of the bucket split — cached (sample-bounded: sample
+    // docs x 120 band rows) and materialized eagerly so the signature
+    // pass underneath runs once, not once per consumer (profiled 2
+    // materializations, 7.9 s + 3.4 s task time, r15)
     val allBands = bandings.map(b =>
         bandKeysFor(sigs, b).withColumn("banding", lit(b)))
       .reduce(_ unionByName _)
+      .cache()
     val bKeys = Seq("banding", "band", "bv")
     val cap = greatest(lit(bandCapFloor), ceil(col("n_docs") * maxBucketFraction))
     // two consumers (the under-cap keep and the over-cap star split)
@@ -1080,7 +1110,7 @@ object Dedup extends QueryModule {
             greatest(coalesce(col("n_cand"), lit(0L)), lit(1L)), 0)
           .cast(LongType).as("precision_x1e4"),
         col("theo_recall_x1e4"))
-    (curve, Seq(sigs, counted))
+    (curve, Seq(sigs, counted, allBands))
   }
 
   /** Pick a banding from the MEASURED curve: the fewest-candidate
@@ -1193,7 +1223,19 @@ object Dedup extends QueryModule {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
                    maxBucketFraction: Double = DefaultMaxDfFraction,
                    bucketCapFloor: Long = 100L): DataFrame = {
-    val fp = simhashDf(docs).cache()
+    // EAGER localCheckpoint: fp feeds FOUR concurrent consumers (band
+    // explode + bucket counts + the two verify joins' broadcast
+    // builds); racing them as an uncached subtree recomputed the
+    // shingle explode + SimHashAgg pass 4x (profiled 20.7 s of task
+    // time for a ~6 s pass, r15). The checkpoint materializes the
+    // doc-sized fingerprint table once, synchronously, before the
+    // fan-out (measured 1.7 s -> 1.2 s; a cache was raced by the
+    // concurrent builds, an eager noop-write materialization of the
+    // cache was slower than the race). Blocks are doc-count-bounded
+    // (16 B/doc); the final frame references this leaf three times, so
+    // per-call release is the multi-leaf no-op by design — see
+    // CheckpointInterop.
+    val fp = simhashDf(docs).localCheckpoint(true)
     val bands = fp.select(col("doc_id"),
       posexplode(array((0 until 8).map(j =>
         shiftright(col("simhash"), j * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bv")))
@@ -1277,7 +1319,9 @@ object Dedup extends QueryModule {
   }
 
   private def embedding(s: SparkSession, d: String): DataFrame =
-    embeddingPairsExact(Tables.embeddings(s, d))
+    // fan the single-split scan: the broadcast all-pairs cosine kernel
+    // above it ran on 2 tasks (guide §2.5; gated no-op on real layouts)
+    embeddingPairsExact(Tables.fanned(Tables.embeddings(s, d), col("vec_id")))
 
   /** Banding sized to a cosine threshold, balancing recall at the
     * threshold edge against candidate selectivity. The physics: a
@@ -1400,7 +1444,7 @@ object Dedup extends QueryModule {
   }
 
   private def embeddingBlocked(s: SparkSession, d: String): DataFrame =
-    embeddingPairsBlocked(Tables.embeddings(s, d))
+    embeddingPairsBlocked(Tables.fanned(Tables.embeddings(s, d), col("vec_id"))) // §2.5
 
   /** The SELECTIVE banding regime as a driver query — the 100 TB shape.
     * The registered 0.40-threshold queries are near-exhaustive by
@@ -1417,7 +1461,7 @@ object Dedup extends QueryModule {
     * same plan it would at full volume.
     */
   private def embeddingSelective(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
+    val base = Tables.fanned(Tables.embeddings(s, d), col("vec_id")) // §2.5
       .filter(col("vec_id") < 2000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val twins = base.filter(col("vec_id") < 50)
@@ -1584,7 +1628,8 @@ object Dedup extends QueryModule {
     * distinct-window volume, and the per-doc rollup is one more hash
     * aggregate. No sorts, no windows over the corpus.
     */
-  def spanDupStats(docs: DataFrame, spanWords: Int = 8): DataFrame = {
+  def spanDupStats(docs0: DataFrame, spanWords: Int = 8): DataFrame = {
+    val docs = Tables.fanned(docs0, col("doc_id")) // single-split input, guide §2.5
     // __ws materialized before the lambda — see shingles()
     val words = col("__ws")
     val win = when(size(words) >= spanWords,
@@ -1645,7 +1690,8 @@ object Dedup extends QueryModule {
     * Deterministic total order: reach desc, occurrences desc, span
     * asc.
     */
-  def topDupSpans(docs: DataFrame, spanWords: Int = 8, topN: Int = 20): DataFrame = {
+  def topDupSpans(docs0: DataFrame, spanWords: Int = 8, topN: Int = 20): DataFrame = {
+    val docs = Tables.fanned(docs0, col("doc_id")) // single-split input, guide §2.5
     // __ws materialized before the lambda — see shingles()
     val words = col("__ws")
     val win = when(size(words) >= spanWords,

@@ -36,7 +36,9 @@ object HashEmbedder extends QueryModule {
   def components(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val byDoc = Window.partitionBy(idCol)
     docs
-      .repartition(col(idCol)) // parallelize past single-split test files
+      .transform(Tables.fanned(_, col(idCol))) // pinned count: AQE would
+      // coalesce a bare repartition(col) to 1 partition on sub-MB
+      // shuffles, serializing the md5-per-word stage (measured r15)
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", wordHash(col("w")))
       .withColumn("dim", col("h") % Dim)

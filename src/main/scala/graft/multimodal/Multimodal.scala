@@ -596,6 +596,8 @@ object Multimodal extends QueryModule {
   }
 
   private def frameNearDup(s: SparkSession, d: String): DataFrame =
+    // NOT fanned: the cached digest frame's three consumer stages are
+    // cheaper at AQE's coalesced width (bench A/B r15: +0.13 s fanned)
     frameNearDupPairs(Tables.documents(s, d))
 
   private val frameNearDupSql =

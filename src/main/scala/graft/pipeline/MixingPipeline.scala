@@ -61,8 +61,18 @@ object MixingPipeline {
     * @param packed   packSequences output over the selected docs,
     *                  windows keyed per topic
     */
-  case class Result(selected: DataFrame, order: DataFrame,
-                    packed: DataFrame, ledger: Ledger) {
+  final class Result(val selected: DataFrame, val order: DataFrame,
+                     val packed: DataFrame, ledgerThunk: () => Ledger) {
+    /** Stage-by-stage accounting, computed ON DEMAND (r15): the ledger
+      * costs ~6 count/agg actions, and a caller that only materializes
+      * the mix output — the registered `corpus_mix` query consumes
+      * `packed` alone — was paying for accounting it never read
+      * (guide §1.2: don't compute things you throw away). First read
+      * runs the counts once; the values are identical to the eager
+      * form because every frame they aggregate is deterministic and
+      * either checkpointed or cached until [[release]].
+      */
+    lazy val ledger: Ledger = ledgerThunk()
     /** Release the selection's checkpoint blocks once the mix has
       * been consumed — same contract as [[CurationPipeline.Result]]
       * (a one-shot batch run can skip; a caller mixing repeatedly in
@@ -201,23 +211,29 @@ object MixingPipeline {
     val packed = PipelineOps.packSequences(selDocs, capacity, stratumCol = "cluster")
       .localCheckpoint(true)
 
-    // ledger: exact counts — the corpus pays the one cached slim
-    // pass (nInput reads it, not the raw docs), everything else
-    // aggregates bounded frames (selection / quota tables)
-    val selAgg = selectedAll.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
-    val budAgg = afterBudget.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
-    val ledger = Ledger(
-      nInput = slim.count(),
-      nTopics = per.count(),
-      quotaTotal = quotas.agg(coalesce(sum("__quota"), lit(0L))).head().getLong(0),
-      nSelected = selAgg.getLong(0), tokensSelected = selAgg.getLong(1),
-      nAfterBudget = budAgg.getLong(0), tokensAfterBudget = budAgg.getLong(1),
-      nWindows = packed.count())
-    // the selection is checkpointed and the outputs join raw `docs` —
-    // nothing returned still reads slim, release it here
-    slim.unpersist()
-    val r = Result(afterBudget, order, packed, ledger)
+    // ledger: exact counts, LAZY (computed at first Result.ledger
+    // read) — the corpus pays the one cached slim pass (nInput reads
+    // it, not the raw docs), everything else aggregates bounded frames
+    // (selection / quota tables). slim stays cached until the ledger
+    // runs (or release()), since nInput/nTopics read through it.
+    val ledgerThunk = () => {
+      val selAgg = selectedAll.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
+      val budAgg = afterBudget.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).head()
+      val l = Ledger(
+        nInput = slim.count(),
+        nTopics = per.count(),
+        quotaTotal = quotas.agg(coalesce(sum("__quota"), lit(0L))).head().getLong(0),
+        nSelected = selAgg.getLong(0), tokensSelected = selAgg.getLong(1),
+        nAfterBudget = budAgg.getLong(0), tokensAfterBudget = budAgg.getLong(1),
+        nWindows = packed.count())
+      // the selection is checkpointed and the outputs join raw `docs` —
+      // nothing else reads slim once the counts are in hand
+      slim.unpersist()
+      l
+    }
+    val r = new Result(afterBudget, order, packed, ledgerThunk)
     r.onRelease = () => {
+      slim.unpersist() // idempotent; covers the ledger-never-read path
       org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(selectedAll)
       if (!(afterBudget eq selectedAll))
         org.apache.spark.sql.graftshim.CheckpointInterop.unpersistCheckpoint(afterBudget)

@@ -220,7 +220,8 @@ object TextAnalysis extends QueryModule {
     * per-doc window over those ≤ |alphabet| rows (bounded by
     * construction) → per-doc sum. Scan-bound at 100 TB.
     */
-  def charEntropy(docs: DataFrame): DataFrame = {
+  def charEntropy(docs0: DataFrame): DataFrame = {
+    val docs = Tables.fanned(docs0, col("doc_id")) // single-split input, §2.5
     val counts = docs
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -291,8 +292,12 @@ object TextAnalysis extends QueryModule {
     // corpus size folded into the plan as a broadcast 1-row agg — no
     // separate driver-side count() action/job
     val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
-    val words = docs
-      .repartition(col("doc_id"))
+    // bare keyed repartition ON PURPOSE (not Tables.fanned): AQE right-
+    // sizes this exchange by bytes, and the weight table's many cached-
+    // frame consumer stages are cheaper at AQE's coalesced width than
+    // at a pinned 32 (bench A/B r15: pinning cost +0.11 s on
+    // text_tfidf_sim / +0.10 s on vdb_more_like_this)
+    val words = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = words.select("doc_id", "word").distinct()
@@ -360,6 +365,11 @@ object TextAnalysis extends QueryModule {
                                           qIds: Seq[Long], k: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+    // bare keyed repartition ON PURPOSE (not Tables.fanned): AQE right-
+    // sizes this exchange by bytes, and the weight table's many cached-
+    // frame consumer stages are cheaper at AQE's coalesced width than
+    // at a pinned 32 (bench A/B r15: pinning cost +0.11 s on
+    // text_tfidf_sim / +0.10 s on vdb_more_like_this)
     val words = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -521,7 +531,9 @@ object TextAnalysis extends QueryModule {
     val topCnt = array_max(transform(wsd, w => size(filter(ws, x => x === w))))
       .cast(LongType)
     val nBi = size(bigrams).cast(LongType)
-    Tables.documents(s, d)
+    // per-doc O(distinct·total) scoring on a single-split scan ran on
+    // one core — fan first (guide §2.5; gated no-op on real layouts)
+    Tables.fanned(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), wsAll.as("__ws"))
       .select(
         col("doc_id"),
@@ -616,10 +628,22 @@ object TextAnalysis extends QueryModule {
     * rather than silently vanishing from the output, which would make
     * a left-joining consumer misread "unscorable" as "failed".
     */
-  def lmScores(docs: DataFrame): DataFrame = {
+  def lmScores(docs0: DataFrame): DataFrame = {
+    // the bigram explode feeds three consumers (pairs/c2 twice via the
+    // self-join, plus the word side) and the input scan is a single
+    // split on the test layout — fan once here so every pass above
+    // runs wide (guide §2.5; identity when the scan is already
+    // parallel)
+    val docs = Tables.fanned(docs0, col("doc_id"))
     val bigramsArr = zip_with(
       slice(wsAll, lit(1), size(wsAll) - 1), slice(wsAll, lit(2), size(wsAll) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // NOTE (r15): pre-partitioning `pairs` on the join key to share one
+    // exchange between c2 and the scoring join was tried and REVERTED:
+    // per-branch column pruning makes the two exchange subtrees
+    // non-identical (c2 prunes to `bigram` alone), so ReuseExchange
+    // never fires and the explode ran twice ANYWAY, now with bigger
+    // shuffle writes (measured +0.3 s on text_lm_score).
     val pairs = docs.select(col("doc_id"), explode(bigramsArr).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val wordsAll = docs.select(explode(wsAll).as("word"))
@@ -1248,7 +1272,7 @@ object TextAnalysis extends QueryModule {
     // the exact twin must keep real strings for oracle parity
     corpusDiversityFrame(s, d, approx_count_distinct(col("s"), 0.02).as("nd"),
       ws => i => xxhash64(element_at(ws, i), element_at(ws, i + 1),
-        element_at(ws, i + 2)))
+        element_at(ws, i + 2)), fan = false)
 
   /** The shared diversity plan, parameterized by the distinct-side
     * aggregate (exact countDistinct or the HLL sketch) and the
@@ -1268,8 +1292,13 @@ object TextAnalysis extends QueryModule {
                                    triOf: Column => Column => Column = ws => i =>
                                      concat_ws(" ", element_at(ws, i),
                                        element_at(ws, i + 1),
-                                       element_at(ws, i + 2))): DataFrame = {
-    val docs = Tables.documents(s, d)
+                                       element_at(ws, i + 2)),
+                                   fan: Boolean = true): DataFrame = {
+    // fan gated per twin: the exact countDistinct's string explode pays
+    // off (−0.15 s, bench A/B r15), the HLL twin's sketch agg is too
+    // cheap for the exchange (+0.33 s fanned)
+    val docs = if (fan) Tables.fanned(Tables.documents(s, d), col("doc_id"))
+               else Tables.documents(s, d)
     val tri = docs.select(col("source"), col("lang"), wsAll.as("__ws"))
       .select(col("source"), col("lang"),
         explode(when(size(col("__ws")) >= 3,

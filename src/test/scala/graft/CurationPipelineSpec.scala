@@ -85,11 +85,19 @@ class CurationPipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    // count ACCOUNTING-class actions only (head/count/collect — the
+    // per-stage-counts antipattern this spec guards against).
+    // Deliberate intra-operator materializations are not accounting:
+    // minhashPairs eagerly localCheckpoints its signature table so the
+    // band/verify consumers can't race the expensive pass (r15), and
+    // Spark 4 additionally reports planning-only "rdd" events.
+    val accounting = Set("head", "count", "collect", "collectAsList",
+      "collectToPython", "take", "first", "show", "toPandas")
     val l = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        actions.incrementAndGet()
+        if (accounting.contains(funcName)) actions.incrementAndGet()
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        actions.incrementAndGet()
+        if (accounting.contains(funcName)) actions.incrementAndGet()
     }
     spark.listenerManager.register(l)
     try {

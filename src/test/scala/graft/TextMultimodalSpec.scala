@@ -390,15 +390,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 10000L, 0L, 0L)))
     assert(got(2L) === ((4L, 2500L, 0L, 0L)))
 
-    // corpus run: shares live in [0, 10000] and the plan is shuffle-free
+    // corpus run: shares live in [0, 10000] and the scoring stays
+    // map-side — no aggregation/join shuffle. The ONE allowed exchange
+    // is the gated scan fan-out (Tables.fanned, REPARTITION_BY_NUM):
+    // it parallelizes the single-split test scan and disappears on a
+    // multi-file corpus; any other Exchange means the per-doc
+    // expressions stopped being map-side.
     val df = SparkEntry.queries("text_repetition")(spark, sf)
     val oob = df.filter(
       col("top_word_share_x1e4") < 1 || col("top_word_share_x1e4") > 10000 ||
       col("dup_word_share_x1e4") < 0 || col("dup_word_share_x1e4") > 10000 ||
       col("dup_bigram_share_x1e4") < 0 || col("dup_bigram_share_x1e4") > 10000).count()
     assert(oob === 0)
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
-      "repetition must stay map-side")
+    val exchanges = df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.forall(_.contains("REPARTITION_BY_NUM")),
+      s"repetition must stay map-side above the scan fan-out; got:\n${exchanges.mkString("\n")}")
   }
 
   test("scrub redacts emails and IPv4s, counts them, leaves clean text alone") {
