@@ -51,6 +51,16 @@ object GraftSession {
       // override via SPARK_GRAFT_OBJ_AGG_KEYS for memory-tight clusters.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
+      // Let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide §3.1: "often faster when one side
+      // is moderately small per partition" — SHJ skips both sides'
+      // sorts; join strategy never changes results). The suite's SMJs
+      // are shortlist/model-sized frames where the sort is pure
+      // overhead; at cluster scale the planner's own per-partition
+      // size checks still guard the hash build, and memory-tight
+      // deployments can flip it back via SPARK_GRAFT_PREFER_SMJ=true.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession =

@@ -74,7 +74,10 @@ object Analytics extends QueryModule {
       .select("c_custkey")
     val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    // fanned: the probe side of the broadcast joins + the decimal
+    // partial agg all sit in the single-split scan stage (guide §2.5)
+    val l = Tables.fanned(Tables.lineitem(s, d), col("l_orderkey"))
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     // customer grows linearly with SF, so no forced broadcast: AQE picks
     // broadcast at small SF and shuffle-hash/sort-merge at scale.
@@ -110,7 +113,7 @@ object Analytics extends QueryModule {
     val o = Tables.orders(s, d)
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
               col("o_orderdate") < ts("1998-01-01 00:00:00"))
-    val l = Tables.lineitem(s, d)
+    val l = Tables.fanned(Tables.lineitem(s, d), col("l_orderkey")) // §2.5
     // region/nation are bounded dims (5/25 rows, SF-invariant): keep those
     // broadcast. customer/supplier/orders/lineitem all scale with SF, so
     // their joins are left to AQE (broadcast at small SF, shuffle at scale).

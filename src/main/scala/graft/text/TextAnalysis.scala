@@ -300,8 +300,12 @@ object TextAnalysis extends QueryModule {
     val words = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df DERIVED from tf, not from a second explode+distinct: tf holds
+    // exactly one row per distinct (doc_id, word), so counting tf rows
+    // per word IS the document frequency — identical values, one fewer
+    // corpus explode and no distinct shuffle (r15; the oracle keeps the
+    // textbook DISTINCT formulation, values provably equal)
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score0"), asc("word"))
     tf.join(broadcast(df), "word")
@@ -372,9 +376,17 @@ object TextAnalysis extends QueryModule {
     // text_tfidf_sim / +0.10 s on vdb_more_like_this)
     val words = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // tf materialized ONCE, eagerly (r15): it feeds the broadcast df
+    // build AND the weight projection — racing/recomputing the explode
+    // + aggregate per consumer was the kernel's residual double pass.
+    // The eager localCheckpoint is the same compute-once discipline as
+    // the cached wts below (both are distinct-(doc,word)-sized — the
+    // inverted-index build intermediate a real indexer materializes).
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // df DERIVED from tf (one row per distinct (doc_id, word) by
+    // construction): identical values, no second explode, no distinct
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // cached: norms, the broadcast query side, and the dots probe side
     // all reference this explode+aggregate subtree — one build pass,
     // not one per consumer (same convention as Dedup.sizedCandidates;
